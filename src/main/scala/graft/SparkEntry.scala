@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** Full operator registry; each entry is one operator from
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
-  def registry: Seq[QueryDef] = Relational.all
+  def registry: Seq[QueryDef] = Relational.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

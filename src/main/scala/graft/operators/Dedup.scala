@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (SURVEY §7 M5
+  * extended surface). All operators are shuffle-conscious:
+  *
+  *  - signatures (minhash/simhash/fingerprints) are pure projections —
+  *    no shuffle, embarrassingly parallel, safe at 100 TB;
+  *  - candidate generation always goes through an equi-join key
+  *    (shingle, band hash, simhash band) so Spark plans a hash/SMJ
+  *    shuffle join instead of a cartesian product;
+  *  - `maxDocFreq` caps the blow-up from ultra-common shingles (the
+  *    classic quadratic skew hazard in similarity self-joins).
+  */
+object Dedup {
+  import TextOps.P
+
+  /** doc_id + distinct n-token shingle set (+ set size). */
+  def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+      .selectExpr("doc_id", s"array_distinct(${TextOps.shingles("t", n)}) AS s")
+      .selectExpr("doc_id", "s", "size(s) AS n_shingles")
+
+  /** Exact duplicate groups by (optionally normalized) content. */
+  def exactGroups(docs: DataFrame, textCol: String): DataFrame =
+    docs.selectExpr(s"${TextOps.strHash60(textCol)} AS fp", "doc_id")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similarity pairs (d1 < d2) with
+    * jaccard >= threshold. Candidates = docs sharing >= 1 shingle;
+    * shingles with doc-frequency > maxDocFreq are dropped from
+    * candidate generation only (both docs still count full set sizes)
+    * — at web scale a handful of stop-shingles would otherwise
+    * generate O(n^2) candidates. Pass maxDocFreq = Int.MaxValue for
+    * the exact-recall oracle-checked configuration. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleSets(docs, textCol, n).cache()
+    val ex = sets.selectExpr("doc_id", "explode(s) AS sgl")
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) ex
+      else {
+        val freq = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("sgl")
+        ex.join(broadcast(freq), "sgl")
+      }
+    val shared = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    val sz = sets.select(col("doc_id"), col("n_shingles"))
+    shared
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("shared"),
+        col("s1.n_shingles").as("n1"), col("s2.n_shingles").as("n2"),
+        (col("shared").cast("double") /
+          (col("s1.n_shingles") + col("s2.n_shingles") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** doc_id + k-perm MinHash signature (pure projection). */
+  def minhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+      .selectExpr("doc_id", s"array_distinct(${TextOps.shingles("t", n)}) AS s")
+      .selectExpr("doc_id", s"${TextOps.hashAll("s")} AS hs")
+      .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
+    * = k), bucket-join on (band, bucketHash), then estimate Jaccard as
+    * the fraction of agreeing signature positions. Deterministic given
+    * (n, k, bands) — the oracle replicates it exactly. */
+  def minhashLshPairs(docs: DataFrame, textCol: String, n: Int, k: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands $bands must divide k $k")
+    val sigs = minhashSignatures(docs, textCol, n, k).cache()
+    val bandRows = sigs.selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b AS band, ${TextOps.foldHash(s"slice(sig, b * $r + 1, $r)")} AS bucket))) AS bb")
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
+      .selectExpr("d1", "d2",
+        s"aggregate(zip_with(s1.sig, s2.sig, (x, y) -> if(x = y, 1, 0)), 0, (a, v) -> a + v) AS matches")
+      .select(col("d1"), col("d2"), col("matches").cast("long").as("matches"),
+        (col("matches").cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** doc_id + 60-bit SimHash (pure projection). */
+  def simhashes(docs: DataFrame, textCol: String): DataFrame =
+    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+      .selectExpr("doc_id", s"transform(t, s -> ${TextOps.strHash60("s")}) AS hs")
+      .selectExpr("doc_id", s"if(size(hs) = 0, cast(0 as bigint), ${TextOps.simhash60("hs")}) AS simhash")
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming,
+    * candidate-generated by 4 bands of 15 bits. Pigeonhole: for
+    * maxHamming <= 3, at most 3 of the 4 bands can differ, so every
+    * true pair shares >= 1 exact band — full recall, so a brute-force
+    * oracle matches exactly. */
+  def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH guarantees recall only for hamming <= 3")
+    val sh = simhashes(docs, textCol).cache()
+    val bandRows = sh.selectExpr("doc_id", "simhash",
+        "explode(transform(sequence(0, 3), b -> struct(b AS band, (shiftright(simhash, b * 15) % 32768) AS bucket))) AS bb")
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .selectExpr("d1", "d2", "cast(bit_count(sh1 ^ sh2) as bigint) AS hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

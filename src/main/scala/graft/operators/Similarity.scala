@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Scale design: the brute-force path is O(|Q|·N) with the query side
+  * broadcast — correct baseline, fine when |Q| is small; the LSH path
+  * buckets vectors by 16 random-hyperplane sign bits so the join is a
+  * bucket equi-join (shuffle on bucket id), the 100 TB-friendly plan.
+  * All hyperplane weights are deterministic integer mixes so the
+  * DuckDB oracle reproduces results exactly.
+  */
+object Similarity {
+
+  /** vec_id, v (DOUBLE array), nrm (squared L2 norm, left-fold). */
+  def prepared(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr("vec_id", "label", "v",
+        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x) AS nrm")
+
+  /** cosine between columns a and b given norm columns na/nb — single
+    * deterministic expression (left-fold dot, one division). */
+  val cosExpr: String =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p) / (sqrt(%s) * sqrt(%s))"
+
+  /** Brute-force exact top-k neighbors for each query vector
+    * (queries = vec_id < nQueries), ranked by cosine desc. */
+  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val q = p.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "q_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+    val scored = broadcast(q).join(p, col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        cosExpr.format("qv", "v", "qn", "nrm") + " AS cos")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p 0-based,
+    * dim d 1-based): integer mix centered near 0. */
+  val planeWeight: String =
+    "(((p * 64 + d) * 2654435761) % 1000000007 - 500000000)"
+
+  /** Number of LSH hyperplanes: 6 bits => 64 buckets. Sized so buckets
+    * hold a few candidates at small SF while still cutting the join
+    * fan-out ~64x at scale; raise for larger corpora. */
+  val NPlanes = 6
+
+  /** hyperplane-LSH bucket id (NPlanes sign bits) for a DOUBLE-array
+    * column v. */
+  def lshBucketExpr(v: String): String =
+    s"aggregate(transform(sequence(0, ${NPlanes - 1}), p -> " +
+      s"if(aggregate(transform(sequence(1, 64), d -> " +
+      s"element_at($v, d) * cast($planeWeight as double)), " +
+      s"cast(0 as double), (acc, x) -> acc + x) > 0, " +
+      s"shiftleft(cast(1 as bigint), p), cast(0 as bigint))), " +
+      s"cast(0 as bigint), (a, x) -> a + x)"
+
+  /** ANN via hyperplane LSH: candidates share the full 16-bit bucket;
+    * exact cosine re-rank, top-k per query. Approximate-by-design but
+    * fully deterministic (oracle replicates the same buckets). */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val p = prepared(emb).selectExpr("vec_id", "v", "nrm", s"${lshBucketExpr("v")} AS bucket")
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val scored = broadcast(q)
+      .join(p, col("qbucket") === col("bucket") && col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        cosExpr.format("qv", "v", "qn", "nrm") + " AS cos")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
+  }
+
+  /** Exact near-duplicate vector pairs: cosine >= threshold, d1 < d2.
+    * Brute force (N^2/2 pairs) — baseline for small N; the LSH bucket
+    * join above is the scale path. */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val q = p.select(col("vec_id").as("w_id"), col("v").as("wv"), col("nrm").as("wn"))
+    p.join(q, col("vec_id") < col("w_id"))
+      .selectExpr("vec_id AS d1", "w_id AS d2",
+        cosExpr.format("v", "wv", "nrm", "wn") + " AS cos")
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+/** SQL expression builders for the text-pipeline operators (tokenize,
+  * shingle, hash, minhash, simhash). Everything is exact integer
+  * arithmetic over code points, so Spark and the DuckDB oracle compute
+  * bit-identical values — no engine-specific hash functions.
+  *
+  * All builders return Spark SQL fragments (for `selectExpr`/`expr`);
+  * the DuckDB twins live next to each query's oracle. The LLM-pipeline
+  * operators (SURVEY §7 M5) build on these.
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashes: largest prime < 2^30, so
+    * a*h products stay well inside Int64. */
+  val P = 1000000007L
+
+  /** lowercase word tokens (runs of [a-z0-9]). */
+  def tokens(col: String): String =
+    s"filter(split(lower($col), '[^a-z0-9]+'), x -> x != '')"
+
+  /** n-token shingles joined by single spaces; empty array when the
+    * doc has fewer than n tokens. `slice(t,1,0)` is the typed empty
+    * array (both engines lack an untyped array literal in Spark). */
+  def shingles(toksCol: String, n: Int): String =
+    s"if(size($toksCol) < $n, slice($toksCol, 1, 0), " +
+      s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($toksCol, i, $n))))"
+
+  /** Polynomial rolling hash of a string expression: fold over code
+    * points, acc = (acc*mult + cp) % P. Equals DuckDB's
+    * list_reduce(list_transform(range(1, length(e)+1),
+    *   j -> ord(substr(e, j, 1))), (a,b) -> (a*mult+b) % P)
+    * because folding from the first element == folding from 0. */
+  def strHash(e: String, mult: Int = 31): String =
+    s"aggregate(transform(sequence(1, length($e)), " +
+      s"j -> cast(ascii(substring($e, j, 1)) as bigint)), " +
+      s"cast(0 as bigint), (acc, x) -> (acc * $mult + x) % $P)"
+
+  /** 60-bit combined hash of a string: two independent polynomial
+    * hashes (mults 31/131) packed as h31 * 2^30 + h131 % 2^30. */
+  def strHash60(e: String): String =
+    s"(${strHash(e, 31)} * 1073741824 + ${strHash(e, 131)} % 1073741824)"
+
+  /** element-wise hash of a string-array column. */
+  def hashAll(arrCol: String, mult: Int = 31): String =
+    s"transform($arrCol, s -> ${strHash("s", mult)})"
+
+  /** Deterministic per-index affine coefficients for minhash — simple
+    * LCG-style mixes, all < P so a*h fits in Int64. The index is cast
+    * to BIGINT first: Spark's sequence() yields INT (overflows under
+    * ANSI), DuckDB's range() yields BIGINT. */
+  def mhA(i: String): String = s"(((cast($i as bigint) + 1) * 1103515245 + 12345) % $P)"
+  def mhB(i: String): String = s"(((cast($i as bigint) + 1) * 69069 + 7) % $P)"
+
+  /** k-permutation MinHash signature over a BIGINT-hash array column:
+    * sig[i] = min over h of (a_i*h + b_i) % P; sentinel P for empty
+    * docs. Pure projection — no shuffle. */
+  def minhashSig(hashesCol: String, k: Int): String =
+    s"transform(sequence(0, ${k - 1}), i -> " +
+      s"if(size($hashesCol) = 0, ${P}, " +
+      s"array_min(transform($hashesCol, h -> (${mhA("i")} * h + ${mhB("i")}) % $P))))"
+
+  /** 60-bit SimHash over a BIGINT token-hash array column (hashes must
+    * be 60-bit, e.g. [[strHash60]]): bit b set iff the +1/-1 vote over
+    * tokens at bit b is positive. */
+  def simhash60(hashesCol: String): String =
+    s"aggregate(transform(sequence(0, 59), b -> " +
+      s"if(aggregate(transform($hashesCol, h -> " +
+      s"if((shiftright(h, b) % 2) = 1, 1, -1)), 0, (a, x) -> a + x) > 0, " +
+      s"shiftleft(cast(1 as bigint), b), cast(0 as bigint))), " +
+      s"cast(0 as bigint), (a, x) -> a + x)"
+
+  /** Order-insensitive combine of an array of BIGINT minhash values
+    * into one band-bucket key (commutative? no — positional fold, and
+    * both engines fold left-to-right over the same slice). */
+  def foldHash(arrCol: String): String =
+    s"aggregate($arrCol, cast(7 as bigint), (acc, x) -> (acc * 1000003 + x) % $P)"
+
+  /** Common stopword list used by quality scoring & language ID. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "in", "ist", "auf", "mit", "von")
+  val StopFr: Seq[String] = Seq("le", "la", "de", "et", "un", "une", "est", "dans", "pour", "avec")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "y", "un", "una", "es", "en", "para", "con")
+
+  def arrayLit(xs: Seq[String]): String = xs.mkString("array('", "', '", "')")
+
+  /** count of tokens from `toksCol` present in `stop`. */
+  def stopHits(toksCol: String, stop: Seq[String]): String =
+    s"size(filter($toksCol, t -> array_contains(${arrayLit(stop)}, t)))"
+}

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (SURVEY §7 M5 / builder brief):
+  * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity
+  * search (brute-force + hyperplane-LSH), text analysis (quality,
+  * language-ID, token counts, fingerprints), multimodal plumbing.
+  * Every query is deterministic; oracles replicate the algorithms in
+  * DuckDB SQL via the exact-integer hash twins in [[DuckOps]].
+  */
+object Pipeline {
+
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, t01, t02, t03, t04, m01)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup via 60-bit content fingerprint groups. */
+  val d01: QueryDef = QueryDef(
+    "d01_exact_dedup",
+    (s, d) => Dedup.exactGroups(Tables.documents(s, d), "text")
+      .orderBy(col("fp")),
+    Some(s"""SELECT ${DuckOps.strHash60("text")} AS fp,
+        min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY fp ORDER BY fp"""))
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  val d02: QueryDef = QueryDef(
+    "d02_ngram_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", 3, 0.5)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(${DuckOps.shingles("t", 3)}) AS s FROM toks),
+      e AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+                FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, shared, CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
+      FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.5
+      ORDER BY d1, d2"""))
+
+  /** MinHash(16)-LSH(4 bands) near-dup pairs, est. Jaccard >= 0.5. */
+  val d03: QueryDef = QueryDef(
+    "d03_minhash_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16, 4, 0.5)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(${DuckOps.shingles("t", 3)}) AS s FROM toks),
+      hs AS (SELECT doc_id, ${DuckOps.hashAll("s")} AS h FROM sh),
+      sig AS (SELECT doc_id, ${DuckOps.minhashSig("h", 16)} AS sig FROM hs),
+      bands AS (SELECT doc_id, b, ${DuckOps.foldHash("sig[b * 4 + 1 : b * 4 + 4]")} AS bucket
+                FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      est AS (SELECT d1, d2,
+                CAST(len(list_filter(range(1, 17),
+                  i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS matches
+              FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id)
+      SELECT d1, d2, matches, CAST(matches AS DOUBLE) / 16 AS est_jaccard
+      FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5
+      ORDER BY d1, d2"""))
+
+  /** SimHash(60-bit) near-dup pairs, Hamming <= 3 (banded candidates
+    * with guaranteed recall => brute-force oracle matches exactly). */
+  val d04: QueryDef = QueryDef(
+    "d04_simhash_pairs",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", 3)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      hs AS (SELECT doc_id, list_transform(t, s -> ${DuckOps.strHash60("s")}) AS h FROM toks),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(h) = 0 THEN 0::BIGINT ELSE ${DuckOps.simhash60("h")} END AS simhash
+             FROM hs)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY d1, d2"""))
+
+  // ----------------------------------------------------------- similarity
+
+  /** Brute-force exact cosine top-5 for query vectors (vec_id < 10). */
+  val s01: QueryDef = QueryDef(
+    "s01_cosine_topk",
+    (s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 10, 5)
+      .orderBy(col("q_id"), col("rk")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+            FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos FROM (
+        SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+        FROM p) WHERE rk <= 5
+      ORDER BY q_id, rk"""))
+
+  /** ANN: 16-bit hyperplane-LSH bucketed cosine top-3 (vec_id < 10). */
+  val s02: QueryDef = QueryDef(
+    "s02_lsh_ann_topk",
+    (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), 10, 3)
+      .orderBy(col("q_id"), col("rk")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm,
+              list_reduce(list_concat([0::BIGINT], list_transform(range(0, ${Similarity.NPlanes}), p ->
+                CASE WHEN list_reduce(list_concat([0.0::DOUBLE],
+                    list_transform(range(1, 65), d ->
+                      v[d] * CAST(${Similarity.planeWeight} AS DOUBLE))),
+                    (acc, x) -> acc + x) > 0
+                THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, x) -> a + x) AS bucket
+            FROM e),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+            FROM n q JOIN n c
+            ON q.vec_id < 10 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos FROM (
+        SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+        FROM p) WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  /** Exact embedding near-dup pairs (cosine >= 0.45). */
+  val s03: QueryDef = QueryDef(
+    "s03_embedding_neardup",
+    (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e)
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+        ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.45
+      ORDER BY d1, d2"""))
+
+  // -------------------------------------------------------- text analysis
+
+  /** Quality scoring: token stats + punctuation + stopword density,
+    * all exact-integer (micro-unit ratios via integer division). */
+  val t01: QueryDef = QueryDef(
+    "t01_quality_scores",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", s"${TextOps.tokens("text")} AS t", "text")
+      .selectExpr(
+        "doc_id", "n_chars",
+        "cast(size(t) as bigint) AS n_tokens",
+        "aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x)) AS n_token_chars",
+        "cast(length(regexp_replace(lower(text), '[a-z0-9 ]', '')) as bigint) AS n_punct",
+        s"cast(${TextOps.stopHits("t", TextOps.StopEn)} as bigint) AS stop_hits")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "n_token_chars", "n_punct", "stop_hits",
+        "if(n_tokens = 0, 0, (n_token_chars * 1000000) div n_tokens) AS avg_token_len_micro",
+        "if(n_tokens = 0, 0, (stop_hits * 1000000) div n_tokens) AS stop_ratio_micro",
+        "if(n_chars = 0, 0, (n_punct * 1000000) div n_chars) AS punct_ratio_micro")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH q AS (
+        SELECT doc_id, n_chars, ${DuckOps.tokens("text")} AS t, text FROM documents),
+      m AS (SELECT doc_id, n_chars,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS n_token_chars,
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(${DuckOps.stopHits("t", TextOps.StopEn)} AS BIGINT) AS stop_hits
+        FROM q)
+      SELECT doc_id, n_chars, n_tokens, n_token_chars, n_punct, stop_hits,
+        CASE WHEN n_tokens = 0 THEN 0 ELSE (n_token_chars * 1000000) // n_tokens END AS avg_token_len_micro,
+        CASE WHEN n_tokens = 0 THEN 0 ELSE (stop_hits * 1000000) // n_tokens END AS stop_ratio_micro,
+        CASE WHEN n_chars = 0 THEN 0 ELSE (n_punct * 1000000) // n_chars END AS punct_ratio_micro
+      FROM m ORDER BY doc_id"""))
+
+  /** Heuristic language ID: stopword votes per language, deterministic
+    * tie-break en > de > es > fr > unknown; compared to the labeled
+    * lang column for an accuracy summary. */
+  val t02: QueryDef = QueryDef(
+    "t02_language_id",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", s"${TextOps.tokens("text")} AS t")
+      .selectExpr("doc_id", "lang",
+        s"${TextOps.stopHits("t", TextOps.StopEn)} AS h_en",
+        s"${TextOps.stopHits("t", TextOps.StopDe)} AS h_de",
+        s"${TextOps.stopHits("t", TextOps.StopEs)} AS h_es",
+        s"${TextOps.stopHits("t", TextOps.StopFr)} AS h_fr")
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'unknown'
+              WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END AS guessed""")
+      .groupBy(col("lang"), col("guessed"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guessed")),
+    Some(s"""WITH q AS (SELECT doc_id, lang, ${DuckOps.tokens("text")} AS t FROM documents),
+      h AS (SELECT doc_id, lang,
+          ${DuckOps.stopHits("t", TextOps.StopEn)} AS h_en,
+          ${DuckOps.stopHits("t", TextOps.StopDe)} AS h_de,
+          ${DuckOps.stopHits("t", TextOps.StopEs)} AS h_es,
+          ${DuckOps.stopHits("t", TextOps.StopFr)} AS h_fr
+        FROM q),
+      g AS (SELECT lang,
+          CASE WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'unknown'
+               WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+               WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+               WHEN h_es >= h_fr THEN 'es'
+               ELSE 'fr' END AS guessed
+        FROM h)
+      SELECT lang, guessed, count(*) AS n FROM g
+      GROUP BY lang, guessed ORDER BY lang, guessed"""))
+
+  /** Token counting: whitespace tokens + BPE-ish segment count. */
+  val t03: QueryDef = QueryDef(
+    "t03_token_counts",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "cast(size(filter(split(text, '[ ]+'), x -> x != '')) as bigint) AS ws_tokens",
+        "cast(regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint) AS bpe_ish_tokens",
+        "cast(length(text) as bigint) AS n_chars2")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(text, '[ ]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars2
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: 60-bit content hash of the normalized
+    * text + first-8-token prefix hash (rolling polynomial). */
+  val t04: QueryDef = QueryDef(
+    "t04_fingerprints",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t", "text")
+      .selectExpr("doc_id",
+        s"${TextOps.strHash60("concat_ws(' ', t)")} AS fp",
+        s"${TextOps.strHash60("concat_ws(' ', slice(t, 1, 8))")} AS prefix_fp")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH q AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      j AS (SELECT doc_id, array_to_string(t, ' ') AS full_s,
+              array_to_string(t[1:8], ' ') AS pre_s FROM q)
+      SELECT doc_id, ${DuckOps.strHash60("full_s")} AS fp,
+        ${DuckOps.strHash60("pre_s")} AS prefix_fp
+      FROM j ORDER BY doc_id"""))
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Multimodal column plumbing: text payload treated as an opaque
+    * binary column with typed metadata; "decode" is a deterministic
+    * stub (digest + size-derived pseudo-features) — the real decode
+    * would swap in behind the same schema (see
+    * [[graft.operators.Multimodal]] for the batch-iterator path). */
+  val m01: QueryDef = QueryDef(
+    "m01_multimodal_features",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "cast(text AS binary) AS payload")
+      .selectExpr("doc_id", "source",
+        "cast(octet_length(payload) as bigint) AS n_bytes",
+        "md5(payload) AS digest")
+      .selectExpr("doc_id", "source", "n_bytes", "digest",
+        s"(1 + ${TextOps.strHash("digest")} % 64) AS fake_width",
+        "(1 + n_bytes % 3) AS fake_channels")
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, source,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS digest,
+        (1 + ${DuckOps.strHash("md5(text)")} % 64) AS fake_width,
+        (1 + CAST(octet_length(encode(text)) AS BIGINT) % 3) AS fake_channels
+      FROM documents ORDER BY doc_id"""))
+}
