@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.sstable._
+
+/** User-facing facade for the Cassandra-SSTable pipeline — the Spark
+  * rebuild of the reference's main job (SURVEY §3.1):
+  *
+  * {{{
+  * val atoms = GraftSSTable.readAtoms(spark, dir)        // S1–S8
+  * val rows  = GraftSSTable.compact(atoms)               // O1–O3 + A1/F1/F2
+  * GraftSSTable.writeAegJson(rows, out)                  // X6 sink
+  * }}}
+  *
+  * The physical plan mirrors the reference's MR pipeline Spark-first:
+  * custom DSv2 scan → `repartition(key)` (hash partitioning, O3) →
+  * `sortWithinPartitions(key, name, ts)` (secondary sort, O1) →
+  * `mapPartitions` streaming merge (A1) — bounded memory per row,
+  * no collect_list, safe for wide rows at 100 TB.
+  */
+object GraftSSTable {
+
+  def readAtoms(
+      spark: SparkSession,
+      path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(spark.read.format("sstable"))((r, kv) => r.option(kv._1, kv._2)).load(path)
+
+  /** A1 compaction. Input may be any union of per-file atom frames
+    * (mixed sstable versions merge correctly — the shuffle interleaves
+    * them by (key, name, ts) exactly like the reference's secondary
+    * sort). */
+  def compact(
+      atoms: DataFrame,
+      numPartitions: Int = 32,
+      maxRowSize: Long = Long.MaxValue): Dataset[CompactedRow] = {
+    val spark = atoms.sparkSession
+    import spark.implicits._
+    atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
+        "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
+      .as[AtomRec]
+      .repartition(numPartitions, col("key"))
+      .sortWithinPartitions(col("key"), col("name"), col("ts"))
+      .mapPartitions(it => Compaction.merge(it, CassType.BytesType, maxRowSize))
+  }
+
+  /** aeg-JSON lines (X6), keyed for ordering. */
+  def aegJsonLines(
+      rows: Dataset[CompactedRow],
+      keyType: String = "BytesType",
+      nameType: String = "BytesType",
+      valueType: String = "BytesType",
+      maxColSize: Long = -1L): Dataset[(Array[Byte], String)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val (kt, nt, vt) = (keyType, nameType, valueType)
+    rows.map { r =>
+      (r.key, Compaction.toAegJson(r, CassType.parse(kt), CassType.parse(nt),
+        CassType.parse(vt), maxColSize))
+    }
+  }
+
+  /** Write aeg-%05d text files, one per partition, rows ordered by raw
+    * key bytes (deterministic file naming per
+    * `output/JsonOutputFormat.java:62-67`). `numFiles=1` reproduces a
+    * single-reducer reference run byte-for-byte. */
+  def writeAegJson(
+      rows: Dataset[CompactedRow],
+      outDir: String,
+      numFiles: Int = 1,
+      keyType: String = "BytesType",
+      nameType: String = "BytesType",
+      valueType: String = "BytesType",
+      maxColSize: Long = -1L): Unit = {
+    val spark = rows.sparkSession
+    val lines = aegJsonLines(rows, keyType, nameType, valueType, maxColSize)
+    val sorted = lines.toDF("key", "line").repartitionByRange(numFiles, col("key"))
+      .sortWithinPartitions(col("key"))
+    val out = outDir
+    sorted.select("line").rdd.map(_.getString(0))
+      .mapPartitionsWithIndex { (idx, it) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(out, f"aeg-$idx%05d")
+        val fs = path.getFileSystem(conf)
+        val os = fs.create(path, true)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+        it.foreach { l => w.write(l); w.write('\n') }
+        w.close()
+        Iterator.single(idx)
+      }.count()
+    ()
+  }
+
+  /** Driver-side corrupt-file threshold check (A3 / reference
+    * `Aegisthus.java:246-257`): call after an action over a scan read
+    * with skipCorrupt=true. */
+  def assertCorruptFilesBelow(max: Long): Unit = {
+    val n = SSTableSource.corruptFiles.map(_.value.toLong).getOrElse(0L)
+    require(n <= max, s"Corrupt files skipped ($n) exceeded threshold ($max)")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.sstable
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Minimal clean-room Cassandra marshal-type system (SURVEY §2.8 X1/X2):
+  * parse type-name strings and render byte values as display strings,
+  * mirroring `AbstractType.getString` behavior for the types the
+  * reference exercises (`output/JsonOutputFormat.java:49-60,92-106`).
+  * BytesType (the default everywhere) renders lowercase hex. */
+sealed trait CassType {
+  def getString(bytes: Array[Byte]): String
+  /** comparator used for column-name ordering (O1). */
+  def compare(a: Array[Byte], b: Array[Byte]): Int = CassType.unsignedCompare(a, b)
+}
+
+object CassType {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(hexChars(b >> 4)).append(hexChars(b & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  case object BytesType extends CassType {
+    override def getString(bytes: Array[Byte]): String = hex(bytes)
+  }
+  case object UTF8Type extends CassType {
+    override def getString(bytes: Array[Byte]): String = new String(bytes, StandardCharsets.UTF_8)
+  }
+  case object AsciiType extends CassType {
+    override def getString(bytes: Array[Byte]): String = new String(bytes, StandardCharsets.US_ASCII)
+  }
+  case object LongType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getLong.toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Long.compare(ByteBuffer.wrap(a).getLong, ByteBuffer.wrap(b).getLong)
+  }
+  case object Int32Type extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getInt.toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Integer.compare(ByteBuffer.wrap(a).getInt, ByteBuffer.wrap(b).getInt)
+  }
+  case object UUIDType extends CassType {
+    override def getString(bytes: Array[Byte]): String = {
+      val bb = ByteBuffer.wrap(bytes)
+      new java.util.UUID(bb.getLong, bb.getLong).toString
+    }
+  }
+  case object TimestampType extends CassType {
+    override def getString(bytes: Array[Byte]): String = LongType.getString(bytes)
+  }
+  final case class ReversedType(base: CassType) extends CassType {
+    override def getString(bytes: Array[Byte]): String = base.getString(bytes)
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = -base.compare(a, b)
+  }
+
+  /** CompositeType: components encoded as [u16 len][bytes][u8 eoc]...;
+    * renders as Cassandra does for CQL3 names (hex of raw by default —
+    * the reference renders composite names via the configured
+    * comparator; with BytesType that is plain hex, which the goldens
+    * use, so Composite rendering is only needed for explicit
+    * composite-typed configs). */
+  final case class CompositeType(components: Seq[CassType]) extends CassType {
+    override def getString(bytes: Array[Byte]): String = {
+      val parts = split(bytes).zipWithIndex.map { case (c, i) =>
+        components.lift(i).getOrElse(BytesType).getString(c)
+      }
+      parts.mkString("(", ", ", ")")
+    }
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val as = split(a); val bs = split(b)
+      val n = math.min(as.length, bs.length)
+      var i = 0
+      while (i < n) {
+        val cmp = components.lift(i).getOrElse(BytesType).compare(as(i), bs(i))
+        if (cmp != 0) return cmp
+        i += 1
+      }
+      as.length - bs.length
+    }
+    /** split composite-encoded bytes into component byte arrays (X4). */
+    def split(bytes: Array[Byte]): Array[Array[Byte]] = {
+      val out = Array.newBuilder[Array[Byte]]
+      val bb = ByteBuffer.wrap(bytes)
+      while (bb.remaining() > 0) {
+        val len = bb.getShort & 0xffff
+        val comp = new Array[Byte](len)
+        bb.get(comp)
+        if (bb.remaining() > 0) bb.get() // end-of-component byte
+        out += comp
+      }
+      out.result()
+    }
+  }
+
+  /** Parse a Cassandra type-name string (subset of TypeParser). */
+  def parse(name: String): CassType = {
+    val trimmed = name.trim.stripPrefix("org.apache.cassandra.db.marshal.")
+    val paren = trimmed.indexOf('(')
+    val base = if (paren >= 0) trimmed.substring(0, paren) else trimmed
+    val args = if (paren >= 0) splitArgs(trimmed.substring(paren + 1, trimmed.lastIndexOf(')'))) else Nil
+    base match {
+      case "BytesType" => BytesType
+      case "UTF8Type" => UTF8Type
+      case "AsciiType" => AsciiType
+      case "LongType" => LongType
+      case "Int32Type" => Int32Type
+      case "UUIDType" | "TimeUUIDType" | "LexicalUUIDType" => UUIDType
+      case "TimestampType" | "DateType" => TimestampType
+      case "ReversedType" => ReversedType(parse(args.head))
+      case "CompositeType" => CompositeType(args.map(parse))
+      case other => throw new IllegalArgumentException(s"Unsupported Cassandra type: $other")
+    }
+  }
+
+  private def splitArgs(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

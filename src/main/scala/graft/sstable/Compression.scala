@@ -1,0 +1,124 @@
+package graft.sstable
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+/** CompressionInfo.db sidecar: compressor name, options, chunk length,
+  * uncompressed data length, per-chunk compressed lengths (derived
+  * from chunk offsets and total compressed size). Reference:
+  * `io/sstable/compression/CompressionMetadata.java:37-65,94-107`. */
+final case class CompressionMeta(
+    compressorName: String,
+    chunkLength: Int,
+    dataLength: Long,
+    chunkCompressedLengths: Array[Int])
+
+object CompressionMeta {
+  def read(in: InputStream, compressedFileLength: Long): CompressionMeta = {
+    val d = new DataInputStream(in)
+    try {
+      val name = d.readUTF()
+      val optionCount = d.readInt()
+      var i = 0
+      while (i < optionCount) { d.readUTF(); d.readUTF(); i += 1 }
+      val chunkLength = d.readInt()
+      val dataLength = d.readLong()
+      val chunkCount = d.readInt()
+      val lengths = new Array[Int](chunkCount)
+      if (chunkCount > 0) {
+        var prev = d.readLong()
+        var j = 1
+        while (j < chunkCount) {
+          val cur = d.readLong()
+          lengths(j - 1) = (cur - prev - 4).toInt // 4-byte checksum trails each chunk
+          prev = cur
+          j += 1
+        }
+        lengths(chunkCount - 1) = (compressedFileLength - prev - 4).toInt
+      }
+      CompressionMeta(name, chunkLength, dataLength, lengths)
+    } finally d.close()
+  }
+}
+
+/** Chunk-at-a-time decompressing stream over a compressed Data.db
+  * (reference `io/sstable/compression/CompressionInputStream.java`).
+  * Supports the three pre-3.0 Cassandra table compressors; the 4-byte
+  * per-chunk checksum is read and ignored, like the reference. */
+final class CompressionInputStream(in: InputStream, meta: CompressionMeta)
+    extends InputStream {
+
+  private val input = new Array[Byte](meta.chunkLength * 2)
+  private val buffer = new Array[Byte](meta.chunkLength * 2)
+  private var position = 0
+  private var valid = 0
+  private var chunk = 0
+
+  private val decompress: (Array[Byte], Int, Array[Byte]) => Int =
+    meta.compressorName match {
+      case n if n.contains("Snappy") =>
+        (src, len, dst) => org.xerial.snappy.Snappy.uncompress(src, 0, len, dst, 0)
+      case n if n.contains("LZ4") =>
+        // Cassandra LZ4 chunk = [i32 LE decompressed length][lz4 block]
+        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        (src, len, dst) => {
+          val dLen = (src(0) & 0xff) | ((src(1) & 0xff) << 8) |
+            ((src(2) & 0xff) << 16) | ((src(3) & 0xff) << 24)
+          dec.decompress(src, 4, dst, 0, dLen)
+          dLen
+        }
+      case n if n.contains("Deflate") =>
+        (src, len, dst) => {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(src, 0, len)
+          val n = inf.inflate(dst)
+          inf.end()
+          n
+        }
+      case other => throw new java.io.IOException(s"Unsupported sstable compressor: $other")
+    }
+
+  override def available(): Int = {
+    if (valid > position) return valid - position
+    if (chunk >= meta.chunkCompressedLengths.length) return 0
+    val compLen = meta.chunkCompressedLengths(chunk)
+    readFully(input, compLen)
+    skipChecksum()
+    valid = decompress(input, compLen, buffer)
+    position = 0
+    chunk += 1
+    valid
+  }
+
+  override def read(): Int =
+    if (available() <= 0) -1 else { val b = buffer(position) & 0xff; position += 1; b }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (available() <= 0) return -1
+    val n = math.min(len, valid - position)
+    System.arraycopy(buffer, position, out, off, n)
+    position += n
+    n
+  }
+
+  override def close(): Unit = in.close()
+
+  private def readFully(dst: Array[Byte], len: Int): Unit = {
+    var off = 0
+    while (off < len) {
+      val n = in.read(dst, off, len - off)
+      if (n == -1) throw new EOFException("EOF inside compressed chunk")
+      off += n
+    }
+  }
+
+  private def skipChecksum(): Unit = {
+    var left = 4
+    val tmp = new Array[Byte](4)
+    while (left > 0) {
+      val n = in.read(tmp, 4 - left, left)
+      if (n == -1) throw new EOFException("EOF inside chunk checksum")
+      left -= n
+    }
+  }
+}

@@ -1,0 +1,272 @@
+package graft.sstable
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.LongAccumulator
+
+/** DataSourceV2 reader for Cassandra SSTable Data.db files
+  * (`spark.read.format("sstable").load(dir)`), covering SURVEY §2.1
+  * S1–S8 Spark-side:
+  *
+  *  - recursive discovery of `*-Data.db` (hidden files skipped);
+  *  - row-boundary split planning from Index.db sidecars targeting
+  *    `blocksize` bytes per partition (S2/S3) — Spark's byte-range
+  *    file splitting cannot cut this format safely;
+  *  - compressed sstables (CompressionInfo.db in the same dir or a
+  *    ±1-minute Priam sibling dir) become one unsplit partition whose
+  *    logical end is the uncompressed length (S4/S5);
+  *  - per-partition corrupt-file absorb with an accumulator +
+  *    driver-side threshold assert (A3) when `skipCorrupt=true`;
+  *  - column pruning pushdown (F6).
+  *
+  * Options: `blocksize` (long, default 64 MiB), `skipCorrupt`
+  * (boolean, default false), `version` (force format version).
+  */
+class SSTableSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sstable"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SSTableSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SSTableTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SSTableSource {
+  /** Atom schema — field names match [[AtomRec]] so `.as[AtomRec]`
+    * works directly. */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("rowDeletedAt", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("name", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("ts", LongType, nullable = true),
+    StructField("ttl", IntegerType, nullable = true),
+    StructField("localDeletionTime", IntegerType, nullable = true),
+    StructField("tsOfLastDelete", LongType, nullable = true),
+    StructField("rtMax", BinaryType, nullable = true)))
+
+  /** last scan's corrupt-file accumulator, for the driver-side
+    * threshold check (reference `Aegisthus.java:246-257`). */
+  @volatile var corruptFiles: Option[LongAccumulator] = None
+
+  def isHidden(p: Path): Boolean = {
+    var cur = p
+    while (cur != null) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Recursive `*-Data.db` discovery (S8). */
+  def listDataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    val out = ArrayBuffer[FileStatus]()
+    def walk(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        if (isHidden(st.getPath)) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith("-Data.db") && st.getLen > 0) out += st
+      }
+    }
+    val rootStatus = fs.getFileStatus(root)
+    if (rootStatus.isDirectory) walk(root)
+    else if (rootStatus.getLen > 0 && root.getName.endsWith("-Data.db")) out += rootStatus
+    out.toSeq
+  }
+
+  private val PriamDatePattern = raw".*/(\d{12})$$".r
+
+  /** CompressionInfo.db discovery: same dir, else ±1-minute Priam
+    * sibling dirs (reference `input/AegisthusInputFormat.java:82-112`). */
+  def compressionPath(fs: FileSystem, dataPath: Path): Option[Path] = {
+    val name = dataPath.getName.replace("-Data.db", "-CompressionInfo.db")
+    val sameDir = new Path(dataPath.getParent, name)
+    if (fs.exists(sameDir)) return Some(sameDir)
+    dataPath.getParent.toString match {
+      case PriamDatePattern(ts) =>
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm")
+        val t = java.time.LocalDateTime.parse(ts, fmt)
+        Seq(-1L, 1L).iterator.map { d =>
+          new Path(new Path(dataPath.getParent.getParent, t.plusMinutes(d).format(fmt)), name)
+        }.find(fs.exists)
+      case _ => None
+    }
+  }
+}
+
+final class SSTableTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"sstable(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
+  override def schema(): StructType = SSTableSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SSTableScanBuilder(options.asScala.toMap)
+}
+
+final class SSTableScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SSTableSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new SSTableScan(options, required)
+}
+
+/** One planned partition: a row-aligned byte range of one Data.db. */
+final case class SSTablePartition(
+    path: String,
+    start: Long,
+    end: Long,
+    compressionInfoPath: Option[String],
+    versionName: String) extends InputPartition
+
+final class SSTableScan(options: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = "graft-sstable"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
+    val paths: Seq[String] = options.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(options.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("sstable source requires a path"))
+
+    val parts = ArrayBuffer[InputPartition]()
+    paths.foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      SSTableSource.listDataFiles(fs, root).foreach { st =>
+        val file = st.getPath
+        val version = options.getOrElse("version",
+          SSTableVersion.fromFilename(file.getName).name)
+        SSTableSource.compressionPath(fs, file) match {
+          case Some(ci) =>
+            // S4: compressed file = one partition; logical end = uncompressed length
+            val meta = {
+              val in = fs.open(ci)
+              try CompressionMeta.read(in, fs.getFileStatus(file).getLen)
+              finally in.close()
+            }
+            parts += SSTablePartition(file.toString, 0L, meta.dataLength, Some(ci.toString), version)
+          case None =>
+            // S3: row-boundary splits from the Index.db sidecar
+            val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
+            val len = st.getLen
+            if (len <= blocksize || !fs.exists(idx)) {
+              parts += SSTablePartition(file.toString, 0L, len, None, version)
+            } else {
+              val in = fs.open(idx)
+              val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
+              var splitStart = 0L
+              offsets.foreach { off =>
+                if (off - splitStart >= blocksize) {
+                  parts += SSTablePartition(file.toString, splitStart, off, None, version)
+                  splitStart = off
+                }
+              }
+              if (splitStart < len) parts += SSTablePartition(file.toString, splitStart, len, None, version)
+            }
+        }
+      }
+    }
+    val acc = SparkSession.active.sparkContext.longAccumulator("sstable.corruptFiles")
+    SSTableSource.corruptFiles = Some(acc)
+    accForFactory = acc
+    parts.toArray
+  }
+
+  private var accForFactory: LongAccumulator = _
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // note: options arrive via CaseInsensitiveStringMap with lowercased keys
+    new SSTableReaderFactory(required,
+      options.getOrElse("skipcorrupt", "false").toBoolean, accForFactory)
+}
+
+final class SSTableReaderFactory(
+    required: StructType,
+    skipCorrupt: Boolean,
+    corruptAcc: LongAccumulator) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SSTablePartition]
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      private val path = new Path(p.path)
+      private val fs = path.getFileSystem(conf)
+      private val scanner: SSTableScanner = {
+        val raw = fs.open(path)
+        val stream: java.io.InputStream = p.compressionInfoPath match {
+          case Some(ci) =>
+            val ciPath = new Path(ci)
+            val meta = {
+              val in = fs.open(ciPath)
+              try CompressionMeta.read(in, fs.getFileStatus(path).getLen)
+              finally in.close()
+            }
+            new CompressionInputStream(raw, meta)
+          case None =>
+            raw.seek(p.start)
+            raw
+        }
+        new SSTableScanner(stream, p.start, p.end, SSTableVersion(p.versionName), p.path)
+      }
+      private val fieldIdx = required.fields.map(f => SSTableSource.Schema.fieldIndex(f.name))
+      private var current: AtomRec = _
+      private var corrupted = false
+
+      override def next(): Boolean = {
+        if (corrupted) return false
+        try {
+          if (scanner.hasNext) { current = scanner.next(); true } else false
+        } catch {
+          case e: Exception if skipCorrupt =>
+            // S7 error-absorb: skip the rest of this file, count it
+            org.slf4j.LoggerFactory.getLogger(classOf[SSTableReaderFactory])
+              .error(s"failure deserializing file ${p.path}", e)
+            if (corruptAcc != null) corruptAcc.add(1L)
+            corrupted = true
+            false
+        }
+      }
+
+      override def get(): InternalRow = {
+        val full = Array[Any](
+          current.key,
+          UTF8String.fromString(current.source),
+          current.rowDeletedAt,
+          UTF8String.fromString(current.kind),
+          current.name,
+          current.value,
+          current.ts.map(Long.box).orNull,
+          current.ttl.map(Int.box).orNull,
+          current.localDeletionTime.map(Int.box).orNull,
+          current.tsOfLastDelete.map(Long.box).orNull,
+          current.rtMax)
+        new GenericInternalRow(fieldIdx.map(full))
+      }
+
+      override def close(): Unit = scanner.close()
+    }
+  }
+}

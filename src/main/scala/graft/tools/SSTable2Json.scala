@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.GraftSSTable
+
+/** CLI analog of the reference's `scripts/sstable2json` wrapper
+  * (`/root/reference/scripts/sstable2json:1-3`): compacts a directory
+  * of Cassandra SSTables into aeg-JSON files.
+  *
+  * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]
+  */
+object SSTable2Json {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]")
+    val input = args(0)
+    val output = args(1)
+    val blocksize = if (args.length > 2) args(2) else (64L * 1024 * 1024).toString
+    val maxCorrupt = if (args.length > 3) args(3).toLong else 0L
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("sstable2json")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val atoms = GraftSSTable.readAtoms(spark, input,
+        Map("blocksize" -> blocksize, "skipCorrupt" -> (maxCorrupt > 0).toString))
+      val compacted = GraftSSTable.compact(atoms, numPartitions = 32)
+      GraftSSTable.writeAegJson(compacted, output, numFiles = 1)
+      GraftSSTable.assertCorruptFilesBelow(maxCorrupt)
+      println(s"sstable2json: wrote $output/aeg-00000")
+    } finally spark.stop()
+  }
+}
