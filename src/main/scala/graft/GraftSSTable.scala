@@ -92,6 +92,51 @@ object GraftSSTable {
     ()
   }
 
+  /** Write compacted rows as new SSTables (M3 write surface):
+    * `<dataset>-<version>-<part>-Data.db` per partition, rows ordered
+    * by raw key bytes (reference `output/SSTableOutputFormat.java`).
+    * Supports both layout families ("ic" and "jb"/"la"). */
+  def writeSSTable(
+      rows: Dataset[CompactedRow],
+      outDir: String,
+      version: String = "jb",
+      dataset: String = "keyspace-dataset",
+      numFiles: Int = 1): Unit = {
+    val out = outDir
+    val ver = version
+    val ds = dataset
+    rows.toDF("key", "deletedAt", "columns")
+      .repartitionByRange(numFiles, col("key"))
+      .sortWithinPartitions(col("key"))
+      .as(org.apache.spark.sql.Encoders.product[CompactedRow])
+      .rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(out, f"$ds-$ver-$idx%010d-Data.db")
+        val fs = path.getFileSystem(conf)
+        val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(path, true)))
+        val v = SSTableVersion(ver)
+        it.foreach(row => SSTableWriter.writeRow(os, row, v))
+        os.close()
+        Iterator.single(idx)
+      }.count()
+    ()
+  }
+
+  /** Read aeg-JSON output back as a DataFrame (the Pig-loader
+    * replacement, SURVEY §3.3): key, deletedAt, columns array of cell
+    * structs; `clean=true` (the reference default) drops tombstoned /
+    * row-shadowed columns and rows left empty. Column pruning is free
+    * via Catalyst once the struct is projected. */
+  def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.read.textFile(path).map(AegJsonCodec.parse)
+    val cleaned =
+      if (clean) parsed.map(AegJsonCodec.cleanse).filter(_.columns.nonEmpty)
+      else parsed
+    cleaned.toDF()
+  }
+
   /** Driver-side corrupt-file threshold check (A3 / reference
     * `Aegisthus.java:246-257`): call after an action over a scan read
     * with skipCorrupt=true. */

@@ -4,18 +4,21 @@ import org.apache.spark.sql.SparkSession
 import graft.GraftSSTable
 
 /** CLI analog of the reference's `scripts/sstable2json` wrapper
-  * (`/root/reference/scripts/sstable2json:1-3`): compacts a directory
-  * of Cassandra SSTables into aeg-JSON files.
+  * (`/root/reference/scripts/sstable2json:1-3`) plus the main job's
+  * `-produceSSTable` mode: compacts a directory of Cassandra SSTables
+  * into aeg-JSON files, or into a new compacted SSTable.
   *
-  * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]
+  * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt] [sstable:<ver>]
   */
 object SSTable2Json {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]")
+    require(args.length >= 2,
+      "usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt] [sstable:<ver>]")
     val input = args(0)
     val output = args(1)
     val blocksize = if (args.length > 2) args(2) else (64L * 1024 * 1024).toString
     val maxCorrupt = if (args.length > 3) args(3).toLong else 0L
+    val produceSSTable = args.find(_.startsWith("sstable:")).map(_.stripPrefix("sstable:"))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -28,9 +31,15 @@ object SSTable2Json {
       val atoms = GraftSSTable.readAtoms(spark, input,
         Map("blocksize" -> blocksize, "skipCorrupt" -> (maxCorrupt > 0).toString))
       val compacted = GraftSSTable.compact(atoms, numPartitions = 32)
-      GraftSSTable.writeAegJson(compacted, output, numFiles = 1)
+      produceSSTable match {
+        case Some(ver) =>
+          GraftSSTable.writeSSTable(compacted, output, ver)
+          println(s"sstable2json: wrote $output/keyspace-dataset-$ver-0000000000-Data.db")
+        case None =>
+          GraftSSTable.writeAegJson(compacted, output, numFiles = 1)
+          println(s"sstable2json: wrote $output/aeg-00000")
+      }
       GraftSSTable.assertCorruptFilesBelow(maxCorrupt)
-      println(s"sstable2json: wrote $output/aeg-00000")
     } finally spark.stop()
   }
 }
