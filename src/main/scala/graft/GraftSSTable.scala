@@ -137,6 +137,12 @@ object GraftSSTable {
     cleaned.toDF()
   }
 
+  /** Pivot compacted CQL3 rows to a relational DataFrame per a CQL
+    * CREATE TABLE schema (SURVEY §3.2 / M4), incl. collections; write
+    * with `.write.parquet(...)` for the columnar export path. */
+  def pivotToRelational(rows: Dataset[CompactedRow], cql: String): DataFrame =
+    graft.cql.CqlPivot.pivot(rows, cql)
+
   /** Driver-side corrupt-file threshold check (A3 / reference
     * `Aegisthus.java:246-257`): call after an action over a scan read
     * with skipCorrupt=true. */

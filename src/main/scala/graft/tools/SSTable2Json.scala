@@ -19,6 +19,9 @@ object SSTable2Json {
     val blocksize = if (args.length > 2) args(2) else (64L * 1024 * 1024).toString
     val maxCorrupt = if (args.length > 3) args(3).toLong else 0L
     val produceSSTable = args.find(_.startsWith("sstable:")).map(_.stripPrefix("sstable:"))
+    // CQL pivot export (reference org.coursera.SSTableExport analog,
+    // but columnar parquet instead of Avro): cqlfile:<path to CREATE TABLE>
+    val cqlFile = args.find(_.startsWith("cqlfile:")).map(_.stripPrefix("cqlfile:"))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -31,11 +34,16 @@ object SSTable2Json {
       val atoms = GraftSSTable.readAtoms(spark, input,
         Map("blocksize" -> blocksize, "skipCorrupt" -> (maxCorrupt > 0).toString))
       val compacted = GraftSSTable.compact(atoms, numPartitions = 32)
-      produceSSTable match {
-        case Some(ver) =>
+      (produceSSTable, cqlFile) match {
+        case (_, Some(cf)) =>
+          val cql = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cf)))
+          val df = GraftSSTable.pivotToRelational(compacted, cql)
+          df.write.mode("overwrite").parquet(output)
+          println(s"sstable2json: wrote relational parquet to $output (${df.columns.mkString(",")})")
+        case (Some(ver), _) =>
           GraftSSTable.writeSSTable(compacted, output, ver)
           println(s"sstable2json: wrote $output/keyspace-dataset-$ver-0000000000-Data.db")
-        case None =>
+        case (None, None) =>
           GraftSSTable.writeAegJson(compacted, output, numFiles = 1)
           println(s"sstable2json: wrote $output/aeg-00000")
       }
