@@ -13,7 +13,42 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, t01, t02, t03, t04, m01)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, t01, t02, t03, t04, m01, st01)
+
+  /** Gap-based sessionization (30-min idle gap) — the batch face of
+    * the Structured Streaming sessionizer
+    * ([[graft.streaming.EventStreams.sessionize]]); oracle is the
+    * classic gaps-and-islands SQL. */
+  val st01: QueryDef = QueryDef(
+    "st01_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d).as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionizeBounded(events, gapMinutes = 30)
+        .selectExpr("user_id",
+          "unix_millis(session_start) AS start_ms",
+          "unix_millis(session_end) AS end_ms",
+          "n_events", "total_cents")
+        .orderBy(col("user_id"), col("start_ms"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS t, event_id,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      flagged AS (
+        SELECT user_id, t, cents,
+          CASE WHEN t - lag(t) OVER w > 1800000 OR lag(t) OVER w IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      numbered AS (
+        SELECT user_id, t, cents,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, min(t) AS start_ms, max(t) AS end_ms,
+        count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM numbered GROUP BY user_id, session_id
+      ORDER BY user_id, start_ms"""))
 
   // ---------------------------------------------------------------- dedup
 

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.9:
+  * pure extension — the reference is batch-only and even removed its
+  * commit-log readers). Batch/stream parity: every transform here
+  * accepts any DataFrame with the events schema, so the same code runs
+  * `spark.read` (tests/oracle) and `spark.readStream` (production).
+  *
+  * Scale notes: windowed aggs carry watermarks so state is bounded and
+  * evictable; sessionization keys state by user_id with an idle
+  * timeout — no unbounded per-group buffers. */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_cents: Long)
+
+  private final case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+
+  /** events.parquet as a bounded stream (ns timestamps handled the
+    * same way as [[graft.Tables.events]]). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file streaming source requires a directory: stream the parent
+    // dir with a glob filter for the events table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * the canonical streaming agg (append-mode compatible). */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("cents"))
+
+  /** Sliding-window distinct-user approximation per type. */
+  def slidingActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("approx_users"), col("n"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMinutes` of user inactivity (event-time driven
+    * within the batch; processing-time timeout finalizes stragglers in
+    * continuous mode). */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s => finish(userId, s))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption.getOrElse(Nil).headOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, t, s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += finish(userId, s)
+                  open = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  open = Some(SessionState(t, t, 1, cents))
+              }
+            }
+            state.update(open.toList)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Flush any open sessions (bounded-input convenience used by tests
+    * and batch mode — mirrors what the timeout path emits). */
+  def sessionizeBounded(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = List.newBuilder[Session]
+      var open: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val cents = math.round(e.value * 100)
+        open match {
+          case Some(s) if t - s.last <= gapMs =>
+            open = Some(SessionState(s.start, t, s.n + 1, s.cents + cents))
+          case Some(s) =>
+            out += finish(userId, s)
+            open = Some(SessionState(t, t, 1, cents))
+          case None => open = Some(SessionState(t, t, 1, cents))
+        }
+      }
+      open.foreach(s => out += finish(userId, s))
+      out.result().iterator
+    }
+  }
+
+  private def finish(userId: Long, s: SessionState): Session =
+    Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.cents)
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming face of the dedup operator family. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes").dropDuplicates("event_id")
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: memory-sink smoke + batch/stream parity
+  * (the same transform over readStream must equal the batch run). */
+class EventStreamsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed agg: stream (memory sink) == batch") {
+    val stream = EventStreams.readEventStream(spark, sfDir)
+    val q = EventStreams.windowedTypeCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows closed by the watermark; compare
+      // those against the batch equivalent restricted to the same horizon
+      val streamed = spark.sql("SELECT * FROM win_out")
+      val batch = EventStreams.windowedTypeCounts(Tables.events(spark, sfDir))
+      val sCount = streamed.count()
+      val bCount = batch.count()
+      assert(sCount > 0, "stream emitted no closed windows")
+      assert(sCount <= bCount)
+      val joined = streamed.join(batch, Seq("window_start", "event_type"), "inner")
+        .where(streamed("n") === batch("n") && streamed("cents") === batch("cents"))
+      assert(joined.count() == sCount, "streamed windows disagree with batch results")
+    } finally q.stop()
+  }
+
+  test("sessionize: bounded and total cents conservation") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir).as[EventStreams.Event]
+    val sessions = EventStreams.sessionize(events, gapMinutes = 30)
+    // flatMapGroupsWithState on a batch Dataset runs the same state fn
+    val sCents = sessions.selectExpr("sum(total_cents)").as[Long].head() +: Nil
+    val bounded = EventStreams.sessionizeBounded(events, gapMinutes = 30)
+    val totalCents = events.selectExpr("sum(cast(round(value * 100) as bigint))").as[Long].head()
+    assert(bounded.selectExpr("sum(total_cents)").as[Long].head() == totalCents,
+      "bounded sessionization must conserve total cents")
+    assert(bounded.selectExpr("sum(n_events)").as[Long].head() == events.count())
+    // sessions have positive durations and event counts
+    assert(bounded.filter("session_end < session_start OR n_events <= 0").count() == 0)
+    val _ = sCents
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = EventStreams.readEventStream(spark, sfDir)
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").head().getLong(0)
+      val total = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
+      assert(n == total)
+      assert(total == Tables.events(spark, sfDir).count())
+    } finally q.stop()
+  }
+}
