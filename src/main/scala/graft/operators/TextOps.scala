@@ -28,14 +28,13 @@ object TextOps {
       s"i -> concat_ws(' ', slice($toksCol, i, $n))))"
 
   /** Polynomial rolling hash of a string expression: fold over code
-    * points, acc = (acc*mult + cp) % P. Equals DuckDB's
+    * points, acc = (acc*mult + cp) % P. Computed by the native
+    * codegen'd [[graft.functions.PolyHash]] expression; equals DuckDB's
     * list_reduce(list_transform(range(1, length(e)+1),
     *   j -> ord(substr(e, j, 1))), (a,b) -> (a*mult+b) % P)
     * because folding from the first element == folding from 0. */
   def strHash(e: String, mult: Int = 31): String =
-    s"aggregate(transform(sequence(1, length($e)), " +
-      s"j -> cast(ascii(substring($e, j, 1)) as bigint)), " +
-      s"cast(0 as bigint), (acc, x) -> (acc * $mult + x) % $P)"
+    s"graft_polyhash($e, $mult)"
 
   /** 60-bit combined hash of a string: two independent polynomial
     * hashes (mults 31/131) packed as h31 * 2^30 + h131 % 2^30. */
