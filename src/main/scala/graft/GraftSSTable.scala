@@ -45,6 +45,30 @@ object GraftSSTable {
       .mapPartitions(it => Compaction.merge(it, CassType.BytesType, maxRowSize))
   }
 
+  /** Trace-source compaction (O2): one row per (key, sourcePath). */
+  def compactTraced(
+      atoms: DataFrame,
+      numPartitions: Int = 32,
+      maxRowSize: Long = Long.MaxValue): Dataset[(String, CompactedRow)] = {
+    val spark = atoms.sparkSession
+    import spark.implicits._
+    atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
+        "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
+      .as[AtomRec]
+      .repartition(numPartitions, col("key"))
+      .sortWithinPartitions(col("key"), col("source"), col("name"), col("ts"))
+      .mapPartitions(it => Compaction.mergeTraced(it, CassType.BytesType, maxRowSize))
+  }
+
+  /** aeg-JSON lines for trace mode: `key\tsourcePath\t{json}`. */
+  def aegJsonLinesTraced(rows: Dataset[(String, CompactedRow)]): Dataset[(Array[Byte], String)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.map { case (src, r) =>
+      (r.key, Compaction.toAegJson(r, traceSource = Some(src)))
+    }
+  }
+
   /** aeg-JSON lines (X6), keyed for ordering. */
   def aegJsonLines(
       rows: Dataset[CompactedRow],

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // make the engine's native expressions available wherever tables are
-    graft.functions.PolyHash.register(spark)
+    graft.functions.CassFunctions.registerAll(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -39,11 +39,29 @@ object Compaction {
       atoms: Iterator[AtomRec],
       nameType: CassType = CassType.BytesType,
       maxRowSize: Long = Long.MaxValue): Iterator[CompactedRow] =
-    new Iterator[CompactedRow] {
+    mergeImpl(atoms, nameType, maxRowSize, traceSource = false).map(_._2)
+
+  /** Trace-source variant (O2): one compacted row per (key, sourcePath)
+    * — source becomes part of the group, matching
+    * `aegisthus.trace_source` (`SSTableRecordReader.java:133-141`).
+    * Input must be sorted by (key, source, name, ts). */
+  def mergeTraced(
+      atoms: Iterator[AtomRec],
+      nameType: CassType = CassType.BytesType,
+      maxRowSize: Long = Long.MaxValue): Iterator[(String, CompactedRow)] =
+    mergeImpl(atoms, nameType, maxRowSize, traceSource = true)
+
+  private def mergeImpl(
+      atoms: Iterator[AtomRec],
+      nameType: CassType,
+      maxRowSize: Long,
+      traceSource: Boolean): Iterator[(String, CompactedRow)] =
+    new Iterator[(String, CompactedRow)] {
       private val it = atoms.buffered
       override def hasNext: Boolean = it.hasNext
-      override def next(): CompactedRow = {
+      override def next(): (String, CompactedRow) = {
         val key = it.head.key
+        val source = it.head.source
         var deletedAt = Long.MinValue
         val columns = new ArrayBuffer[CellOut]()
         val openTombstones = new ArrayBuffer[(Array[Byte], Array[Byte], Long)]() // (min, max, mfda)
@@ -51,7 +69,8 @@ object Compaction {
         var totalSize = 0L
         var truncated = false
 
-        while (it.hasNext && java.util.Arrays.equals(it.head.key, key)) {
+        while (it.hasNext && java.util.Arrays.equals(it.head.key, key) &&
+            (!traceSource || it.head.source == source)) {
           val a = it.next()
           if (a.rowDeletedAt > deletedAt) deletedAt = a.rowDeletedAt
           if (a.kind != SSTableFormat.KindEmptyRow && !truncated) {
@@ -89,26 +108,46 @@ object Compaction {
         if (curr != null) columns += curr
         // F1: purge columns at or below the row deletion watermark
         val survivors = columns.filter(_.ts > deletedAt).toSeq
-        CompactedRow(key, deletedAt, survivors)
+        (source, CompactedRow(key, deletedAt, survivors))
       }
     }
 
+  /** X5: legacy column-name normalization
+    * (`AegisthusKeySortingComparator.legacyColumnNameFormat`). */
+  def legacyColumnNameFormat(name: String): String =
+    name.replaceAll("[\\s\\p{Cntrl}]", " ").replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** Render a compacted row as one aeg-JSON line (X6; byte-compatible
     * with `output/JsonOutputFormat.java:108-182`):
-    * `hexKey\t{"hexKey":{"deletedAt":L,"columns":[[n,v,ts],...]}}`. */
+    * `hexKey\t{"hexKey":{"deletedAt":L,"columns":[[n,v,ts],...]}}`.
+    *
+    * @param traceSource       prepend `sourcePath\t` after the key (O2
+    *                          trace mode, `JsonOutputFormat.java:116-119`)
+    * @param sortColumnsByName order columns by rendered display name
+    *                          instead of comparator order (O4)
+    * @param legacyFormatting  X5 normalization of rendered names
+    */
   def toAegJson(
       row: CompactedRow,
       keyType: CassType = CassType.BytesType,
       nameType: CassType = CassType.BytesType,
       valueType: CassType = CassType.BytesType,
-      maxColSize: Long = -1L): String = {
+      maxColSize: Long = -1L,
+      traceSource: Option[String] = None,
+      sortColumnsByName: Boolean = false,
+      legacyFormatting: Boolean = false): String = {
     val sb = new java.lang.StringBuilder(64 + row.columns.size * 48)
     val keyStr = renderSafe(keyType, row.key)
     sb.append(keyStr).append('\t')
+    traceSource.foreach { src => sb.append(src).append('\t') }
+    def renderName(c: CellOut): String = {
+      val n = renderSafe(nameType, c.name)
+      if (legacyFormatting) legacyColumnNameFormat(n) else n
+    }
     sb.append("{\"")
     appendEscaped(sb, keyStr)
     sb.append("\":{\"deletedAt\":").append(row.deletedAt).append(",\"columns\":[")
-    var cols = row.columns
+    var cols = if (sortColumnsByName) row.columns.sortBy(renderName) else row.columns
     var needComma = false
     if (maxColSize >= 0) {
       val size = cols.map(sizeOf).sum
@@ -125,7 +164,7 @@ object Compaction {
       if (needComma) sb.append(',')
       needComma = true
       sb.append("[\"")
-      appendEscaped(sb, renderSafe(nameType, c.name))
+      appendEscaped(sb, renderName(c))
       sb.append("\",\"")
       appendEscaped(sb, renderSafe(valueType, c.value))
       sb.append("\",").append(c.ts)

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** S9 distcp analog (reference `aegisthus-distcp/src/main/java/
+  * Distcp.java:42-341`): bulk file staging as a Spark job — the copy
+  * list is round-robin partitioned across at most `MaxPartitions`
+  * tasks (the reference's 800-reducer cap) and each task streams
+  * src → dst through the Hadoop FS API, optionally decompressing
+  * snappy-compressed backups (Priam-style). Engine-external utility,
+  * same as in the reference. */
+object ParallelCopy {
+  val MaxPartitions = 800
+
+  def copy(
+      spark: SparkSession,
+      srcToDst: Seq[(String, String)],
+      partitions: Int = 32,
+      decompressSnappy: Boolean = false): Unit = {
+    import spark.implicits._
+    val n = math.min(math.min(partitions, srcToDst.size max 1), MaxPartitions)
+    spark.createDataset(srcToDst).repartition(n).foreachPartition {
+      (it: Iterator[(String, String)]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { case (src, dst) =>
+          val srcPath = new org.apache.hadoop.fs.Path(src)
+          val dstPath = new org.apache.hadoop.fs.Path(dst)
+          val in0 = srcPath.getFileSystem(conf).open(srcPath)
+          val in: java.io.InputStream =
+            if (decompressSnappy) new org.xerial.snappy.SnappyInputStream(in0) else in0
+          val out = dstPath.getFileSystem(conf).create(dstPath, true)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var r = in.read(buf)
+            while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
+          } finally { in.close(); out.close() }
+        }
+    }
+  }
+}
