@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Full operator registry; each entry is one operator from
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
-  def registry: Seq[QueryDef] = Relational.all ++ Pipeline.all ++ Seq(cassCompaction)
+  def registry: Seq[QueryDef] =
+    Relational.all ++ Relational2.all ++ Pipeline.all ++ Seq(cassCompaction)
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second relational batch: analytic window frames, ntile/percent_rank,
+  * outer/cross joins, IN-subqueries, conditional aggregation, and the
+  * wider string-function surface — completing SURVEY §2.5–§2.8's
+  * extended inventory. Same determinism contract as [[Relational]]. */
+object Relational2 {
+
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30)
+
+  /** lag/lead + moving-average frame (rows between 2 preceding). */
+  val q23: QueryDef = QueryDef(
+    "q23_window_frames",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_suppkey") <= 10)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(-2, Window.currentRow)
+      li.withColumn("qty_c", round(col("l_quantity") * 100, 0).cast("long"))
+        .withColumn("prev_qty_c", lag(col("qty_c"), 1).over(w))
+        .withColumn("next_qty_c", lead(col("qty_c"), 1).over(w))
+        .withColumn("ma3_c", sum(col("qty_c")).over(wf))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty_c"), col("prev_qty_c"), col("next_qty_c"), col("ma3_c"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        lag(CAST(round(l_quantity * 100) AS BIGINT), 1) OVER w AS prev_qty_c,
+        lead(CAST(round(l_quantity * 100) AS BIGINT), 1) OVER w AS next_qty_c,
+        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma3_c
+      FROM lineitem WHERE l_suppkey <= 10
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** ntile + rank + dense_rank + percent_rank (exact: integer-derived). */
+  val q24: QueryDef = QueryDef(
+    "q24_ranking_suite",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        percent_rank() OVER w AS prnk
+      FROM orders WHERE o_orderkey < 2000
+      WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** FULL OUTER join: high-balance customers vs big-order customers. */
+  val q25: QueryDef = QueryDef(
+    "q25_full_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_acctbal"), lit(-1d)).as("acctbal"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+      o AS (SELECT o_custkey, count(*) AS n_big FROM orders
+            WHERE o_totalprice > 450000 GROUP BY o_custkey)
+      SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        coalesce(c_acctbal, -1) AS acctbal,
+        coalesce(n_big, 0) AS n_big
+      FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  /** CROSS join of the two small dims (cartesian product operator). */
+  val q26: QueryDef = QueryDef(
+    "q26_cross_join",
+    (s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      r.crossJoin(n)
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).cast("long").as("is_home"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+        CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+      FROM region CROSS JOIN nation ORDER BY r_name, n_name"""))
+
+  /** IN-subquery (decorrelates to a semi join): orders from the 100
+    * richest customers. */
+  val q27: QueryDef = QueryDef(
+    "q27_in_subquery",
+    (s, d) => {
+      val top = Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(100)
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+      o.join(top, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 100)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** first_value / last_value over a full-partition frame. */
+  val q28: QueryDef = QueryDef(
+    "q28_first_last",
+    (s, d) => {
+      val e = Tables.events(s, d).filter(col("user_id") <= 20)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          count(lit(1)).over(w).as("n"))
+        .distinct()
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT DISTINCT user_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS last_type,
+        count(*) OVER w AS n
+      FROM events WHERE user_id <= 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id"""))
+
+  /** Conditional aggregation: CASE-filtered measures per nation. */
+  val q29: QueryDef = QueryDef(
+    "q29_conditional_agg",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      c.groupBy(col("c_nationkey"))
+        .agg(
+          sum(when(col("c_acctbal") > 5000, 1).otherwise(0)).cast("long").as("n_rich"),
+          sum(when(col("c_acctbal") < 0, 1).otherwise(0)).cast("long").as("n_debt"),
+          sum(when(col("c_mktsegment") === "BUILDING",
+            round(col("c_acctbal") * 100, 0).cast("long")).otherwise(0L)).as("building_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey,
+        CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+        CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_debt,
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS building_cents,
+        count(*) AS n
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** Wider string-function surface: pad/trim/replace/reverse/repeat/
+    * position — aligned between engines. */
+  val q30: QueryDef = QueryDef(
+    "q30_string_suite",
+    (s, d) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") < 200)
+      p.select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "-").as("rp"),
+          trim(lit("  pad  ")).as("tr"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("novowel"),
+          reverse(col("p_type")).as("rev"),
+          repeat(col("p_brand"), 2).as("twice"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"),
+          split(col("p_type"), " ").getItem(0).as("first_word"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+        lpad(p_brand, 12, '*') AS lp,
+        rpad(p_brand, 12, '-') AS rp,
+        trim('  pad  ') AS tr,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel,
+        reverse(p_type) AS rev,
+        repeat(p_brand, 2) AS twice,
+        CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+        string_split(p_type, ' ')[1] AS first_word
+      FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""))
+}
