@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators Spark lacks natively, built by composition
+  * (preference (a) from the build brief — no custom SparkPlan needed
+  * because the semantics decompose into union + window).
+  */
+object Joins {
+
+  /** As-of join: for each left row, attach the greatest `rightOrder`
+    * value <= the left row's `leftOrder`, within `keyCols` groups —
+    * equivalent to DuckDB/kdb ASOF JOIN on (key, l.ord >= r.ord).
+    *
+    * Physical plan: union the tagged sides, one shuffle on the key,
+    * running max over the sort order (right rows sort before left rows
+    * at equal ordinates so equality matches inclusively), then filter
+    * back to left rows. Scales like any windowed agg — no range-join
+    * explosion, no per-key materialization beyond the window frame.
+    *
+    * @return the left rows plus column `asof_<rightOrderName>` (null
+    *         when no right row precedes).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftOrder: String,
+      rightOrder: String): DataFrame = {
+    val leftTagged = left.withColumn("__ord", col(leftOrder))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rord", lit(null).cast(right.schema(rightOrder).dataType))
+    val rightTagged = right.select(
+      (keyCols.map(col) :+
+        col(rightOrder).as("__ord") :+
+        lit(0).as("__is_left") :+
+        col(rightOrder).as("__rord")): _*)
+    // align schemas: right side carries nulls for left payload columns
+    val leftCols = leftTagged.columns
+    val rightAligned = leftCols.foldLeft(rightTagged) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(leftTagged.schema(c).dataType))
+    }.select(leftCols.map(col): _*)
+
+    val unioned = leftTagged.union(rightAligned)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ord").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$rightOrder", max(col("__rord")).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__ord", "__is_left", "__rord")
+  }
+}

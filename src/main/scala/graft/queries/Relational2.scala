@@ -10,7 +10,51 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+
+  /** Skew-salted join ([[graft.operators.Skew.saltedJoin]]): same
+    * semantics as a plain join — the oracle is the UNSALTED SQL, so
+    * the salting technique's correctness is itself oracle-proven. */
+  val q32: QueryDef = QueryDef(
+    "q32_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+          "o_orderkey", Seq("o_orderkey", "l_linenumber"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** As-of join (custom composed operator, [[graft.operators.Joins.asOf]]):
+    * for each purchase event, the user's most recent click at or
+    * before it — oracle is DuckDB's native ASOF JOIN. */
+  val q31: QueryDef = QueryDef(
+    "q31_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("tms", expr("unix_millis(ts)"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tms"))
+      graft.operators.Joins.asOf(purchases, clicks, Seq("user_id"), "tms", "tms")
+        .select(col("event_id"), col("user_id"), col("tms"),
+          col("asof_tms").as("last_click_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms FROM events),
+      p AS (SELECT event_id, user_id, tms FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, tms FROM e WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.tms, c.tms AS last_click_ms
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tms >= c.tms
+      ORDER BY p.event_id"""))
 
   /** lag/lead + moving-average frame (rows between 2 preceding). */
   val q23: QueryDef = QueryDef(
