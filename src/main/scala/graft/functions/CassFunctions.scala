@@ -119,5 +119,8 @@ object CassFunctions {
     reg.createOrReplaceTempFunction("hex_to_long", es => HexToNumber(es.head, "long"), "built-in")
     reg.createOrReplaceTempFunction("hex_to_double", es => HexToNumber(es.head, "double"), "built-in")
     reg.createOrReplaceTempFunction("hex_to_string", es => HexToNumber(es.head, "string"), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket", es => LshBucket(es.head, es(1)), "built-in")
   }
 }

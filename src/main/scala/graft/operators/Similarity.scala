@@ -52,14 +52,9 @@ object Similarity {
   val NPlanes = 6
 
   /** hyperplane-LSH bucket id (NPlanes sign bits) for a DOUBLE-array
-    * column v. */
+    * column v — native [[graft.functions.LshBucket]] expression. */
   def lshBucketExpr(v: String): String =
-    s"aggregate(transform(sequence(0, ${NPlanes - 1}), p -> " +
-      s"if(aggregate(transform(sequence(1, 64), d -> " +
-      s"element_at($v, d) * cast($planeWeight as double)), " +
-      s"cast(0 as double), (acc, x) -> acc + x) > 0, " +
-      s"shiftleft(cast(1 as bigint), p), cast(0 as bigint))), " +
-      s"cast(0 as bigint), (a, x) -> a + x)"
+    s"graft_lsh_bucket($v, $NPlanes)"
 
   /** ANN via hyperplane LSH: candidates share the full 16-bit bucket;
     * exact cosine re-rank, top-k per query. Approximate-by-design but

@@ -54,21 +54,18 @@ object TextOps {
 
   /** k-permutation MinHash signature over a BIGINT-hash array column:
     * sig[i] = min over h of (a_i*h + b_i) % P; sentinel P for empty
-    * docs. Pure projection — no shuffle. */
+    * docs. Pure projection — no shuffle. Backed by the native
+    * [[graft.functions.MinHashSig]] expression (same arithmetic as the
+    * DuckDB oracle fragment in DuckOps.minhashSig). */
   def minhashSig(hashesCol: String, k: Int): String =
-    s"transform(sequence(0, ${k - 1}), i -> " +
-      s"if(size($hashesCol) = 0, ${P}, " +
-      s"array_min(transform($hashesCol, h -> (${mhA("i")} * h + ${mhB("i")}) % $P))))"
+    s"graft_minhash($hashesCol, $k)"
 
   /** 60-bit SimHash over a BIGINT token-hash array column (hashes must
     * be 60-bit, e.g. [[strHash60]]): bit b set iff the +1/-1 vote over
-    * tokens at bit b is positive. */
+    * tokens at bit b is positive. Backed by the native
+    * [[graft.functions.SimHash60]] expression. */
   def simhash60(hashesCol: String): String =
-    s"aggregate(transform(sequence(0, 59), b -> " +
-      s"if(aggregate(transform($hashesCol, h -> " +
-      s"if((shiftright(h, b) % 2) = 1, 1, -1)), 0, (a, x) -> a + x) > 0, " +
-      s"shiftleft(cast(1 as bigint), b), cast(0 as bigint))), " +
-      s"cast(0 as bigint), (a, x) -> a + x)"
+    s"graft_simhash60($hashesCol)"
 
   /** Order-insensitive combine of an array of BIGINT minhash values
     * into one band-bucket key (commutative? no — positional fold, and
