@@ -10,7 +10,31 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+
+  /** Exact percentiles (continuous interpolation) over exact cents —
+    * Spark `percentile` == DuckDB `quantile_cont` on integer inputs. */
+  val q33: QueryDef = QueryDef(
+    "q33_percentiles",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.9)").as("p90"),
+          expr("percentile(cents, 0.99)").as("p99"),
+          min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
+        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90,
+        quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99,
+        min(CAST(round(o_totalprice * 100) AS BIGINT)) AS lo,
+        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS hi
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** Skew-salted join ([[graft.operators.Skew.saltedJoin]]): same
     * semantics as a plain join — the oracle is the UNSALTED SQL, so

@@ -10,7 +10,8 @@ final case class CompressionMeta(
     compressorName: String,
     chunkLength: Int,
     dataLength: Long,
-    chunkCompressedLengths: Array[Int])
+    chunkCompressedLengths: Array[Int],
+    chunkOffsets: Array[Long])
 
 object CompressionMeta {
   def read(in: InputStream, compressedFileLength: Long): CompressionMeta = {
@@ -24,18 +25,21 @@ object CompressionMeta {
       val dataLength = d.readLong()
       val chunkCount = d.readInt()
       val lengths = new Array[Int](chunkCount)
+      val offsets = new Array[Long](chunkCount)
       if (chunkCount > 0) {
         var prev = d.readLong()
+        offsets(0) = prev
         var j = 1
         while (j < chunkCount) {
           val cur = d.readLong()
+          offsets(j) = cur
           lengths(j - 1) = (cur - prev - 4).toInt // 4-byte checksum trails each chunk
           prev = cur
           j += 1
         }
         lengths(chunkCount - 1) = (compressedFileLength - prev - 4).toInt
       }
-      CompressionMeta(name, chunkLength, dataLength, lengths)
+      CompressionMeta(name, chunkLength, dataLength, lengths, offsets)
     } finally d.close()
   }
 }
@@ -44,14 +48,14 @@ object CompressionMeta {
   * (reference `io/sstable/compression/CompressionInputStream.java`).
   * Supports the three pre-3.0 Cassandra table compressors; the 4-byte
   * per-chunk checksum is read and ignored, like the reference. */
-final class CompressionInputStream(in: InputStream, meta: CompressionMeta)
+final class CompressionInputStream(in: InputStream, meta: CompressionMeta, startChunk: Int = 0)
     extends InputStream {
 
   private val input = new Array[Byte](meta.chunkLength * 2)
   private val buffer = new Array[Byte](meta.chunkLength * 2)
   private var position = 0
   private var valid = 0
-  private var chunk = 0
+  private var chunk = startChunk
 
   private val decompress: (Array[Byte], Int, Array[Byte]) => Int =
     meta.compressorName match {

@@ -161,13 +161,31 @@ final class SSTableScan(options: Map[String, String], required: StructType)
           SSTableVersion.fromFilename(file.getName).name)
         SSTableSource.compressionPath(fs, file) match {
           case Some(ci) =>
-            // S4: compressed file = one partition; logical end = uncompressed length
+            // S4 + the reference's wishlist improvement (README.md:40-41):
+            // with an Index.db we can split COMPRESSED sstables too —
+            // offsets are in uncompressed space; the reader seeks to the
+            // containing chunk and skips in. Otherwise: one partition.
             val meta = {
               val in = fs.open(ci)
               try CompressionMeta.read(in, fs.getFileStatus(file).getLen)
               finally in.close()
             }
-            parts += SSTablePartition(file.toString, 0L, meta.dataLength, Some(ci.toString), version)
+            val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
+            if (meta.dataLength <= blocksize || !fs.exists(idx)) {
+              parts += SSTablePartition(file.toString, 0L, meta.dataLength, Some(ci.toString), version)
+            } else {
+              val in = fs.open(idx)
+              val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
+              var splitStart = 0L
+              offsets.foreach { off =>
+                if (off - splitStart >= blocksize) {
+                  parts += SSTablePartition(file.toString, splitStart, off, Some(ci.toString), version)
+                  splitStart = off
+                }
+              }
+              if (splitStart < meta.dataLength)
+                parts += SSTablePartition(file.toString, splitStart, meta.dataLength, Some(ci.toString), version)
+            }
           case None =>
             // S3: row-boundary splits from the Index.db sidecar
             val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
@@ -224,7 +242,19 @@ final class SSTableReaderFactory(
               try CompressionMeta.read(in, fs.getFileStatus(path).getLen)
               finally in.close()
             }
-            new CompressionInputStream(raw, meta)
+            // chunk-aligned positioning: seek to the chunk containing
+            // p.start, then skip into it on the decompressed side
+            val startChunk = (p.start / meta.chunkLength).toInt
+            if (startChunk > 0) raw.seek(meta.chunkOffsets(startChunk))
+            val cs = new CompressionInputStream(raw, meta, startChunk)
+            var toSkip = p.start - startChunk.toLong * meta.chunkLength
+            val skipBuf = new Array[Byte](8192)
+            while (toSkip > 0) {
+              val r = cs.read(skipBuf, 0, math.min(toSkip, skipBuf.length.toLong).toInt)
+              if (r < 0) throw new java.io.EOFException(s"EOF while seeking to ${p.start}")
+              toSkip -= r
+            }
+            cs
           case None =>
             raw.seek(p.start)
             raw
