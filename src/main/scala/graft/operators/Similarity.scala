@@ -73,6 +73,60 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
+  /** IVF-style ANN: coarse quantization with deterministic centroids
+    * (every `centroidMod`-th vector), `nprobe` probed lists, exact
+    * re-rank. The 100 TB shape: assignment is a broadcast argmax
+    * (pure map), the candidate join is an equi-join on centroid id —
+    * list sizes bound the fan-out. Fully deterministic (exact-double
+    * cosines, ties broken by id) so the DuckDB oracle matches. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+      centroidMod: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    val cents = p.filter(_._1 % centroidMod == 0).collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.toArray, n) }
+    val bc = spark.sparkContext.broadcast(cents)
+
+    def cos(v: Array[Double], nv: Double, w: Array[Double], nw: Double): Double = {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * w(i); i += 1 }
+      dot / (math.sqrt(nv) * math.sqrt(nw))
+    }
+
+    // each vector -> its nearest centroid (strictly-greater keeps the
+    // smallest centroid id on ties, matching the oracle's tie-break)
+    val assigned = p.map { case (id, vSeq, nrm) =>
+      val v = vSeq.toArray
+      var bestId = -1L
+      var bestCos = Double.NegativeInfinity
+      bc.value.foreach { case (cid, cv, cn) =>
+        val c = cos(v, nrm, cv, cn)
+        if (c > bestCos) { bestCos = c; bestId = cid }
+      }
+      (id, vSeq, nrm, bestId)
+    }.toDF("vec_id", "v", "nrm", "centroid")
+
+    // each query -> its nprobe nearest centroids
+    val probes = p.filter(_._1 < nQueries).flatMap { case (id, vSeq, nrm) =>
+      val v = vSeq.toArray
+      bc.value.map { case (cid, cv, cn) => (id, vSeq, nrm, cid, cos(v, nrm, cv, cn)) }
+        .sortBy { case (_, _, _, cid, c) => (-c, cid) }
+        .take(nprobe)
+        .map { case (qid, qv, qn, cid, _) => (qid, qv, qn, cid) }
+    }.toDF("q_id", "qv", "qn", "qcentroid")
+
+    val scored = broadcast(probes)
+      .join(assigned, col("qcentroid") === col("centroid") && col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        cosExpr.format("qv", "v", "qn", "nrm") + " AS cos")
+      .distinct() // a neighbor may appear via multiple probed lists? (no — one list per vector; distinct guards duplicates from probe ties)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
+  }
+
   /** Exact near-duplicate vector pairs: cosine >= threshold, d1 < d2.
     * Brute force (N^2/2 pairs) — baseline semantics; the LSH bucket
     * join above is the 100 TB path. Physical plan: broadcast the full

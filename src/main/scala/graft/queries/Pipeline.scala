@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, t01, t02, t03, t04, m01, st01)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, st01)
 
   /** Gap-based sessionization (30-min idle gap) — the batch face of
     * the Structured Streaming sessionizer
@@ -160,6 +160,38 @@ object Pipeline {
         SELECT q_id, n_id, cos,
           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
         FROM p) WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
+  /** IVF ANN: deterministic coarse centroids (every 50th vector),
+    * 2 probed lists, exact re-rank top-3 for queries vec_id < 10. */
+  val s04: QueryDef = QueryDef(
+    "s04_ivf_ann_topk",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 3, 50, 2)
+      .orderBy(col("q_id"), col("rk")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      asg AS (SELECT vec_id, v, nrm, cid AS centroid FROM (
+          SELECT a.vec_id, a.v, a.nrm, c.cid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM n a CROSS JOIN c) WHERE rn = 1),
+      probes AS (SELECT q_id, qv, qn, qcentroid FROM (
+          SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.cid AS qcentroid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rn <= 2),
+      scored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
+          ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
+        FROM probes p JOIN asg s
+        ON p.qcentroid = s.centroid AND s.vec_id <> p.q_id)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos FROM (
+        SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+        FROM scored) WHERE rk <= 3
       ORDER BY q_id, rk"""))
 
   /** Exact embedding near-dup pairs (cosine >= 0.45). */
