@@ -10,7 +10,44 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  val q34: QueryDef = QueryDef(
+    "q34_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          coalesce(l_linestatus, 'ALL') AS status,
+          count(*) AS n,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status""")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        coalesce(l_linestatus, 'ALL') AS status,
+        count(*) AS n,
+        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY flag, status"""))
+
+  /** Deterministic array aggregation: sorted distinct element lists. */
+  val q35: QueryDef = QueryDef(
+    "q35_array_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_set(col("l_suppkey") % 10)).as("supp_mod"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        list_sort(list_distinct(list(l_linestatus))) AS statuses,
+        list_sort(list_distinct(list(l_suppkey % 10))) AS supp_mod,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Exact percentiles (continuous interpolation) over exact cents —
     * Spark `percentile` == DuckDB `quantile_cont` on integer inputs. */
