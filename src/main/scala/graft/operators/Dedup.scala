@@ -64,6 +64,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered variant (ppjoin family), exact for Jaccard >= t:
+    * with canonically sorted sets, a qualifying pair must share an
+    * element within the first |X| - ceil(t*|X|) + 1 elements of BOTH
+    * sets, so candidate generation joins only prefixes, then reranks
+    * with an exact set intersection. Wins when near-dup pairs dominate
+    * hot-shingle fan-out; measured SLOWER than [[ngramJaccardPairs]]
+    * on the synthetic word-soup corpus (prefixes still carry the hot
+    * shingles: 10.7s vs 7.3s at sf0.1) — kept as the alternative for
+    * skew-heavy real-text corpora. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, textCol, n)
+      .selectExpr("doc_id", "array_sort(s) AS s", "n_shingles",
+        s"slice(array_sort(s), 1, greatest(0, size(s) - cast(ceil($threshold * size(s)) as int) + 1)) AS prefix")
+      .cache()
+    val ex = sets.selectExpr("doc_id", "explode(prefix) AS sgl")
+    val cands = ex.as("a")
+      .join(ex.as("b"),
+        col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sets.select(col("doc_id").as("d1"), col("s").as("s1"), col("n_shingles").as("n1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("s").as("s2"), col("n_shingles").as("n2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .selectExpr("d1", "d2",
+        "cast(size(array_intersect(s1, s2)) as bigint) AS shared",
+        "cast(n1 as bigint) AS n1", "cast(n2 as bigint) AS n2")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** doc_id + k-perm MinHash signature (pure projection). */
   def minhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
