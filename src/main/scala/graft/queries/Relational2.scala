@@ -10,7 +10,36 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+
+  /** Date/time function suite: diffs, arithmetic, calendar fields —
+    * carefully aligned across engines (weekday: Spark weekday==Mon-0,
+    * DuckDB isodow-1; week: both ISO). */
+  val q36: QueryDef = QueryDef(
+    "q36_datetime_suite",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      o.select(col("o_orderkey"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_2002"),
+          date_format(date_add(col("o_orderdate"), 90), "yyyy-MM-dd").as("plus90"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2mo"),
+          expr("weekday(o_orderdate)").cast("long").as("wd"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+        CAST(datediff('day', o_orderdate, DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
+        strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+        CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
 
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val q34: QueryDef = QueryDef(
