@@ -31,18 +31,27 @@ object GraftSSTable {
     * (mixed sstable versions merge correctly — the shuffle interleaves
     * them by (key, name, ts) exactly like the reference's secondary
     * sort). */
+  /** rows_written counter from the last compact() action (A3 analog of
+    * the reference's batched counter, `CassSSTableReducer.java:107-118`
+    * — Spark accumulators batch per-task automatically). */
+  @volatile var rowsWritten: Option[org.apache.spark.util.LongAccumulator] = None
+
   def compact(
       atoms: DataFrame,
       numPartitions: Int = 32,
       maxRowSize: Long = Long.MaxValue): Dataset[CompactedRow] = {
     val spark = atoms.sparkSession
     import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("compaction.rowsWritten")
+    rowsWritten = Some(acc)
     atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
         "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
       .as[AtomRec]
       .repartition(numPartitions, col("key"))
       .sortWithinPartitions(col("key"), col("name"), col("ts"))
-      .mapPartitions(it => Compaction.merge(it, CassType.BytesType, maxRowSize))
+      .mapPartitions { it =>
+        Compaction.merge(it, CassType.BytesType, maxRowSize).map { r => acc.add(1L); r }
+      }
   }
 
   /** Trace-source compaction (O2): one row per (key, sourcePath). */
