@@ -10,7 +10,24 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+
+  /** Sketch aggregates (HLL distinct, approx quantile): inherently
+    * engine-specific estimates, so no SQL oracle — the driver's
+    * rows-only check applies; exact twins are covered by q11/q33. */
+  val q37: QueryDef = QueryDef(
+    "q37_approx_sketches",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_price_q"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
 
   /** Date/time function suite: diffs, arithmetic, calendar fields —
     * carefully aligned across engines (weekday: Spark weekday==Mon-0,

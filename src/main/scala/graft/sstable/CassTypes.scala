@@ -66,6 +66,37 @@ object CassType {
       new java.util.UUID(bb.getLong, bb.getLong).toString
     }
   }
+  /** Time-ordered UUID comparison (version-1 timestamp first, then
+    * bytes) — Cassandra TimeUUIDType semantics. */
+  case object TimeUUIDType extends CassType {
+    override def getString(bytes: Array[Byte]): String = UUIDType.getString(bytes)
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      def ts(x: Array[Byte]): Long = {
+        val bb = ByteBuffer.wrap(x)
+        val msb = bb.getLong
+        // RFC 4122 v1: time_low(32) | time_mid(16) | ver(4)+time_hi(12)
+        ((msb & 0x0fffL) << 48) | (((msb >> 16) & 0xffffL) << 32) | (msb >>> 32)
+      }
+      val cmp = java.lang.Long.compare(ts(a), ts(b))
+      if (cmp != 0) cmp else unsignedCompare(a, b)
+    }
+  }
+  case object BooleanType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else (bytes(0) != 0).toString
+  }
+  case object FloatType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getFloat.toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Float.compare(ByteBuffer.wrap(a).getFloat, ByteBuffer.wrap(b).getFloat)
+  }
+  case object DoubleType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getDouble.toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Double.compare(ByteBuffer.wrap(a).getDouble, ByteBuffer.wrap(b).getDouble)
+  }
   case object TimestampType extends CassType {
     override def getString(bytes: Array[Byte]): String = LongType.getString(bytes)
   }
@@ -125,8 +156,12 @@ object CassType {
       case "AsciiType" => AsciiType
       case "LongType" => LongType
       case "Int32Type" => Int32Type
-      case "UUIDType" | "TimeUUIDType" | "LexicalUUIDType" => UUIDType
+      case "UUIDType" | "LexicalUUIDType" => UUIDType
+      case "TimeUUIDType" => TimeUUIDType
       case "TimestampType" | "DateType" => TimestampType
+      case "BooleanType" => BooleanType
+      case "FloatType" => FloatType
+      case "DoubleType" => DoubleType
       case "ReversedType" => ReversedType(parse(args.head))
       case "CompositeType" => CompositeType(args.map(parse))
       case other => throw new IllegalArgumentException(s"Unsupported Cassandra type: $other")
