@@ -13,6 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: JIT/codegen/scheduler/FS init would otherwise be
+    // billed to whichever query runs first
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(10).collect()
+
     val results = SparkEntry.registry.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
       val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
