@@ -27,6 +27,19 @@ object GraftSSTable {
       options: Map[String, String] = Map.empty): DataFrame =
     options.foldLeft(spark.read.format("sstable"))((r, kv) => r.option(kv._1, kv._2)).load(path)
 
+  /** Marshal types configured via the reader's `cql` / `keyType` /
+    * `columnType` options (published by the source as schema metadata;
+    * reference `Aegisthus.java:102-111`). */
+  def configuredKeyType(atoms: DataFrame): Option[CassType] =
+    atoms.schema.fields.find(_.name == "key")
+      .filter(_.metadata.contains("keyType"))
+      .map(f => CassType.parse(f.metadata.getString("keyType")))
+
+  def configuredColumnType(atoms: DataFrame): Option[CassType] =
+    atoms.schema.fields.find(_.name == "name")
+      .filter(_.metadata.contains("columnType"))
+      .map(f => CassType.parse(f.metadata.getString("columnType")))
+
   /** A1 compaction. Input may be any union of per-file atom frames
     * (mixed sstable versions merge correctly — the shuffle interleaves
     * them by (key, name, ts) exactly like the reference's secondary
@@ -36,37 +49,80 @@ object GraftSSTable {
     * — Spark accumulators batch per-task automatically). */
   @volatile var rowsWritten: Option[org.apache.spark.util.LongAccumulator] = None
 
+  /** @param columnType    column-name comparator (the reference's
+    *                       `aegisthus.columntype`,
+    *                       `AegisthusKeySortingComparator.java:35-61`):
+    *                       the shuffle sort orders names by a
+    *                       binary-comparable sort key derived per type
+    *                       ([[CassType.sortKey]]) and the merge uses
+    *                       the same comparator for range-tombstone
+    *                       coverage and LWW adjacency
+    * @param numPartitions  <= 0 (default) takes the session's
+    *                       `spark.sql.shuffle.partitions` — the real
+    *                       scale knob; fixed values are for tests */
   def compact(
       atoms: DataFrame,
-      numPartitions: Int = 32,
+      columnType: CassType = CassType.BytesType,
+      numPartitions: Int = -1,
       maxRowSize: Long = Long.MaxValue): Dataset[CompactedRow] = {
     val spark = atoms.sparkSession
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("compaction.rowsWritten")
     rowsWritten = Some(acc)
-    atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
-        "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
-      .as[AtomRec]
-      .repartition(numPartitions, col("key"))
-      .sortWithinPartitions(col("key"), col("name"), col("ts"))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // default BytesType defers to a comparator configured on the scan
+    // (cql/columnType reader option), like the reference's job config
+    val ct = if (columnType == CassType.BytesType)
+      configuredColumnType(atoms).getOrElse(columnType) else columnType
+    sortedAtoms(atoms, ct, parts, traced = false)
       .mapPartitions { it =>
-        Compaction.merge(it, CassType.BytesType, maxRowSize).map { r => acc.add(1L); r }
+        Compaction.merge(it, ct, maxRowSize).map { r => acc.add(1L); r }
       }
+  }
+
+  /** shared shuffle plan: hash-partition by key (O3), secondary-sort by
+    * the comparator-derived binary sort key (O1). */
+  private def sortedAtoms(
+      atoms: DataFrame,
+      ct: CassType,
+      parts: Int,
+      traced: Boolean): Dataset[AtomRec] = {
+    val spark = atoms.sparkSession
+    import spark.implicits._
+    val base = atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
+        "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
+    val withSortKey =
+      if (ct == CassType.BytesType) base.withColumn("_nameSort", col("name"))
+      else {
+        val sk = org.apache.spark.sql.functions.udf((n: Array[Byte]) =>
+          if (n == null) null else ct.sortKey(n))
+        base.withColumn("_nameSort", sk(col("name")))
+      }
+    val sortCols =
+      if (traced) Seq(col("key"), col("source"), col("_nameSort"), col("ts"))
+      else Seq(col("key"), col("_nameSort"), col("ts"))
+    withSortKey
+      .repartition(parts, col("key"))
+      .sortWithinPartitions(sortCols: _*)
+      .drop("_nameSort")
+      .as[AtomRec]
   }
 
   /** Trace-source compaction (O2): one row per (key, sourcePath). */
   def compactTraced(
       atoms: DataFrame,
-      numPartitions: Int = 32,
+      columnType: CassType = CassType.BytesType,
+      numPartitions: Int = -1,
       maxRowSize: Long = Long.MaxValue): Dataset[(String, CompactedRow)] = {
     val spark = atoms.sparkSession
     import spark.implicits._
-    atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
-        "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
-      .as[AtomRec]
-      .repartition(numPartitions, col("key"))
-      .sortWithinPartitions(col("key"), col("source"), col("name"), col("ts"))
-      .mapPartitions(it => Compaction.mergeTraced(it, CassType.BytesType, maxRowSize))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ct = if (columnType == CassType.BytesType)
+      configuredColumnType(atoms).getOrElse(columnType) else columnType
+    sortedAtoms(atoms, ct, parts, traced = true)
+      .mapPartitions(it => Compaction.mergeTraced(it, ct, maxRowSize))
   }
 
   /** aeg-JSON lines for trace mode: `key\tsourcePath\t{json}`. */

@@ -13,8 +13,10 @@ object SparkEntry {
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures
-    * (independent of sfDir; no SQL oracle — correctness is proven by
-    * the byte-exact golden-file suite in SSTableGoldenSpec). */
+    * (independent of sfDir). The oracle is the reference's checked-in
+    * golden output itself, loaded line-wise by DuckDB — so the driver
+    * hash-compares our distributed compaction byte-for-byte against
+    * the reference run (same proof the SSTableGoldenSpec makes). */
   val cassCompaction: QueryDef = QueryDef(
     "cass_compaction",
     (s, _) => {
@@ -22,12 +24,17 @@ object SparkEntry {
       val root = "/root/reference/aegisthus-hadoop/src/test/resources/testdata"
       val atoms = GraftSSTable.readAtoms(s, s"$root/2.0.10/randomtable/input",
         Map("skipCorrupt" -> "true"))
-      GraftSSTable.aegJsonLines(GraftSSTable.compact(atoms, 8))
+      GraftSSTable.aegJsonLines(GraftSSTable.compact(atoms))
         .toDF("key", "line")
-        .select(lower(hex(col("key"))).as("hex_key"), col("line"))
-        .orderBy(col("hex_key"))
+        .select(col("line"))
+        .orderBy(col("line"))
     },
-    None)
+    // the golden file contains no '|' (verified), so a '|' delimiter
+    // with quoting disabled yields exactly one VARCHAR column per line
+    Some("""SELECT line FROM read_csv(
+        '/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/aeg_json_output/aeg-00000',
+        delim='|', header=false, quote='', escape='', columns={'line': 'VARCHAR'})
+      ORDER BY line"""))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

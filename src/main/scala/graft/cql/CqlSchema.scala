@@ -41,6 +41,12 @@ object CqlType {
       new java.util.UUID(bb.getLong, bb.getLong).toString
     }
   }
+  /** timeuuid: same rendering as uuid, but a distinct case so the
+    * marshal-comparator derivation keeps time ordering. */
+  case object CTimeUuid extends CqlType {
+    val sparkType: DataType = StringType
+    def compose(b: Array[Byte]): Any = CUuid.compose(b)
+  }
   case object CTimestamp extends CqlType {
     val sparkType: DataType = LongType // epoch millis, like the reference
     def compose(b: Array[Byte]): Any = ByteBuffer.wrap(b).getLong
@@ -92,7 +98,8 @@ object CqlType {
       case "text" | "varchar" => CText
       case "ascii" => CAscii
       case "blob" => CBlob
-      case "uuid" | "timeuuid" => CUuid
+      case "uuid" => CUuid
+      case "timeuuid" => CTimeUuid
       case "timestamp" => CTimestamp
       case "double" => CDouble
       case "float" => CFloat
@@ -133,9 +140,45 @@ final case class CqlTable(
 
   def sparkSchema: StructType =
     StructType(allOutputColumns.map(c => StructField(c.name, c.tpe.sparkType, nullable = true)))
+
+  /** Partition-key marshal validator (the reference's
+    * `CFMetadataUtility`-derived `aegisthus.keytype`): single type, or
+    * a composite over the partition-key columns. */
+  def keyMarshal: graft.sstable.CassType = partitionKeys match {
+    case Seq(single) => CqlTable.marshalOf(single.tpe)
+    case many => graft.sstable.CassType.CompositeType(many.map(c => CqlTable.marshalOf(c.tpe)))
+  }
+
+  /** CQL3 cell-name comparator (`aegisthus.columntype`): a composite
+    * of the clustering-key marshal types plus the trailing UTF8
+    * column-identifier component. */
+  def comparatorMarshal: graft.sstable.CassType =
+    graft.sstable.CassType.CompositeType(
+      clusteringKeys.map(c => CqlTable.marshalOf(c.tpe)) :+ graft.sstable.CassType.UTF8Type)
 }
 
 object CqlTable {
+
+  /** CQL value type -> Cassandra marshal type. Collections fall back
+    * to BytesType (their cell names are comparator-encoded already). */
+  def marshalOf(t: CqlType): graft.sstable.CassType = {
+    import graft.sstable.CassType._
+    t match {
+      case CqlType.CInt => Int32Type
+      case CqlType.CBigint => LongType
+      case CqlType.CText => UTF8Type
+      case CqlType.CAscii => AsciiType
+      case CqlType.CBlob => BytesType
+      case CqlType.CUuid => UUIDType
+      case CqlType.CTimeUuid => TimeUUIDType
+      case CqlType.CTimestamp => TimestampType
+      case CqlType.CDouble => DoubleType
+      case CqlType.CFloat => FloatType
+      case CqlType.CBoolean => BooleanType
+      case _ => BytesType
+    }
+  }
+
   private val HeadRe =
     raw"""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*\(""".r
 

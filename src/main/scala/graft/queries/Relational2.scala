@@ -14,7 +14,9 @@ object Relational2 {
 
   /** Sketch aggregates (HLL distinct, approx quantile): inherently
     * engine-specific estimates, so no SQL oracle — the driver's
-    * rows-only check applies; exact twins are covered by q11/q33. */
+    * rows-only check applies; exact twins are covered by q11/q33.
+    * Percentiles emitted as scalars (not arrays) so the driver's
+    * pandas sort/hash can handle every column. */
   val q37: QueryDef = QueryDef(
     "q37_approx_sketches",
     (s, d) => {
@@ -23,7 +25,8 @@ object Relational2 {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_price_q"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
@@ -78,20 +81,24 @@ object Relational2 {
       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY flag, status"""))
 
-  /** Deterministic array aggregation: sorted distinct element lists. */
+  /** Deterministic array aggregation: sorted distinct element lists,
+    * joined to strings so the driver's pandas compare can hash the
+    * cells (arrays are unhashable there). */
   val q35: QueryDef = QueryDef(
     "q35_array_agg",
     (s, d) => {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          sort_array(collect_set(col("l_suppkey") % 10)).as("supp_mod"),
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          concat_ws(",",
+            transform(sort_array(collect_set(col("l_suppkey") % 10)), _.cast("string"))).as("supp_mod"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-        list_sort(list_distinct(list(l_linestatus))) AS statuses,
-        list_sort(list_distinct(list(l_suppkey % 10))) AS supp_mod,
+        array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        array_to_string(list_sort(list_distinct(list(l_suppkey % 10))), ',') AS supp_mod,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 

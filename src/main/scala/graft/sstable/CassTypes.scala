@@ -12,6 +12,16 @@ sealed trait CassType {
   def getString(bytes: Array[Byte]): String
   /** comparator used for column-name ordering (O1). */
   def compare(a: Array[Byte], b: Array[Byte]): Int = CassType.unsignedCompare(a, b)
+  /** Order-preserving binary encoding:
+    * `sign(unsignedCompare(sortKey(a), sortKey(b))) == sign(compare(a, b))`.
+    * Lets the distributed compaction shuffle sort column names with
+    * Spark's native BinaryType ordering while honoring any configured
+    * comparator (the `aegisthus.columntype` analog — reference
+    * `AegisthusKeySortingComparator.java:35-61`). Identity for types
+    * whose comparator already IS unsigned-lexicographic. */
+  def sortKey(bytes: Array[Byte]): Array[Byte] = bytes
+  /** canonical parseable name (inverse of [[CassType.parse]]). */
+  def typeName: String = toString
 }
 
 object CassType {
@@ -39,6 +49,59 @@ object CassType {
     a.length - b.length
   }
 
+  /** 8-byte big-endian with the sign bit flipped — signed-long order
+    * under unsigned byte comparison. */
+  private[sstable] def signedLongKey(v: Long): Array[Byte] = {
+    val flipped = v ^ Long.MinValue
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = (flipped >>> (56 - 8 * i)).toByte; i += 1 }
+    out
+  }
+
+  private[sstable] def signedIntKey(v: Int): Array[Byte] = {
+    val flipped = v ^ Int.MinValue
+    Array((flipped >>> 24).toByte, (flipped >>> 16).toByte,
+      (flipped >>> 8).toByte, flipped.toByte)
+  }
+
+  /** Unsigned 8-byte big-endian (for non-negative values, e.g. the
+    * 60-bit TimeUUID timestamp). */
+  private[sstable] def unsignedLongKey(v: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    out
+  }
+
+  /** Escape (0x00 -> 0x00 0xFF) and terminate (0x00 0x00) — the
+    * standard memcomparable component encoding: concatenated encoded
+    * components compare like the component sequence (shorter prefix
+    * first), because the terminator is strictly below any escaped
+    * content byte. */
+  private[sstable] def escapeTerminate(b: Array[Byte]): Array[Byte] = {
+    var zeros = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == 0) zeros += 1; i += 1 }
+    val out = new Array[Byte](b.length + zeros + 2)
+    var j = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0) { out(j) = 0; out(j + 1) = 0xff.toByte; j += 2 }
+      else { out(j) = b(i); j += 1 }
+      i += 1
+    }
+    // trailing 0x00 0x00 terminator already zero-initialized
+    out
+  }
+
+  private[sstable] def invert(b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = (~b(i)).toByte; i += 1 }
+    out
+  }
+
   case object BytesType extends CassType {
     override def getString(bytes: Array[Byte]): String = hex(bytes)
   }
@@ -53,12 +116,16 @@ object CassType {
       if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getLong.toString
     override def compare(a: Array[Byte], b: Array[Byte]): Int =
       java.lang.Long.compare(ByteBuffer.wrap(a).getLong, ByteBuffer.wrap(b).getLong)
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.length < 8) bytes else signedLongKey(ByteBuffer.wrap(bytes).getLong)
   }
   case object Int32Type extends CassType {
     override def getString(bytes: Array[Byte]): String =
       if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getInt.toString
     override def compare(a: Array[Byte], b: Array[Byte]): Int =
       java.lang.Integer.compare(ByteBuffer.wrap(a).getInt, ByteBuffer.wrap(b).getInt)
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.length < 4) bytes else signedIntKey(ByteBuffer.wrap(bytes).getInt)
   }
   case object UUIDType extends CassType {
     override def getString(bytes: Array[Byte]): String = {
@@ -80,6 +147,15 @@ object CassType {
       val cmp = java.lang.Long.compare(ts(a), ts(b))
       if (cmp != 0) cmp else unsignedCompare(a, b)
     }
+    override def sortKey(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes.length < 8) return bytes
+      val msb = ByteBuffer.wrap(bytes).getLong
+      val t = ((msb & 0x0fffL) << 48) | (((msb >> 16) & 0xffffL) << 32) | (msb >>> 32)
+      // 60-bit timestamp is non-negative: plain unsigned BE, then the
+      // raw bytes break ties (all TimeUUIDs are 16 bytes, so the
+      // variable tail never changes relative order)
+      unsignedLongKey(t) ++ bytes
+    }
   }
   case object BooleanType extends CassType {
     override def getString(bytes: Array[Byte]): String =
@@ -90,12 +166,30 @@ object CassType {
       if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getFloat.toString
     override def compare(a: Array[Byte], b: Array[Byte]): Int =
       java.lang.Float.compare(ByteBuffer.wrap(a).getFloat, ByteBuffer.wrap(b).getFloat)
+    override def sortKey(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes.length < 4) return bytes
+      // IEEE754 total-order trick matching Float.compare (canonical
+      // NaN via floatToIntBits): positives flip the sign bit,
+      // negatives flip every bit
+      val bits = java.lang.Float.floatToIntBits(ByteBuffer.wrap(bytes).getFloat)
+      val k = if (bits < 0) ~bits else bits ^ Int.MinValue
+      Array((k >>> 24).toByte, (k >>> 16).toByte, (k >>> 8).toByte, k.toByte)
+    }
   }
   case object DoubleType extends CassType {
     override def getString(bytes: Array[Byte]): String =
       if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getDouble.toString
     override def compare(a: Array[Byte], b: Array[Byte]): Int =
       java.lang.Double.compare(ByteBuffer.wrap(a).getDouble, ByteBuffer.wrap(b).getDouble)
+    override def sortKey(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes.length < 8) return bytes
+      val bits = java.lang.Double.doubleToLongBits(ByteBuffer.wrap(bytes).getDouble)
+      val k = if (bits < 0) ~bits else bits ^ Long.MinValue
+      val out = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { out(i) = (k >>> (56 - 8 * i)).toByte; i += 1 }
+      out
+    }
   }
   case object TimestampType extends CassType {
     override def getString(bytes: Array[Byte]): String = LongType.getString(bytes)
@@ -103,6 +197,11 @@ object CassType {
   final case class ReversedType(base: CassType) extends CassType {
     override def getString(bytes: Array[Byte]): String = base.getString(bytes)
     override def compare(a: Array[Byte], b: Array[Byte]): Int = -base.compare(a, b)
+    // escape+terminate makes variable-length keys safely invertible:
+    // plain bit-inversion alone would NOT reverse prefix ordering
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      invert(escapeTerminate(base.sortKey(bytes)))
+    override def typeName: String = s"ReversedType(${base.typeName})"
   }
 
   /** CompositeType: components encoded as [u16 len][bytes][u8 eoc]...;
@@ -128,6 +227,29 @@ object CassType {
         i += 1
       }
       as.length - bs.length
+    }
+    override def typeName: String =
+      s"CompositeType(${components.map(_.typeName).mkString(",")})"
+    override def sortKey(bytes: Array[Byte]): Array[Byte] = {
+      val parts = split(bytes)
+      val encoded = new Array[Array[Byte]](parts.length)
+      var total = 0
+      var i = 0
+      while (i < parts.length) {
+        val t = components.lift(i).getOrElse(BytesType)
+        encoded(i) = escapeTerminate(t.sortKey(parts(i)))
+        total += encoded(i).length
+        i += 1
+      }
+      val out = new Array[Byte](total)
+      var off = 0
+      i = 0
+      while (i < encoded.length) {
+        System.arraycopy(encoded(i), 0, out, off, encoded(i).length)
+        off += encoded(i).length
+        i += 1
+      }
+      out
     }
     /** split composite-encoded bytes into component byte arrays (X4). */
     def split(bytes: Array[Byte]): Array[Array[Byte]] = {

@@ -38,7 +38,8 @@ import org.apache.spark.util.LongAccumulator
   */
 class SSTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sstable"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SSTableSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SSTableSource.schemaFor(options.asScala.toMap)
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -66,6 +67,37 @@ object SSTableSource {
   /** last scan's corrupt-file accumulator, for the driver-side
     * threshold check (reference `Aegisthus.java:246-257`). */
   @volatile var corruptFiles: Option[LongAccumulator] = None
+
+  /** Marshal-type reader options (the `CFMetadataUtility` analog,
+    * reference `Aegisthus.java:102-111`): a `cql` CREATE TABLE option
+    * derives keyType (partition key marshal) and columnType (the CQL3
+    * clustering comparator); explicit `keyType` / `columnType` marshal
+    * names override. Resolved types are validated here (fail fast at
+    * plan time) and published as metadata on the `key`/`name` schema
+    * fields, where [[graft.GraftSSTable.compact]] picks the comparator
+    * up without re-configuration.
+    * NOTE: DSv2 lowercases option keys. */
+  def schemaFor(options: Map[String, String]): StructType = {
+    val opts = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val fromCql = opts.get("cql").map(graft.cql.CqlTable.parse)
+    val keyType = opts.get("keytype").orElse(fromCql.map(_.keyMarshal.typeName))
+    val colType = opts.get("columntype").orElse(fromCql.map(_.comparatorMarshal.typeName))
+    keyType.foreach(CassType.parse) // validate
+    colType.foreach(CassType.parse)
+    if (keyType.isEmpty && colType.isEmpty) Schema
+    else StructType(Schema.fields.map { f =>
+      val meta = f.name match {
+        case "key" if keyType.isDefined =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("keyType", keyType.get).build()
+        case "name" if colType.isDefined =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("columnType", colType.get).build()
+        case _ => f.metadata
+      }
+      f.copy(metadata = meta)
+    })
+  }
 
   def isHidden(p: Path): Boolean = {
     var cur = p
@@ -115,7 +147,7 @@ object SSTableSource {
 
 final class SSTableTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"sstable(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
-  override def schema(): StructType = SSTableSource.Schema
+  override def schema(): StructType = SSTableSource.schemaFor(props)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -80,8 +80,8 @@ class CompactionOptionsSpec extends AnyFunSuite {
   test("trace-source end-to-end over fixtures keeps per-file rows separate") {
     val testRoot = "/root/reference/aegisthus-hadoop/src/test/resources/testdata"
     val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/randomtable/input")
-    val traced = GraftSSTable.compactTraced(atoms, 4)
-    val plain = GraftSSTable.compact(atoms, 4)
+    val traced = GraftSSTable.compactTraced(atoms, numPartitions = 4)
+    val plain = GraftSSTable.compact(atoms, numPartitions = 4)
     // multiple sstables per key => more traced groups than compacted rows
     assert(traced.count() > plain.count())
     val lines = GraftSSTable.aegJsonLinesTraced(traced).collect()

@@ -30,7 +30,7 @@ class CqlPivotSpec extends AnyFunSuite {
 
   test("pivot randomtable fixtures to relational rows") {
     val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/randomtable/input")
-    val compacted = GraftSSTable.compact(atoms, 4)
+    val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
     val df = GraftSSTable.pivotToRelational(compacted,
       """CREATE TABLE testdata.randomtable (key int PRIMARY KEY, guid blob,
         |name text, email text, words text, latlong list<blob>,
@@ -50,7 +50,7 @@ class CqlPivotSpec extends AnyFunSuite {
 
   test("pivot rangetombstone fixtures (clustering + tombstoned columns)") {
     val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/rangetombstone/input")
-    val compacted = GraftSSTable.compact(atoms, 4)
+    val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
     val df = GraftSSTable.pivotToRelational(compacted,
       """CREATE TABLE testdata.rangetombstone (key ascii, ck int,
         |columna int, columnb int, columnc int, PRIMARY KEY (key, ck))""".stripMargin)

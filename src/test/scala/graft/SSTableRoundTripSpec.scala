@@ -36,11 +36,11 @@ class SSTableRoundTripSpec extends AnyFunSuite {
       val tmp = java.nio.file.Files.createTempDirectory("rt").toString
       val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/$caseDir/input",
         Map("skipCorrupt" -> "true"))
-      val compacted = GraftSSTable.compact(atoms, 4)
+      val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
       GraftSSTable.writeSSTable(compacted, tmp, outVersion)
 
       val atoms2 = GraftSSTable.readAtoms(spark, tmp)
-      val compacted2 = GraftSSTable.compact(atoms2, 4)
+      val compacted2 = GraftSSTable.compact(atoms2, numPartitions = 4)
       val actual = GraftSSTable.aegJsonLines(compacted2).collect()
         .sortWith((a, b) => CassType.unsignedCompare(a._1, b._1) < 0).map(_._2).toSeq
       val expected = goldenLines(caseDir)

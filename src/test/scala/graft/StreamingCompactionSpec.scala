@@ -41,7 +41,7 @@ class StreamingCompactionSpec extends AnyFunSuite {
         "SELECT keyHex, max(deletedAt) AS da, CAST(max(nLiveColumns) AS BIGINT) AS nc FROM inc_out GROUP BY keyHex")
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-      val batch = GraftSSTable.compact(atomsDf, 4).collect()
+      val batch = GraftSSTable.compact(atomsDf, numPartitions = 4).collect()
         .map(r => CassType.hex(r.key) -> (r.deletedAt, r.columns.size.toLong)).toMap
 
       assert(streamed.keySet == batch.keySet)
