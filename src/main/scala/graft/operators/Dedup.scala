@@ -34,8 +34,10 @@ object Dedup {
     * shingles with doc-frequency > maxDocFreq are dropped from
     * candidate generation only (both docs still count full set sizes)
     * — at web scale a handful of stop-shingles would otherwise
-    * generate O(n^2) candidates. Pass maxDocFreq = Int.MaxValue for
-    * the exact-recall oracle-checked configuration. */
+    * generate O(n^2) candidates. The pruning broadcasts the HOT set
+    * (df > cap — tiny by construction: at most N*avg_shingles/cap
+    * distinct values) and anti-joins, never the kept set (which is
+    * nearly all distinct shingles and unbroadcastable at scale). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sets = shingleSets(docs, textCol, n).cache()
@@ -43,9 +45,9 @@ object Dedup {
     val filtered =
       if (maxDocFreq == Int.MaxValue) ex
       else {
-        val freq = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select("sgl")
-        ex.join(broadcast(freq), "sgl")
+        val hot = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("sgl")
+        ex.join(broadcast(hot), Seq("sgl"), "left_anti")
       }
     val shared = filtered.as("a")
       .join(filtered.as("b"),

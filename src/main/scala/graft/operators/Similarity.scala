@@ -51,10 +51,10 @@ object Similarity {
     * fan-out ~64x at scale; raise for larger corpora. */
   val NPlanes = 6
 
-  /** hyperplane-LSH bucket id (NPlanes sign bits) for a DOUBLE-array
+  /** hyperplane-LSH bucket id (nPlanes sign bits) for a DOUBLE-array
     * column v — native [[graft.functions.LshBucket]] expression. */
-  def lshBucketExpr(v: String): String =
-    s"graft_lsh_bucket($v, $NPlanes)"
+  def lshBucketExpr(v: String, nPlanes: Int = NPlanes): String =
+    s"graft_lsh_bucket($v, $nPlanes)"
 
   /** ANN via hyperplane LSH: candidates share the full 16-bit bucket;
     * exact cosine re-rank, top-k per query. Approximate-by-design but
@@ -73,18 +73,20 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
-  /** IVF-style ANN: coarse quantization with deterministic centroids
-    * (every `centroidMod`-th vector), `nprobe` probed lists, exact
-    * re-rank. The 100 TB shape: assignment is a broadcast argmax
-    * (pure map), the candidate join is an equi-join on centroid id —
-    * list sizes bound the fan-out. Fully deterministic (exact-double
+  /** IVF-style ANN: coarse quantization with a FIXED number of
+    * deterministic centroids (the `kCentroids` lowest vec_ids),
+    * `nprobe` probed lists, exact re-rank. The 100 TB shape:
+    * assignment is a broadcast argmax (pure map) over O(kCentroids)
+    * driver/broadcast state — constant in N, unlike a modulo sample —
+    * and the candidate join is an equi-join on centroid id, so list
+    * sizes bound the fan-out. Fully deterministic (exact-double
     * cosines, ties broken by id) so the DuckDB oracle matches. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      centroidMod: Int, nprobe: Int): DataFrame = {
+      kCentroids: Int, nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val cents = p.filter(_._1 % centroidMod == 0).collect().sortBy(_._1)
+    val cents = p.filter(_._1 < kCentroids).collect().sortBy(_._1)
       .map { case (id, v, n) => (id, v.toArray, n) }
     val bc = spark.sparkContext.broadcast(cents)
 
@@ -127,15 +129,44 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
-  /** Exact near-duplicate vector pairs: cosine >= threshold, d1 < d2.
-    * Brute force (N^2/2 pairs) — baseline semantics; the LSH bucket
-    * join above is the 100 TB path. Physical plan: broadcast the full
-    * (small) vector set and compute each row's pair-scan in a
-    * primitive double loop — identical left-fold arithmetic to the
-    * expression form (so the DuckDB oracle still matches bit-exactly)
-    * but ~25x faster than interpreted higher-order functions, and
-    * still fully parallel over the driving side. */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Near-duplicate vector pairs (cosine >= threshold, d1 < d2) via
+    * banded hyperplane LSH + exact re-rank: one `nBands * bandBits`-
+    * plane signature per vector (pure projection), sliced into
+    * `nBands` bands; candidates share >= 1 exact band (OR-
+    * construction); exact cosine filters the survivors.
+    * Approximate-by-design recall, fully deterministic — the DuckDB
+    * oracle replicates the bands and the re-rank bit-exactly.
+    *
+    * 100 TB shape: candidate generation is a (band, bucket) equi-join
+    * — no N^2 scan, no driver-side state (the earlier brute-force
+    * variant collected the whole table to the driver; it survives
+    * only as the spec-level recall oracle in SimilaritySpec). */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+      nBands: Int = 3, bandBits: Int = 6): DataFrame = {
+    val mask = (1 << bandBits) - 1
+    val p = prepared(emb).selectExpr("vec_id", "v", "nrm",
+      s"${lshBucketExpr("v", nBands * bandBits)} AS sig")
+    val bands = p.selectExpr("vec_id",
+        s"explode(transform(sequence(0, ${nBands - 1}), " +
+        s"b -> struct(b AS band, shiftright(sig, b * $bandBits) % ${mask + 1} AS bucket))) AS bb")
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val s1 = p.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val s2 = p.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("nrm2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .selectExpr("d1", "d2", cosExpr.format("v1", "v2", "nrm1", "nrm2") + " AS cos")
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Spec-level exact oracle for [[nearDupPairs]] recall measurement:
+    * brute-force N^2/2 — NOT registered as a query (driver-collect is
+    * exactly the anti-pattern the banded plan exists to avoid). */
+  private[graft] def nearDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
@@ -144,11 +175,8 @@ object Similarity {
     val th = threshold
     p.flatMap { case (id, vSeq, nrm) =>
       val v = vSeq.toArray
-      val peers = bc.value
       val out = List.newBuilder[(Long, Long, Double)]
-      var j = 0
-      while (j < peers.length) {
-        val (wid, w, wn) = peers(j)
+      bc.value.foreach { case (wid, w, wn) =>
         if (wid > id) {
           var dot = 0.0
           var k = 0
@@ -156,7 +184,6 @@ object Similarity {
           val cos = dot / (math.sqrt(nrm) * math.sqrt(wn))
           if (cos >= th) out += ((id, wid, cos))
         }
-        j += 1
       }
       out.result()
     }.toDF("d1", "d2", "cos")

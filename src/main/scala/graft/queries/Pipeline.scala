@@ -61,17 +61,23 @@ object Pipeline {
         min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY fp ORDER BY fp"""))
 
-  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  /** 3-gram Jaccard near-dup pairs (threshold 0.5) with the scale-safe
+    * doc-frequency cap (64): shingles hotter than the cap are pruned
+    * from candidate generation (full set sizes still count), bounding
+    * the self-join fan-out at 64 per shingle — the oracle replicates
+    * the cap exactly. */
   val d02: QueryDef = QueryDef(
     "d02_ngram_jaccard_pairs",
-    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", 3, 0.5)
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", 3, 0.5, maxDocFreq = 64)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
       sh AS (SELECT doc_id, list_distinct(${DuckOps.shingles("t", 3)}) AS s FROM toks),
       e AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+      hot AS (SELECT sgl FROM e GROUP BY sgl HAVING count(*) > 64),
+      kept AS (SELECT doc_id, sgl FROM e ANTI JOIN hot USING (sgl)),
       sz AS (SELECT doc_id, len(s) AS n FROM sh),
       pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-                FROM e a JOIN e b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+                FROM kept a JOIN kept b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT d1, d2, shared, CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
         CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
@@ -162,16 +168,17 @@ object Pipeline {
         FROM p) WHERE rk <= 3
       ORDER BY q_id, rk"""))
 
-  /** IVF ANN: deterministic coarse centroids (every 50th vector),
+  /** IVF ANN: FIXED deterministic coarse centroids (the 16 lowest
+    * vec_ids — O(16) driver state regardless of corpus size),
     * 2 probed lists, exact re-rank top-3 for queries vec_id < 10. */
   val s04: QueryDef = QueryDef(
     "s04_ivf_ann_topk",
-    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 3, 50, 2)
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 3, 16, 2)
       .orderBy(col("q_id"), col("rk")),
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),
       n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
-      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
       asg AS (SELECT vec_id, v, nrm, cid AS centroid FROM (
           SELECT a.vec_id, a.v, a.nrm, c.cid,
             row_number() OVER (PARTITION BY a.vec_id
@@ -194,18 +201,32 @@ object Pipeline {
         FROM scored) WHERE rk <= 3
       ORDER BY q_id, rk"""))
 
-  /** Exact embedding near-dup pairs (cosine >= 0.45). */
+  /** Embedding near-dup pairs (cosine >= 0.45) via 3-band x 6-plane
+    * LSH candidates + exact re-rank — the oracle replicates the bands
+    * and the left-fold cosine bit-exactly. */
   val s03: QueryDef = QueryDef(
     "s03_embedding_neardup",
     (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),
-      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e)
-      SELECT a.vec_id AS d1, b.vec_id AS d2,
-        ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.45
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm,
+              list_reduce(list_concat([0::BIGINT], list_transform(range(0, 18), p ->
+                CASE WHEN list_reduce(list_concat([0.0::DOUBLE],
+                    list_transform(range(1, 65), d ->
+                      v[d] * CAST(${Similarity.planeWeight} AS DOUBLE))),
+                    (acc, x) -> acc + x) > 0
+                THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, x) -> a + x) AS sig
+            FROM e),
+      bands AS (SELECT vec_id, b, (sig >> (b * 6)) % 64 AS bucket
+                FROM n, unnest(range(0, 3)) AS t(b)),
+      cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+               FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT d1, d2,
+        ${DuckOps.dot("s1.v", "s2.v")} / (sqrt(s1.nrm) * sqrt(s2.nrm)) AS cos
+      FROM cand JOIN n s1 ON d1 = s1.vec_id JOIN n s2 ON d2 = s2.vec_id
+      WHERE ${DuckOps.dot("s1.v", "s2.v")} / (sqrt(s1.nrm) * sqrt(s2.nrm)) >= 0.45
       ORDER BY d1, d2"""))
 
   // -------------------------------------------------------- text analysis

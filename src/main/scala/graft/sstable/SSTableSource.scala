@@ -161,13 +161,23 @@ final class SSTableScanBuilder(options: Map[String, String])
   override def build(): Scan = new SSTableScan(options, required)
 }
 
-/** One planned partition: a row-aligned byte range of one Data.db. */
+/** One planned split: a row-aligned byte range of one Data.db. */
 final case class SSTablePartition(
     path: String,
     start: Long,
     end: Long,
     compressionInfoPath: Option[String],
-    versionName: String) extends InputPartition
+    versionName: String) extends InputPartition {
+  def size: Long = end - start
+}
+
+/** S6 split combining (reference
+  * `AegisthusCombinedInputFormat.java:56-102`): many small sstables
+  * bin-packed into one task — a production snapshot dir with 10k tiny
+  * files must not become 10k tasks. The reader chains member scanners
+  * sequentially and absorbs corruption per member. */
+final case class SSTableCombinedPartition(members: Array[SSTablePartition])
+    extends InputPartition
 
 final class SSTableScan(options: Map[String, String], required: StructType)
     extends Scan with Batch {
@@ -183,7 +193,7 @@ final class SSTableScan(options: Map[String, String], required: StructType)
       .orElse(options.get("path").map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("sstable source requires a path"))
 
-    val parts = ArrayBuffer[InputPartition]()
+    val parts = ArrayBuffer[SSTablePartition]()
     paths.foreach { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
@@ -242,7 +252,27 @@ final class SSTableScan(options: Map[String, String], required: StructType)
     val acc = SparkSession.active.sparkContext.longAccumulator("sstable.corruptFiles")
     SSTableSource.corruptFiles = Some(acc)
     accForFactory = acc
-    parts.toArray
+
+    // S6: greedy bin-packing of small splits (default on; the
+    // reference's 100 MB / <= 200-member combined splits)
+    if (!options.getOrElse("combine", "true").toBoolean) parts.toArray[InputPartition]
+    else {
+      val target = options.getOrElse("combinesize", (100L * 1024 * 1024).toString).toLong
+      val maxMembers = options.getOrElse("combinemembers", "200").toInt
+      val out = ArrayBuffer[InputPartition]()
+      val bin = ArrayBuffer[SSTablePartition]()
+      var binSize = 0L
+      parts.foreach { p =>
+        if (bin.nonEmpty && (binSize + p.size > target || bin.length >= maxMembers)) {
+          out += SSTableCombinedPartition(bin.toArray)
+          bin.clear(); binSize = 0L
+        }
+        bin += p
+        binSize += p.size
+      }
+      if (bin.nonEmpty) out += SSTableCombinedPartition(bin.toArray)
+      out.toArray
+    }
   }
 
   private var accForFactory: LongAccumulator = _
@@ -259,12 +289,20 @@ final class SSTableReaderFactory(
     corruptAcc: LongAccumulator) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SSTablePartition]
+    val members: Array[SSTablePartition] = partition match {
+      case c: SSTableCombinedPartition => c.members
+      case p: SSTablePartition => Array(p)
+    }
     new PartitionReader[InternalRow] {
       private val conf = new Configuration()
-      private val path = new Path(p.path)
-      private val fs = path.getFileSystem(conf)
-      private val scanner: SSTableScanner = {
+      private val fieldIdx = required.fields.map(f => SSTableSource.Schema.fieldIndex(f.name))
+      private var idx = 0
+      private var scanner: SSTableScanner = _
+      private var current: AtomRec = _
+
+      private def openScanner(p: SSTablePartition): SSTableScanner = {
+        val path = new Path(p.path)
+        val fs = path.getFileSystem(conf)
         val raw = fs.open(path)
         val stream: java.io.InputStream = p.compressionInfoPath match {
           case Some(ci) =>
@@ -293,23 +331,34 @@ final class SSTableReaderFactory(
         }
         new SSTableScanner(stream, p.start, p.end, SSTableVersion(p.versionName), p.path)
       }
-      private val fieldIdx = required.fields.map(f => SSTableSource.Schema.fieldIndex(f.name))
-      private var current: AtomRec = _
-      private var corrupted = false
+
+      /** S7 error-absorb, per MEMBER: a corrupt file loses only the
+        * rest of its own split; remaining members of a combined
+        * partition still scan. */
+      private def absorb(e: Exception): Unit = {
+        org.slf4j.LoggerFactory.getLogger(classOf[SSTableReaderFactory])
+          .error(s"failure deserializing file ${members(idx).path}", e)
+        if (corruptAcc != null) corruptAcc.add(1L)
+        if (scanner != null) { try scanner.close() catch { case _: Exception => () } }
+        scanner = null
+        idx += 1
+      }
 
       override def next(): Boolean = {
-        if (corrupted) return false
-        try {
-          if (scanner.hasNext) { current = scanner.next(); true } else false
-        } catch {
-          case e: Exception if skipCorrupt =>
-            // S7 error-absorb: skip the rest of this file, count it
-            org.slf4j.LoggerFactory.getLogger(classOf[SSTableReaderFactory])
-              .error(s"failure deserializing file ${p.path}", e)
-            if (corruptAcc != null) corruptAcc.add(1L)
-            corrupted = true
-            false
+        while (idx < members.length) {
+          if (scanner == null) {
+            try scanner = openScanner(members(idx))
+            catch { case e: Exception if skipCorrupt => absorb(e) }
+          } else {
+            try {
+              if (scanner.hasNext) { current = scanner.next(); return true }
+              else { scanner.close(); scanner = null; idx += 1 }
+            } catch {
+              case e: Exception if skipCorrupt => absorb(e)
+            }
+          }
         }
+        false
       }
 
       override def get(): InternalRow = {
@@ -328,7 +377,7 @@ final class SSTableReaderFactory(
         new GenericInternalRow(fieldIdx.map(full))
       }
 
-      override def close(): Unit = scanner.close()
+      override def close(): Unit = if (scanner != null) scanner.close()
     }
   }
 }

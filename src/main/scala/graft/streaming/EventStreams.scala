@@ -99,30 +99,68 @@ object EventStreams {
   }
 
   /** Flush any open sessions (bounded-input convenience used by tests
-    * and batch mode — mirrors what the timeout path emits). */
+    * and batch mode — mirrors what the timeout path emits).
+    *
+    * Scale shape: `repartition(user_id)` + `sortWithinPartitions` puts
+    * each user's events in time order via Spark's EXTERNAL (spillable)
+    * shuffle sort, and the merge is a streaming iterator that holds one
+    * open session — O(1) memory per group, so a hot user with millions
+    * of events cannot blow an executor (the same sorted-run pattern as
+    * [[graft.sstable.Compaction.merge]]; previously this did
+    * `it.toSeq.sortBy` per group, materializing whole user histories). */
   def sessionizeBounded(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60 * 1000
-    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val out = List.newBuilder[Session]
-      var open: Option[SessionState] = None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        val cents = math.round(e.value * 100)
-        open match {
-          case Some(s) if t - s.last <= gapMs =>
-            open = Some(SessionState(s.start, t, s.n + 1, s.cents + cents))
-          case Some(s) =>
-            out += finish(userId, s)
-            open = Some(SessionState(t, t, 1, cents))
-          case None => open = Some(SessionState(t, t, 1, cents))
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[Event]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[Session] {
+          override def hasNext: Boolean = b.hasNext
+          override def next(): Session = {
+            val first = b.next()
+            val uid = first.user_id
+            val start = first.ts.getTime
+            var last = start
+            var n = 1L
+            var cents = math.round(first.value * 100)
+            var open = true
+            while (open && b.hasNext && b.head.user_id == uid) {
+              val t = b.head.ts.getTime
+              if (t - last <= gapMs) {
+                cents += math.round(b.head.value * 100)
+                last = t
+                n += 1
+                b.next()
+              } else open = false
+            }
+            finish(uid, SessionState(start, last, n, cents))
+          }
         }
       }
-      open.foreach(s => out += finish(userId, s))
-      out.result().iterator
-    }
+  }
+
+  /** Native Structured Streaming sessionization via `session_window`
+    * (the Spark-first production path: merging session state is
+    * handled by the engine, bounded by the watermark — no custom state
+    * at all). Emits the same rows as [[sessionizeBounded]]: Spark's
+    * session window end is last-event-time + gap, so subtracting the
+    * gap restores the last-event semantics. Works identically over
+    * batch and streaming frames. */
+  def sessionizeWindows(events: DataFrame, gapMinutes: Long = 30,
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(w => events.withWatermark("ts", w))
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as long)")).as("total_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gapMinutes MINUTES")).as("session_end"),
+        col("n_events"), col("total_cents"))
   }
 
   private def finish(userId: Long, s: SessionState): Session =

@@ -52,6 +52,20 @@ class EventStreamsSpec extends AnyFunSuite {
     val _ = sCents
   }
 
+  test("session_window variant emits exactly the bounded sessionizer's rows") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir).as[EventStreams.Event]
+    val bounded = EventStreams.sessionizeBounded(events, gapMinutes = 30)
+      .selectExpr("user_id", "unix_millis(session_start) AS s", "unix_millis(session_end) AS e",
+        "n_events", "total_cents")
+    val native = EventStreams.sessionizeWindows(events.toDF(), gapMinutes = 30)
+      .selectExpr("user_id", "unix_millis(session_start) AS s", "unix_millis(session_end) AS e",
+        "n_events", "total_cents")
+    assert(bounded.count() == native.count())
+    assert(bounded.exceptAll(native).isEmpty && native.exceptAll(bounded).isEmpty,
+      "session_window must reproduce the custom sessionizer exactly")
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val stream = EventStreams.readEventStream(spark, sfDir)
     val q = EventStreams.dedupStream(stream)
