@@ -215,16 +215,13 @@ object GraftSSTable {
   /** Read aeg-JSON output back as a DataFrame (the Pig-loader
     * replacement, SURVEY §3.3): key, deletedAt, columns array of cell
     * structs; `clean=true` (the reference default) drops tombstoned /
-    * row-shadowed columns and rows left empty. Column pruning is free
-    * via Catalyst once the struct is projected. */
-  def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame = {
-    import spark.implicits._
-    val parsed = spark.read.textFile(path).map(AegJsonCodec.parse)
-    val cleaned =
-      if (clean) parsed.map(AegJsonCodec.cleanse).filter(_.columns.nonEmpty)
-      else parsed
-    cleaned.toDF()
-  }
+    * row-shadowed columns and rows left empty. Backed by the PRUNING
+    * [[graft.sstable.AegJsonSource]] DSv2 source: projection pushes
+    * into the parse itself (keys-only scans skip cell parsing
+    * entirely, matching `AegisthusLoader.java:215-241`), and files
+    * split by newline-aligned byte ranges. */
+  def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame =
+    spark.read.format("aegjson").option("clean", clean.toString).load(path)
 
   /** Pivot compacted CQL3 rows to a relational DataFrame per a CQL
     * CREATE TABLE schema (SURVEY §3.2 / M4), incl. collections; write

@@ -70,6 +70,25 @@ object AegJsonCodec {
     AegRow(key, deletedAt, cols.toSeq)
   }
 
+  /** Pruned parse: key only — skips the header and the whole cell
+    * array (keys-only scans pay string-scan cost, not parse cost). */
+  def parseKey(line: String): String = {
+    val p = new P(line.substring(line.indexOf('\t') + 1))
+    p.expect('{')
+    p.string()
+  }
+
+  /** Pruned parse: key + deletedAt, cell array skipped. */
+  def parseHeader(line: String): (String, Long) = {
+    val p = new P(line.substring(line.indexOf('\t') + 1))
+    p.expect('{')
+    val key = p.string()
+    p.expect(':'); p.expect('{')
+    p.expectLiteral("\"deletedAt\"")
+    p.expect(':')
+    (key, p.longVal())
+  }
+
   /** Cleanse (F5, reference `pig/AegisthusLoader.java:75-90`): drop
     * columns that are tombstoned (`status == "d"`) or shadowed by the
     * row deletion (`deletedAt > ts`). */

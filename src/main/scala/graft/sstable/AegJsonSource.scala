@@ -1,0 +1,205 @@
+package graft.sstable
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for aeg-JSON output dirs
+  * (`spark.read.format("aegjson").load(dir)`) — the Pig-loader
+  * replacement (SURVEY §3.3; reference `pig/AegisthusLoader.java`)
+  * as a PRUNING source: the loader pushes projection into the parse
+  * (`AegisthusLoader.java:215-241`), so a keys-only scan must not pay
+  * for parsing every cell. Column pruning here selects the parse
+  * level per line:
+  *
+  *  - only `key` required       -> parse the key string, skip the rest;
+  *  - `key`/`deletedAt`         -> parse the fixed header, skip cells;
+  *  - `columns` (or clean mode) -> full parse (+ F5 cleanse).
+  *
+  * Files split by newline-aligned byte ranges (`blocksize`, default
+  * 64 MiB) — the standard seek(start-1)/discard-first-line rule, so
+  * splits scale with file size like any text scan.
+  *
+  * Options: `clean` (default true — drop tombstoned/shadowed cells and
+  * rows left empty, reference `AegisthusLoader.java:75-90`),
+  * `blocksize`. */
+class AegJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "aegjson"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AegJsonSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AegJsonTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object AegJsonSource {
+  val CellSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("status", StringType, nullable = true),
+    StructField("ttl", LongType, nullable = true),
+    StructField("localDeletionTime", LongType, nullable = true),
+    StructField("tsOfLastDelete", LongType, nullable = true)))
+
+  /** matches `Encoders.product[AegRow]`'s shape so the DSv2 path is a
+    * drop-in for the old textFile.map(parse) frame. */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("deletedAt", LongType, nullable = false),
+    StructField("columns", ArrayType(CellSchema, containsNull = false), nullable = false)))
+}
+
+final class AegJsonTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"aegjson(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
+  override def schema(): StructType = AegJsonSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AegJsonScanBuilder(options.asScala.toMap)
+}
+
+final class AegJsonScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = AegJsonSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new AegJsonScan(options, required)
+}
+
+final case class AegJsonPartition(path: String, start: Long, end: Long) extends InputPartition
+
+final class AegJsonScan(options: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = "graft-aegjson"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
+    val paths: Seq[String] = options.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(options.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("aegjson source requires a path"))
+    val parts = ArrayBuffer[InputPartition]()
+    paths.foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      val files = {
+        val st = fs.getFileStatus(root)
+        if (st.isDirectory)
+          fs.listStatus(root).toSeq.filter(s => s.isFile && !SSTableSource.isHidden(s.getPath))
+        else Seq(st)
+      }
+      files.filter(_.getLen > 0).foreach { st =>
+        var off = 0L
+        while (off < st.getLen) {
+          val end = math.min(off + blocksize, st.getLen)
+          parts += AegJsonPartition(st.getPath.toString, off, end)
+          off = end
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AegJsonReaderFactory(required, options.getOrElse("clean", "true").toBoolean)
+}
+
+final class AegJsonReaderFactory(required: StructType, clean: Boolean)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AegJsonPartition]
+    val needColumns = clean || required.fieldNames.contains("columns")
+    val needDeletedAt = needColumns || required.fieldNames.contains("deletedAt")
+    new PartitionReader[InternalRow] {
+      private val path = new Path(p.path)
+      private val fs = path.getFileSystem(new Configuration())
+      private val in = fs.open(path)
+      private var pos = p.start
+      private val lines = {
+        if (p.start != 0) {
+          // seek(start-1) + discard one line: a line beginning exactly
+          // at `start` is preserved, one spanning the boundary is
+          // owned by the previous split
+          in.seek(p.start - 1)
+          pos = p.start - 1
+          val skipped = new org.apache.hadoop.util.LineReader(in)
+          pos += skipped.readLine(new Text())
+          skipped
+        } else new org.apache.hadoop.util.LineReader(in)
+      }
+      private val text = new Text()
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (pos < p.end) {
+          val consumed = lines.readLine(text)
+          if (consumed == 0) return false
+          pos += consumed
+          if (text.getLength > 0) {
+            val line = text.toString
+            val row = convert(line)
+            if (row != null) { current = row; return true }
+          }
+        }
+        false
+      }
+
+      private def convert(line: String): InternalRow = {
+        if (needColumns) {
+          val parsed0 = AegJsonCodec.parse(line)
+          val parsed = if (clean) AegJsonCodec.cleanse(parsed0) else parsed0
+          if (clean && parsed.columns.isEmpty) return null
+          fromFields(parsed.key, parsed.deletedAt, parsed.columns)
+        } else if (needDeletedAt) {
+          val (key, deletedAt) = AegJsonCodec.parseHeader(line)
+          fromFields(key, deletedAt, Seq.empty)
+        } else {
+          fromFields(AegJsonCodec.parseKey(line), 0L, Seq.empty)
+        }
+      }
+
+      private def fromFields(key: String, deletedAt: Long, cols: Seq[AegCell]): InternalRow = {
+        val values = required.fieldNames.map {
+          case "key" => UTF8String.fromString(key)
+          case "deletedAt" => deletedAt
+          case "columns" =>
+            new GenericArrayData(cols.map { c =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(c.name),
+                UTF8String.fromString(c.value),
+                c.ts,
+                c.status.map(UTF8String.fromString).orNull,
+                c.ttl.map(Long.box).orNull,
+                c.localDeletionTime.map(Long.box).orNull,
+                c.tsOfLastDelete.map(Long.box).orNull))
+            }.toArray[Any])
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = lines.close()
+    }
+  }
+}
