@@ -133,7 +133,8 @@ final case class CqlTable(
     partitionKeys: Seq[CqlColumn],
     clusteringKeys: Seq[CqlColumn],
     regularColumns: Seq[CqlColumn],
-    staticColumns: Seq[CqlColumn]) {
+    staticColumns: Seq[CqlColumn],
+    descClustering: Set[String] = Set.empty) {
 
   def allOutputColumns: Seq[CqlColumn] =
     partitionKeys ++ clusteringKeys ++ regularColumns ++ staticColumns
@@ -150,11 +151,17 @@ final case class CqlTable(
   }
 
   /** CQL3 cell-name comparator (`aegisthus.columntype`): a composite
-    * of the clustering-key marshal types plus the trailing UTF8
+    * of the clustering-key marshal types (ReversedType-wrapped for
+    * `CLUSTERING ORDER BY (... DESC)` keys) plus the trailing UTF8
     * column-identifier component. */
-  def comparatorMarshal: graft.sstable.CassType =
-    graft.sstable.CassType.CompositeType(
-      clusteringKeys.map(c => CqlTable.marshalOf(c.tpe)) :+ graft.sstable.CassType.UTF8Type)
+  def comparatorMarshal: graft.sstable.CassType = {
+    import graft.sstable.CassType
+    val ckTypes = clusteringKeys.map { c =>
+      val base = CqlTable.marshalOf(c.tpe)
+      if (descClustering(c.name)) CassType.ReversedType(base) else base
+    }
+    CassType.CompositeType(ckTypes :+ CassType.UTF8Type)
+  }
 }
 
 object CqlTable {
@@ -241,11 +248,24 @@ object CqlTable {
       case (c, _) if !pkSet(c.name) && !ckSet(c.name) && !c.isStatic => c
     }
     val statics = all.collect { case (c, _) if c.isStatic => c }
+    // WITH CLUSTERING ORDER BY (ck DESC, ...) — DESC keys compact in
+    // reversed comparator order (ReversedType in the comparator)
+    val desc = ClusteringOrderRe.findFirstMatchIn(cql).map { m =>
+      CqlType.splitTop(m.group(1)).flatMap { entry =>
+        val ps = entry.trim.split("\\s+")
+        if (ps.length >= 2 && ps(1).equalsIgnoreCase("desc"))
+          Some(ps(0).replace("\"", "")) else None
+      }.toSet
+    }.getOrElse(Set.empty[String])
     CqlTable(
       tableName,
       pkNames.map(byName(_)),
       ckNames.map(byName(_)),
       regular,
-      statics)
+      statics,
+      desc)
   }
+
+  private val ClusteringOrderRe =
+    raw"(?is)CLUSTERING\s+ORDER\s+BY\s*\(([^)]*)\)".r
 }

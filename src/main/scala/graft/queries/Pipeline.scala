@@ -13,7 +13,23 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, st01)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, st01, st02)
+
+  /** Native `session_window` sessionization (the engine-managed
+    * streaming-state path, [[graft.streaming.EventStreams.sessionizeWindows]])
+    * — same oracle as st01, proving the built-in operator reproduces
+    * the custom sessionizer cell-exactly. */
+  lazy val st02: QueryDef = QueryDef( // lazy: shares st01's oracle, declared below
+    "st02_session_window",
+    (s, d) => {
+      graft.streaming.EventStreams.sessionizeWindows(Tables.events(s, d), gapMinutes = 30)
+        .selectExpr("user_id",
+          "unix_millis(session_start) AS start_ms",
+          "unix_millis(session_end) AS end_ms",
+          "n_events", "total_cents")
+        .orderBy(col("user_id"), col("start_ms"))
+    },
+    st01.oracle)
 
   /** Gap-based sessionization (30-min idle gap) — the batch face of
     * the Structured Streaming sessionizer
