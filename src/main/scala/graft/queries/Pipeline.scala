@@ -13,7 +13,33 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, st01, st02)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, st01, st02)
+
+  /** Multimodal frame-window extraction: fixed-size windows over the
+    * payload (the audio/video frame-sampling plumbing — generator
+    * shape, one output row per window; a real decoder swaps in behind
+    * the same explode). 128-char windows; empty docs yield no frames. */
+  val m02: QueryDef = QueryDef(
+    "m02_frame_windows",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", "text AS p")
+      .selectExpr("doc_id",
+        """explode(if(length(p) = 0, array(),
+           transform(
+             sequence(0, cast(ceil(length(p) / 128.0) as int) - 1),
+             i -> struct(
+               cast(i as bigint) AS frame_idx,
+               md5(cast(substring(p, i * 128 + 1, 128) as binary)) AS frame_digest,
+               cast(length(substring(p, i * 128 + 1, 128)) as bigint) AS frame_chars)))) AS fr""")
+      .filter(col("fr").isNotNull)
+      .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.frame_digest").as("frame_digest"), col("fr.frame_chars").as("frame_chars"))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""SELECT doc_id, i AS frame_idx,
+        md5(substring(text, (i * 128 + 1)::BIGINT, 128)) AS frame_digest,
+        CAST(length(substring(text, (i * 128 + 1)::BIGINT, 128)) AS BIGINT) AS frame_chars
+      FROM documents, unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS t(i)
+      ORDER BY doc_id, frame_idx"""))
 
   /** Native `session_window` sessionization (the engine-managed
     * streaming-state path, [[graft.streaming.EventStreams.sessionizeWindows]])
