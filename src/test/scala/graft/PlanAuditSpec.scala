@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB plan-shape assertions: the claims in COVERAGE.md enforced as
+  * tests, so a regression that silently de-broadcasts a dim join,
+  * breaks scan pruning, or introduces a cartesian product fails CI —
+  * not just a per-round manual `.explain` read. */
+class PlanAuditSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** final (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("star join broadcasts every dim; fact side is never broadcast") {
+    val plan = finalPlan(queries.Relational.q06.run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = finalPlan(queries.Relational.q16.run(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    val plan = finalPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49"),
+      s"filter must reach the parquet scan:\n$plan")
+    val readSchema = plan.split("ReadSchema:").last
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"),
+      "scan must read only the projected columns")
+  }
+
+  test("similarity/dedup candidate generation never plans a cartesian product") {
+    val d02 = finalPlan(queries.Pipeline.d02.run(spark, sfDir))
+    assert(!d02.contains("CartesianProduct"), "n-gram candidates must be an equi-join/agg")
+    val s03 = finalPlan(queries.Pipeline.s03.run(spark, sfDir))
+    assert(!s03.contains("CartesianProduct"), "LSH candidates must be a bucket equi-join")
+    assert(!s03.contains("collect"), "no driver-side collect operators in the plan")
+  }
+
+  test("compaction plan is shuffle-by-key + in-partition sort (no global sort, no aggregation buffers)") {
+    val atoms = GraftSSTable.readAtoms(spark,
+      "/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/input",
+      Map("skipCorrupt" -> "true"))
+    val ds = GraftSSTable.compact(atoms, numPartitions = 4)
+    val plan = finalPlan(ds.toDF())
+    assert(plan.contains("Exchange hashpartitioning(key"), s"must hash-partition by key:\n$plan")
+    assert(plan.contains("Sort [key"), "must sort within partitions by (key, name, ts)")
+    assert(!plan.contains("Sort [key") || !plan.contains("global=true"),
+      "the sort must be partition-local, not global")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      "merge is a streaming iterator, not an aggregation buffer")
+  }
+
+  test("sstable scan prunes to the required atom columns (F6)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val keysOnly = GraftSSTable.readAtoms(spark,
+      "/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/input",
+      Map("skipCorrupt" -> "true")).select("key")
+    keysOnly.collect()
+    val scan = keysOnly.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.output.map(_.name) == Seq("key"))
+  }
+}
