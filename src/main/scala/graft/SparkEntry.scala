@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full operator registry; each entry is one operator from
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
   def registry: Seq[QueryDef] =
-    Relational.all ++ Relational2.all ++ Pipeline.all ++ Seq(cassCompaction)
+    Relational.all ++ Relational2.all ++ Pipeline.all ++
+      Seq(cassCompaction, cassCompactionTyped)
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures
@@ -35,6 +36,40 @@ object SparkEntry {
         '/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/aeg_json_output/aeg-00000',
         delim='|', header=false, quote='', escape='', columns={'line': 'VARCHAR'})
       ORDER BY line"""))
+
+  /** Typed-comparator compaction (O1, the `aegisthus.columntype`
+    * analog) through the driver gate: a deterministic two-sstable
+    * fixture with LongType column names whose byte order and numeric
+    * order DISAGREE (-1 vs 2 vs 100), written through the real
+    * SSTableWriter, read with the `columnType` reader option, merged
+    * distributed. The oracle pins the exact expected aeg-JSON line —
+    * numeric name order, LWW across files, LongType rendering. */
+  val cassCompactionTyped: QueryDef = QueryDef(
+    "cass_compaction_typed",
+    (s, _) => {
+      import graft.sstable._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_typed").toFile
+      def longB(v: Long): Array[Byte] =
+        java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      def cell(n: Long, v: String, ts: Long) =
+        CellOut(SSTableFormat.KindColumn, longB(n), v.getBytes, ts, None, None, None)
+      def write(name: String, cells: Seq[CellOut]): Unit = {
+        val f = new java.io.DataOutputStream(new java.io.FileOutputStream(
+          new java.io.File(tmp, name)))
+        SSTableWriter.writeRow(f,
+          CompactedRow("key1".getBytes, Long.MinValue, cells), SSTableVersion("jb"))
+        f.close()
+      }
+      write("ks-cf-jb-1-Data.db", Seq(cell(2L, "two", 10L), cell(-1L, "neg-old", 5L)))
+      write("ks-cf-jb-2-Data.db", Seq(cell(-1L, "neg-new", 20L), cell(100L, "hundred", 10L)))
+      val atoms = GraftSSTable.readAtoms(s, tmp.toString, Map("columnType" -> "LongType"))
+      GraftSSTable.aegJsonLines(GraftSSTable.compact(atoms), nameType = "LongType")
+        .toDF("key", "line").select("line")
+    },
+    Some("""SELECT '6b657931' || chr(9) ||
+      '{"6b657931":{"deletedAt":-9223372036854775808,"columns":' ||
+      '[["-1","6e65672d6e6577",20],["2","74776f",10],["100","68756e64726564",10]]}}'
+      AS line"""))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

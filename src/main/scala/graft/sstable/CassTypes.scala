@@ -102,6 +102,35 @@ object CassType {
     out
   }
 
+  /** Order-preserving encoding for arbitrary-precision integers:
+    * sign marker (0x7F neg / 0x80 zero / 0x81 pos), then magnitude
+    * length (4-byte BE; inverted for negatives so longer = smaller),
+    * then magnitude bytes (inverted for negatives). */
+  private[sstable] def varintKey(v: java.math.BigInteger): Array[Byte] = {
+    val s = v.signum()
+    if (s == 0) return Array(0x80.toByte)
+    val mag = v.abs().toByteArray.dropWhile(_ == 0)
+    val lenKey = Array((mag.length >>> 24).toByte, (mag.length >>> 16).toByte,
+      (mag.length >>> 8).toByte, mag.length.toByte)
+    if (s > 0) Array(0x81.toByte) ++ lenKey ++ mag
+    else Array(0x7f.toByte) ++ invert(lenKey) ++ invert(mag)
+  }
+
+  /** Order-preserving encoding for decimals: normalize to
+    * 0.digits x 10^e (stripTrailingZeros), then sign marker
+    * (0x80 neg / 0x81 zero / 0x82 pos), adjusted-exponent key, digit
+    * bytes, terminator — exponent/digits/terminator inverted for
+    * negatives so prefix ordering reverses correctly. */
+  private[sstable] def decimalKey(v: java.math.BigDecimal): Array[Byte] = {
+    val s = v.signum()
+    if (s == 0) return Array(0x81.toByte)
+    val n = v.stripTrailingZeros()
+    val digits = n.unscaledValue().abs().toString.getBytes
+    val e = n.precision() - n.scale() // value = 0.digits * 10^e
+    if (s > 0) Array(0x82.toByte) ++ signedIntKey(e) ++ digits ++ Array(0x00.toByte)
+    else Array(0x80.toByte) ++ invert(signedIntKey(e)) ++ invert(digits) ++ Array(0xff.toByte)
+  }
+
   case object BytesType extends CassType {
     override def getString(bytes: Array[Byte]): String = hex(bytes)
   }
@@ -194,6 +223,58 @@ object CassType {
   case object TimestampType extends CassType {
     override def getString(bytes: Array[Byte]): String = LongType.getString(bytes)
   }
+  case object ShortType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else ByteBuffer.wrap(bytes).getShort.toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Short.compare(ByteBuffer.wrap(a).getShort, ByteBuffer.wrap(b).getShort)
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.length < 2) bytes
+      else Array(((bytes(0) ^ 0x80) & 0xff).toByte, bytes(1))
+  }
+  case object ByteType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else bytes(0).toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Byte.compare(a(0), b(0))
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.isEmpty) bytes else Array(((bytes(0) ^ 0x80) & 0xff).toByte)
+  }
+  /** Cassandra `IntegerType` is the arbitrary-precision varint
+    * (two's-complement minimal big-endian bytes). */
+  case object IntegerType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else new java.math.BigInteger(bytes).toString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b))
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.isEmpty) bytes else varintKey(new java.math.BigInteger(bytes))
+  }
+  /** DecimalType: [i32 scale][varint unscaled]. */
+  case object DecimalType extends CassType {
+    private def decode(bytes: Array[Byte]): java.math.BigDecimal = {
+      val bb = ByteBuffer.wrap(bytes)
+      val scale = bb.getInt
+      val rest = new Array[Byte](bb.remaining())
+      bb.get(rest)
+      new java.math.BigDecimal(new java.math.BigInteger(rest), scale)
+    }
+    override def getString(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "" else decode(bytes).toPlainString
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      decode(a).compareTo(decode(b))
+    override def sortKey(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.length < 4) bytes else decimalKey(decode(bytes))
+  }
+  case object InetAddressType extends CassType {
+    override def getString(bytes: Array[Byte]): String =
+      java.net.InetAddress.getByAddress(bytes).getHostAddress
+  }
+  case object EmptyType extends CassType {
+    override def getString(bytes: Array[Byte]): String = ""
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = 0
+    override def sortKey(bytes: Array[Byte]): Array[Byte] = Array.emptyByteArray
+  }
   final case class ReversedType(base: CassType) extends CassType {
     override def getString(bytes: Array[Byte]): String = base.getString(bytes)
     override def compare(a: Array[Byte], b: Array[Byte]): Int = -base.compare(a, b)
@@ -278,6 +359,12 @@ object CassType {
       case "AsciiType" => AsciiType
       case "LongType" => LongType
       case "Int32Type" => Int32Type
+      case "ShortType" => ShortType
+      case "ByteType" => ByteType
+      case "IntegerType" => IntegerType
+      case "DecimalType" => DecimalType
+      case "InetAddressType" => InetAddressType
+      case "EmptyType" => EmptyType
       case "UUIDType" | "LexicalUUIDType" => UUIDType
       case "TimeUUIDType" => TimeUUIDType
       case "TimestampType" | "DateType" => TimestampType
