@@ -13,7 +13,81 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04, t01, t02, t03, t04, m01, m02, st01, st02)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04,
+    t01, t02, t03, t04, t05, t06, m01, m02, st01, st02)
+
+  /** Benchmark decontamination: for each "benchmark" document
+    * (doc_id < 50 stands in for an eval set), count corpus documents
+    * sharing >= 1 distinct 5-gram — the standard n-gram-overlap
+    * contamination check. 100 TB shape: the benchmark shingle set is
+    * tiny and BROADCAST, so the corpus side is a map-side hash join
+    * over its exploded 60-bit shingle hashes — the full corpus is
+    * never shuffled; only the (bench, doc) hit pairs are. */
+  val t05: QueryDef = QueryDef(
+    "t05_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // explode_outer: plain explode makes the optimizer infer a
+      // size(hs)>0 pre-filter that DUPLICATES the whole tokenize+hash
+      // expression below the Generate (2x compute); the inner join
+      // drops the extra null-sgl rows anyway
+      val sh = Dedup.shingleHashSets(docs, "text", 5)
+        .selectExpr("doc_id", "explode_outer(hs) AS sgl")
+      val bench = sh.filter(col("doc_id") < 50)
+        .withColumnRenamed("doc_id", "bench_id")
+      sh.join(broadcast(bench),
+          sh("sgl") === bench("sgl") && col("doc_id") =!= col("bench_id"))
+        .select(col("bench_id"), col("doc_id")).distinct()
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_contaminated"))
+        .orderBy(col("bench_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 5)} AS s FROM toks),
+      e AS (SELECT doc_id, unnest(list_distinct(
+              list_transform(s, x -> ${DuckOps.strHash60("x")}))) AS sgl FROM sh),
+      hits AS (SELECT DISTINCT b.doc_id AS bench_id, c.doc_id
+               FROM e b JOIN e c ON b.sgl = c.sgl AND c.doc_id <> b.doc_id
+               WHERE b.doc_id < 50)
+      SELECT bench_id, count(*) AS n_contaminated
+      FROM hits GROUP BY bench_id ORDER BY bench_id"""))
+
+  /** End-to-end quality gate — the composed filter a training-data
+    * pipeline runs before tokenization: English-identified, length in
+    * bounds, stopword/punctuation ratios sane, and not an exact
+    * duplicate (only the fingerprint keeper survives). Demonstrates
+    * operator composability; every predicate is exact-integer. */
+  val t06: QueryDef = QueryDef(
+    "t06_quality_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs
+        .selectExpr("doc_id", "n_chars", s"${TextOps.tokens("text")} AS t", "text")
+        .selectExpr("doc_id", "n_chars",
+          "cast(size(t) as bigint) AS n_tokens",
+          s"cast(${TextOps.stopHits("t", TextOps.StopEn)} as bigint) AS stop_en",
+          s"${TextOps.strHash60("concat_ws(' ', t)")} AS fp")
+      val keepers = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+      scored.join(keepers, scored("fp") === keepers("fp") &&
+          scored("doc_id") === keepers("keeper"))
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
+          col("stop_en") * 1000000L >= col("n_tokens") * lit(20000L))
+        .select(col("doc_id"), col("n_tokens"), col("stop_en"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH q AS (SELECT doc_id, n_chars, ${DuckOps.tokens("text")} AS t FROM documents),
+      scored AS (SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(${DuckOps.stopHits("t", TextOps.StopEn)} AS BIGINT) AS stop_en,
+          ${DuckOps.strHash60("array_to_string(t, ' ')")} AS fp
+        FROM q),
+      keepers AS (SELECT fp, min(doc_id) AS keeper FROM scored GROUP BY fp)
+      SELECT s.doc_id, s.n_tokens, s.stop_en
+      FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper
+      WHERE s.n_tokens BETWEEN 5 AND 2000
+        AND s.stop_en * 1000000 >= s.n_tokens * 20000
+      ORDER BY s.doc_id"""))
 
   /** Multimodal frame-window extraction: fixed-size windows over the
     * payload (the audio/video frame-sampling plumbing — generator
