@@ -47,10 +47,11 @@ object Dedup {
     * shingles with doc-frequency > maxDocFreq are dropped from
     * candidate generation only (both docs still count full set sizes)
     * — at web scale a handful of stop-shingles would otherwise
-    * generate O(n^2) candidates. With a finite cap the whole candidate
-    * stage is ONE shuffle: group by shingle hash, cap the group (group
-    * size == doc frequency), emit the pairs from the bounded group —
-    * no self-join, no separate df pass, per-group memory <= cap. */
+    * generate O(n^2) candidates. With a finite cap: count doc
+    * frequencies (partial-agg pass), broadcast the tiny hot set for a
+    * map-side anti-join, then group-collect per surviving shingle
+    * (every group <= cap after the prune) and emit pairs from the
+    * bounded group — no self-join, bounded executor memory. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sets = shingleHashSets(docs, textCol, n).cache()
@@ -65,13 +66,20 @@ object Dedup {
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("shared"))
       } else {
-        // capped path: ONE aggregation computes doc-frequency, applies
-        // the cap (group size == df), and emits the pairs — no second
-        // scan, no anti-join, and per-group state is bounded by the
-        // cap so collect_list cannot blow an executor
-        ex.groupBy(col("sgl"))
+        // capped path: prune hot shingles FIRST — count() is a cheap
+        // partial-aggregating pass and the hot set (df > cap) is tiny
+        // by construction, so it broadcasts for a map-side anti-join.
+        // Only THEN group-collect per shingle: after the prune every
+        // group is <= cap doc_ids, so the collect is genuinely
+        // bounded (collecting before pruning would buffer a hot
+        // shingle's millions of doc_ids in one aggregation group).
+        // Pair emission from the bounded group replaces the self-join.
+        val hot = ex.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("sgl")
+        ex.join(broadcast(hot), Seq("sgl"), "left_anti")
+          .groupBy(col("sgl"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocFreq)
+          .filter(size(col("ds")) >= 2)
           .selectExpr("explode(flatten(transform(sequence(1, size(ds) - 1), " +
             "i -> transform(sequence(i + 1, size(ds)), " +
             "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))) AS pr")

@@ -4,7 +4,6 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.Text
 import org.apache.spark.sql.SparkSession
@@ -94,18 +93,14 @@ final class AegJsonScan(options: Map[String, String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
-    val paths: Seq[String] = options.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .orElse(options.get("path").map(Seq(_)))
-      .getOrElse(throw new IllegalArgumentException("aegjson source requires a path"))
+    val paths = SSTableSource.optionPaths(options, "aegjson")
     val parts = ArrayBuffer[InputPartition]()
     paths.foreach { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
-      val files = {
-        val st = fs.getFileStatus(root)
+      val files = SSTableSource.expandGlob(fs, root).flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(root).toSeq.filter(s => s.isFile && !SSTableSource.isHidden(s.getPath))
+          fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && !SSTableSource.isHidden(s.getPath))
         else Seq(st)
       }
       files.filter(_.getLen > 0).foreach { st =>
@@ -121,10 +116,14 @@ final class AegJsonScan(options: Map[String, String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AegJsonReaderFactory(required, options.getOrElse("clean", "true").toBoolean)
+    new AegJsonReaderFactory(required, options.getOrElse("clean", "true").toBoolean,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
-final class AegJsonReaderFactory(required: StructType, clean: Boolean)
+final class AegJsonReaderFactory(required: StructType, clean: Boolean,
+    // session Hadoop conf must travel to tasks (credentials/endpoints)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -133,7 +132,7 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean)
     val needDeletedAt = needColumns || required.fieldNames.contains("deletedAt")
     new PartitionReader[InternalRow] {
       private val path = new Path(p.path)
-      private val fs = path.getFileSystem(new Configuration())
+      private val fs = path.getFileSystem(hadoopConf.value)
       private val in = fs.open(path)
       private var pos = p.start
       private val lines = {

@@ -95,7 +95,11 @@ object Compaction {
               if (!deletedByRt) {
                 val cell = CellOut(a.kind, a.name, a.value, ts, a.ttl, a.localDeletionTime, a.tsOfLastDelete)
                 if (curr == null) curr = cell
-                else if (java.util.Arrays.equals(curr.name, cell.name)) {
+                // COMPARATOR equality, not byte equality: typed
+                // comparators can equate byte-distinct encodings
+                // (e.g. Decimal 2.5 vs 2.50, non-minimal varints) and
+                // those must collapse to one LWW winner
+                else if (nameType.compare(curr.name, cell.name) == 0) {
                   if (cell.ts > curr.ts) curr = cell // LWW, first wins ties
                 } else {
                   columns += curr

@@ -4,7 +4,6 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -99,6 +98,22 @@ object SSTableSource {
     })
   }
 
+  /** `path`/`paths` option parsing shared by both DSv2 sources. */
+  def optionPaths(options: Map[String, String], sourceName: String): Seq[String] =
+    options.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(options.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException(s"$sourceName source requires a path"))
+
+  /** Glob-expand a possibly-wildcarded path (plain existing paths pass
+    * through as themselves). */
+  def expandGlob(fs: FileSystem, p: Path): Seq[FileStatus] = {
+    val matched = fs.globStatus(p)
+    require(matched != null && matched.nonEmpty, s"Path not found: $p")
+    matched.toSeq
+  }
+
   def isHidden(p: Path): Boolean = {
     var cur = p
     while (cur != null) {
@@ -188,16 +203,14 @@ final class SSTableScan(options: Map[String, String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
-    val paths: Seq[String] = options.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .orElse(options.get("path").map(Seq(_)))
-      .getOrElse(throw new IllegalArgumentException("sstable source requires a path"))
+    val paths = SSTableSource.optionPaths(options, "sstable")
 
     val parts = ArrayBuffer[SSTablePartition]()
     paths.foreach { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
-      SSTableSource.listDataFiles(fs, root).foreach { st =>
+      SSTableSource.expandGlob(fs, root)
+        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath)).foreach { st =>
         val file = st.getPath
         val version = options.getOrElse("version",
           SSTableVersion.fromFilename(file.getName).name)
@@ -280,13 +293,20 @@ final class SSTableScan(options: Map[String, String], required: StructType)
   override def createReaderFactory(): PartitionReaderFactory =
     // note: options arrive via CaseInsensitiveStringMap with lowercased keys
     new SSTableReaderFactory(required,
-      options.getOrElse("skipcorrupt", "false").toBoolean, accForFactory)
+      options.getOrElse("skipcorrupt", "false").toBoolean, accForFactory,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final class SSTableReaderFactory(
     required: StructType,
     skipCorrupt: Boolean,
-    corruptAcc: LongAccumulator) extends PartitionReaderFactory {
+    corruptAcc: LongAccumulator,
+    // the session's Hadoop conf must travel to tasks: a bare
+    // `new Configuration()` there would drop spark.hadoop.* settings
+    // (credentials, endpoints) and break any non-local filesystem
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val members: Array[SSTablePartition] = partition match {
@@ -294,7 +314,7 @@ final class SSTableReaderFactory(
       case p: SSTablePartition => Array(p)
     }
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      private val conf = hadoopConf.value
       private val fieldIdx = required.fields.map(f => SSTableSource.Schema.fieldIndex(f.name))
       private var idx = 0
       private var scanner: SSTableScanner = _

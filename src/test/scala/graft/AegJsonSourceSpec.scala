@@ -45,6 +45,11 @@ class AegJsonSourceSpec extends AnyFunSuite {
     assert(scan2.output.map(_.name).toSet == Set("key", "deletedAt"))
   }
 
+  test("glob paths expand (parity with the old textFile-based reader)") {
+    val viaGlob = GraftSSTable.readAegJson(spark, s"$goldenDir/aeg-*", clean = false)
+    assert(viaGlob.count() == 100)
+  }
+
   test("clean=true drops tombstoned/shadowed cells and empty rows (F5)") {
     val tmp = java.nio.file.Files.createTempDirectory("aegjson").toFile
     val rows = Seq(
