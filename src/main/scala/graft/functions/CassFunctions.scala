@@ -122,5 +122,6 @@ object CassFunctions {
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", es => LshBucket(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head, es(1)), "built-in")
   }
 }

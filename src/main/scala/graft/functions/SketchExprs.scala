@@ -33,6 +33,61 @@ object SketchExprs {
     result
   }
 
+  /** Distinct 60-bit n-token shingle hashes in ONE pass over the
+    * lowercased text — no token strings, no shingle strings, no
+    * intermediate arrays. Produces bit-identical values to
+    * `array_distinct(transform(shingles(tokens(text), n), strHash60))`
+    * (proven element-wise by ShingleHashesSpec): per-token polynomial
+    * prefix hashes (mults 31/131) are combined across each n-window
+    * with the `h(a ++ " " ++ b) = h(a)*31^(len(b)+1) + h(" " ++ b)`
+    * identity, so the window hash equals hashing the joined string. */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    def isTok(c: Char): Boolean = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    // token scan: per-token (hash31, hash131, 31^len, 131^len)
+    val h31 = new scala.collection.mutable.ArrayBuffer[Long]
+    val h131 = new scala.collection.mutable.ArrayBuffer[Long]
+    val p31 = new scala.collection.mutable.ArrayBuffer[Long]
+    val p131 = new scala.collection.mutable.ArrayBuffer[Long]
+    var i = 0
+    while (i < s.length) {
+      if (isTok(s.charAt(i))) {
+        var a31 = 0L; var a131 = 0L; var w31 = 1L; var w131 = 1L
+        while (i < s.length && isTok(s.charAt(i))) {
+          val ch = s.charAt(i).toLong
+          a31 = (a31 * 31 + ch) % P
+          a131 = (a131 * 131 + ch) % P
+          w31 = w31 * 31 % P
+          w131 = w131 * 131 % P
+          i += 1
+        }
+        h31 += a31; h131 += a131; p31 += w31; p131 += w131
+      } else i += 1
+    }
+    val m = h31.length
+    if (m < n) return Array.emptyLongArray
+    // first-occurrence distinct, mirroring array_distinct
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var start = 0
+    while (start + n <= m) {
+      var acc31 = h31(start)
+      var acc131 = h131(start)
+      var j = start + 1
+      while (j < start + n) {
+        acc31 = (acc31 * (31L * p31(j) % P) + (32L * p31(j) + h31(j)) % P) % P
+        acc131 = (acc131 * (131L * p131(j) % P) + (32L * p131(j) + h131(j)) % P) % P
+        j += 1
+      }
+      seen.add(acc31 * 1073741824L + acc131 % 1073741824L)
+      start += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** k-perm MinHash signature (see TextOps.minhashSig). */
   def minhashSig(hashes: ArrayData, k: Int): Array[Long] = {
     val n = hashes.numElements()
@@ -100,6 +155,24 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
   override protected def nullSafeEval(arr: Any): Any =
     SketchExprs.simhash60(arr.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_shingle_hashes(text, n)`: distinct 60-bit n-token shingle
+  * hashes straight from the text ([[SketchExprs.shingleHashes]]). */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hashes expects (STRING, INT), got $t")
+  }
+  override protected def nullSafeEval(str: Any, n: Any): Any =
+    new GenericArrayData(SketchExprs.shingleHashes(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.toLowerCase,
+      n.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class MinHashSig(left: Expression, right: Expression)

@@ -30,10 +30,7 @@ object Dedup {
     * twins of the DuckDB oracle, so both engines see identical sets
     * (collisions included — deterministic on both sides). */
   def shingleHashSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
-      .selectExpr("doc_id", s"${TextOps.shingles("t", n)} AS s")
-      .selectExpr("doc_id",
-        s"array_distinct(transform(s, x -> ${TextOps.strHash60("x")})) AS hs")
+    docs.selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", "hs", "size(hs) AS n_shingles")
 
   /** Exact duplicate groups by (optionally normalized) content. */
