@@ -99,7 +99,9 @@ object SketchExprs {
       var min = P
       var j = 0
       while (j < n) {
-        val v = (a * hashes.getLong(j) + b) % P
+        // reduce h mod P first: identity for the legacy 30-bit token
+        // hashes, and keeps a*h inside Int64 for 60-bit shingle hashes
+        val v = (a * (hashes.getLong(j) % P) + b) % P
         if (v < min) min = v
         j += 1
       }

@@ -128,11 +128,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** doc_id + k-perm MinHash signature (pure projection). */
+  /** doc_id + k-perm MinHash signature (pure projection; shingle
+    * hashes come from the one-pass native expression). */
   def minhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
-      .selectExpr("doc_id", s"array_distinct(${TextOps.shingles("t", n)}) AS s")
-      .selectExpr("doc_id", s"${TextOps.hashAll("s")} AS hs")
+    docs.selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand

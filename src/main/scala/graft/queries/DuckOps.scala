@@ -36,7 +36,7 @@ object DuckOps {
   def minhashSig(hs: String, k: Int): String =
     s"list_transform(range(0, $k), i -> " +
       s"CASE WHEN len($hs) = 0 THEN $P " +
-      s"ELSE list_min(list_transform($hs, h -> (${mhA("i")} * h + ${mhB("i")}) % $P)) END)"
+      s"ELSE list_min(list_transform($hs, h -> (${mhA("i")} * (h % $P) + ${mhB("i")}) % $P)) END)"
 
   def simhash60(hs: String): String =
     s"list_reduce(list_concat([0::BIGINT], list_transform(range(0, 60), b -> " +

@@ -209,8 +209,9 @@ object Pipeline {
     (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16, 4, 0.5)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, list_distinct(${DuckOps.shingles("t", 3)}) AS s FROM toks),
-      hs AS (SELECT doc_id, ${DuckOps.hashAll("s")} AS h FROM sh),
+      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
+      hs AS (SELECT doc_id, list_distinct(
+               list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
       sig AS (SELECT doc_id, ${DuckOps.minhashSig("h", 16)} AS sig FROM hs),
       bands AS (SELECT doc_id, b, ${DuckOps.foldHash("sig[b * 4 + 1 : b * 4 + 4]")} AS bucket
                 FROM sig, unnest(range(0, 4)) AS t(b)),
