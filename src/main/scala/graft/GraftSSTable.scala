@@ -69,20 +69,31 @@ object GraftSSTable {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("compaction.rowsWritten")
     rowsWritten = Some(acc)
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
     // default BytesType defers to a comparator configured on the scan
     // (cql/columnType reader option), like the reference's job config
-    val ct = if (columnType == CassType.BytesType)
-      configuredColumnType(atoms).getOrElse(columnType) else columnType
+    val (ct, parts) = resolveCompaction(atoms, columnType, numPartitions)
     sortedAtoms(atoms, ct, parts, traced = false)
       .mapPartitions { it =>
         Compaction.merge(it, ct, maxRowSize).map { r => acc.add(1L); r }
       }
   }
 
+  /** comparator (explicit, else scan-configured, else Bytes) and
+    * shuffle parallelism (explicit, else session) for a compaction. */
+  private def resolveCompaction(
+      atoms: DataFrame,
+      columnType: CassType,
+      numPartitions: Int): (CassType, Int) = {
+    val ct = if (columnType == CassType.BytesType)
+      configuredColumnType(atoms).getOrElse(columnType) else columnType
+    val parts = if (numPartitions > 0) numPartitions
+      else atoms.sparkSession.sessionState.conf.numShufflePartitions
+    (ct, parts)
+  }
+
   /** shared shuffle plan: hash-partition by key (O3), secondary-sort by
-    * the comparator-derived binary sort key (O1). */
+    * the comparator-derived binary sort key (O1). BytesType sorts the
+    * raw name directly — no extra column through the shuffle. */
   private def sortedAtoms(
       atoms: DataFrame,
       ct: CassType,
@@ -92,21 +103,23 @@ object GraftSSTable {
     import spark.implicits._
     val base = atoms.select("key", "source", "rowDeletedAt", "kind", "name", "value", "ts",
         "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
-    val withSortKey =
-      if (ct == CassType.BytesType) base.withColumn("_nameSort", col("name"))
-      else {
-        val sk = org.apache.spark.sql.functions.udf((n: Array[Byte]) =>
-          if (n == null) null else ct.sortKey(n))
-        base.withColumn("_nameSort", sk(col("name")))
-      }
-    val sortCols =
-      if (traced) Seq(col("key"), col("source"), col("_nameSort"), col("ts"))
-      else Seq(col("key"), col("_nameSort"), col("ts"))
-    withSortKey
-      .repartition(parts, col("key"))
-      .sortWithinPartitions(sortCols: _*)
-      .drop("_nameSort")
-      .as[AtomRec]
+    def sortCols(nameCol: String) =
+      if (traced) Seq(col("key"), col("source"), col(nameCol), col("ts"))
+      else Seq(col("key"), col(nameCol), col("ts"))
+    if (ct == CassType.BytesType) {
+      // Spark BinaryType order == the BytesType comparator already
+      base.repartition(parts, col("key"))
+        .sortWithinPartitions(sortCols("name"): _*)
+        .as[AtomRec]
+    } else {
+      val sk = org.apache.spark.sql.functions.udf((n: Array[Byte]) =>
+        if (n == null) null else ct.sortKey(n))
+      base.withColumn("_nameSort", sk(col("name")))
+        .repartition(parts, col("key"))
+        .sortWithinPartitions(sortCols("_nameSort"): _*)
+        .drop("_nameSort")
+        .as[AtomRec]
+    }
   }
 
   /** Trace-source compaction (O2): one row per (key, sourcePath). */
@@ -117,10 +130,7 @@ object GraftSSTable {
       maxRowSize: Long = Long.MaxValue): Dataset[(String, CompactedRow)] = {
     val spark = atoms.sparkSession
     import spark.implicits._
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ct = if (columnType == CassType.BytesType)
-      configuredColumnType(atoms).getOrElse(columnType) else columnType
+    val (ct, parts) = resolveCompaction(atoms, columnType, numPartitions)
     sortedAtoms(atoms, ct, parts, traced = true)
       .mapPartitions(it => Compaction.mergeTraced(it, ct, maxRowSize))
   }

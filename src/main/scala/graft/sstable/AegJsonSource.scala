@@ -128,8 +128,9 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AegJsonPartition]
-    val needColumns = clean || required.fieldNames.contains("columns")
-    val needDeletedAt = needColumns || required.fieldNames.contains("deletedAt")
+    val fieldNames = required.fieldNames // computed once, not per row
+    val needColumns = clean || fieldNames.contains("columns")
+    val needDeletedAt = needColumns || fieldNames.contains("deletedAt")
     new PartitionReader[InternalRow] {
       private val path = new Path(p.path)
       private val fs = path.getFileSystem(hadoopConf.value)
@@ -179,7 +180,7 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
       }
 
       private def fromFields(key: String, deletedAt: Long, cols: Seq[AegCell]): InternalRow = {
-        val values = required.fieldNames.map {
+        val values = fieldNames.map {
           case "key" => UTF8String.fromString(key)
           case "deletedAt" => deletedAt
           case "columns" =>

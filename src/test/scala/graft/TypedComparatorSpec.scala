@@ -33,6 +33,11 @@ class TypedComparatorSpec extends AnyFunSuite {
 
   private def longB(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
   private def intB(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+  /** DecimalType wire format: [i32 scale][varint unscaled]. */
+  private def decB(unscaled: String, scale: Int): Array[Byte] = {
+    val u = new java.math.BigInteger(unscaled).toByteArray
+    ByteBuffer.allocate(4 + u.length).putInt(scale).put(u).array()
+  }
   private def floatB(v: Float): Array[Byte] = ByteBuffer.allocate(4).putFloat(v).array()
   private def doubleB(v: Double): Array[Byte] = ByteBuffer.allocate(8).putDouble(v).array()
 
@@ -110,12 +115,8 @@ class TypedComparatorSpec extends AnyFunSuite {
       .map(s => new java.math.BigInteger(s))
     assertAgreement(CassType.IntegerType, bigs.map(_.toByteArray), "IntegerType(varint)")
 
-    // decimal: [i32 scale][varint unscaled] — exercises exponent +
-    // digit-prefix + trailing-zero normalization paths
-    def decB(unscaled: String, scale: Int): Array[Byte] = {
-      val u = new java.math.BigInteger(unscaled).toByteArray
-      ByteBuffer.allocate(4 + u.length).putInt(scale).put(u).array()
-    }
+    // decimal: exercises exponent + digit-prefix + trailing-zero
+    // normalization paths
     val decs = Seq(
       decB("0", 0), decB("0", 5),
       decB("12345", 2), decB("12345", 5), decB("123450", 3), decB("12345", -3),
@@ -134,16 +135,12 @@ class TypedComparatorSpec extends AnyFunSuite {
   }
 
   test("LWW collapses comparator-equal but byte-distinct names (Decimal 2.5 vs 2.50)") {
-    def decBytes(unscaled: String, scale: Int): Array[Byte] = {
-      val u = new java.math.BigInteger(unscaled).toByteArray
-      ByteBuffer.allocate(4 + u.length).putInt(scale).put(u).array()
-    }
     def a(name: Array[Byte], v: String, ts: Long) =
       AtomRec("k".getBytes, "src", Long.MinValue, SSTableFormat.KindColumn,
         name, v.getBytes, Some(ts), None, None, None, null)
     // 2.5 (scale 1) and 2.50 (scale 2): different bytes, compare == 0
-    val n1 = decBytes("25", 1)
-    val n2 = decBytes("250", 2)
+    val n1 = decB("25", 1)
+    val n2 = decB("250", 2)
     assert(CassType.DecimalType.compare(n1, n2) == 0 && !java.util.Arrays.equals(n1, n2))
     val merged = Compaction.merge(
       Iterator(a(n1, "old", 10L), a(n2, "new", 20L)), CassType.DecimalType).toList
@@ -155,9 +152,7 @@ class TypedComparatorSpec extends AnyFunSuite {
     assert(CassType.parse("IntegerType").getString(
       new java.math.BigInteger("123456789012345678901234567890").toByteArray) ==
       "123456789012345678901234567890")
-    val dec = ByteBuffer.allocate(4 + 2).putInt(2)
-      .put(new java.math.BigInteger("12345").toByteArray).array()
-    assert(CassType.parse("DecimalType").getString(dec) == "123.45")
+    assert(CassType.parse("DecimalType").getString(decB("12345", 2)) == "123.45")
     assert(CassType.parse("InetAddressType").getString(Array(10, 0, 0, 1)) == "10.0.0.1")
     assert(CassType.parse("ShortType").getString(Array(0xff.toByte, 0xfe.toByte)) == "-2")
     assert(CassType.parse("ByteType").getString(Array(0x7f.toByte)) == "127")
