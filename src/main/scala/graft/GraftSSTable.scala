@@ -177,11 +177,12 @@ object GraftSSTable {
     val sorted = lines.toDF("key", "line").repartitionByRange(numFiles, col("key"))
       .sortWithinPartitions(col("key"))
     val out = outDir
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     sorted.select("line").rdd.map(_.getString(0))
       .mapPartitionsWithIndex { (idx, it) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val path = new org.apache.hadoop.fs.Path(out, f"aeg-$idx%05d")
-        val fs = path.getFileSystem(conf)
+        val fs = path.getFileSystem(hconf.value)
         val os = fs.create(path, true)
         val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
         it.foreach { l => w.write(l); w.write('\n') }
@@ -194,29 +195,53 @@ object GraftSSTable {
   /** Write compacted rows as new SSTables (M3 write surface):
     * `<dataset>-<version>-<part>-Data.db` per partition, rows ordered
     * by raw key bytes (reference `output/SSTableOutputFormat.java`).
-    * Supports both layout families ("ic" and "jb"/"la"). */
+    * Supports both layout families ("ic" and "jb"/"la").
+    * `compress=true` writes chunked-LZ4 Data.db files plus their
+    * CompressionInfo.db sidecars — byte-compatible with Cassandra's
+    * pre-3.0 on-disk compression, readable back through this engine's
+    * own compressed scan (incl. chunk-aligned splits). */
   def writeSSTable(
       rows: Dataset[CompactedRow],
       outDir: String,
       version: String = "jb",
       dataset: String = "keyspace-dataset",
-      numFiles: Int = 1): Unit = {
+      numFiles: Int = 1,
+      compress: Boolean = false,
+      chunkLength: Int = 65536): Unit = {
     val out = outDir
     val ver = version
     val ds = dataset
+    val spark = rows.sparkSession
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     rows.toDF("key", "deletedAt", "columns")
       .repartitionByRange(numFiles, col("key"))
       .sortWithinPartitions(col("key"))
       .as(org.apache.spark.sql.Encoders.product[CompactedRow])
       .rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val path = new org.apache.hadoop.fs.Path(out, f"$ds-$ver-$idx%010d-Data.db")
-        val fs = path.getFileSystem(conf)
-        val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(path, true)))
+        val fs = path.getFileSystem(hconf.value)
+        val raw = fs.create(path, true)
         val v = SSTableVersion(ver)
-        it.foreach(row => SSTableWriter.writeRow(os, row, v))
-        os.close()
+        if (compress) {
+          val cos = new CompressionOutputStream(new java.io.BufferedOutputStream(raw), chunkLength)
+          val os = new java.io.DataOutputStream(cos)
+          it.foreach(row => SSTableWriter.writeRow(os, row, v))
+          os.flush()
+          val (dataLength, offsets) = cos.finish()
+          os.close()
+          val ciPath = new org.apache.hadoop.fs.Path(out,
+            f"$ds-$ver-$idx%010d-CompressionInfo.db")
+          val ci = new java.io.DataOutputStream(fs.create(ciPath, true))
+          CompressionOutputStream.writeCompressionInfo(
+            ci, "LZ4Compressor", chunkLength, dataLength, offsets)
+          ci.close()
+        } else {
+          val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(raw))
+          it.foreach(row => SSTableWriter.writeRow(os, row, v))
+          os.close()
+        }
         Iterator.single(idx)
       }.count()
     ()

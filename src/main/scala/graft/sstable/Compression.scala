@@ -44,6 +44,89 @@ object CompressionMeta {
   }
 }
 
+/** Write-side inverse of [[CompressionInputStream]]: buffers
+  * `chunkLength` uncompressed bytes, emits each chunk as Cassandra's
+  * LZ4 layout `[i32 LE decompressed len][lz4 block][adler32 of the
+  * compressed chunk]`, and records the chunk offsets for the
+  * CompressionInfo.db sidecar. Call [[finish]] (not just close) to
+  * flush the tail chunk and collect the metadata. */
+final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int = 65536)
+    extends java.io.OutputStream {
+  require(chunkLength > 0 && (chunkLength & (chunkLength - 1)) == 0,
+    s"chunkLength must be a power of two, got $chunkLength")
+
+  private val compressor = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+  private val buf = new Array[Byte](chunkLength)
+  private var filled = 0
+  private var written = 0L // compressed-file position
+  private var total = 0L // uncompressed bytes
+  private val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+
+  override def write(b: Int): Unit = {
+    buf(filled) = b.toByte
+    filled += 1
+    total += 1
+    if (filled == chunkLength) flushChunk()
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off
+    var left = len
+    while (left > 0) {
+      val n = math.min(left, chunkLength - filled)
+      System.arraycopy(b, o, buf, filled, n)
+      filled += n; o += n; left -= n; total += n
+      if (filled == chunkLength) flushChunk()
+    }
+  }
+
+  private def flushChunk(): Unit = {
+    if (filled == 0) return
+    offsets += written
+    val block = compressor.compress(buf, 0, filled)
+    val chunk = new Array[Byte](4 + block.length)
+    chunk(0) = filled.toByte
+    chunk(1) = (filled >>> 8).toByte
+    chunk(2) = (filled >>> 16).toByte
+    chunk(3) = (filled >>> 24).toByte
+    System.arraycopy(block, 0, chunk, 4, block.length)
+    out.write(chunk)
+    val adler = new java.util.zip.Adler32()
+    adler.update(chunk, 0, chunk.length)
+    val ck = adler.getValue.toInt
+    out.write(Array((ck >>> 24).toByte, (ck >>> 16).toByte, (ck >>> 8).toByte, ck.toByte))
+    written += chunk.length + 4
+    filled = 0
+  }
+
+  /** flush the tail chunk; returns (uncompressedLength, chunkOffsets). */
+  def finish(): (Long, Seq[Long]) = {
+    flushChunk()
+    out.flush()
+    (total, offsets.toSeq)
+  }
+
+  override def close(): Unit = { finish(); out.close() }
+}
+
+object CompressionOutputStream {
+  /** Serialize a CompressionInfo.db sidecar (inverse of
+    * [[CompressionMeta.read]]). */
+  def writeCompressionInfo(
+      out: java.io.DataOutputStream,
+      compressorName: String,
+      chunkLength: Int,
+      dataLength: Long,
+      offsets: Seq[Long]): Unit = {
+    out.writeUTF(compressorName)
+    out.writeInt(0) // no options
+    out.writeInt(chunkLength)
+    out.writeLong(dataLength)
+    out.writeInt(offsets.size)
+    offsets.foreach(out.writeLong)
+  }
+}
+
 /** Chunk-at-a-time decompressing stream over a compressed Data.db
   * (reference `io/sstable/compression/CompressionInputStream.java`).
   * Supports the three pre-3.0 Cassandra table compressors; the 4-byte

@@ -48,4 +48,24 @@ class SSTableRoundTripSpec extends AnyFunSuite {
       actual.zip(expected).foreach { case (a, e) => assert(a == e) }
     }
   }
+
+  test("round-trip via chunked-LZ4 COMPRESSED sstable (write surface, tiny chunks force splits)") {
+    val caseDir = "2.0.10/randomtable"
+    val tmp = java.nio.file.Files.createTempDirectory("rtc").toString
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/$caseDir/input",
+      Map("skipCorrupt" -> "true"))
+    val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
+    // 1 KiB chunks: many chunks per file, exercises chunk boundaries
+    GraftSSTable.writeSSTable(compacted, tmp, "jb", compress = true, chunkLength = 1024)
+
+    assert(new java.io.File(tmp).listFiles().map(_.getName).exists(_.endsWith("-CompressionInfo.db")),
+      "must write the CompressionInfo sidecar")
+    val atoms2 = GraftSSTable.readAtoms(spark, tmp)
+    val compacted2 = GraftSSTable.compact(atoms2, numPartitions = 4)
+    val actual = GraftSSTable.aegJsonLines(compacted2).collect()
+      .sortWith((a, b) => CassType.unsignedCompare(a._1, b._1) < 0).map(_._2).toSeq
+    val expected = goldenLines(caseDir)
+    assert(actual.size == expected.size)
+    actual.zip(expected).foreach { case (a, e) => assert(a == e) }
+  }
 }
