@@ -222,26 +222,21 @@ object GraftSSTable {
       .mapPartitionsWithIndex { (idx, it) =>
         val path = new org.apache.hadoop.fs.Path(out, f"$ds-$ver-$idx%010d-Data.db")
         val fs = path.getFileSystem(hconf.value)
-        val raw = fs.create(path, true)
+        val raw = new java.io.BufferedOutputStream(fs.create(path, true))
         val v = SSTableVersion(ver)
-        if (compress) {
-          val cos = new CompressionOutputStream(new java.io.BufferedOutputStream(raw), chunkLength)
-          val os = new java.io.DataOutputStream(cos)
-          it.foreach(row => SSTableWriter.writeRow(os, row, v))
-          os.flush()
-          val (dataLength, offsets) = cos.finish()
-          os.close()
+        val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength)) else None
+        val os = new java.io.DataOutputStream(cos.getOrElse(raw))
+        it.foreach(row => SSTableWriter.writeRow(os, row, v))
+        cos.foreach { c =>
+          val (dataLength, offsets) = c.finish()
           val ciPath = new org.apache.hadoop.fs.Path(out,
             f"$ds-$ver-$idx%010d-CompressionInfo.db")
           val ci = new java.io.DataOutputStream(fs.create(ciPath, true))
           CompressionOutputStream.writeCompressionInfo(
             ci, "LZ4Compressor", chunkLength, dataLength, offsets)
           ci.close()
-        } else {
-          val os = new java.io.DataOutputStream(new java.io.BufferedOutputStream(raw))
-          it.foreach(row => SSTableWriter.writeRow(os, row, v))
-          os.close()
         }
+        os.close()
         Iterator.single(idx)
       }.count()
     ()

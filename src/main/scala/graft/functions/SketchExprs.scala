@@ -171,7 +171,10 @@ case class ShingleHashes(left: Expression, right: Expression)
   }
   override protected def nullSafeEval(str: Any, n: Any): Any =
     new GenericArrayData(SketchExprs.shingleHashes(
-      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.toLowerCase,
+      // UTF8String.toLowerCase == SQL lower(): locale-independent
+      // (String.toLowerCase would diverge under e.g. a Turkish
+      // default locale and break oracle parity)
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString,
       n.asInstanceOf[Int]))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -52,8 +52,10 @@ object CompressionMeta {
   * flush the tail chunk and collect the metadata. */
 final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int = 65536)
     extends java.io.OutputStream {
-  require(chunkLength > 0 && (chunkLength & (chunkLength - 1)) == 0,
-    s"chunkLength must be a power of two, got $chunkLength")
+  // >= 64: guarantees header + worst-case LZ4 expansion fits in the
+  // reader's chunkLength*2 buffers even for incompressible chunks
+  require(chunkLength >= 64 && (chunkLength & (chunkLength - 1)) == 0,
+    s"chunkLength must be a power of two >= 64, got $chunkLength")
 
   private val compressor = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
   private val buf = new Array[Byte](chunkLength)
@@ -80,22 +82,25 @@ final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int 
     }
   }
 
+  private val adler = new java.util.zip.Adler32()
+  private val header = new Array[Byte](4)
+
   private def flushChunk(): Unit = {
     if (filled == 0) return
     offsets += written
     val block = compressor.compress(buf, 0, filled)
-    val chunk = new Array[Byte](4 + block.length)
-    chunk(0) = filled.toByte
-    chunk(1) = (filled >>> 8).toByte
-    chunk(2) = (filled >>> 16).toByte
-    chunk(3) = (filled >>> 24).toByte
-    System.arraycopy(block, 0, chunk, 4, block.length)
-    out.write(chunk)
-    val adler = new java.util.zip.Adler32()
-    adler.update(chunk, 0, chunk.length)
+    header(0) = filled.toByte
+    header(1) = (filled >>> 8).toByte
+    header(2) = (filled >>> 16).toByte
+    header(3) = (filled >>> 24).toByte
+    out.write(header)
+    out.write(block)
+    adler.reset()
+    adler.update(header)
+    adler.update(block)
     val ck = adler.getValue.toInt
     out.write(Array((ck >>> 24).toByte, (ck >>> 16).toByte, (ck >>> 8).toByte, ck.toByte))
-    written += chunk.length + 4
+    written += 4L + block.length + 4
     filled = 0
   }
 
