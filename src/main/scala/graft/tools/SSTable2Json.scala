@@ -8,20 +8,31 @@ import graft.GraftSSTable
   * `-produceSSTable` mode: compacts a directory of Cassandra SSTables
   * into aeg-JSON files, or into a new compacted SSTable.
   *
-  * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt] [sstable:<ver>]
-  */
+  * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]
+  *          [sstable:<ver>] [cqlfile:<path>] [schemafile:<path>]
+  *          [columntype:<marshal>] [keytype:<marshal>] [compress]
+  *
+  * `schemafile:`/`columntype:`/`keytype:` configure the marshal types
+  * (the reference's `-cql`/`aegisthus.columntype`/`keytype` options):
+  * the comparator drives the distributed sort+merge and the rendered
+  * aeg-JSON names. `compress` writes chunked-LZ4 sstables. */
 object SSTable2Json {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt] [sstable:<ver>]")
+      "usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt] [sstable:<ver>] " +
+        "[cqlfile:<path>] [schemafile:<path>] [columntype:<marshal>] [keytype:<marshal>] [compress]")
     val input = args(0)
     val output = args(1)
-    val blocksize = if (args.length > 2) args(2) else (64L * 1024 * 1024).toString
-    val maxCorrupt = if (args.length > 3) args(3).toLong else 0L
-    val produceSSTable = args.find(_.startsWith("sstable:")).map(_.stripPrefix("sstable:"))
+    val blocksize = if (args.length > 2 && !args(2).contains(":")) args(2)
+      else (64L * 1024 * 1024).toString
+    val maxCorrupt = if (args.length > 3 && args(3).forall(_.isDigit)) args(3).toLong else 0L
+    def opt(prefix: String): Option[String] =
+      args.find(_.startsWith(prefix + ":")).map(_.stripPrefix(prefix + ":"))
+    val produceSSTable = opt("sstable")
     // CQL pivot export (reference org.coursera.SSTableExport analog,
     // but columnar parquet instead of Avro): cqlfile:<path to CREATE TABLE>
-    val cqlFile = args.find(_.startsWith("cqlfile:")).map(_.stripPrefix("cqlfile:"))
+    val cqlFile = opt("cqlfile")
+    val compress = args.contains("compress")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -31,9 +42,16 @@ object SSTable2Json {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val typeOpts = Seq(
+        opt("schemafile").map(p => "cql" ->
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))),
+        opt("columntype").map("columnType" -> _),
+        opt("keytype").map("keyType" -> _)).flatten.toMap
       val atoms = GraftSSTable.readAtoms(spark, input,
-        Map("blocksize" -> blocksize, "skipCorrupt" -> (maxCorrupt > 0).toString))
-      val compacted = GraftSSTable.compact(atoms, numPartitions = 32)
+        Map("blocksize" -> blocksize, "skipCorrupt" -> (maxCorrupt > 0).toString) ++ typeOpts)
+      val compacted = GraftSSTable.compact(atoms) // comparator from scan config
+      val keyType = GraftSSTable.configuredKeyType(atoms).map(_.typeName).getOrElse("BytesType")
+      val nameType = GraftSSTable.configuredColumnType(atoms).map(_.typeName).getOrElse("BytesType")
       (produceSSTable, cqlFile) match {
         case (_, Some(cf)) =>
           val cql = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cf)))
@@ -41,10 +59,11 @@ object SSTable2Json {
           df.write.mode("overwrite").parquet(output)
           println(s"sstable2json: wrote relational parquet to $output (${df.columns.mkString(",")})")
         case (Some(ver), _) =>
-          GraftSSTable.writeSSTable(compacted, output, ver)
+          GraftSSTable.writeSSTable(compacted, output, ver, compress = compress)
           println(s"sstable2json: wrote $output/keyspace-dataset-$ver-0000000000-Data.db")
         case (None, None) =>
-          GraftSSTable.writeAegJson(compacted, output, numFiles = 1)
+          GraftSSTable.writeAegJson(compacted, output, numFiles = 1,
+            keyType = keyType, nameType = nameType)
           println(s"sstable2json: wrote $output/aeg-00000")
       }
       GraftSSTable.assertCorruptFilesBelow(maxCorrupt)
