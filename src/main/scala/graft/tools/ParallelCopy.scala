@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * list is round-robin partitioned across at most `MaxPartitions`
   * tasks (the reference's 800-reducer cap) and each task streams
   * src → dst through the Hadoop FS API, optionally decompressing
-  * snappy-compressed backups (Priam-style). Engine-external utility,
+  * snappy-compressed backups (Priam-style). Each file commits via
+  * write-to-temp + rename, so a retried/speculated task never leaves
+  * a partially-written destination visible. Engine-external utility,
   * same as in the reference. */
 object ParallelCopy {
   val MaxPartitions = 800
@@ -19,21 +21,28 @@ object ParallelCopy {
       decompressSnappy: Boolean = false): Unit = {
     import spark.implicits._
     val n = math.min(math.min(partitions, srcToDst.size max 1), MaxPartitions)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     spark.createDataset(srcToDst).repartition(n).foreachPartition {
       (it: Iterator[(String, String)]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value
         it.foreach { case (src, dst) =>
           val srcPath = new org.apache.hadoop.fs.Path(src)
           val dstPath = new org.apache.hadoop.fs.Path(dst)
+          val tmpPath = new org.apache.hadoop.fs.Path(
+            dstPath.getParent, s".${dstPath.getName}.__copying__")
+          val dstFs = dstPath.getFileSystem(conf)
           val in0 = srcPath.getFileSystem(conf).open(srcPath)
           val in: java.io.InputStream =
             if (decompressSnappy) new org.xerial.snappy.SnappyInputStream(in0) else in0
-          val out = dstPath.getFileSystem(conf).create(dstPath, true)
+          val out = dstFs.create(tmpPath, true)
           try {
             val buf = new Array[Byte](1 << 20)
             var r = in.read(buf)
             while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
           } finally { in.close(); out.close() }
+          if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
+          require(dstFs.rename(tmpPath, dstPath), s"commit rename failed: $tmpPath -> $dstPath")
         }
     }
   }
