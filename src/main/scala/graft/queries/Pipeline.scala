@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, s01, s02, s03, s04,
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, s04,
     t01, t02, t03, t04, t05, t06, m01, m02, st01, st02)
 
   /** Benchmark decontamination: for each "benchmark" document
@@ -203,12 +203,10 @@ object Pipeline {
       WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
 
-  /** MinHash(16)-LSH(4 bands) near-dup pairs, est. Jaccard >= 0.5. */
-  val d03: QueryDef = QueryDef(
-    "d03_minhash_lsh_pairs",
-    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16, 4, 0.5)
-      .orderBy(col("d1"), col("d2")),
-    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+  /** shared DuckDB CTE chain computing the MinHash(16)-LSH(4-band)
+    * pair estimates (used by d03 and the d05 filter). */
+  private val minhashCtes: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
       sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
       hs AS (SELECT doc_id, list_distinct(
                list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
@@ -221,10 +219,39 @@ object Pipeline {
       est AS (SELECT d1, d2,
                 CAST(len(list_filter(range(1, 17),
                   i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS matches
-              FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id)
+              FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id)"""
+
+  /** MinHash(16)-LSH(4 bands) near-dup pairs, est. Jaccard >= 0.5. */
+  val d03: QueryDef = QueryDef(
+    "d03_minhash_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16, 4, 0.5)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""$minhashCtes
       SELECT d1, d2, matches, CAST(matches AS DOUBLE) / 16 AS est_jaccard
       FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5
       ORDER BY d1, d2"""))
+
+  /** The dedup story's last step: FILTER the corpus by the near-dup
+    * pairs — keep-first policy (the lower doc_id of every pair
+    * survives; any doc appearing as the higher side is dropped).
+    * Left-anti join against the distinct loser set — the same shape at
+    * 100 TB, since losers are a small fraction of the corpus. */
+  val d05: QueryDef = QueryDef(
+    "d05_neardup_filter",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$minhashCtes,
+      losers AS (SELECT DISTINCT d2 AS doc_id FROM est
+                 WHERE CAST(matches AS DOUBLE) / 16 >= 0.5)
+      SELECT d.doc_id, d.n_chars FROM documents d
+      ANTI JOIN losers USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   /** SimHash(60-bit) near-dup pairs, Hamming <= 3 (banded candidates
     * with guaranteed recall => brute-force oracle matches exactly). */
