@@ -49,6 +49,34 @@ class SSTableRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("writeAegJson numFiles>1: range-partitioned files concatenate to the golden order") {
+    val caseDir = "2.0.10/randomtable"
+    val tmp = java.nio.file.Files.createTempDirectory("multi").toString
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/$caseDir/input",
+      Map("skipCorrupt" -> "true"))
+    GraftSSTable.writeAegJson(GraftSSTable.compact(atoms, numPartitions = 4), tmp, numFiles = 3)
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("aeg-"))
+      .sortBy(_.getName)
+    assert(files.length == 3, "must write one file per range partition")
+    val concatenated = files.toSeq.flatMap { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+    assert(concatenated == goldenLines(caseDir),
+      "aeg-%05d files must be globally key-ordered end-to-end")
+  }
+
+  test("multi-path load scans every directory (DSv2 paths option)") {
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/1.2.18/randomtable/input")
+    val n1 = atoms.count()
+    val both = spark.read.format("sstable")
+      .option("skipCorrupt", "true")
+      .load(s"$testRoot/1.2.18/randomtable/input", s"$testRoot/2.0.10/randomtable/input")
+    assert(both.count() > n1, "both directories must contribute atoms")
+    assert(both.select("source").distinct().count() >
+      atoms.select("source").distinct().count())
+  }
+
   test("round-trip via chunked-LZ4 COMPRESSED sstable (write surface, tiny chunks force splits)") {
     val caseDir = "2.0.10/randomtable"
     val tmp = java.nio.file.Files.createTempDirectory("rtc").toString
