@@ -123,5 +123,6 @@ object CassFunctions {
     reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", es => LshBucket(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hashes", es => TokenHashes(es.head), "built-in")
   }
 }

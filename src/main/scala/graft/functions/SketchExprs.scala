@@ -41,7 +41,10 @@ object SketchExprs {
     * prefix hashes (mults 31/131) are combined across each n-window
     * with the `h(a ++ " " ++ b) = h(a)*31^(len(b)+1) + h(" " ++ b)`
     * identity, so the window hash equals hashing the joined string. */
-  def shingleHashes(s: String, n: Int): Array[Long] = {
+  def shingleHashes(s: String, n: Int): Array[Long] =
+    shingleHashes(s, n, distinct = true)
+
+  def shingleHashes(s: String, n: Int, distinct: Boolean): Array[Long] = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     def isTok(c: Char): Boolean = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
     // token scan: per-token (hash31, hash131, 31^len, 131^len)
@@ -66,8 +69,10 @@ object SketchExprs {
     }
     val m = h31.length
     if (m < n) return Array.emptyLongArray
-    // first-occurrence distinct, mirroring array_distinct
-    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    // first-occurrence distinct mirrors array_distinct; non-distinct
+    // keeps every window in order (e.g. SimHash frequency votes)
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long] else null
+    val all = if (distinct) null else new Array[Long](m - n + 1)
     var start = 0
     while (start + n <= m) {
       var acc31 = h31(start)
@@ -78,9 +83,11 @@ object SketchExprs {
         acc131 = (acc131 * (131L * p131(j) % P) + (32L * p131(j) + h131(j)) % P) % P
         j += 1
       }
-      seen.add(acc31 * 1073741824L + acc131 % 1073741824L)
+      val h60 = acc31 * 1073741824L + acc131 % 1073741824L
+      if (distinct) seen.add(h60) else all(start) = h60
       start += 1
     }
+    if (!distinct) return all
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -178,6 +185,23 @@ case class ShingleHashes(left: Expression, right: Expression)
       n.asInstanceOf[Int]))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_token_hashes(text)`: per-token 60-bit hashes IN ORDER, with
+  * duplicates (width-1 non-distinct windows) — the SimHash input,
+  * bit-identical to `transform(tokens(text), strHash60)`. */
+case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_hashes expects STRING, got $t")
+  }
+  override protected def nullSafeEval(str: Any): Any =
+    new GenericArrayData(SketchExprs.shingleHashes(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString,
+      1, distinct = false))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class MinHashSig(left: Expression, right: Expression)

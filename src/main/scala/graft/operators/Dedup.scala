@@ -163,10 +163,10 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** doc_id + 60-bit SimHash (pure projection). */
+  /** doc_id + 60-bit SimHash (pure projection; one-pass token hashes
+    * keep duplicates so frequency votes count). */
   def simhashes(docs: DataFrame, textCol: String): DataFrame =
-    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
-      .selectExpr("doc_id", s"transform(t, s -> ${TextOps.strHash60("s")}) AS hs")
+    docs.selectExpr("doc_id", s"graft_token_hashes($textCol) AS hs")
       .selectExpr("doc_id", s"if(size(hs) = 0, cast(0 as bigint), ${TextOps.simhash60("hs")}) AS simhash")
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming,

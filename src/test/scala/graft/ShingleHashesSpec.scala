@@ -32,6 +32,16 @@ class ShingleHashesSpec extends AnyFunSuite {
     }
   }
 
+  test("token hashes (non-distinct, ordered) == transform(tokens, strHash60)") {
+    graft.functions.CassFunctions.registerAll(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.selectExpr("doc_id",
+        "graft_token_hashes(text) AS a",
+        s"transform(${TextOps.tokens("text")}, s -> ${TextOps.strHash60("s")}) AS b")
+      .filter("a != b")
+    assert(diff.count() == 0, "token hashes must keep duplicates in token order")
+  }
+
   test("edge strings: empty, short, separators, case, non-ascii") {
     graft.functions.CassFunctions.registerAll(spark)
     import spark.implicits._
