@@ -66,6 +66,18 @@ class SSTableRoundTripSpec extends AnyFunSuite {
       "aeg-%05d files must be globally key-ordered end-to-end")
   }
 
+  test("compaction output is partition-count independent (1, 4, 13 partitions identical)") {
+    val caseDir = "2.0.10/randomtable"
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/$caseDir/input",
+      Map("skipCorrupt" -> "true"))
+    val runs = Seq(1, 4, 13).map { n =>
+      GraftSSTable.aegJsonLines(GraftSSTable.compact(atoms, numPartitions = n)).collect()
+        .sortWith((a, b) => CassType.unsignedCompare(a._1, b._1) < 0).map(_._2).toSeq
+    }
+    assert(runs(0) == goldenLines(caseDir))
+    assert(runs.distinct.size == 1, "parallelism must never change results")
+  }
+
   test("multi-path load scans every directory (DSv2 paths option)") {
     val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/1.2.18/randomtable/input")
     val n1 = atoms.count()
