@@ -112,9 +112,12 @@ object GraftSSTable {
         .sortWithinPartitions(sortCols("name"): _*)
         .as[AtomRec]
     } else {
-      val sk = org.apache.spark.sql.functions.udf((n: Array[Byte]) =>
-        if (n == null) null else ct.sortKey(n))
-      base.withColumn("_nameSort", sk(col("name")))
+      // native codegen'd sort key (no ScalaUDF barrier in the shuffle
+      // hot path — this runs once per atom of every typed compaction)
+      graft.functions.CassFunctions.registerAll(spark)
+      val sk = org.apache.spark.sql.functions.expr(
+        s"cass_sort_key(name, '${ct.typeName}')")
+      base.withColumn("_nameSort", sk)
         .repartition(parts, col("key"))
         .sortWithinPartitions(sortCols("_nameSort"): _*)
         .drop("_nameSort")

@@ -42,6 +42,45 @@ case class CassRender(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** O1: `cass_sort_key(name, 'TypeName')` — the comparator-derived
+  * binary sort key ([[CassType.sortKey]]) that lets the typed
+  * compaction shuffle sort column names with Spark's native BinaryType
+  * ordering (reference `AegisthusKeySortingComparator.java:35-61`).
+  * Sits on every atom of every non-Bytes compaction, so it is fully
+  * codegen'd: the type name is a literal, the [[CassType]] resolves
+  * once at plan time and rides the codegen references array — one
+  * virtual call per row, no UDF serialization barrier. */
+case class CassSortKey(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cass_sort_key"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("cass_sort_key expects (BINARY, STRING)")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("cass_sort_key type name must be a literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cachedType: CassType =
+    CassType.parse(right.eval(null).toString)
+
+  override protected def nullSafeEval(bytes: Any, typeName: Any): Any =
+    cachedType.sortKey(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ctRef = ctx.addReferenceObj("cassType", cachedType, classOf[CassType].getName)
+    nullSafeCodeGen(ctx, ev, (bytes, _) =>
+      s"${ev.value} = $ctRef.sortKey($bytes);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** X4: `composite_split(bytes)` — split CompositeType-encoded bytes
   * into an array of component byte arrays
   * (`CQLMapper.java:97-100` / CompositeType.split). */
@@ -115,6 +154,7 @@ object CassFunctions {
     PolyHash.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cass_render", es => CassRender(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cass_sort_key", es => CassSortKey(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("composite_split", es => CompositeSplit(es.head), "built-in")
     reg.createOrReplaceTempFunction("hex_to_long", es => HexToNumber(es.head, "long"), "built-in")
     reg.createOrReplaceTempFunction("hex_to_double", es => HexToNumber(es.head, "double"), "built-in")

@@ -68,6 +68,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "merge is a streaming iterator, not an aggregation buffer")
   }
 
+  test("typed compaction derives the sort key natively (no ScalaUDF in the shuffle hot path)") {
+    import java.nio.ByteBuffer
+    import graft.sstable._
+    import spark.implicits._
+    def longB(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+    val atoms = (1 to 100).map { i =>
+      AtomRec(s"k${i % 10}".getBytes, "src", Long.MinValue, SSTableFormat.KindColumn,
+        longB(i.toLong), s"v$i".getBytes, Some(i.toLong), None, None, None, null)
+    }
+    // repartition barrier keeps ConvertToLocalRelation from folding the
+    // sort-key projection into the LocalTableScan (a real scan at scale
+    // always has one)
+    val ds = GraftSSTable.compact(spark.createDataset(atoms).toDF().repartition(2),
+      CassType.LongType, numPartitions = 4)
+    val plan = finalPlan(ds.toDF())
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"typed sort key must be codegen'd, not a UDF:\n$plan")
+    assert(plan.contains("cass_sort_key"), s"expected the native sort-key expression:\n$plan")
+  }
+
   test("sstable scan prunes to the required atom columns (F6)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val keysOnly = GraftSSTable.readAtoms(spark,
