@@ -182,17 +182,23 @@ object GraftSSTable {
     val out = outDir
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // speculation-safe commit (VERDICT r2 #1): attempt-private temp
+    // files + atomic rename; a retried/speculative duplicate attempt
+    // can no longer interleave writes into a live final path
+    val jobId = java.util.UUID.randomUUID().toString
+    TaskCommit.preClean(hconf.value, out, (0 until numFiles).map(i => f"aeg-$i%05d"))
     sorted.select("line").rdd.map(_.getString(0))
       .mapPartitionsWithIndex { (idx, it) =>
-        val path = new org.apache.hadoop.fs.Path(out, f"aeg-$idx%05d")
-        val fs = path.getFileSystem(hconf.value)
-        val os = fs.create(path, true)
-        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
-        it.foreach { l => w.write(l); w.write('\n') }
-        w.close()
+        TaskCommit.withTaskAttemptDir(hconf.value, out, jobId) { (fs, dir) =>
+          val path = new org.apache.hadoop.fs.Path(dir, f"aeg-$idx%05d")
+          val os = fs.create(path, true)
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+          it.foreach { l => w.write(l); w.write('\n') }
+          w.close()
+        }
         Iterator.single(idx)
       }.count()
-    ()
+    TaskCommit.cleanupJob(hconf.value, out, jobId)
   }
 
   /** Write compacted rows as new SSTables (M3 write surface):
@@ -217,32 +223,39 @@ object GraftSSTable {
     val spark = rows.sparkSession
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val jobId = java.util.UUID.randomUUID().toString
+    TaskCommit.preClean(hconf.value, out, (0 until numFiles).flatMap(i => Seq(
+      f"$ds-$ver-$i%010d-Data.db", f"$ds-$ver-$i%010d-CompressionInfo.db")))
     rows.toDF("key", "deletedAt", "columns")
       .repartitionByRange(numFiles, col("key"))
       .sortWithinPartitions(col("key"))
       .as(org.apache.spark.sql.Encoders.product[CompactedRow])
       .rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        val path = new org.apache.hadoop.fs.Path(out, f"$ds-$ver-$idx%010d-Data.db")
-        val fs = path.getFileSystem(hconf.value)
-        val raw = new java.io.BufferedOutputStream(fs.create(path, true))
-        val v = SSTableVersion(ver)
-        val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength)) else None
-        val os = new java.io.DataOutputStream(cos.getOrElse(raw))
-        it.foreach(row => SSTableWriter.writeRow(os, row, v))
-        cos.foreach { c =>
-          val (dataLength, offsets) = c.finish()
-          val ciPath = new org.apache.hadoop.fs.Path(out,
-            f"$ds-$ver-$idx%010d-CompressionInfo.db")
-          val ci = new java.io.DataOutputStream(fs.create(ciPath, true))
-          CompressionOutputStream.writeCompressionInfo(
-            ci, "LZ4Compressor", chunkLength, dataLength, offsets)
-          ci.close()
+        // both files are written attempt-private and published by
+        // rename at task commit; name order puts the CompressionInfo
+        // sidecar in place before its Data.db
+        TaskCommit.withTaskAttemptDir(hconf.value, out, jobId) { (fs, dir) =>
+          val path = new org.apache.hadoop.fs.Path(dir, f"$ds-$ver-$idx%010d-Data.db")
+          val raw = new java.io.BufferedOutputStream(fs.create(path, true))
+          val v = SSTableVersion(ver)
+          val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength)) else None
+          val os = new java.io.DataOutputStream(cos.getOrElse(raw))
+          it.foreach(row => SSTableWriter.writeRow(os, row, v))
+          cos.foreach { c =>
+            val (dataLength, offsets) = c.finish()
+            val ciPath = new org.apache.hadoop.fs.Path(dir,
+              f"$ds-$ver-$idx%010d-CompressionInfo.db")
+            val ci = new java.io.DataOutputStream(fs.create(ciPath, true))
+            CompressionOutputStream.writeCompressionInfo(
+              ci, "LZ4Compressor", chunkLength, dataLength, offsets)
+            ci.close()
+          }
+          os.close()
         }
-        os.close()
         Iterator.single(idx)
       }.count()
-    ()
+    TaskCommit.cleanupJob(hconf.value, out, jobId)
   }
 
   /** Read aeg-JSON output back as a DataFrame (the Pig-loader

@@ -26,11 +26,17 @@ object ParallelCopy {
     spark.createDataset(srcToDst).repartition(n).foreachPartition {
       (it: Iterator[(String, String)]) =>
         val conf = hconf.value
+        // attempt-unique temp suffix: a speculative/zombie duplicate of
+        // this task must never share a temp file with the live attempt
+        val tc = org.apache.spark.TaskContext.get()
+        val attemptTag =
+          if (tc == null) java.util.UUID.randomUUID().toString
+          else tc.taskAttemptId().toString
         it.foreach { case (src, dst) =>
           val srcPath = new org.apache.hadoop.fs.Path(src)
           val dstPath = new org.apache.hadoop.fs.Path(dst)
           val tmpPath = new org.apache.hadoop.fs.Path(
-            dstPath.getParent, s".${dstPath.getName}.__copying__")
+            dstPath.getParent, s".${dstPath.getName}.__copying__.$attemptTag")
           val dstFs = dstPath.getFileSystem(conf)
           val in0 = srcPath.getFileSystem(conf).open(srcPath)
           val in: java.io.InputStream =
@@ -42,7 +48,12 @@ object ParallelCopy {
             while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
           } finally { in.close(); out.close() }
           if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
-          require(dstFs.rename(tmpPath, dstPath), s"commit rename failed: $tmpPath -> $dstPath")
+          if (!dstFs.rename(tmpPath, dstPath)) {
+            // a concurrent duplicate attempt committed identical bytes
+            // between our delete and rename — drop our copy
+            if (dstFs.exists(dstPath)) dstFs.delete(tmpPath, false)
+            else throw new java.io.IOException(s"commit rename failed: $tmpPath -> $dstPath")
+          }
         }
     }
   }
