@@ -140,6 +140,124 @@ object SSTableSource {
     out.toSeq
   }
 
+  /** Split-planning pool width (the reference's 20 threads,
+    * `AegisthusInputFormat.java:205-206`). */
+  val PlannerThreads = 20
+
+  /** Plan every file's splits on a bounded thread pool, preserving
+    * file order. Each file costs 1-3 sidecar round-trips (exists
+    * probes + Index/CompressionInfo reads) — serial planning of a
+    * 100k-file snapshot on an object store would stall the driver for
+    * tens of minutes before the first task launches. */
+  def planFilesParallel(
+      files: Seq[(FileSystem, FileStatus)],
+      blocksize: Long,
+      forcedVersion: Option[String]): Seq[SSTablePartition] = {
+    if (files.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(PlannerThreads, files.size))
+    try {
+      files.map { case (fs, st) =>
+        pool.submit(new java.util.concurrent.Callable[Seq[SSTablePartition]] {
+          override def call(): Seq[SSTablePartition] = planFile(fs, st, blocksize, forcedVersion)
+        })
+      }.flatMap { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** Top block hosts (by covered bytes) for a byte range of a file —
+    * `preferredLocations` fodder. Empty when the FS offers no block
+    * topology (object stores). */
+  private def hostsFor(fs: FileSystem, st: FileStatus, off: Long, len: Long): Array[String] = {
+    try {
+      val blocks = fs.getFileBlockLocations(st, off, math.max(len, 1L))
+      if (blocks == null) Array.empty
+      else {
+        val byHost = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        blocks.foreach(b => b.getHosts.foreach(h => byHost(h) = byHost.getOrElse(h, 0L) + b.getLength))
+        byHost.toSeq.sortBy { case (h, b) => (-b, h) }.take(3).map(_._1).toArray
+      }
+    } catch { case _: Exception => Array.empty }
+  }
+
+  /** Row-boundary split planning for one Data.db (S3/S4; runs on the
+    * planner pool). */
+  private[sstable] def planFile(
+      fs: FileSystem,
+      st: FileStatus,
+      blocksize: Long,
+      forcedVersion: Option[String]): Seq[SSTablePartition] = {
+    val file = st.getPath
+    val version = forcedVersion.getOrElse(SSTableVersion.fromFilename(file.getName).name)
+    val parts = ArrayBuffer[SSTablePartition]()
+    compressionPath(fs, file) match {
+      case Some(ci) =>
+        // S4 + the reference's wishlist improvement (README.md:40-41):
+        // with an Index.db we can split COMPRESSED sstables too —
+        // offsets are in uncompressed space; the reader seeks to the
+        // containing chunk and skips in. Otherwise: one partition.
+        val meta = {
+          val in = fs.open(ci)
+          try CompressionMeta.read(in, st.getLen)
+          finally in.close()
+        }
+        // locality in COMPRESSED (on-disk) space: map uncompressed
+        // offsets to the containing chunk's file offset
+        def cHosts(uStart: Long, uEnd: Long): Array[String] = {
+          val nChunks = meta.chunkOffsets.length
+          val sIdx = math.min((uStart / meta.chunkLength).toInt, nChunks - 1)
+          val eIdx = math.min((uEnd / meta.chunkLength).toInt, nChunks - 1)
+          val cStart = meta.chunkOffsets(sIdx)
+          val cEnd = if (eIdx >= nChunks - 1) st.getLen else meta.chunkOffsets(eIdx + 1)
+          hostsFor(fs, st, cStart, cEnd - cStart)
+        }
+        val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
+        if (meta.dataLength <= blocksize || !fs.exists(idx)) {
+          parts += SSTablePartition(file.toString, 0L, meta.dataLength, Some(ci.toString),
+            version, cHosts(0L, meta.dataLength))
+        } else {
+          val in = fs.open(idx)
+          val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
+          var splitStart = 0L
+          offsets.foreach { off =>
+            if (off - splitStart >= blocksize) {
+              parts += SSTablePartition(file.toString, splitStart, off, Some(ci.toString),
+                version, cHosts(splitStart, off))
+              splitStart = off
+            }
+          }
+          if (splitStart < meta.dataLength)
+            parts += SSTablePartition(file.toString, splitStart, meta.dataLength, Some(ci.toString),
+              version, cHosts(splitStart, meta.dataLength))
+        }
+      case None =>
+        // S3: row-boundary splits from the Index.db sidecar
+        val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
+        val len = st.getLen
+        if (len <= blocksize || !fs.exists(idx)) {
+          parts += SSTablePartition(file.toString, 0L, len, None, version,
+            hostsFor(fs, st, 0L, len))
+        } else {
+          val in = fs.open(idx)
+          val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
+          var splitStart = 0L
+          offsets.foreach { off =>
+            if (off - splitStart >= blocksize) {
+              parts += SSTablePartition(file.toString, splitStart, off, None, version,
+                hostsFor(fs, st, splitStart, off - splitStart))
+              splitStart = off
+            }
+          }
+          if (splitStart < len) parts += SSTablePartition(file.toString, splitStart, len, None,
+            version, hostsFor(fs, st, splitStart, len - splitStart))
+        }
+    }
+    parts.toSeq
+  }
+
   private val PriamDatePattern = raw".*/(\d{12})$$".r
 
   /** CompressionInfo.db discovery: same dir, else ±1-minute Priam
@@ -176,23 +294,37 @@ final class SSTableScanBuilder(options: Map[String, String])
   override def build(): Scan = new SSTableScan(options, required)
 }
 
-/** One planned split: a row-aligned byte range of one Data.db. */
+/** One planned split: a row-aligned byte range of one Data.db.
+  * `hosts` are the FS block hosts covering the range (reference
+  * `AegSplit.getLocations`, `input/splits/AegSplit.java:76-83`) —
+  * node-local scheduling on HDFS-like stores, empty on object stores. */
 final case class SSTablePartition(
     path: String,
     start: Long,
     end: Long,
     compressionInfoPath: Option[String],
-    versionName: String) extends InputPartition {
+    versionName: String,
+    hosts: Array[String] = Array.empty) extends InputPartition {
   def size: Long = end - start
+  override def preferredLocations(): Array[String] = hosts
 }
 
 /** S6 split combining (reference
   * `AegisthusCombinedInputFormat.java:56-102`): many small sstables
   * bin-packed into one task — a production snapshot dir with 10k tiny
   * files must not become 10k tasks. The reader chains member scanners
-  * sequentially and absorbs corruption per member. */
+  * sequentially and absorbs corruption per member. Locality is the
+  * members' majority hosts by covered bytes (the reference intersects,
+  * `AegCombinedSplit.java:82-97`; a byte-weighted majority degrades
+  * more gracefully when members span hosts). */
 final case class SSTableCombinedPartition(members: Array[SSTablePartition])
-    extends InputPartition
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = {
+    val byHost = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    members.foreach(m => m.hosts.foreach(h => byHost(h) = byHost.getOrElse(h, 0L) + m.size))
+    byHost.toSeq.sortBy { case (h, b) => (-b, h) }.take(3).map(_._1).toArray
+  }
+}
 
 final class SSTableScan(options: Map[String, String], required: StructType)
     extends Scan with Batch {
@@ -205,63 +337,20 @@ final class SSTableScan(options: Map[String, String], required: StructType)
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
     val paths = SSTableSource.optionPaths(options, "sstable")
 
-    val parts = ArrayBuffer[SSTablePartition]()
-    paths.foreach { p =>
+    // driver listing stays serial (one recursive walk per root); the
+    // per-file sidecar probes + reads — high-latency on object stores —
+    // fan out on a bounded pool (the reference's 20 planner threads,
+    // `AegisthusInputFormat.java:205-233`)
+    val files: Seq[(FileSystem, FileStatus)] = paths.flatMap { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
       SSTableSource.expandGlob(fs, root)
-        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath)).foreach { st =>
-        val file = st.getPath
-        val version = options.getOrElse("version",
-          SSTableVersion.fromFilename(file.getName).name)
-        SSTableSource.compressionPath(fs, file) match {
-          case Some(ci) =>
-            // S4 + the reference's wishlist improvement (README.md:40-41):
-            // with an Index.db we can split COMPRESSED sstables too —
-            // offsets are in uncompressed space; the reader seeks to the
-            // containing chunk and skips in. Otherwise: one partition.
-            val meta = {
-              val in = fs.open(ci)
-              try CompressionMeta.read(in, fs.getFileStatus(file).getLen)
-              finally in.close()
-            }
-            val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
-            if (meta.dataLength <= blocksize || !fs.exists(idx)) {
-              parts += SSTablePartition(file.toString, 0L, meta.dataLength, Some(ci.toString), version)
-            } else {
-              val in = fs.open(idx)
-              val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
-              var splitStart = 0L
-              offsets.foreach { off =>
-                if (off - splitStart >= blocksize) {
-                  parts += SSTablePartition(file.toString, splitStart, off, Some(ci.toString), version)
-                  splitStart = off
-                }
-              }
-              if (splitStart < meta.dataLength)
-                parts += SSTablePartition(file.toString, splitStart, meta.dataLength, Some(ci.toString), version)
-            }
-          case None =>
-            // S3: row-boundary splits from the Index.db sidecar
-            val idx = new Path(file.getParent, file.getName.replace("-Data.db", "-Index.db"))
-            val len = st.getLen
-            if (len <= blocksize || !fs.exists(idx)) {
-              parts += SSTablePartition(file.toString, 0L, len, None, version)
-            } else {
-              val in = fs.open(idx)
-              val offsets = try IndexScanner.dataOffsets(in).toArray finally in.close()
-              var splitStart = 0L
-              offsets.foreach { off =>
-                if (off - splitStart >= blocksize) {
-                  parts += SSTablePartition(file.toString, splitStart, off, None, version)
-                  splitStart = off
-                }
-              }
-              if (splitStart < len) parts += SSTablePartition(file.toString, splitStart, len, None, version)
-            }
-        }
-      }
+        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath))
+        .map(st => (fs, st))
     }
+    val version = options.get("version")
+    val parts: Seq[SSTablePartition] =
+      SSTableSource.planFilesParallel(files, blocksize, version)
     val acc = SparkSession.active.sparkContext.longAccumulator("sstable.corruptFiles")
     SSTableSource.corruptFiles = Some(acc)
     accForFactory = acc

@@ -68,4 +68,66 @@ class SplitCombineSpec extends AnyFunSuite {
       "only the corrupt member's rows may be lost")
     GraftSSTable.assertCorruptFilesBelow(1)
   }
+
+  test("partitions report block hosts for preferredLocations (single + combined)") {
+    val tmp = java.nio.file.Files.createTempDirectory("locality").toFile
+    writeFixture(tmp, 6)
+    spark.sparkContext // ensure SparkSession.active
+    val combined = new SSTableScan(Map("path" -> tmp.toString), SSTableSource.Schema)
+      .planInputPartitions()
+    assert(combined.nonEmpty)
+    combined.foreach { p =>
+      assert(p.preferredLocations().nonEmpty,
+        "local FS supplies block topology; partitions must surface it")
+    }
+    val single = new SSTableScan(Map("path" -> tmp.toString, "combine" -> "false"),
+      SSTableSource.Schema).planInputPartitions()
+    assert(single.length == 6)
+    single.foreach(p => assert(p.preferredLocations().nonEmpty))
+  }
+
+  test("combined-partition locality is the byte-weighted majority of member hosts") {
+    val m1 = SSTablePartition("a", 0, 100, None, "jb", Array("h1", "h2"))
+    val m2 = SSTablePartition("b", 0, 10, None, "jb", Array("h2", "h3"))
+    val m3 = SSTablePartition("c", 0, 5, None, "jb", Array("h3", "h4"))
+    val hosts = SSTableCombinedPartition(Array(m1, m2, m3)).preferredLocations()
+    assert(hosts.toSeq == Seq("h2", "h1", "h3"),
+      s"expected byte-weighted top-3 (h2=110,h1=100,h3=15), got ${hosts.toSeq}")
+  }
+
+  test("split planning fans out sidecar probes on a thread pool") {
+    val tmp = java.nio.file.Files.createTempDirectory("slowplan").toFile
+    writeFixture(tmp, 12)
+    spark.sparkContext.hadoopConfiguration.set("fs.slowfs.impl", classOf[SlowFs].getName)
+    SlowFs.latencyMs = 200L
+    try {
+      val t0 = System.nanoTime()
+      val parts = new SSTableScan(Map("path" -> s"slowfs://$tmp", "combine" -> "false"),
+        SSTableSource.Schema).planInputPartitions()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(parts.length == 12)
+      // each file pays >= one 200 ms sidecar probe: serial planning
+      // would take >= 2400 ms; the 20-thread pool pays ~1 round trip
+      assert(elapsedMs < 1500,
+        f"planning 12 files took $elapsedMs%.0f ms — sidecar probes are not parallel")
+    } finally SlowFs.latencyMs = 0L
+  }
 }
+
+/** RawLocalFileSystem with injected latency on SIDECAR status probes
+  * (Index/CompressionInfo) — an object-store stand-in for the
+  * parallel-planning test. Latency is scoped to sidecars because that
+  * is the per-file cost the planner pool hides; the single recursive
+  * listing stays serial by design. */
+class SlowFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: java.net.URI = java.net.URI.create("slowfs:///")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    val n = p.getName
+    if (SlowFs.latencyMs > 0 &&
+        (n.endsWith("-CompressionInfo.db") || n.endsWith("-Index.db")))
+      Thread.sleep(SlowFs.latencyMs)
+    super.getFileStatus(p)
+  }
+}
+object SlowFs { @volatile var latencyMs = 0L }
