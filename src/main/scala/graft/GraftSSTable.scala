@@ -271,9 +271,11 @@ object GraftSSTable {
 
   /** Pivot compacted CQL3 rows to a relational DataFrame per a CQL
     * CREATE TABLE schema (SURVEY §3.2 / M4), incl. collections; write
-    * with `.write.parquet(...)` for the columnar export path. */
-  def pivotToRelational(rows: Dataset[CompactedRow], cql: String): DataFrame =
-    graft.cql.CqlPivot.pivot(rows, cql)
+    * with `.write.parquet(...)` for the columnar export path.
+    * `maxRowBytes` is the wide-row valve (see [[graft.cql.CqlPivot.pivot]]). */
+  def pivotToRelational(rows: Dataset[CompactedRow], cql: String,
+      maxRowBytes: Long = Long.MaxValue): DataFrame =
+    graft.cql.CqlPivot.pivot(rows, cql, maxRowBytes)
 
   /** Driver-side corrupt-file threshold check (A3 / reference
     * `Aegisthus.java:246-257`): call after an action over a scan read

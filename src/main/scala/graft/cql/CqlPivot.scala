@@ -20,6 +20,11 @@ import graft.sstable.{CellOut, CompactedRow}
   * compaction's. */
 object CqlPivot {
 
+  /** rows dropped by the wide-row valve in the last pivot() action
+    * (the F3 `reducerRowsTooBig` pattern,
+    * `CassSSTableReducer.java:89-96`). */
+  @volatile var rowsTooBig: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Composite cell-name components: [u16 len][bytes][u8 eoc]...;
     * a 2.0 static prefix starts with the 0xFFFF marker. */
   private[cql] def splitComposite(name: Array[Byte]): (Boolean, Array[Array[Byte]]) = {
@@ -40,14 +45,30 @@ object CqlPivot {
     (isStatic, out.result())
   }
 
-  def pivot(rows: Dataset[CompactedRow], cql: String): DataFrame = {
+  /** @param maxRowBytes wide-row valve (the F3 pattern, reference
+    *   `CassSSTableReducer.java:89-96` / `aegisthus.maxcolsize`): a
+    *   partition whose cells exceed this byte budget is DROPPED and
+    *   counted in [[rowsTooBig]] instead of buffered into the pivot's
+    *   per-group maps — the typed relational schema cannot carry F4's
+    *   error-marker string, so the valve uses F3's drop-and-count
+    *   semantics; assert the accumulator driver-side like
+    *   `assertCorruptFilesBelow`. Size accounting matches the
+    *   compaction/JSON valves ([[graft.sstable.Compaction.sizeOf]]). */
+  def pivot(rows: Dataset[CompactedRow], cql: String, maxRowBytes: Long = Long.MaxValue): DataFrame = {
     val table = CqlTable.parse(cql)
     val schema = table.sparkSchema
     val spark = rows.sparkSession
     val t = table
+    val cap = maxRowBytes
+    val acc = spark.sparkContext.longAccumulator("cqlPivot.rowsTooBig")
+    rowsTooBig = Some(acc)
 
     val pivoted = rows.flatMap { row =>
-      pivotRow(row, t)
+      if (cap != Long.MaxValue &&
+          row.columns.iterator.map(graft.sstable.Compaction.sizeOf).sum > cap) {
+        acc.add(1L)
+        Iterator.empty
+      } else pivotRow(row, t)
     }(Encoders.row(schema))
     spark.createDataFrame(pivoted.rdd, schema)
   }

@@ -187,7 +187,7 @@ object Compaction {
     sb.toString
   }
 
-  private def sizeOf(c: CellOut): Long = c.kind match {
+  private[graft] def sizeOf(c: CellOut): Long = c.kind match {
     case SSTableFormat.KindCounter => 2L + c.name.length + 1 + 8 + 8 + 4 + c.value.length
     case SSTableFormat.KindExpiring => 2L + c.name.length + 1 + 4 + 4 + 8 + 4 + c.value.length
     case _ => 2L + c.name.length + 1 + 8 + 4 + c.value.length

@@ -23,7 +23,9 @@ object SSTable2Json {
         "[cqlfile:<path>] [schemafile:<path>] [columntype:<marshal>] [keytype:<marshal>] [compress]")
     val input = args(0)
     val output = args(1)
-    val blocksize = if (args.length > 2 && !args(2).contains(":")) args(2)
+    // digit-gated like maxCorrupt: a colon-free flag word (`compress`)
+    // in position 2 must not be parsed as a blocksize
+    val blocksize = if (args.length > 2 && args(2).nonEmpty && args(2).forall(_.isDigit)) args(2)
       else (64L * 1024 * 1024).toString
     val maxCorrupt = if (args.length > 3 && args(3).forall(_.isDigit)) args(3).toLong else 0L
     def opt(prefix: String): Option[String] =

@@ -100,4 +100,38 @@ class CqlPivotSpec extends AnyFunSuite {
     assert(r.getAs[Int]("v") == 42)
     assert(r.getAs[Map[String, Int]]("m") == Map("k1" -> 5, "k2" -> 6))
   }
+
+  test("wide-row valve drops an over-cap partition and counts it (no OOM path)") {
+    import spark.implicits._
+    def comp(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { p =>
+        out.write(p.length >> 8); out.write(p.length & 0xff)
+        out.write(p); out.write(0)
+      }
+      out.toByteArray
+    }
+    def s(x: String): Array[Byte] = x.getBytes("UTF-8")
+    def i32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def cell(name: Array[Byte], value: Array[Byte], ts: Long) =
+      CellOut(SSTableFormat.KindColumn, name, value, ts, None, None, None)
+
+    // "wide": 200 cells of ~30 bytes each; "narrow": 1 cell
+    val wide = CompactedRow(i32(1), Long.MinValue,
+      (1 to 200).map(i => cell(comp(i32(i), s("v")), i32(i), 10L)))
+    val narrow = CompactedRow(i32(2), Long.MinValue,
+      Seq(cell(comp(i32(1), s("v")), i32(7), 10L)))
+    val cql = "CREATE TABLE t (pk int, ck int, v int, PRIMARY KEY (pk, ck))"
+
+    val ds = spark.createDataset(Seq(wide, narrow))
+    val capped = CqlPivot.pivot(ds, cql, maxRowBytes = 1024)
+    val rows = capped.collect()
+    assert(rows.map(_.getAs[Int]("pk")).toSeq == Seq(2),
+      "the over-cap partition must be dropped, the narrow one kept")
+    assert(CqlPivot.rowsTooBig.map(_.value.toLong).contains(1L),
+      "dropped wide rows must be counted for the driver-side assert")
+
+    // uncapped default still pivots everything
+    assert(CqlPivot.pivot(ds, cql).count() == 201L)
+  }
 }

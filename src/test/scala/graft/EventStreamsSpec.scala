@@ -78,4 +78,26 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(total == Tables.events(spark, sfDir).count())
     } finally q.stop()
   }
+
+  test("both sessionizers agree at the exact-gap boundary (merge at ==gap, split at gap+1ms)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    val t0 = 1700000000000L
+    val gapMs = 30L * 60 * 1000
+    def run(deltaMs: Long): (Long, Long) = {
+      val df = Seq(
+        Event(1L, new java.sql.Timestamp(t0), 1L, "a", 1.0, "{}"),
+        Event(2L, new java.sql.Timestamp(t0 + deltaMs), 1L, "a", 1.0, "{}")).toDF()
+      (EventStreams.sessionizeWindows(df, gapMinutes = 30).count(),
+        EventStreams.sessionizeBounded(df.as[Event], gapMinutes = 30).count())
+    }
+    // two events EXACTLY gap apart merge in both implementations
+    // (session_window's overlap test is end-inclusive, matching the
+    // custom path's `t - last <= gap` and the st01/st02 oracle's
+    // `t - lag(t) > gap` new-session flag)
+    assert(run(gapMs) == ((1L, 1L)), "exact-gap events must merge in BOTH sessionizers")
+    // one millisecond past the gap splits in both
+    assert(run(gapMs + 1) == ((2L, 2L)), "gap+1ms events must split in BOTH sessionizers")
+  }
 }
