@@ -277,6 +277,13 @@ object GraftSSTable {
       maxRowBytes: Long = Long.MaxValue): DataFrame =
     graft.cql.CqlPivot.pivot(rows, cql, maxRowBytes)
 
+  /** Avro export of a (pivoted) DataFrame — the reference's
+    * `SSTableExport` Avro sink (`SSTableExport.java:174-181`); parquet
+    * via `.write.parquet` remains the preferred columnar target. */
+  def writeAvro(df: DataFrame, outDir: String, dataset: String = "export",
+      numFiles: Int = -1): Unit =
+    AvroSink.write(df, outDir, dataset, numFiles)
+
   /** Driver-side corrupt-file threshold check (A3 / reference
     * `Aegisthus.java:246-257`): call after an action over a scan read
     * with skipCorrupt=true. */

@@ -10,7 +10,7 @@ import graft.GraftSSTable
   *
   * Usage: SSTable2Json <inputDir> <outputDir> [blocksize] [maxCorrupt]
   *          [sstable:<ver>] [cqlfile:<path>] [schemafile:<path>]
-  *          [columntype:<marshal>] [keytype:<marshal>] [compress]
+  *          [columntype:<marshal>] [keytype:<marshal>] [compress] [avro]
   *
   * `schemafile:`/`columntype:`/`keytype:` configure the marshal types
   * (the reference's `-cql`/`aegisthus.columntype`/`keytype` options):
@@ -58,8 +58,13 @@ object SSTable2Json {
         case (_, Some(cf)) =>
           val cql = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cf)))
           val df = GraftSSTable.pivotToRelational(compacted, cql)
-          df.write.mode("overwrite").parquet(output)
-          println(s"sstable2json: wrote relational parquet to $output (${df.columns.mkString(",")})")
+          if (args.contains("avro")) {
+            GraftSSTable.writeAvro(df, output)
+            println(s"sstable2json: wrote relational avro to $output (${df.columns.mkString(",")})")
+          } else {
+            df.write.mode("overwrite").parquet(output)
+            println(s"sstable2json: wrote relational parquet to $output (${df.columns.mkString(",")})")
+          }
         case (Some(ver), _) =>
           GraftSSTable.writeSSTable(compacted, output, ver, compress = compress)
           println(s"sstable2json: wrote $output/keyspace-dataset-$ver-0000000000-Data.db")
