@@ -71,6 +71,10 @@ object Dedup {
         // bounded (collecting before pruning would buffer a hot
         // shingle's millions of doc_ids in one aggregation group).
         // Pair emission from the bounded group replaces the self-join.
+        // Bounds at the cap: each surviving group buffers <= cap ids
+        // (~8B each) and fans out <= cap*(cap-1)/2 pairs — 2016 at the
+        // registered cap=64 — so executor memory and shuffle volume
+        // scale with the cap, not the corpus.
         val hot = ex.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("sgl")
         ex.join(broadcast(hot), Seq("sgl"), "left_anti")
