@@ -265,7 +265,11 @@ object GraftSSTable {
     * [[graft.sstable.AegJsonSource]] DSv2 source: projection pushes
     * into the parse itself (keys-only scans skip cell parsing
     * entirely, matching `AegisthusLoader.java:215-241`), and files
-    * split by newline-aligned byte ranges. */
+    * split by newline-aligned byte ranges. The source is also
+    * WRITABLE (`df.write.format("aegjson").save(dir)` with the same
+    * schema): tasks stage attempt-private files and the driver's
+    * job-level commit publishes them all-or-nothing — a surface the
+    * reference's read-only Pig loader never had. */
   def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame =
     spark.read.format("aegjson").option("clean", clean.toString).load(path)
 

@@ -66,13 +66,19 @@ object AegJsonSource {
     StructField("columns", ArrayType(CellSchema, containsNull = false), nullable = false)))
 }
 
-final class AegJsonTable(props: Map[String, String]) extends Table with SupportsRead {
+final class AegJsonTable(props: Map[String, String])
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"aegjson(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
   override def schema(): StructType = AegJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AegJsonScanBuilder(options.asScala.toMap)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AegJsonWriteBuilder(props ++ info.options.asScala.toMap, info.schema())
 }
 
 final class AegJsonScanBuilder(options: Map[String, String])
@@ -200,6 +206,133 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
 
       override def get(): InternalRow = current
       override def close(): Unit = lines.close()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// DSv2 WRITE path (`df.write.format("aegjson").save(dir)`): the full
+// Spark-native commit protocol — tasks write attempt-private files and
+// return WriterCommitMessages; nothing reaches a final `aeg-%05d` path
+// until the DRIVER's job-level commit renames every successful task's
+// file at once (reference semantics: FileOutputCommitter under
+// `output/CustomFileNameFileOutputFormat.java:27-46`, here with
+// job-level atomicity that the per-task rename protocol cannot give).
+// Input schema must be the source's own read schema, so
+// load → transform → save round-trips; ordering/partitioning is the
+// caller's (rows are written in partition order, files numbered by
+// partition id).
+// ---------------------------------------------------------------------------
+
+import org.apache.spark.sql.connector.write._
+
+final class AegJsonWriteBuilder(options: Map[String, String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  // truncate == SaveMode.Overwrite on a path-based table; the
+  // job-level commit overwrites by final name either way, so accepting
+  // truncate is how overwrite mode is declared supported
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = SSTableSource.optionPaths(options, "aegjson").head
+      AegJsonBatchWrite.validateSchema(schema)
+      new AegJsonBatchWrite(path, schema,
+        new org.apache.spark.util.SerializableConfiguration(
+          SparkSession.active.sessionState.newHadoopConf()))
+    }
+  }
+}
+
+final case class AegJsonCommitMessage(tempPath: String, finalName: String)
+    extends WriterCommitMessage
+
+object AegJsonBatchWrite {
+  def validateSchema(schema: StructType): Unit = {
+    val expected = AegJsonSource.Schema
+    require(expected.fields.forall(f => schema.fields.exists(g =>
+      g.name == f.name && g.dataType == f.dataType)),
+      s"aegjson write expects schema ${expected.simpleString}, got ${schema.simpleString}")
+  }
+}
+
+final class AegJsonBatchWrite(
+    outDir: String,
+    schema: StructType,
+    hconf: org.apache.spark.util.SerializableConfiguration) extends BatchWrite {
+
+  private val jobId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AegJsonWriterFactory(outDir, jobId, schema, hconf)
+
+  /** Driver-side job commit: every task succeeded — publish all files.
+    * Runs once on one JVM, so plain delete+rename per file is
+    * race-free here. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(hconf.value)
+    messages.foreach { case AegJsonCommitMessage(tmp, finalName) =>
+      val finalPath = new Path(out, finalName)
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      val tmpPath = new Path(tmp)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"job commit rename failed: $tmpPath -> $finalPath")
+    }
+    TaskCommit.cleanupJob(hconf.value, outDir, jobId)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TaskCommit.cleanupJob(hconf.value, outDir, jobId)
+}
+
+final class AegJsonWriterFactory(
+    outDir: String,
+    jobId: String,
+    schema: StructType,
+    hconf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(hconf.value)
+    val finalName = f"aeg-$partitionId%05d"
+    val tmpPath = new Path(TaskCommit.tempRoot(out, jobId), s"attempt-$taskId/$finalName")
+    val os = fs.create(tmpPath, true)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+    val keyIdx = schema.fieldIndex("key")
+    val delIdx = schema.fieldIndex("deletedAt")
+    val colsIdx = schema.fieldIndex("columns")
+
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val cols = row.getArray(colsIdx)
+        val cells = (0 until cols.numElements()).map { i =>
+          val c = cols.getStruct(i, 7)
+          AegCell(
+            c.getUTF8String(0).toString,
+            c.getUTF8String(1).toString,
+            c.getLong(2),
+            if (c.isNullAt(3)) None else Some(c.getUTF8String(3).toString),
+            if (c.isNullAt(4)) None else Some(c.getLong(4)),
+            if (c.isNullAt(5)) None else Some(c.getLong(5)),
+            if (c.isNullAt(6)) None else Some(c.getLong(6)))
+        }
+        w.write(AegJsonCodec.serialize(
+          AegRow(row.getUTF8String(keyIdx).toString, row.getLong(delIdx), cells)))
+        w.write('\n')
+      }
+
+      override def commit(): WriterCommitMessage = {
+        w.close()
+        AegJsonCommitMessage(tmpPath.toString, finalName)
+      }
+
+      override def abort(): Unit = {
+        try w.close() catch { case _: Exception => () }
+        try fs.delete(tmpPath.getParent, true) catch { case _: Exception => () }
+      }
+
+      override def close(): Unit = ()
     }
   }
 }
