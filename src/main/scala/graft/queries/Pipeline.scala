@@ -13,8 +13,36 @@ import graft.operators.{Dedup, Similarity, TextOps}
   */
 object Pipeline {
 
-  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, s04,
-    t01, t02, t03, t04, t05, t06, m01, m02, st01, st02)
+  def all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, s04, s05,
+    t01, t02, t03, t04, t05, t06, t07, m01, m02, st01, st02)
+
+  /** Repetition analysis (the Gopher/MassiveText duplicate-n-gram
+    * quality rules): per-document duplicate-token and duplicate-3-gram
+    * counts plus the most-common-token count — the signals behind
+    * "fraction of duplicate n-grams" filters. Exact integers, pure
+    * per-row projection (no shuffle beyond the final order-by): at
+    * 100 TB this is a map-only pass. */
+  val t07: QueryDef = QueryDef(
+    "t07_repetition",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
+      .selectExpr("doc_id", s"${TextOps.shingles("t", 3)} AS s3", "t")
+      .selectExpr("doc_id",
+        "cast(size(t) as bigint) AS n_tokens",
+        "cast(size(t) - size(array_distinct(t)) as bigint) AS dup_tokens",
+        "cast(size(s3) as bigint) AS n_3grams",
+        "cast(size(s3) - size(array_distinct(s3)) as bigint) AS dup_3grams",
+        "cast(array_max(transform(array_distinct(t), w -> size(filter(t, x -> x = w)))) as bigint) AS top_token_n")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH q AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      w AS (SELECT doc_id, t, ${DuckOps.shingles("t", 3)} AS s3 FROM q)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS dup_tokens,
+        CAST(len(s3) AS BIGINT) AS n_3grams,
+        CAST(len(s3) - len(list_distinct(s3)) AS BIGINT) AS dup_3grams,
+        CAST(list_max(list_transform(list_distinct(t), w -> len(list_filter(t, x -> x = w)))) AS BIGINT) AS top_token_n
+      FROM w ORDER BY doc_id"""))
 
   /** Benchmark decontamination: for each "benchmark" document
     * (doc_id < 50 stands in for an eval set), count corpus documents
@@ -346,6 +374,62 @@ object Pipeline {
           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
         FROM scored) WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  /** ANN quality as a tested invariant: per-query overlap between the
+    * IVF top-3 (s04's plan) and the brute-force exact top-3 (s01's),
+    * plus a recall-floor boolean. Both sides are deterministic and
+    * fully replicated in the oracle, so the overlap COUNT is
+    * cell-exact — the approximation's quality is under test, not just
+    * its own output (the q37 treatment, applied to ANN recall). */
+  val s05: QueryDef = QueryDef(
+    "s05_ivf_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.cosineTopK(emb, 10, 3).select(col("q_id"), col("n_id"))
+      val ivf = Similarity.ivfTopK(emb, 10, 3, 16, 2)
+        .select(col("q_id").as("iq"), col("n_id").as("inid"))
+      exact.join(ivf, col("q_id") === col("iq") && col("n_id") === col("inid"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("inid")).as("n_overlap"))
+        .select(col("q_id"), col("n_overlap"),
+          (col("n_overlap") >= 1).as("recall_ok"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      px AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+            FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      x AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+              FROM px) WHERE rk <= 3),
+      cc AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, v, nrm, cid AS centroid FROM (
+          SELECT a.vec_id, a.v, a.nrm, cc.cid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)) DESC,
+                       cc.cid ASC) AS rn
+          FROM n a CROSS JOIN cc) WHERE rn = 1),
+      probes AS (SELECT q_id, qv, qn, qcentroid FROM (
+          SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, cc.cid AS qcentroid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)) DESC,
+                       cc.cid ASC) AS rn
+          FROM n a CROSS JOIN cc WHERE a.vec_id < 10) WHERE rn <= 2),
+      scored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
+          ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
+        FROM probes p JOIN asg s
+        ON p.qcentroid = s.centroid AND s.vec_id <> p.q_id),
+      y AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+              FROM scored) WHERE rk <= 3)
+      SELECT x.q_id, CAST(count(y.n_id) AS BIGINT) AS n_overlap,
+        count(y.n_id) >= 1 AS recall_ok
+      FROM x LEFT JOIN y ON x.q_id = y.q_id AND x.n_id = y.n_id
+      GROUP BY x.q_id ORDER BY x.q_id"""))
 
   /** Embedding near-dup pairs (cosine >= 0.45) via 3-band x 6-plane
     * LSH candidates + exact re-rank — the oracle replicates the bands
