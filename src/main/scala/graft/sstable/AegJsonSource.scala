@@ -88,7 +88,10 @@ final class AegJsonScanBuilder(options: Map[String, String])
   override def build(): Scan = new AegJsonScan(options, required)
 }
 
-final case class AegJsonPartition(path: String, start: Long, end: Long) extends InputPartition
+final case class AegJsonPartition(path: String, start: Long, end: Long,
+    hosts: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 final class AegJsonScan(options: Map[String, String], required: StructType)
     extends Scan with Batch {
@@ -113,7 +116,8 @@ final class AegJsonScan(options: Map[String, String], required: StructType)
         var off = 0L
         while (off < st.getLen) {
           val end = math.min(off + blocksize, st.getLen)
-          parts += AegJsonPartition(st.getPath.toString, off, end)
+          parts += AegJsonPartition(st.getPath.toString, off, end,
+            SSTableSource.hostsFor(fs, st, off, end - off))
           off = end
         }
       }

@@ -171,7 +171,7 @@ object SSTableSource {
   /** Top block hosts (by covered bytes) for a byte range of a file —
     * `preferredLocations` fodder. Empty when the FS offers no block
     * topology (object stores). */
-  private def hostsFor(fs: FileSystem, st: FileStatus, off: Long, len: Long): Array[String] = {
+  private[sstable] def hostsFor(fs: FileSystem, st: FileStatus, off: Long, len: Long): Array[String] = {
     try {
       val blocks = fs.getFileBlockLocations(st, off, math.max(len, 1L))
       if (blocks == null) Array.empty
