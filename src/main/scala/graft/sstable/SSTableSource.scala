@@ -379,12 +379,21 @@ final class SSTableScan(options: Map[String, String], required: StructType)
 
   private var accForFactory: LongAccumulator = _
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // guard against a factory being built without (or before) a
+    // planInputPartitions call on this Scan instance — the corrupt
+    // counter must always exist for the driver-side threshold assert
+    if (accForFactory == null) {
+      val acc = SparkSession.active.sparkContext.longAccumulator("sstable.corruptFiles")
+      SSTableSource.corruptFiles = Some(acc)
+      accForFactory = acc
+    }
     // note: options arrive via CaseInsensitiveStringMap with lowercased keys
     new SSTableReaderFactory(required,
       options.getOrElse("skipcorrupt", "false").toBoolean, accForFactory,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
+  }
 }
 
 final class SSTableReaderFactory(

@@ -88,6 +88,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("cass_sort_key"), s"expected the native sort-key expression:\n$plan")
   }
 
+  test("repetition analysis (t07) is a map-only pass (no mid-plan shuffle)") {
+    val plan = finalPlan(queries.Pipeline.t07.run(spark, sfDir))
+    // AQE prints Final and Initial sections — audit the final one only;
+    // the only exchange allowed is the final presentation order-by
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalSection).length
+    assert(exchanges <= 1, s"t07 must not shuffle before the final sort:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "t07 stays native/codegen")
+  }
+
   test("sstable scan prunes to the required atom columns (F6)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val keysOnly = GraftSSTable.readAtoms(spark,
