@@ -258,6 +258,29 @@ object SSTableSource {
     parts.toSeq
   }
 
+  /** S6: greedy bin-packing of small splits (default on; the
+    * reference's 100 MB / <= 200-member combined splits). */
+  def combineSplits(parts: Seq[SSTablePartition], options: Map[String, String]): Array[InputPartition] = {
+    if (!options.getOrElse("combine", "true").toBoolean) parts.toArray[InputPartition]
+    else {
+      val target = options.getOrElse("combinesize", (100L * 1024 * 1024).toString).toLong
+      val maxMembers = options.getOrElse("combinemembers", "200").toInt
+      val out = ArrayBuffer[InputPartition]()
+      val bin = ArrayBuffer[SSTablePartition]()
+      var binSize = 0L
+      parts.foreach { p =>
+        if (bin.nonEmpty && (binSize + p.size > target || bin.length >= maxMembers)) {
+          out += SSTableCombinedPartition(bin.toArray)
+          bin.clear(); binSize = 0L
+        }
+        bin += p
+        binSize += p.size
+      }
+      if (bin.nonEmpty) out += SSTableCombinedPartition(bin.toArray)
+      out.toArray
+    }
+  }
+
   private val PriamDatePattern = raw".*/(\d{12})$$".r
 
   /** CompressionInfo.db discovery: same dir, else ±1-minute Priam
@@ -282,7 +305,7 @@ final class SSTableTable(props: Map[String, String]) extends Table with Supports
   override def name(): String = s"sstable(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
   override def schema(): StructType = SSTableSource.schemaFor(props)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SSTableScanBuilder(options.asScala.toMap)
 }
@@ -332,6 +355,15 @@ final class SSTableScan(options: Map[String, String], required: StructType)
   override def toBatch: Batch = this
   override def description(): String = "graft-sstable"
 
+  /** Streaming face (`spark.readStream.format("sstable").load(dir)`):
+    * micro-batches over an APPEND-ONLY snapshot directory — the
+    * incremental-ingest surface the reference removed with its
+    * commit-log readers (`README.md:37-39`). Feeds
+    * [[graft.streaming.StreamingCompaction.compactIncremental]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SSTableMicroBatchStream(options, required)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
@@ -355,26 +387,7 @@ final class SSTableScan(options: Map[String, String], required: StructType)
     SSTableSource.corruptFiles = Some(acc)
     accForFactory = acc
 
-    // S6: greedy bin-packing of small splits (default on; the
-    // reference's 100 MB / <= 200-member combined splits)
-    if (!options.getOrElse("combine", "true").toBoolean) parts.toArray[InputPartition]
-    else {
-      val target = options.getOrElse("combinesize", (100L * 1024 * 1024).toString).toLong
-      val maxMembers = options.getOrElse("combinemembers", "200").toInt
-      val out = ArrayBuffer[InputPartition]()
-      val bin = ArrayBuffer[SSTablePartition]()
-      var binSize = 0L
-      parts.foreach { p =>
-        if (bin.nonEmpty && (binSize + p.size > target || bin.length >= maxMembers)) {
-          out += SSTableCombinedPartition(bin.toArray)
-          bin.clear(); binSize = 0L
-        }
-        bin += p
-        binSize += p.size
-      }
-      if (bin.nonEmpty) out += SSTableCombinedPartition(bin.toArray)
-      out.toArray
-    }
+    SSTableSource.combineSplits(parts, options)
   }
 
   private var accForFactory: LongAccumulator = _
@@ -498,4 +511,62 @@ final class SSTableReaderFactory(
       override def close(): Unit = if (scanner != null) scanner.close()
     }
   }
+}
+
+/** Micro-batch streaming over an APPEND-ONLY sstable snapshot dir:
+  * the offset is a high-watermark COUNT over the discovered Data.db
+  * files ordered by (modification time, path) — new sstables are
+  * flushed strictly later than existing ones and files are immutable
+  * once written (Cassandra's own contract), so the ordered prefix of
+  * length N is stable across listings and `[start, end)` addresses a
+  * deterministic batch of new files. Each micro-batch plans its files
+  * through the same row-boundary splitter, bin-packing,
+  * corrupt-absorb and locality machinery as the batch scan. */
+final class SSTableMicroBatchStream(options: Map[String, String], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"n":$n}"""
+  }
+
+  private val hconf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val corruptAcc: LongAccumulator = {
+    val acc = SparkSession.active.sparkContext.longAccumulator("sstable.corruptFiles")
+    SSTableSource.corruptFiles = Some(acc)
+    acc
+  }
+
+  private def listSorted(): Seq[(FileSystem, FileStatus)] =
+    SSTableSource.optionPaths(options, "sstable").flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(hconf.value)
+      SSTableSource.expandGlob(fs, root)
+        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath))
+        .map(st => (fs, st))
+    }.sortBy(p => (p._2.getModificationTime, p._2.getPath.toString))
+
+  override def initialOffset(): Offset = FilesOffset(0)
+  override def latestOffset(): Offset = FilesOffset(listSorted().size)
+  override def deserializeOffset(json: String): Offset =
+    FilesOffset(raw"""\{"n":(\d+)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad sstable offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FilesOffset].n
+    val e = end.asInstanceOf[FilesOffset].n
+    val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
+    val batch = listSorted().slice(s, e)
+    SSTableSource.combineSplits(
+      SSTableSource.planFilesParallel(batch, blocksize, options.get("version")), options)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SSTableReaderFactory(required,
+      options.getOrElse("skipcorrupt", "false").toBoolean, corruptAcc, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
