@@ -51,6 +51,32 @@ class StreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes at the committed offset (no reprocessing)") {
+    val dir = java.nio.file.Files.createTempDirectory("sst-stream-ckpt").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("sst-stream-ckpt-loc").toString
+    writeFile(dir, 1, Seq("k1" -> Seq(("c", "v1", 10L))))
+
+    val sink = java.nio.file.Files.createTempDirectory("sst-stream-ckpt-out").toString
+    // memory sink can't recover from a checkpoint; the parquet sink
+    // exercises the real exactly-once restart path
+    def start() = spark.readStream.format("sstable").load(dir.toString)
+      .selectExpr("cast(key as string) AS k")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(sink).count() == 1)
+
+    writeFile(dir, 2, Seq("k2" -> Seq(("c", "v2", 20L))))
+    // fresh query, same checkpoint: deserializeOffset must restore the
+    // watermark so only the NEW file is read
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val keys = spark.read.parquet(sink).collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("k1", "k2"), s"restart must resume past file 1 exactly once, got $keys")
+  }
+
   test("streamed atoms drive incremental compaction with cross-batch LWW state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sst-stream-compact").toFile
