@@ -95,11 +95,13 @@ object Pipeline {
           "cast(size(t) as bigint) AS n_tokens",
           s"cast(${TextOps.stopHits("t", TextOps.StopEn)} as bigint) AS stop_en",
           s"${TextOps.strHash60("concat_ws(' ', t)")} AS fp")
-      val keepers = scored.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("keeper"))
-      scored.join(keepers, scored("fp") === keepers("fp") &&
-          scored("doc_id") === keepers("keeper"))
-        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
+      // keep-first as min-over-window: ONE shuffle on fp and ONE pass
+      // over the tokenize+hash projection (the former groupBy+self-join
+      // recomputed the whole scoring subtree on both sides of the join)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      scored.withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper") &&
+          col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
           col("stop_en") * 1000000L >= col("n_tokens") * lit(20000L))
         .select(col("doc_id"), col("n_tokens"), col("stop_en"))
         .orderBy(col("doc_id"))
