@@ -44,6 +44,32 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(!new java.io.File(out, "_temporary").exists, "job temp tree removed")
   }
 
+  test("8 racing attempts for one partition still publish exactly one intact file") {
+    val out = tmpDir()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futures = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          barrier.await() // maximize rename-race overlap
+          TaskCommit.withTaskAttemptDir(conf, out, "jobrace") { (fs, dir) =>
+            val os = fs.create(new org.apache.hadoop.fs.Path(dir, "aeg-00000"), true)
+            // identical content, as real duplicate attempts produce
+            os.write(("deterministic line\n" * 100).getBytes); os.close()
+          }
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    TaskCommit.cleanupJob(conf, out, "jobrace")
+    val files = new java.io.File(out).listFiles.filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSeq
+    assert(files == Seq("aeg-00000"))
+    assert(new String(Files.readAllBytes(Paths.get(out, "aeg-00000"))) == "deterministic line\n" * 100,
+      "the published file must be one attempt's complete bytes, never an interleaving")
+    assert(!new java.io.File(out, "_temporary").exists)
+  }
+
   test("failed attempt aborts: no final file, no visible debris; a retry then commits") {
     val out = tmpDir()
     intercept[RuntimeException] {
