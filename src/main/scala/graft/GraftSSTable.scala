@@ -216,10 +216,12 @@ object GraftSSTable {
       dataset: String = "keyspace-dataset",
       numFiles: Int = 1,
       compress: Boolean = false,
-      chunkLength: Int = 65536): Unit = {
+      chunkLength: Int = 65536,
+      codec: String = "LZ4Compressor"): Unit = {
     val out = outDir
     val ver = version
     val ds = dataset
+    val cdc = codec
     val spark = rows.sparkSession
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -239,7 +241,7 @@ object GraftSSTable {
           val path = new org.apache.hadoop.fs.Path(dir, f"$ds-$ver-$idx%010d-Data.db")
           val raw = new java.io.BufferedOutputStream(fs.create(path, true))
           val v = SSTableVersion(ver)
-          val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength)) else None
+          val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength, cdc)) else None
           val os = new java.io.DataOutputStream(cos.getOrElse(raw))
           it.foreach(row => SSTableWriter.writeRow(os, row, v))
           cos.foreach { c =>
@@ -248,7 +250,7 @@ object GraftSSTable {
               f"$ds-$ver-$idx%010d-CompressionInfo.db")
             val ci = new java.io.DataOutputStream(fs.create(ciPath, true))
             CompressionOutputStream.writeCompressionInfo(
-              ci, "LZ4Compressor", chunkLength, dataLength, offsets)
+              ci, cdc, chunkLength, dataLength, offsets)
             ci.close()
           }
           os.close()

@@ -45,19 +45,21 @@ object CompressionMeta {
 }
 
 /** Write-side inverse of [[CompressionInputStream]]: buffers
-  * `chunkLength` uncompressed bytes, emits each chunk as Cassandra's
-  * LZ4 layout `[i32 LE decompressed len][lz4 block][adler32 of the
-  * compressed chunk]`, and records the chunk offsets for the
+  * `chunkLength` uncompressed bytes, emits each chunk in Cassandra's
+  * per-codec layout — LZ4 `[i32 LE decompressed len][lz4 block]`,
+  * Snappy/Deflate the bare compressed block — followed by the adler32
+  * of the chunk payload, and records the chunk offsets for the
   * CompressionInfo.db sidecar. Call [[finish]] (not just close) to
   * flush the tail chunk and collect the metadata. */
-final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int = 65536)
+final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int = 65536,
+    codec: String = "LZ4Compressor")
     extends java.io.OutputStream {
   // >= 64: guarantees header + worst-case LZ4 expansion fits in the
   // reader's chunkLength*2 buffers even for incompressible chunks
   require(chunkLength >= 64 && (chunkLength & (chunkLength - 1)) == 0,
     s"chunkLength must be a power of two >= 64, got $chunkLength")
 
-  private val compressor = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+  private lazy val compressor = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
   private val buf = new Array[Byte](chunkLength)
   private var filled = 0
   private var written = 0L // compressed-file position
@@ -88,19 +90,38 @@ final class CompressionOutputStream(out: java.io.OutputStream, chunkLength: Int 
   private def flushChunk(): Unit = {
     if (filled == 0) return
     offsets += written
-    val block = compressor.compress(buf, 0, filled)
-    header(0) = filled.toByte
-    header(1) = (filled >>> 8).toByte
-    header(2) = (filled >>> 16).toByte
-    header(3) = (filled >>> 24).toByte
-    out.write(header)
-    out.write(block)
+    val payload: Array[Byte] = codec match {
+      case c if c.contains("Snappy") =>
+        val dst = new Array[Byte](org.xerial.snappy.Snappy.maxCompressedLength(filled))
+        val n = org.xerial.snappy.Snappy.compress(buf, 0, filled, dst, 0)
+        java.util.Arrays.copyOf(dst, n)
+      case c if c.contains("Deflate") =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(buf, 0, filled)
+        d.finish()
+        val bos = new java.io.ByteArrayOutputStream(filled / 2 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        bos.toByteArray
+      case c if c.contains("LZ4") =>
+        val block = compressor.compress(buf, 0, filled)
+        header(0) = filled.toByte
+        header(1) = (filled >>> 8).toByte
+        header(2) = (filled >>> 16).toByte
+        header(3) = (filled >>> 24).toByte
+        val p = new Array[Byte](4 + block.length)
+        System.arraycopy(header, 0, p, 0, 4)
+        System.arraycopy(block, 0, p, 4, block.length)
+        p
+      case other => throw new IllegalArgumentException(s"unsupported write codec: $other")
+    }
+    out.write(payload)
     adler.reset()
-    adler.update(header)
-    adler.update(block)
+    adler.update(payload)
     val ck = adler.getValue.toInt
     out.write(Array((ck >>> 24).toByte, (ck >>> 16).toByte, (ck >>> 8).toByte, ck.toByte))
-    written += 4L + block.length + 4
+    written += payload.length.toLong + 4
     filled = 0
   }
 

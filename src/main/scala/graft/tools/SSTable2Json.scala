@@ -34,7 +34,15 @@ object SSTable2Json {
     // CQL pivot export (reference org.coursera.SSTableExport analog,
     // but columnar parquet instead of Avro): cqlfile:<path to CREATE TABLE>
     val cqlFile = opt("cqlfile")
-    val compress = args.contains("compress")
+    // `compress` = chunked LZ4; `compress:snappy` / `compress:deflate`
+    // select the other Cassandra codecs
+    val compressArg = args.find(a => a == "compress" || a.startsWith("compress:"))
+    val compress = compressArg.isDefined
+    val codec = compressArg.filter(_.contains(":")).map(_.split(":")(1).toLowerCase match {
+      case "snappy" => "SnappyCompressor"
+      case "deflate" => "DeflateCompressor"
+      case _ => "LZ4Compressor"
+    }).getOrElse("LZ4Compressor")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -66,7 +74,7 @@ object SSTable2Json {
             println(s"sstable2json: wrote relational parquet to $output (${df.columns.mkString(",")})")
           }
         case (Some(ver), _) =>
-          GraftSSTable.writeSSTable(compacted, output, ver, compress = compress)
+          GraftSSTable.writeSSTable(compacted, output, ver, compress = compress, codec = codec)
           println(s"sstable2json: wrote $output/keyspace-dataset-$ver-0000000000-Data.db")
         case (None, None) =>
           GraftSSTable.writeAegJson(compacted, output, numFiles = 1,

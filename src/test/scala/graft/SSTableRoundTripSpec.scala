@@ -108,4 +108,21 @@ class SSTableRoundTripSpec extends AnyFunSuite {
     assert(actual.size == expected.size)
     actual.zip(expected).foreach { case (a, e) => assert(a == e) }
   }
+
+  test("round-trip via Snappy- and Deflate-compressed sstables (full write codec matrix)") {
+    val caseDir = "2.0.10/randomtable"
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/$caseDir/input",
+      Map("skipCorrupt" -> "true"))
+    val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
+    val expected = goldenLines(caseDir)
+    Seq("SnappyCompressor", "DeflateCompressor").foreach { codec =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"rtc-$codec").toString
+      GraftSSTable.writeSSTable(compacted, tmp, "jb",
+        compress = true, chunkLength = 1024, codec = codec)
+      val compacted2 = GraftSSTable.compact(GraftSSTable.readAtoms(spark, tmp), numPartitions = 4)
+      val actual = GraftSSTable.aegJsonLines(compacted2).collect()
+        .sortWith((a, b) => CassType.unsignedCompare(a._1, b._1) < 0).map(_._2).toSeq
+      assert(actual == expected, s"$codec round-trip must reproduce the golden lines")
+    }
+  }
 }
