@@ -144,20 +144,25 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double,
       nBands: Int = 3, bandBits: Int = 6): DataFrame = {
     val mask = (1 << bandBits) - 1
-    val p = prepared(emb).selectExpr("vec_id", "v", "nrm",
+    val base = prepared(emb)
+    val p = base.selectExpr("vec_id", "v", "nrm",
       s"${lshBucketExpr("v", nBands * bandBits)} AS sig")
     val bands = p.selectExpr("vec_id",
         s"explode(transform(sequence(0, ${nBands - 1}), " +
         s"b -> struct(b AS band, shiftright(sig, b * $bandBits) % ${mask + 1} AS bucket))) AS bb")
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // the band self-join's two sides are identical exchanges, so the
+    // signature projection runs once (ReuseExchange)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
       .distinct()
-    val s1 = p.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("nrm1"))
-    val s2 = p.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("nrm2"))
+    // re-rank sides skip the signature (18 hyperplane dot products per
+    // row they would otherwise recompute and drop)
+    val s1 = base.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val s2 = base.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("nrm2"))
     cands.join(s1, "d1").join(s2, "d2")
       .selectExpr("d1", "d2", cosExpr.format("v1", "v2", "nrm1", "nrm2") + " AS cos")
       .filter(col("cos") >= threshold)
