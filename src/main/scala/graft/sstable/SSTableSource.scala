@@ -311,10 +311,31 @@ final class SSTableTable(props: Map[String, String]) extends Table with Supports
 }
 
 final class SSTableScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = SSTableSource.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SSTableScan(options, required)
+
+  /** File-level predicate pushdown (the partition-pruning analog for
+    * this source): `source` is the originating file path, so equality/
+    * prefix/IN predicates on it prune whole files at PLAN time — a
+    * single-sstable drill-down never lists, plans, or scans the rest
+    * of a snapshot. All filters are also kept post-scan (Spark
+    * re-applies them), so pushdown is purely an optimization. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    pushed = filters.filter {
+      case EqualTo("source", _: String) => true
+      case StringStartsWith("source", _) => true
+      case In("source", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new SSTableScan(options, required, pushed)
 }
 
 /** One planned split: a row-aligned byte range of one Data.db.
@@ -349,11 +370,23 @@ final case class SSTableCombinedPartition(members: Array[SSTablePartition])
   }
 }
 
-final class SSTableScan(options: Map[String, String], required: StructType)
+final class SSTableScan(options: Map[String, String], required: StructType,
+    pushedSourceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "graft-sstable"
+
+  /** conjunction of the pushed `source` predicates against a file path. */
+  private def fileAdmitted(path: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    pushedSourceFilters.forall {
+      case EqualTo("source", v: String) => path == v
+      case StringStartsWith("source", prefix) => path.startsWith(prefix)
+      case In("source", vs) => vs.exists(_ == path)
+      case _ => true
+    }
+  }
 
   /** Streaming face (`spark.readStream.format("sstable").load(dir)`):
     * micro-batches over an APPEND-ONLY snapshot directory — the
@@ -378,6 +411,7 @@ final class SSTableScan(options: Map[String, String], required: StructType)
       val fs = root.getFileSystem(conf)
       SSTableSource.expandGlob(fs, root)
         .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath))
+        .filter(st => fileAdmitted(st.getPath.toString))
         .map(st => (fs, st))
     }
     val version = options.get("version")

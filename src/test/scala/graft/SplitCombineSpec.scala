@@ -95,6 +95,23 @@ class SplitCombineSpec extends AnyFunSuite {
       s"expected byte-weighted top-3 (h2=110,h1=100,h3=15), got ${hosts.toSeq}")
   }
 
+  test("source-path predicates prune whole files at plan time") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("srcprune").toFile
+    writeFixture(tmp, 8)
+    val df = GraftSSTable.readAtoms(spark, tmp.toString, Map("combine" -> "false"))
+    val target = df.select("source").distinct().collect().map(_.getString(0))
+      .find(_.endsWith("ks-cf-jb-3-Data.db")).get
+
+    val one = df.filter(col("source") === target)
+    assert(one.rdd.getNumPartitions == 1,
+      s"equality on source must plan exactly the one file, got ${one.rdd.getNumPartitions}")
+    assert(one.collect().map(r => new String(r.getAs[Array[Byte]](0))).toSeq == Seq("key003"))
+
+    // unfiltered scan still plans everything
+    assert(df.rdd.getNumPartitions == 8)
+  }
+
   test("split planning fans out sidecar probes on a thread pool") {
     val tmp = java.nio.file.Files.createTempDirectory("slowplan").toFile
     writeFixture(tmp, 12)
