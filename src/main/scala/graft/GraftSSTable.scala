@@ -27,6 +27,17 @@ object GraftSSTable {
       options: Map[String, String] = Map.empty): DataFrame =
     options.foldLeft(spark.read.format("sstable"))((r, kv) => r.option(kv._1, kv._2)).load(path)
 
+  /** Streaming ingest of an append-only snapshot dir: newly flushed
+    * sstables arrive as micro-batches of atoms (same schema/options as
+    * [[readAtoms]]); pipe into
+    * [[graft.streaming.StreamingCompaction.compactIncremental]] for a
+    * continuously-maintained compacted view. */
+  def readAtomsStream(
+      spark: SparkSession,
+      path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(spark.readStream.format("sstable"))((r, kv) => r.option(kv._1, kv._2)).load(path)
+
   /** Marshal types configured via the reader's `cql` / `keyType` /
     * `columnType` options (published by the source as schema metadata;
     * reference `Aegisthus.java:102-111`). */
