@@ -281,8 +281,8 @@ object GraftSSTable {
     * split by newline-aligned byte ranges. The source is also
     * WRITABLE (`df.write.format("aegjson").save(dir)` with the same
     * schema): tasks stage attempt-private files and the driver's
-    * job-level commit publishes them all-or-nothing — a surface the
-    * reference's read-only Pig loader never had. */
+    * job-level commit publishes them only after every task succeeds —
+    * a surface the reference's read-only Pig loader never had. */
   def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame =
     spark.read.format("aegjson").option("clean", clean.toString).load(path)
 

@@ -218,10 +218,11 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
 // DSv2 WRITE path (`df.write.format("aegjson").save(dir)`): the full
 // Spark-native commit protocol — tasks write attempt-private files and
 // return WriterCommitMessages; nothing reaches a final `aeg-%05d` path
-// until the DRIVER's job-level commit renames every successful task's
-// file at once (reference semantics: FileOutputCommitter under
-// `output/CustomFileNameFileOutputFormat.java:27-46`, here with
-// job-level atomicity that the per-task rename protocol cannot give).
+// until EVERY task has succeeded and the driver's job-level commit
+// renames the staged files (reference semantics: FileOutputCommitter
+// under `output/CustomFileNameFileOutputFormat.java:27-46`). Task and
+// job failures publish nothing; like Spark's own v1 committer, only a
+// driver crash mid-rename can leave a prefix published.
 // Input schema must be the source's own read schema, so
 // load → transform → save round-trips; ordering/partitioning is the
 // caller's (rows are written in partition order, files numbered by
