@@ -52,6 +52,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val s03 = finalPlan(queries.Pipeline.s03.run(spark, sfDir))
     assert(!s03.contains("CartesianProduct"), "LSH candidates must be a bucket equi-join")
     assert(!s03.contains("collect"), "no driver-side collect operators in the plan")
+    // every other candidate-generating pipeline query, same contract
+    Seq(queries.Pipeline.d03, queries.Pipeline.d04, queries.Pipeline.s02,
+        queries.Pipeline.s04, queries.Pipeline.s05, queries.Pipeline.d05).foreach { q =>
+      val p = finalPlan(q.run(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"${q.name}: candidates must be equi-joins")
+    }
   }
 
   test("compaction plan is shuffle-by-key + in-partition sort (no global sort, no aggregation buffers)") {
