@@ -72,7 +72,7 @@ final class AegJsonTable(props: Map[String, String])
   override def schema(): StructType = AegJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AegJsonScanBuilder(options.asScala.toMap)
   override def newWriteBuilder(
@@ -129,6 +129,66 @@ final class AegJsonScan(options: Map[String, String], required: StructType)
     new AegJsonReaderFactory(required, options.getOrElse("clean", "true").toBoolean,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
+
+  /** Streaming face: micro-batches over an append-only aeg-JSON output
+    * dir — chained pipelines can watch one job's compacted snapshots
+    * and load them downstream as they land. Same (modTime, path)
+    * high-watermark contract as the sstable stream. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AegJsonMicroBatchStream(options, required)
+}
+
+final class AegJsonMicroBatchStream(options: Map[String, String], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"n":$n}"""
+  }
+
+  private val hconf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private def listSorted(): Seq[org.apache.hadoop.fs.FileStatus] =
+    SSTableSource.optionPaths(options, "aegjson").flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(hconf.value)
+      SSTableSource.expandGlob(fs, root).flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && !SSTableSource.isHidden(s.getPath))
+        else Seq(st)
+      }.filter(_.getLen > 0)
+    }.sortBy(st => (st.getModificationTime, st.getPath.toString))
+
+  override def initialOffset(): Offset = FilesOffset(0)
+  override def latestOffset(): Offset = FilesOffset(listSorted().size)
+  override def deserializeOffset(json: String): Offset =
+    FilesOffset(raw"""\{"n":(\d+)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad aegjson offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FilesOffset].n
+    val e = end.asInstanceOf[FilesOffset].n
+    val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
+    listSorted().slice(s, e).flatMap { st =>
+      var off = 0L
+      val out = ArrayBuffer[InputPartition]()
+      while (off < st.getLen) {
+        val to = math.min(off + blocksize, st.getLen)
+        out += AegJsonPartition(st.getPath.toString, off, to, Array.empty)
+        off = to
+      }
+      out
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AegJsonReaderFactory(required, options.getOrElse("clean", "true").toBoolean, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class AegJsonReaderFactory(required: StructType, clean: Boolean,

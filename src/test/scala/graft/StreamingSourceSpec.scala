@@ -77,6 +77,34 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(keys == Seq("k1", "k2"), s"restart must resume past file 1 exactly once, got $keys")
   }
 
+  test("aegjson source also streams: new snapshot files arrive as micro-batches") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("aeg-stream-src").toFile
+    val out = java.nio.file.Files.createTempDirectory("aeg-stream-out").toString
+    // land one compacted snapshot file
+    def snapshot(gen: Int, keys: Seq[String]): Unit = {
+      val atoms = keys.zipWithIndex.map { case (k, i) =>
+        AtomRec(k.getBytes, "src", Long.MinValue, SSTableFormat.KindColumn,
+          "c".getBytes, s"v$i".getBytes, Some(i.toLong), None, None, None, null)
+      }
+      val rows = GraftSSTable.compact(spark.createDataset(atoms).toDF(), numPartitions = 1)
+      val lines = GraftSSTable.aegJsonLines(rows).collect().map(_._2)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(src.toString, f"aeg-$gen%05d"),
+        (lines.mkString("\n") + "\n").getBytes)
+    }
+    snapshot(0, Seq("a1", "a2"))
+    val q = spark.readStream.format("aegjson").option("clean", "false").load(src.toString)
+      .writeStream.format("memory").queryName("aeg_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("aeg_stream").count() == 2)
+      snapshot(1, Seq("b1"))
+      q.processAllAvailable()
+      assert(spark.table("aeg_stream").count() == 3, "new snapshot file becomes a new batch")
+    } finally q.stop()
+  }
+
   test("streamed atoms drive incremental compaction with cross-batch LWW state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sst-stream-compact").toFile
