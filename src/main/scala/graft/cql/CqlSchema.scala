@@ -187,7 +187,8 @@ object CqlTable {
   }
 
   private val HeadRe =
-    raw"""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*\(""".r
+    // COLUMNFAMILY: the thrift-era alias still emitted by old dumps
+    raw"""(?is)\s*CREATE\s+(?:TABLE|COLUMNFAMILY)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)\s*\(""".r
 
   def parse(cql: String): CqlTable = {
     val (tableName, body) = HeadRe.findPrefixMatchOf(cql) match {

@@ -28,6 +28,20 @@ class CqlPivotSpec extends AnyFunSuite {
     assert(t.regularColumns.map(_.name) == Seq("v1", "v2", "v3"))
   }
 
+  test("CQL parse: real-world DDL formatting variants") {
+    // lowercase + IF NOT EXISTS
+    assert(CqlTable.parse("create table if not exists ks.t (a int primary key, b text)")
+      .partitionKeys.map(_.name) == Seq("a"))
+    // quoted identifiers + WITH clause containing parens/braces
+    val q = CqlTable.parse(
+      "CREATE TABLE \"Ks\".\"T\" (\n a int,\n b text,\n PRIMARY KEY (a)\n) " +
+        "WITH CLUSTERING ORDER BY (b DESC) AND compaction = {'class': 'stcs'}")
+    assert(q.name == "Ks.T" && q.partitionKeys.map(_.name) == Seq("a"))
+    // thrift-era alias still emitted by old schema dumps
+    assert(CqlTable.parse("CREATE COLUMNFAMILY t (a int PRIMARY KEY, b text)")
+      .partitionKeys.map(_.name) == Seq("a"))
+  }
+
   test("pivot randomtable fixtures to relational rows") {
     val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/randomtable/input")
     val compacted = GraftSSTable.compact(atoms, numPartitions = 4)
