@@ -308,4 +308,12 @@ object GraftSSTable {
     val n = SSTableSource.corruptFiles.map(_.value.toLong).getOrElse(0L)
     require(n <= max, s"Corrupt files skipped ($n) exceeded threshold ($max)")
   }
+
+  /** Driver-side wide-row threshold check for the CQL pivot valve
+    * (same A3 pattern): call after an action over
+    * `pivotToRelational(..., maxRowBytes)`. */
+  def assertPivotRowsTooBigBelow(max: Long): Unit = {
+    val n = graft.cql.CqlPivot.rowsTooBig.map(_.value.toLong).getOrElse(0L)
+    require(n <= max, s"Pivot rows dropped as too big ($n) exceeded threshold ($max)")
+  }
 }
