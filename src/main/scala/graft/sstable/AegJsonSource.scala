@@ -94,12 +94,23 @@ final case class AegJsonPartition(path: String, start: Long, end: Long,
 }
 
 final class AegJsonScan(options: Map[String, String], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "graft-aegjson"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** file-byte size stats (see [[SSTableScan.estimateStatistics]]). */
+  override def estimateStatistics(): Statistics = {
+    val total = plannedPartitions.map { case p: AegJsonPartition => p.end - p.start }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
     val paths = SSTableSource.optionPaths(options, "aegjson")

@@ -372,10 +372,25 @@ final case class SSTableCombinedPartition(members: Array[SSTablePartition])
 
 final class SSTableScan(options: Map[String, String], required: StructType,
     pushedSourceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "graft-sstable"
+
+  /** Size stats from the planned splits (uncompressed bytes), so
+    * Catalyst can auto-broadcast a small compacted table into a join
+    * instead of defaulting to `Long.MaxValue` → sort-merge. Planning
+    * is cached so stats + execution pay the sidecar reads once. */
+  override def estimateStatistics(): Statistics = {
+    val total = plannedPartitions.map {
+      case p: SSTablePartition => p.size
+      case c: SSTableCombinedPartition => c.members.map(_.size).sum
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   /** conjunction of the pushed `source` predicates against a file path. */
   private def fileAdmitted(path: String): Boolean = {
@@ -397,7 +412,9 @@ final class SSTableScan(options: Map[String, String], required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SSTableMicroBatchStream(options, required)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val blocksize = options.getOrElse("blocksize", (64L * 1024 * 1024).toString).toLong
     val paths = SSTableSource.optionPaths(options, "sstable")

@@ -104,6 +104,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), "t07 stays native/codegen")
   }
 
+  test("sstable scan reports size stats so small scans auto-broadcast in joins") {
+    import org.apache.spark.sql.functions.col
+    val atoms = GraftSSTable.readAtoms(spark,
+      "/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/input",
+      Map("skipCorrupt" -> "true")).select(col("key"))
+    val big = spark.range(200000)
+      .select(col("id"), col("id").cast("string").cast("binary").as("key"))
+    val plan = finalPlan(big.join(atoms, "key"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-sized sstable scan must broadcast, not sort-merge:\n$plan")
+  }
+
   test("sstable scan prunes to the required atom columns (F6)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val keysOnly = GraftSSTable.readAtoms(spark,
