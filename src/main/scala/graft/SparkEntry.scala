@@ -9,7 +9,7 @@ object SparkEntry {
   /** Full operator registry; each entry is one operator from
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
   def registry: Seq[QueryDef] =
-    Relational.all ++ Relational2.all ++ Pipeline.all ++
+    Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
       Seq(cassCompaction, cassCompactionTyped)
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Packing
+
+/** Greedy token-budget packing: boundary semantics (exact fit stays,
+  * overflow opens a bin, oversize item gets its own bin, first item
+  * always opens bin 0) and shuffle/partition invariance. */
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Long) = {
+    import spark.implicits._
+    Packing.packGreedy(rows.toDF("g", "o", "n"), "g", "o", "n", budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("exact fit stays in the bin; overflow opens the next") {
+    val out = pack(Seq(("a", 1L, 60L), ("a", 2L, 40L), ("a", 3L, 1L)), budget = 100L)
+    // 60 + 40 == 100 exactly -> same bin; the next item overflows
+    assert(out.map(t => (t._4, t._5)).toSeq ==
+      Seq((0L, 60L), (0L, 100L), (1L, 1L)))
+  }
+
+  test("oversize item gets a bin of its own and never blocks packing") {
+    val out = pack(Seq(("a", 1L, 10L), ("a", 2L, 500L), ("a", 3L, 10L)), budget = 100L)
+    assert(out.map(t => (t._4, t._5)).toSeq ==
+      Seq((0L, 10L), (1L, 500L), (2L, 10L)))
+    // first item oversize: still opens bin 0 (the oracle's base case)
+    val first = pack(Seq(("a", 1L, 500L), ("a", 2L, 10L)), budget = 100L)
+    assert(first.map(t => (t._4, t._5)).toSeq == Seq((0L, 500L), (1L, 10L)))
+  }
+
+  test("groups pack independently") {
+    val out = pack(Seq(("a", 1L, 90L), ("b", 2L, 90L), ("a", 3L, 90L)), budget = 100L)
+    assert(out.map(t => (t._1, t._4)).toSeq ==
+      Seq(("a", 0L), ("a", 1L), ("b", 0L)))
+  }
+
+  test("result is invariant to input partitioning and order") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 7}", i.toLong, 1L + (i * 37 % 90))
+    }
+    val base = pack(rows, budget = 128L)
+    val shuffled = Packing.packGreedy(
+      scala.util.Random.shuffle(rows).toDF("g", "o", "n").repartition(13),
+      "g", "o", "n", 128L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(base.toSeq == shuffled.toSeq)
+    // every non-oversize bin respects the budget
+    assert(base.filter(_._3 <= 128L).forall(_._5 <= 128L))
+  }
+}

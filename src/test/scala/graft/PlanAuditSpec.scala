@@ -104,6 +104,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), "t07 stays native/codegen")
   }
 
+  test("stratified sample (p01) is a map-only filter; heavy hitters (p04) top-k, not a global window") {
+    val p01 = finalPlan(queries.Pipeline2.p01.run(spark, sfDir))
+    val p01Final = p01.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(p01Final).length <= 1,
+      s"p01 must not shuffle before the final order-by:\n$p01")
+    val p04 = finalPlan(queries.Pipeline2.p04.run(spark, sfDir))
+    assert(p04.contains("TakeOrderedAndProject"),
+      s"p04 must take top-k before ranking (never rank the full vocabulary):\n$p04")
+  }
+
+  test("sequence packing (p03) is one shuffle + partition-local sort (no per-group buffers)") {
+    val plan = finalPlan(queries.Pipeline2.p03.run(spark, sfDir))
+    assert(plan.contains("Exchange hashpartitioning(lang"),
+      s"packing must hash-partition by the group column:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      "packing is a streaming O(1)-state pass, not an aggregation buffer")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
