@@ -149,20 +149,28 @@ case class HexToNumber(child: Expression, target: String)
 }
 
 object CassFunctions {
+  /** name -> builder for every engine expression — the single source of
+    * truth shared by per-session [[registerAll]] and the session-build
+    * injection path ([[graft.GraftExtensions]]). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_polyhash" -> (es => PolyHash(es.head, es(1))),
+    "cass_render" -> (es => CassRender(es.head, es(1))),
+    "cass_sort_key" -> (es => CassSortKey(es.head, es(1))),
+    "composite_split" -> (es => CompositeSplit(es.head)),
+    "hex_to_long" -> (es => HexToNumber(es.head, "long")),
+    "hex_to_double" -> (es => HexToNumber(es.head, "double")),
+    "hex_to_string" -> (es => HexToNumber(es.head, "string")),
+    "graft_simhash60" -> (es => SimHash60(es.head)),
+    "graft_minhash" -> (es => MinHashSig(es.head, es(1))),
+    "graft_lsh_bucket" -> (es => LshBucket(es.head, es(1))),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
+    "graft_token_hashes" -> (es => TokenHashes(es.head)))
+
   /** Idempotently register all engine expressions on the session. */
   def registerAll(spark: SparkSession): Unit = {
-    PolyHash.register(spark)
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cass_render", es => CassRender(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cass_sort_key", es => CassSortKey(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("composite_split", es => CompositeSplit(es.head), "built-in")
-    reg.createOrReplaceTempFunction("hex_to_long", es => HexToNumber(es.head, "long"), "built-in")
-    reg.createOrReplaceTempFunction("hex_to_double", es => HexToNumber(es.head, "double"), "built-in")
-    reg.createOrReplaceTempFunction("hex_to_string", es => HexToNumber(es.head, "string"), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash", es => MinHashSig(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_lsh_bucket", es => LshBucket(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_token_hashes", es => TokenHashes(es.head), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

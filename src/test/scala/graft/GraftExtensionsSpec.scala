@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PolyHash
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path:
+  * a session built with only that conf must expose every engine
+  * expression through plain SQL, with values identical to the
+  * library-registered path. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session built with the extensions conf resolves engine functions in plain SQL") {
+    // extensions apply at session BUILD time, so this suite needs its
+    // own session, not the shared one another suite may have created
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val h = spark.sql("SELECT graft_polyhash('abc', 31) AS h").head().getLong(0)
+      assert(h == PolyHash.hash("abc", 31))
+      val rendered = spark.sql(
+        "SELECT cass_render(cast('686921' as binary), 'BytesType') AS r").head().getString(0)
+      // hex of the UTF-8 bytes of the string "686921"
+      assert(rendered == "363836393231")
+      val sh = spark.sql(
+        "SELECT graft_shingle_hashes('a b c d', 2) AS s").head().getSeq[Long](0)
+      assert(sh.nonEmpty)
+      // hex caster: 8-byte width sniffs to a long
+      val hx = spark.sql("SELECT hex_to_long('00000000000000ff') AS v").head().getLong(0)
+      assert(hx == 255L)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
