@@ -33,7 +33,10 @@ import org.apache.spark.util.LongAccumulator
   *  - column pruning pushdown (F6).
   *
   * Options: `blocksize` (long, default 64 MiB), `skipCorrupt`
-  * (boolean, default false), `version` (force format version).
+  * (boolean, default false), `version` (force format version),
+  * `latestBatchOnly` (boolean, default false — walk only the latest
+  * `batch_id=NNN` sibling dir, the reference DirectoryWalker's
+  * batched mode).
   */
 class SSTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sstable"
@@ -124,11 +127,27 @@ object SSTableSource {
     false
   }
 
-  /** Recursive `*-Data.db` discovery (S8). */
-  def listDataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+  /** `batch_?id=NNN` sibling-directory pattern (the reference
+    * DirectoryWalker's batched mode, `tools/DirectoryWalker.java:156`). */
+  private val BatchDir = java.util.regex.Pattern.compile("batch_?id=[0-9]+/?$")
+
+  /** Recursive `*-Data.db` discovery (S8). With `latestBatchOnly`
+    * (reader option, default off — the reference's opt-in
+    * `DirectoryWalker.batched` mode), a directory whose children are
+    * `batch_id=NNN` dirs contributes only its greatest child by URI
+    * STRING compare — the reference's comparison verbatim
+    * (`DirectoryWalker.java:167-177`), quirk included: `batch_id=9`
+    * outranks `batch_id=10` lexicographically, so producers must
+    * zero-pad batch numbers, exactly as with the reference. */
+  def listDataFiles(fs: FileSystem, root: Path,
+                    latestBatchOnly: Boolean = false): Seq[FileStatus] = {
     val out = ArrayBuffer[FileStatus]()
     def walk(dir: Path): Unit = {
-      fs.listStatus(dir).foreach { st =>
+      var children = fs.listStatus(dir)
+      if (latestBatchOnly && children.nonEmpty &&
+          BatchDir.matcher(children.head.getPath.toString).find())
+        children = Array(children.maxBy(_.getPath.toUri.toString))
+      children.foreach { st =>
         if (isHidden(st.getPath)) ()
         else if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith("-Data.db") && st.getLen > 0) out += st
@@ -427,7 +446,8 @@ final class SSTableScan(options: Map[String, String], required: StructType,
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
       SSTableSource.expandGlob(fs, root)
-        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath))
+        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath,
+          options.getOrElse("latestbatchonly", "false").toBoolean))
         .filter(st => fileAdmitted(st.getPath.toString))
         .map(st => (fs, st))
     }

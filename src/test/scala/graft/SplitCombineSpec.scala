@@ -112,6 +112,26 @@ class SplitCombineSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 8)
   }
 
+  test("latestBatchOnly walks only the greatest batch_id sibling (string compare, opt-in)") {
+    val tmp = java.nio.file.Files.createTempDirectory("batched").toFile
+    val b1 = new java.io.File(tmp, "batch_id=001"); b1.mkdirs()
+    val b2 = new java.io.File(tmp, "batch_id=002"); b2.mkdirs()
+    writeFixture(b1, 3)
+    writeFixture(b2, 5)
+
+    // default: both batches contribute (the reference walks everything
+    // unless DirectoryWalker.batched is enabled)
+    val all = GraftSSTable.readAtoms(spark, tmp.toString, Map("combine" -> "false"))
+    assert(all.select("source").distinct().count() == 8)
+
+    // opt-in: only the string-greatest sibling (batch_id=002) is walked
+    val latest = GraftSSTable.readAtoms(spark, tmp.toString,
+      Map("combine" -> "false", "latestBatchOnly" -> "true"))
+    val sources = latest.select("source").distinct().collect().map(_.getString(0))
+    assert(sources.length == 5 && sources.forall(_.contains("batch_id=002")),
+      s"expected only batch_id=002 files, got ${sources.toSeq}")
+  }
+
   test("split planning fans out sidecar probes on a thread pool") {
     val tmp = java.nio.file.Files.createTempDirectory("slowplan").toFile
     writeFixture(tmp, 12)
