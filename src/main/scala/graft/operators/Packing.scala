@@ -42,12 +42,15 @@ object Packing {
       .as[(String, Long, Long)]
     prepped.mapPartitions { it =>
       // a partition holds whole groups (hash-partitioned on group), in
-      // (group, order) order — one running (bin, fill) register pair
+      // (group, order) order — one running (bin, fill) register pair.
+      // `started` guards the first row: a bare null sentinel would
+      // mistake a genuine null group's first item for a continuation
+      var started = false
       var g: String = null
       var bin = 0L
       var fill = 0L
       it.map { case (grp, o, n) =>
-        if (grp != g) { g = grp; bin = 0L; fill = n }
+        if (!started || grp != g) { started = true; g = grp; bin = 0L; fill = n }
         else if (fill + n > budget) { bin += 1; fill = n }
         else fill += n
         (grp, o, n, bin, fill)

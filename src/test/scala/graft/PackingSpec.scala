@@ -45,6 +45,31 @@ class PackingSpec extends AnyFunSuite {
       Seq(("a", 0L), ("a", 1L), ("b", 0L)))
   }
 
+  test("differential fuzz vs an in-memory greedy reference (incl. a null group)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val budget = 100L
+    val rows: Seq[(String, Long, Long)] = (1 to 300).map { i =>
+      val g = if (i % 37 == 0) null else s"g${rnd.nextInt(5)}"
+      (g, i.toLong, 1L + rnd.nextInt(150))
+    }
+    // sequential reference: same recurrence, one group at a time
+    val expected = rows.groupBy(_._1).flatMap { case (_, items) =>
+      var first = true; var bin = 0L; var fill = 0L
+      items.sortBy(_._2).map { case (g, o, n) =>
+        if (first) { first = false; fill = n }
+        else if (fill + n > budget) { bin += 1; fill = n }
+        else fill += n
+        (Option(g), o) -> ((bin, fill))
+      }
+    }
+    val got = Packing.packGreedy(rows.toDF("g", "o", "n"), "g", "o", "n", budget)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("result is invariant to input partitioning and order") {
     import spark.implicits._
     val rows = (1 to 400).map { i =>
