@@ -54,14 +54,16 @@ object Bench {
         f"[bench] ${q.name}%-28s min=$best%7.2fs med=$med%7.2fs rows=${times.head._2}")
       q.name -> best
     }
-    // ms precision keeps the whole JSON line under the harness's
+    // rounded values keep the whole JSON line under the harness's
     // 2000-char output-tail capture (full-precision doubles pushed it
-    // to ~2.1k chars and the head was truncated every round)
-    def r3(v: Double): String = {
-      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // to ~2.1k chars and the head was truncated every round): 10 ms
+    // per query, 1 ms for the total
+    def r(v: Double, scale: Int): String = {
+      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def r3(v: Double): String = r(v, 3)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

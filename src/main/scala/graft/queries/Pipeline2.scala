@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Packing, TextOps}
+import graft.operators.{Dedup, Packing, TextOps}
 
 /** Round-4 LLM-pipeline additions: the corpus-curation steps that sit
   * between dedup/quality-gating and tokenization in a training-data
@@ -16,7 +16,73 @@ import graft.operators.{Packing, TextOps}
   */
 object Pipeline2 {
 
-  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
+  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
+
+  /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
+    * sets with source attribution (twin of
+    * [[graft.operators.Dedup.shingleHashSets]] at n=8). */
+  private def shingle8Ctes: String = {
+    val concat = (0 until 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, source, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, source,
+          CASE WHEN len(t) < 8 THEN t[1:0]
+               ELSE list_transform(range(1, len(t) - 6), i -> $concat) END AS s FROM tk),
+      hs AS (SELECT doc_id, source, list_distinct(
+               list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
+      e AS (SELECT doc_id, source, unnest(h) AS sgl FROM hs)"""
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct 8-token passages appearing in both — the
+    * provenance-overlap signal behind "which crawls duplicate each
+    * other". 100 TB shape: the d02 treatment — hot passages (doc
+    * frequency > 64) are a tiny broadcast set pruned map-side, then
+    * the (source, passage) pairs are distinct-projected (far smaller
+    * than the corpus) and equi-joined on the passage hash; output is
+    * |sources|^2-bounded. */
+  val p06: QueryDef = QueryDef(
+    "p06_src_overlap",
+    (s, d) => {
+      val e = Tables.documents(s, d)
+        .selectExpr("doc_id", "source", "graft_shingle_hashes(text, 8) AS hs")
+        .selectExpr("doc_id", "source", "explode(hs) AS sgl")
+      val hot = e.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64).select("sgl")
+      val sp = e.join(broadcast(hot), Seq("sgl"), "left_anti")
+        .select(col("source"), col("sgl")).distinct()
+      sp.as("a")
+        .join(sp.as("b"),
+          col("a.sgl") === col("b.sgl") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src1"), col("src2"))
+    },
+    Some(s"""$shingle8Ctes,
+      df AS (SELECT sgl, count(*) AS df FROM e GROUP BY sgl),
+      kept AS (SELECT e.source, e.sgl FROM e JOIN df USING (sgl) WHERE df <= 64),
+      sp AS (SELECT DISTINCT source, sgl FROM kept)
+      SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+      FROM sp a JOIN sp b ON a.sgl = b.sgl AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Repeated-passage inventory (the exact-substring-dedup signal):
+    * distinct 8-token passages occurring in >= 2 documents, top 30 by
+    * document frequency. 100 TB shape: map-side-combined count over
+    * exploded per-doc-distinct hashes, then TakeOrderedAndProject —
+    * the full passage table is never sorted. */
+  val p07: QueryDef = QueryDef(
+    "p07_rep_passages",
+    (s, d) => Dedup.shingleHashSets(Tables.documents(s, d), "text", 8)
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+      .groupBy(col("sgl"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("sgl")).limit(30),
+    Some(s"""$shingle8Ctes,
+      df AS (SELECT sgl, count(*) AS df, CAST(min(doc_id) AS BIGINT) AS first_doc
+             FROM e GROUP BY sgl)
+      SELECT sgl, df, first_doc FROM df WHERE df >= 2
+      ORDER BY df DESC, sgl LIMIT 30"""))
 
   /** Deterministic stratified sampling: per-language keep rates out of
     * 1000 hash buckets (downsample dominant en, keep the tail), the

@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s03.contains("collect"), "no driver-side collect operators in the plan")
     // every other candidate-generating pipeline query, same contract
     Seq(queries.Pipeline.d03, queries.Pipeline.d04, queries.Pipeline.s02,
-        queries.Pipeline.s04, queries.Pipeline.s05, queries.Pipeline.d05).foreach { q =>
+        queries.Pipeline.s04, queries.Pipeline.s05, queries.Pipeline.d05,
+        queries.Pipeline2.p06).foreach { q =>
       val p = finalPlan(q.run(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"${q.name}: candidates must be equi-joins")
     }
