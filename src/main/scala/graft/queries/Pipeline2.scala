@@ -121,21 +121,39 @@ object Pipeline2 {
         .groupBy(col("lang")).agg(sum(col("n")).as("lang_tokens"))
       val tot = per.agg(sum(col("lang_tokens")).as("total_tokens"),
         count(lit(1)).as("n_langs"))
+      // floor(x * 1e6 / y) via long-division decomposition
+      // (q*1e6 + d1*1e3 + d2, carrying the remainder in two *1000
+      // steps): naive x*1000000 overflows BIGINT once a corpus passes
+      // ~9e12 tokens (a 100 TB corpus is ~2.5e13); this form is exact
+      // in pure BIGINT up to ~9e15 tokens, and floor-division semantics
+      // match across engines (DECIMAL division would round in DuckDB)
+      def microDiv(x: String, y: String): String =
+        s"($x div $y) * 1000000 + (($x % $y) * 1000 div $y) * 1000 + " +
+          s"((($x % $y) * 1000 % $y) * 1000 div $y)"
       per.crossJoin(broadcast(tot))
+        .selectExpr("lang", "lang_tokens", "total_tokens", "n_langs * lang_tokens AS d")
         .selectExpr("lang", "lang_tokens",
-          "(lang_tokens * 1000000) div total_tokens AS share_micro",
-          "(total_tokens * 1000000) div (n_langs * lang_tokens) AS weight_micro")
+          s"${microDiv("lang_tokens", "total_tokens")} AS share_micro",
+          s"${microDiv("total_tokens", "d")} AS weight_micro")
         .orderBy(col("lang"))
     },
     Some(s"""WITH q AS (SELECT lang,
           CAST(len(${DuckOps.tokens("text")}) AS BIGINT) AS n FROM documents),
       per AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_tokens FROM q GROUP BY lang),
       tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
-                count(*) AS n_langs FROM per)
+                count(*) AS n_langs FROM per),
+      j AS (SELECT lang, lang_tokens, total_tokens, n_langs * lang_tokens AS d
+            FROM per, tot)
       SELECT lang, lang_tokens,
-        (lang_tokens * 1000000) // total_tokens AS share_micro,
-        (total_tokens * 1000000) // (n_langs * lang_tokens) AS weight_micro
-      FROM per, tot ORDER BY lang"""))
+        (lang_tokens // total_tokens) * 1000000
+          + ((lang_tokens % total_tokens) * 1000 // total_tokens) * 1000
+          + (((lang_tokens % total_tokens) * 1000 % total_tokens) * 1000 // total_tokens)
+          AS share_micro,
+        (total_tokens // d) * 1000000
+          + ((total_tokens % d) * 1000 // d) * 1000
+          + (((total_tokens % d) * 1000 % d) * 1000 // d)
+          AS weight_micro
+      FROM j ORDER BY lang"""))
 
   /** Token-budget sequence packing (budget 200): greedy in-order
     * bin-packing of documents into training sequences, independently
