@@ -14,6 +14,43 @@ import org.apache.spark.sql.SparkSession
 object ParallelCopy {
   val MaxPartitions = 800
 
+  /** Manifest-driven staging (the reference's `-manifest` option,
+    * `Distcp.java:88,263-271`): the manifest is a newline-separated
+    * list of source URIs. Destinations preserve the path suffix below
+    * `preserveBase` when given (the reference's `-recursive` option),
+    * else files land flat in `destDir` by name. Blank lines are
+    * skipped; manifest entries are copied verbatim (the reference
+    * filters secondary indexes only in its discovery branch, not the
+    * manifest branch). */
+  def copyFromManifest(
+      spark: SparkSession,
+      manifestPath: String,
+      destDir: String,
+      preserveBase: Option[String] = None,
+      partitions: Int = 32,
+      decompressSnappy: Boolean = false): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      mp.getFileSystem(conf).open(mp), java.nio.charset.StandardCharsets.UTF_8))
+    val srcs = try
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+    val dest = destDir.stripSuffix("/")
+    val pairs = srcs.map { src =>
+      val suffix = preserveBase match {
+        case Some(base) =>
+          val b = base.stripSuffix("/") + "/"
+          require(src.startsWith(b), s"manifest entry $src is outside preserveBase $base")
+          src.stripPrefix(b)
+        case None => new org.apache.hadoop.fs.Path(src).getName
+      }
+      src -> s"$dest/$suffix"
+    }
+    copy(spark, pairs, partitions, decompressSnappy)
+  }
+
   def copy(
       spark: SparkSession,
       srcToDst: Seq[(String, String)],

@@ -101,4 +101,25 @@ class CompactionOptionsSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(tmp.resolve("a_copy.txt")) == "hello graft")
     assert(java.nio.file.Files.readString(tmp.resolve("b_plain.txt")) == "snappy payload")
   }
+
+  test("ParallelCopy manifest mode: flat and structure-preserving destinations") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcopy_manifest")
+    val sub = tmp.resolve("ks/cf"); java.nio.file.Files.createDirectories(sub)
+    val f1 = sub.resolve("one.db"); java.nio.file.Files.writeString(f1, "one")
+    val f2 = tmp.resolve("two.db"); java.nio.file.Files.writeString(f2, "two")
+    val manifest = tmp.resolve("manifest.txt")
+    java.nio.file.Files.writeString(manifest, s"$f1\n\n$f2\n")
+
+    val flat = tmp.resolve("flat")
+    graft.tools.ParallelCopy.copyFromManifest(spark, manifest.toString, flat.toString)
+    assert(java.nio.file.Files.readString(flat.resolve("one.db")) == "one")
+    assert(java.nio.file.Files.readString(flat.resolve("two.db")) == "two")
+
+    // recursive: suffix below preserveBase survives (reference -recursive)
+    val deep = tmp.resolve("deep")
+    graft.tools.ParallelCopy.copyFromManifest(spark, manifest.toString, deep.toString,
+      preserveBase = Some(tmp.toString))
+    assert(java.nio.file.Files.readString(deep.resolve("ks/cf/one.db")) == "one")
+    assert(java.nio.file.Files.readString(deep.resolve("two.db")) == "two")
+  }
 }
