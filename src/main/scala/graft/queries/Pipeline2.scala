@@ -16,7 +16,45 @@ import graft.operators.{Dedup, Packing, TextOps}
   */
 object Pipeline2 {
 
-  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
+  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, m03)
+
+  /** The typed multimodal batch-decode path under the oracle gate:
+    * [[graft.operators.Multimodal.extractFeatures]] (partition-parallel
+    * `mapPartitions` over 64-record batches — the arrow-batch UDF
+    * shape) runs the deterministic stub decoder end-to-end, and the
+    * oracle replays the digest-derived features by decoding the MD5
+    * hex bytes in SQL — so the batching/typing plumbing itself is
+    * cell-exact-tested, not just spec'd. The float embedding is exact
+    * across engines because every value is k/128 (dyadic — exactly
+    * representable in both FLOAT and DOUBLE). */
+  val m03: QueryDef = QueryDef(
+    "m03_media_decode",
+    (s, d) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      graft.operators.Multimodal.extractFeatures(media, batchSize = 64)
+        .toDF()
+        .selectExpr("media_id", "kind", "n_bytes", "digest",
+          "cast(width as bigint) AS width", "cast(height as bigint) AS height",
+          "cast(channels as bigint) AS channels", "cast(n_frames as bigint) AS n_frames",
+          "transform(embedding, x -> cast(x as double)) AS emb")
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        md5(text) AS dg, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+      b AS (SELECT *, list_transform(range(0, 16), i ->
+          (instr('0123456789abcdef', substr(dg, CAST(i*2 + 1 AS INT), 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(dg, CAST(i*2 + 2 AS INT), 1)) - 1)) AS bytes
+        FROM m)
+      SELECT media_id, kind, n_bytes, dg AS digest,
+        1 + bytes[1] % 64 AS width,
+        1 + bytes[2] % 64 AS height,
+        1 + (bytes[3] % 128) % 3 AS channels,
+        CASE WHEN kind = 'video' THEN 1 + (bytes[4] % 128) % 30
+             ELSE CAST(1 AS BIGINT) END AS n_frames,
+        list_transform(range(0, 8), i -> (bytes[CAST(i*2 + 1 AS INT)] - 128) / 128.0) AS emb
+      FROM b ORDER BY media_id"""))
 
   /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
     * sets with source attribution (twin of
