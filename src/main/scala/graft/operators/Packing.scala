@@ -34,9 +34,17 @@ object Packing {
                  sizeCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null semantics: a null SIZE packs as 0 (consumes no budget); a
+    // null ORDER is an error — equal sort keys would make bin
+    // assignment depend on the (unstable) tie order, and the tuple
+    // encoder would NPE anyway. raise_error surfaces the contract
+    // violation with a message instead of an opaque task failure.
     val prepped = df
-      .select(col(groupCol).cast("string"), col(orderCol).cast("long"),
-        col(sizeCol).cast("long"))
+      .select(col(groupCol).cast("string"),
+        when(col(orderCol).isNull,
+          expr(s"raise_error('packGreedy: null $orderCol value')").cast("long"))
+          .otherwise(col(orderCol).cast("long")).as(orderCol),
+        coalesce(col(sizeCol).cast("long"), lit(0L)).as(sizeCol))
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(orderCol))
       .as[(String, Long, Long)]

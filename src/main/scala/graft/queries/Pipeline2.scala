@@ -59,16 +59,12 @@ object Pipeline2 {
   /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
     * sets with source attribution (twin of
     * [[graft.operators.Dedup.shingleHashSets]] at n=8). */
-  private def shingle8Ctes: String = {
-    val concat = (0 until 8).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+  private def shingle8Ctes: String =
     s"""WITH tk AS (SELECT doc_id, source, ${DuckOps.tokens("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, source,
-          CASE WHEN len(t) < 8 THEN t[1:0]
-               ELSE list_transform(range(1, len(t) - 6), i -> $concat) END AS s FROM tk),
+      sh AS (SELECT doc_id, source, ${DuckOps.shingles("t", 8)} AS s FROM tk),
       hs AS (SELECT doc_id, source, list_distinct(
                list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
       e AS (SELECT doc_id, source, unnest(h) AS sgl FROM hs)"""
-  }
 
   /** Cross-source contamination matrix: for every source pair, the
     * number of distinct 8-token passages appearing in both — the

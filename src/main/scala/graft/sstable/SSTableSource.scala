@@ -133,20 +133,29 @@ object SSTableSource {
 
   /** Recursive `*-Data.db` discovery (S8). With `latestBatchOnly`
     * (reader option, default off — the reference's opt-in
-    * `DirectoryWalker.batched` mode), a directory whose children are
-    * `batch_id=NNN` dirs contributes only its greatest child by URI
-    * STRING compare — the reference's comparison verbatim
+    * `DirectoryWalker.batched` mode), each directory's `batch_id=NNN`
+    * children are pruned to the single greatest one by URI STRING
+    * compare — the reference's comparison verbatim
     * (`DirectoryWalker.java:167-177`), quirk included: `batch_id=9`
     * outranks `batch_id=10` lexicographically, so producers must
-    * zero-pad batch numbers, exactly as with the reference. */
+    * zero-pad batch numbers, exactly as with the reference.
+    * Unlike the reference (which keys on the first listed child and
+    * then maxes over ALL children), the prune here considers only the
+    * batch-matching children and passes non-batch siblings through —
+    * immune to filesystem listing order and to a lexicographically
+    * greater non-batch sibling (e.g. `snapshots/`) swallowing the
+    * batches. */
   def listDataFiles(fs: FileSystem, root: Path,
                     latestBatchOnly: Boolean = false): Seq[FileStatus] = {
     val out = ArrayBuffer[FileStatus]()
     def walk(dir: Path): Unit = {
       var children = fs.listStatus(dir)
-      if (latestBatchOnly && children.nonEmpty &&
-          BatchDir.matcher(children.head.getPath.toString).find())
-        children = Array(children.maxBy(_.getPath.toUri.toString))
+      if (latestBatchOnly) {
+        val (batchKids, rest) =
+          children.partition(st => BatchDir.matcher(st.getPath.toString).find())
+        if (batchKids.nonEmpty)
+          children = rest :+ batchKids.maxBy(_.getPath.toUri.toString)
+      }
       children.foreach { st =>
         if (isHidden(st.getPath)) ()
         else if (st.isDirectory) walk(st.getPath)
@@ -614,7 +623,8 @@ final class SSTableMicroBatchStream(options: Map[String, String], required: Stru
       val root = new Path(p)
       val fs = root.getFileSystem(hconf.value)
       SSTableSource.expandGlob(fs, root)
-        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath))
+        .flatMap(st => SSTableSource.listDataFiles(fs, st.getPath,
+          options.getOrElse("latestbatchonly", "false").toBoolean))
         .map(st => (fs, st))
     }.sortBy(p => (p._2.getModificationTime, p._2.getPath.toString))
 

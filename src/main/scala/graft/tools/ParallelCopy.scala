@@ -48,6 +48,12 @@ object ParallelCopy {
       }
       src -> s"$dest/$suffix"
     }
+    // two sources mapping to one destination (same basename in flat
+    // mode) would race their commits and silently drop a file
+    val dups = pairs.groupBy(_._2).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"manifest entries collide on destination(s): ${dups.take(3).mkString(", ")} — " +
+        "use preserveBase to retain directory structure")
     copy(spark, pairs, partitions, decompressSnappy)
   }
 

@@ -12,8 +12,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("a session built with the extensions conf resolves engine functions in plain SQL") {
     // extensions apply at session BUILD time, so this suite needs its
-    // own session, not the shared one another suite may have created
-    SparkSession.getActiveSession.foreach(_.stop())
+    // own session AND SparkContext: stop the default session too (the
+    // active one is thread-local — another suite's session created on
+    // a different thread would otherwise keep its context alive and
+    // getOrCreate would reuse it, skipping extension application)
+    (SparkSession.getActiveSession ++ SparkSession.getDefaultSession)
+      .foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()

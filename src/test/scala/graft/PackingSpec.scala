@@ -70,6 +70,25 @@ class PackingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("null size packs as 0; null order fails fast with a clear error") {
+    import spark.implicits._
+    val withNullSize = Seq(("a", 1L, Some(90L)), ("a", 2L, None), ("a", 3L, Some(20L)))
+      .toDF("g", "o", "n")
+    val out = Packing.packGreedy(withNullSize, "g", "o", "n", 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // the null-size row consumes no budget: 90 + 0 + 20 > 100 -> item 3 overflows
+    assert(out.toSeq == Seq((1L, 0L, 90L), (2L, 0L, 90L), (3L, 1L, 20L)))
+
+    val withNullOrder = Seq((Some("a"), Some(1L), 10L), (Some("a"), None, 10L))
+      .toDF("g", "o", "n")
+    val e = intercept[Exception] {
+      Packing.packGreedy(withNullOrder, "g", "o", "n", 100L).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("packGreedy") ||
+      Option(e.getCause).exists(_.toString.contains("packGreedy")),
+      s"expected the packGreedy null-order error, got $e")
+  }
+
   test("result is invariant to input partitioning and order") {
     import spark.implicits._
     val rows = (1 to 400).map { i =>

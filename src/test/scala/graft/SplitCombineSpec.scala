@@ -130,6 +130,18 @@ class SplitCombineSpec extends AnyFunSuite {
     val sources = latest.select("source").distinct().collect().map(_.getString(0))
     assert(sources.length == 5 && sources.forall(_.contains("batch_id=002")),
       s"expected only batch_id=002 files, got ${sources.toSeq}")
+
+    // a lexicographically-greater NON-batch sibling must neither swallow
+    // the batch prune nor be dropped by it
+    val extra = new java.io.File(tmp, "zz_extra"); extra.mkdirs()
+    writeFixture(extra, 2)
+    val mixed = GraftSSTable.readAtoms(spark, tmp.toString,
+      Map("combine" -> "false", "latestBatchOnly" -> "true"))
+    val mixedSrc = mixed.select("source").distinct().collect().map(_.getString(0))
+    assert(mixedSrc.count(_.contains("batch_id=002")) == 5 &&
+      mixedSrc.count(_.contains("zz_extra")) == 2 &&
+      !mixedSrc.exists(_.contains("batch_id=001")),
+      s"batch prune must act only among batch_id siblings, got ${mixedSrc.toSeq}")
   }
 
   test("split planning fans out sidecar probes on a thread pool") {
