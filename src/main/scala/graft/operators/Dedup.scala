@@ -173,6 +173,59 @@ object Dedup {
     docs.selectExpr("doc_id", s"graft_token_hashes($textCol) AS hs")
       .selectExpr("doc_id", s"if(size(hs) = 0, cast(0 as bigint), ${TextOps.simhash60("hs")}) AS simhash")
 
+  /** Exact repeated-passage removal (the exact-substring-dedup
+    * curation step): every n-token window that occurs more than once
+    * in the corpus is scrubbed from all but its first occurrence
+    * (first = lowest (doc_id, position)), and each doc's text is
+    * rebuilt from the surviving tokens. Matches the reference
+    * literature's "remove duplicated spans, keep one canonical copy"
+    * semantics; overlapping repeated windows union their covered
+    * token ranges.
+    *
+    * 100 TB shape — four linear passes, nothing quadratic:
+    *  1. positional shingle hashes are a pure projection (8-byte longs,
+    *     not shingle text, go into the shuffle);
+    *  2. occurrence ranking is ONE window shuffle partitioned by the
+    *     60-bit shingle hash (millions of fine-grained keys — no
+    *     skew beyond genuinely hot passages, whose groups sort
+    *     independently); every occurrence ranked >= 2 is a removal,
+    *     so no separate doc-frequency pass or hot-set join is needed;
+    *  3. removal starts aggregate per doc (map-side combined — output
+    *     is bounded by tokens, typically a tiny fraction of them);
+    *  4. one equi-join back to the tokenized docs rebuilds the text;
+    *     docs with no repeated passage pass through the left join
+    *     untouched. The per-token coverage test scans the doc's own
+    *     sorted removal-start list (bounded by doc length).
+    */
+  def scrubRepeatedPassages(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val tk = docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+    val occ = tk
+      .selectExpr("doc_id",
+        s"transform(${TextOps.shingles("t", n)}, s -> ${TextOps.strHash60("s")}) AS hs")
+      .selectExpr("doc_id", "posexplode(hs) AS (pos0, sgl)")
+      .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "sgl")
+    val removals = occ
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sgl")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"))
+    tk.join(removals, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "t",
+        "coalesce(cov, cast(array() as array<bigint>)) AS cov")
+      .selectExpr("doc_id", "t",
+        // kept token positions: 1-based j survives iff no removal
+        // window starting in (j-n, j] covers it
+        s"if(size(t) = 0, cast(array() as array<int>), " +
+          s"filter(sequence(1, size(t)), j -> " +
+          s"NOT exists(cov, i -> i <= j AND i > j - $n))) AS kept")
+      .selectExpr("doc_id",
+        "cast(size(t) as bigint) AS n_before",
+        "cast(size(kept) as bigint) AS n_after",
+        "concat_ws(' ', transform(kept, j -> element_at(t, j))) AS text_scrubbed")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming,
     * candidate-generated by 4 bands of 15 bits. Pigeonhole: for
     * maxHamming <= 3, at most 3 of the 4 bands can differ, so every

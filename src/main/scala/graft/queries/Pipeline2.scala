@@ -16,7 +16,77 @@ import graft.operators.{Dedup, Packing, TextOps}
   */
 object Pipeline2 {
 
-  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, m03)
+  def all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, t08, m03)
+
+  /** Exact repeated-passage removal ([[graft.operators.Dedup
+    * .scrubRepeatedPassages]] — the exact-substring-dedup curation
+    * step): every 8-token window occurring more than once in the
+    * corpus is scrubbed from all but its first (doc_id, pos)
+    * occurrence, and each doc's text is rebuilt from surviving
+    * tokens. The oracle replays occurrence ranking with the same
+    * window function and the same coverage test, so the rebuilt
+    * text itself is cell-exact — including overlapping-window
+    * unions and the within-doc-repeat case. */
+  val p08: QueryDef = QueryDef(
+    "p08_passage_scrub",
+    (s, d) => Dedup.scrubRepeatedPassages(Tables.documents(s, d), "text", 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      hx AS (SELECT doc_id, list_transform(${DuckOps.shingles("t", 8)},
+               s -> ${DuckOps.strHash60("s")}) AS hs FROM tk),
+      e AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+              i -> {'pos': i, 'sgl': hs[i]}), recursive := true) FROM hx),
+      r AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY sgl ORDER BY doc_id, pos) AS rn FROM e),
+      cov AS (SELECT doc_id, list_sort(list(pos)) AS cov FROM r
+              WHERE rn >= 2 GROUP BY doc_id),
+      j AS (SELECT tk.doc_id, t, coalesce(cov, []::BIGINT[]) AS cov
+            FROM tk LEFT JOIN cov USING (doc_id)),
+      k AS (SELECT doc_id, t, list_filter(range(1, len(t) + 1),
+              p -> len(list_filter(cov, i -> i <= p AND i > p - 8)) = 0) AS kept
+            FROM j)
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before,
+        CAST(len(kept) AS BIGINT) AS n_after,
+        coalesce(array_to_string(list_transform(kept, p -> t[p]), ' '), '') AS text_scrubbed
+      FROM k ORDER BY doc_id"""))
+
+  /** Per-doc lexical diversity (type/token ratio, hapax ratio) — the
+    * vocabulary-richness quality signal t01/t07 don't cover. 100 TB
+    * shape: pure projection, ZERO shuffle — run-boundary counting
+    * over the per-doc sorted token array (j starts a run iff
+    * ts[j] != ts[j-1]; a run is hapax iff the next position starts a
+    * new run too), O(len log len) per doc, no exploded-corpus
+    * groupBy. Boundary probes are if-guarded so ANSI element_at
+    * never sees an out-of-range index. */
+  val t08: QueryDef = QueryDef(
+    "t08_lexical_diversity",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", s"sort_array(${TextOps.tokens("text")}) AS ts")
+      .selectExpr("doc_id",
+        "cast(size(ts) as bigint) AS n_tokens",
+        "cast(size(filter(sequence(1, size(ts)), j -> " +
+          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)))) as bigint) AS n_types",
+        "cast(size(filter(sequence(1, size(ts)), j -> " +
+          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)) AND " +
+          "if(j = size(ts), true, element_at(ts, j + 1) != element_at(ts, j)))) as bigint) AS n_hapax")
+      .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
+        "if(n_tokens = 0, 0, (n_types * 1000000) div n_tokens) AS ttr_micro",
+        "if(n_types = 0, 0, (n_hapax * 1000000) div n_types) AS hapax_ratio_micro")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH q AS (SELECT doc_id,
+          list_sort(${DuckOps.tokens("text")}) AS ts FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(range(1, len(ts) + 1), j ->
+            CASE WHEN j = 1 THEN true ELSE ts[j] <> ts[j - 1] END)) AS BIGINT) AS n_types,
+          CAST(len(list_filter(range(1, len(ts) + 1), j ->
+            (CASE WHEN j = 1 THEN true ELSE ts[j] <> ts[j - 1] END) AND
+            (CASE WHEN j = len(ts) THEN true ELSE ts[j + 1] <> ts[j] END))) AS BIGINT) AS n_hapax
+        FROM q)
+      SELECT doc_id, n_tokens, n_types, n_hapax,
+        CASE WHEN n_tokens = 0 THEN 0 ELSE (n_types * 1000000) // n_tokens END AS ttr_micro,
+        CASE WHEN n_types = 0 THEN 0 ELSE (n_hapax * 1000000) // n_types END AS hapax_ratio_micro
+      FROM m ORDER BY doc_id"""))
 
   /** The typed multimodal batch-decode path under the oracle gate:
     * [[graft.operators.Multimodal.extractFeatures]] (partition-parallel

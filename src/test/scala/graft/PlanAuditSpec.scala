@@ -123,6 +123,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "packing is a streaming O(1)-state pass, not an aggregation buffer")
   }
 
+  test("passage scrub (p08) is equi-join/window only; lexical diversity (t08) is map-only") {
+    val p08 = finalPlan(queries.Pipeline2.p08.run(spark, sfDir))
+    assert(!p08.contains("CartesianProduct"),
+      s"scrub must never self-join the corpus cartesian:\n$p08")
+    assert(!p08.contains("BroadcastNestedLoopJoin"),
+      s"scrub joins must stay equi (hash/SMJ):\n$p08")
+    val t08 = finalPlan(queries.Pipeline2.t08.run(spark, sfDir))
+    val t08Final = t08.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(t08Final).length <= 1,
+      s"t08 must not shuffle before the final order-by (run-boundary counting " +
+        s"is a projection, not an exploded groupBy):\n$t08")
+    assert(!t08.contains("ScalaUDF"), "t08 stays native/codegen")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
