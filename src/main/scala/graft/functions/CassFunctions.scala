@@ -163,6 +163,7 @@ object CassFunctions {
     "graft_simhash60" -> (es => SimHash60(es.head)),
     "graft_minhash" -> (es => MinHashSig(es.head, es(1))),
     "graft_lsh_bucket" -> (es => LshBucket(es.head, es(1))),
+    "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_token_hashes" -> (es => TokenHashes(es.head)))
 

@@ -119,6 +119,41 @@ object SketchExprs {
   }
 }
 
+/** `graft_dot(a, b)`: left-fold dot product of two DOUBLE arrays —
+  * bit-identical to `aggregate(zip_with(a, b, (x, y) -> x * y),
+  * cast(0 as double), (acc, p) -> acc + p)` (same element order, same
+  * IEEE addition sequence) and to the DuckDB oracle's `list_reduce`
+  * fold, but a single while-loop instead of two interpreted
+  * higher-order lambdas with per-element closure dispatch — the
+  * similarity re-rank's hot inner loop. `graft_dot(v, v)` is the
+  * squared-norm fold (x*x accumulated in element order). Arrays of
+  * different lengths fold over the shorter prefix (the zip_with form
+  * would null out instead; all engine vectors are fixed-width so the
+  * case is unreachable in registered queries). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $t")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hyperplane-LSH bucket id over a DOUBLE vector (same deterministic
   * integer plane weights and left-fold dot order as
   * [[graft.operators.Similarity.lshBucketExpr]]'s SQL form and the

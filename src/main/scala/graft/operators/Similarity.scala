@@ -15,16 +15,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** vec_id, v (DOUBLE array), nrm (squared L2 norm, left-fold). */
+  /** vec_id, v (DOUBLE array), nrm (squared L2 norm, left-fold —
+    * `graft_dot(v, v)` accumulates x*x in element order, bit-identical
+    * to the aggregate() fold and the DuckDB oracle). */
   def prepared(emb: DataFrame): DataFrame =
     emb.selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS v")
-      .selectExpr("vec_id", "label", "v",
-        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x) AS nrm")
+      .selectExpr("vec_id", "label", "v", "graft_dot(v, v) AS nrm")
 
   /** cosine between columns a and b given norm columns na/nb — single
-    * deterministic expression (left-fold dot, one division). */
+    * deterministic expression (left-fold dot via the native
+    * [[graft.functions.DotProduct]] loop, one division; same IEEE
+    * addition order as the aggregate(zip_with(...)) form it replaced,
+    * so oracle parity is unchanged). */
   val cosExpr: String =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p) / (sqrt(%s) * sqrt(%s))"
+    "graft_dot(%s, %s) / (sqrt(%s) * sqrt(%s))"
 
   /** Brute-force exact top-k neighbors for each query vector
     * (queries = vec_id < nQueries), ranked by cosine desc. */
