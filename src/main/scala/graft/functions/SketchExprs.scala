@@ -129,7 +129,9 @@ object SketchExprs {
   * squared-norm fold (x*x accumulated in element order). Arrays of
   * different lengths fold over the shorter prefix (the zip_with form
   * would null out instead; all engine vectors are fixed-width so the
-  * case is unreachable in registered queries). */
+  * case is unreachable in registered queries). A null ELEMENT yields
+  * a null result — matching the fold this expression replaces, where
+  * `x * y` with a null operand nulls the whole accumulation. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -145,6 +147,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }

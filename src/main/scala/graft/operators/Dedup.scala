@@ -196,6 +196,12 @@ object Dedup {
     *     docs with no repeated passage pass through the left join
     *     untouched. The per-token coverage test scans the doc's own
     *     sorted removal-start list (bounded by doc length).
+    *
+    * "Exact" is modulo the 60-bit shingle hash: two DIFFERENT n-token
+    * windows colliding (p ≈ 2^-60 per pair) would scrub a
+    * non-duplicate passage. Oracle parity is unaffected (DuckDB
+    * replays the same hash); confirm equality on shingle text within
+    * hash groups if true exactness is ever required.
     */
   def scrubRepeatedPassages(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val tk = docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")

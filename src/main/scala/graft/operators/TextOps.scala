@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
 /** SQL expression builders for the text-pipeline operators (tokenize,
   * shingle, hash, minhash, simhash). Everything is exact integer
   * arithmetic over code points, so Spark and the DuckDB oracle compute
@@ -84,4 +87,30 @@ object TextOps {
   /** count of tokens from `toksCol` present in `stop`. */
   def stopHits(toksCol: String, stop: Seq[String]): String =
     s"size(filter($toksCol, t -> array_contains(${arrayLit(stop)}, t)))"
+
+  /** Per-doc lexical diversity (type/token ratio, hapax ratio) — the
+    * vocabulary-richness quality signal. 100 TB shape: pure
+    * projection, ZERO shuffle — run-boundary counting over the
+    * per-doc sorted token array (position j starts a run iff
+    * ts[j] != ts[j-1]; a run is hapax iff the next position starts a
+    * new run too), O(len log len) per doc, no exploded-corpus
+    * groupBy. The position list is forced to [] when the doc
+    * tokenizes empty — Spark's sequence(1, 0) is the DESCENDING
+    * [1, 0], whose j = 0 element would throw under ANSI element_at. */
+  def lexicalDiversity(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .selectExpr("doc_id", s"sort_array(${tokens(textCol)}) AS ts")
+      .selectExpr("doc_id", "ts",
+        "if(size(ts) = 0, cast(array() as array<int>), sequence(1, size(ts))) AS ps")
+      .selectExpr("doc_id",
+        "cast(size(ts) as bigint) AS n_tokens",
+        "cast(size(filter(ps, j -> " +
+          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)))) as bigint) AS n_types",
+        "cast(size(filter(ps, j -> " +
+          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)) AND " +
+          "if(j = size(ts), true, element_at(ts, j + 1) != element_at(ts, j)))) as bigint) AS n_hapax")
+      .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
+        "if(n_tokens = 0, 0, (n_types * 1000000) div n_tokens) AS ttr_micro",
+        "if(n_types = 0, 0, (n_hapax * 1000000) div n_types) AS hapax_ratio_micro")
+      .orderBy(col("doc_id"))
 }

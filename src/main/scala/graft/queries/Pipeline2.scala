@@ -51,28 +51,13 @@ object Pipeline2 {
       FROM k ORDER BY doc_id"""))
 
   /** Per-doc lexical diversity (type/token ratio, hapax ratio) — the
-    * vocabulary-richness quality signal t01/t07 don't cover. 100 TB
-    * shape: pure projection, ZERO shuffle — run-boundary counting
-    * over the per-doc sorted token array (j starts a run iff
-    * ts[j] != ts[j-1]; a run is hapax iff the next position starts a
-    * new run too), O(len log len) per doc, no exploded-corpus
-    * groupBy. Boundary probes are if-guarded so ANSI element_at
-    * never sees an out-of-range index. */
+    * vocabulary-richness quality signal t01/t07 don't cover
+    * ([[graft.operators.TextOps.lexicalDiversity]]: zero-shuffle
+    * run-boundary counting, empty-doc-guarded — see the operator
+    * scaladoc; TextOpsSpec pins the empty/hapax boundary cases). */
   val t08: QueryDef = QueryDef(
     "t08_lexical_diversity",
-    (s, d) => Tables.documents(s, d)
-      .selectExpr("doc_id", s"sort_array(${TextOps.tokens("text")}) AS ts")
-      .selectExpr("doc_id",
-        "cast(size(ts) as bigint) AS n_tokens",
-        "cast(size(filter(sequence(1, size(ts)), j -> " +
-          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)))) as bigint) AS n_types",
-        "cast(size(filter(sequence(1, size(ts)), j -> " +
-          "if(j = 1, true, element_at(ts, j) != element_at(ts, j - 1)) AND " +
-          "if(j = size(ts), true, element_at(ts, j + 1) != element_at(ts, j)))) as bigint) AS n_hapax")
-      .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
-        "if(n_tokens = 0, 0, (n_types * 1000000) div n_tokens) AS ttr_micro",
-        "if(n_types = 0, 0, (n_hapax * 1000000) div n_types) AS hapax_ratio_micro")
-      .orderBy(col("doc_id")),
+    (s, d) => TextOps.lexicalDiversity(Tables.documents(s, d), "text"),
     Some(s"""WITH q AS (SELECT doc_id,
           list_sort(${DuckOps.tokens("text")}) AS ts FROM documents),
       m AS (SELECT doc_id,
@@ -96,7 +81,12 @@ object Pipeline2 {
     * hex bytes in SQL — so the batching/typing plumbing itself is
     * cell-exact-tested, not just spec'd. The float embedding is exact
     * across engines because every value is k/128 (dyadic — exactly
-    * representable in both FLOAT and DOUBLE). */
+    * representable in both FLOAT and DOUBLE); it is emitted as the
+    * comma-joined integer quantization `x * 128` (= the raw digest
+    * byte - 128, exact) because the compare harness cannot sort rows
+    * on a raw ARRAY column (round-4 m03 err: pandas factorize on
+    * ndarray cells). The float array itself stays spec-covered in
+    * MultimodalSpec. */
   val m03: QueryDef = QueryDef(
     "m03_media_decode",
     (s, d) => {
@@ -106,7 +96,7 @@ object Pipeline2 {
         .selectExpr("media_id", "kind", "n_bytes", "digest",
           "cast(width as bigint) AS width", "cast(height as bigint) AS height",
           "cast(channels as bigint) AS channels", "cast(n_frames as bigint) AS n_frames",
-          "transform(embedding, x -> cast(x as double)) AS emb")
+          "array_join(transform(embedding, x -> cast(cast(x * 128 as int) as string)), ',') AS emb_q")
         .orderBy(col("media_id"))
     },
     Some("""WITH m AS (SELECT doc_id AS media_id,
@@ -123,7 +113,8 @@ object Pipeline2 {
         1 + (bytes[3] % 128) % 3 AS channels,
         CASE WHEN kind = 'video' THEN 1 + (bytes[4] % 128) % 30
              ELSE CAST(1 AS BIGINT) END AS n_frames,
-        list_transform(range(0, 8), i -> (bytes[CAST(i*2 + 1 AS INT)] - 128) / 128.0) AS emb
+        array_to_string(list_transform(range(0, 8),
+          i -> bytes[CAST(i*2 + 1 AS INT)] - 128), ',') AS emb_q
       FROM b ORDER BY media_id"""))
 
   /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
