@@ -10,7 +10,7 @@ object SparkEntry {
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
   def registry: Seq[QueryDef] =
     Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
-      Seq(cassCompaction, cassCompactionTyped)
+      Pipeline3.all ++ Seq(cassCompaction, cassCompactionTyped)
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph clustering for dedup: connected components over a
+  * near-duplicate pair graph (the step after LSH pair generation that
+  * turns pairwise matches into dedup GROUPS — "keep one doc per
+  * component", the canonical corpus-dedup contraction).
+  *
+  * Algorithm: min-label propagation with pointer-jumping — each round
+  * (a) every vertex takes the min label over itself and its
+  * neighbors, then (b) labels shortcut through their current
+  * representative (`lbl := lbl(lbl)`), the classic path-halving step,
+  * so convergence is O(log diameter) rounds rather than O(diameter)
+  * (the same round structure as the alternating large-star/small-star
+  * MapReduce formulation). Every round is two distributed equi-joins
+  * and a groupBy-min — no driver-side graph state; the driver holds
+  * only the loop counter and a converged flag. LSH dup clusters are
+  * near-cliques (diameter ~2), so in practice 2-3 rounds.
+  *
+  * Lineage across rounds is truncated with `localCheckpoint` —
+  * without it the iterated join plan grows exponentially and the
+  * optimizer re-analyzes the whole history each round (on a cluster
+  * with a checkpoint dir, `checkpoint` would also survive executor
+  * loss; the algorithm is identical).
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given as an edge
+    * list. Returns (`id`, `lbl`) where `lbl` is the MINIMUM vertex id
+    * of the component — deterministic, so an oracle can replay it as
+    * min-over-reachable-set. Vertices are the ids appearing in at
+    * least one edge; callers join singletons back themselves (see
+    * c01's coalesce).
+    *
+    * @param maxRounds safety valve: throws if not converged (a wrong
+    *                  silent cutover would mislabel components). With
+    *                  pointer-jumping, 2^maxRounds path length is
+    *                  covered — 30 rounds handles any graph that fits
+    *                  on disk.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val sym = edges.selectExpr(s"$srcCol AS a", s"$dstCol AS b")
+      .union(edges.selectExpr(s"$dstCol AS a", s"$srcCol AS b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    while (round < maxRounds) {
+      // (a) min over self + neighbor labels
+      val viaNeighbors = sym
+        .join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("lbl"))
+      val propagated = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      // (b) pointer-jump: lbl := lbl(lbl)  (labels are always vertex
+      // ids, so the self-join total — every lbl resolves)
+      val reps = propagated.select(col("id").as("rep_id"), col("lbl").as("rep_lbl"))
+      val jumped = propagated
+        .join(reps, propagated("lbl") === reps("rep_id"))
+        .select(propagated("id"), col("rep_lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = jumped.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+      val done = changed.isEmpty
+      labels = jumped
+      round += 1
+      if (done) return labels
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds")
+  }
+}

@@ -137,6 +137,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!t08.contains("ScalaUDF"), "t08 stays native/codegen")
   }
 
+  test("round-5 curation queries keep their scale shapes (t09 map-only, p09 one shuffle, t10/c01 equi-joins)") {
+    val t09 = finalPlan(queries.Pipeline3.t09.run(spark, sfDir))
+    val t09Final = t09.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(t09Final).length <= 1,
+      s"PII redaction must not shuffle before the final order-by:\n$t09")
+    assert(!t09.contains("ScalaUDF"), "t09 regexes stay native/codegen")
+    val p09 = finalPlan(queries.Pipeline3.p09.run(spark, sfDir))
+    assert(p09.contains("Exchange hashpartitioning(source"),
+      s"domain cap must hash-partition by source (one window shuffle):\n$p09")
+    val t10 = finalPlan(queries.Pipeline3.t10.run(spark, sfDir))
+    assert(!t10.contains("CartesianProduct"),
+      s"tf-idf joins tf to df on the token (the only loop join is the broadcast 1-row n_docs):\n$t10")
+    val c01 = finalPlan(queries.Pipeline3.c01.run(spark, sfDir))
+    assert(!c01.contains("CartesianProduct"),
+      s"component labeling joins must stay equi:\n$c01")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
