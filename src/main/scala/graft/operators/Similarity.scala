@@ -85,6 +85,70 @@ object Similarity {
     * and the candidate join is an equi-join on centroid id, so list
     * sizes bound the fan-out. Fully deterministic (exact-double
     * cosines, ties broken by id) so the DuckDB oracle matches. */
+  /** executor-side cosine (while-loop fold, same element order as
+    * [[graft.functions.DotProduct]] and the DuckDB oracle's
+    * list_reduce fold — bit-identical). */
+  private def cos(v: Array[Double], nv: Double, w: Array[Double], nw: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < v.length) { dot += v(i) * w(i); i += 1 }
+    dot / (math.sqrt(nv) * math.sqrt(nw))
+  }
+
+  /** nearest centroid by cosine; strictly-greater keeps the smallest
+    * centroid id on ties, matching the oracle's (cos DESC, cid) rank. */
+  private def nearestCentroid(v: Array[Double], nrm: Double,
+      cents: Array[(Long, Array[Double], Double)]): Long = {
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    cents.foreach { case (cid, cv, cn) =>
+      val c = cos(v, nrm, cv, cn)
+      if (c > bestCos) { bestCos = c; bestId = cid }
+    }
+    bestId
+  }
+
+  /** Coarse quantization: every vector labeled with its nearest of the
+    * `kCentroids` FIXED deterministic centroids (the lowest vec_ids).
+    * The 100 TB shape behind both IVF search and the k-means update:
+    * O(kCentroids) broadcast state — constant in N — and the
+    * assignment itself is a pure map pass. Returns
+    * (vec_id, v, nrm, centroid). */
+  def assignCentroids(emb: DataFrame, kCentroids: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    val cents = p.filter(_._1 < kCentroids).collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.toArray, n) }
+    val bc = spark.sparkContext.broadcast(cents)
+    p.map { case (id, vSeq, nrm) =>
+      (id, vSeq, nrm, nearestCentroid(vSeq.toArray, nrm, bc.value))
+    }.toDF("vec_id", "v", "nrm", "centroid")
+  }
+
+  /** One k-means (Lloyd) centroid-update step over the
+    * [[assignCentroids]] partition: per (centroid, dimension), the
+    * member count and the exact-integer mean of the micro-quantized
+    * coordinates (round(x*1e6) per element is a single IEEE op —
+    * bit-identical across engines; the BIGINT sum is then
+    * order-insensitive, so the distributed aggregation is
+    * deterministic where a raw double mean would not be). 100 TB
+    * shape: assignment is the broadcast map pass; the explode
+    * multiplies rows by D but partial (map-side) aggregation combines
+    * down to kCentroids*D groups per task before the one shuffle.
+    * `div` truncates toward zero in Spark; the oracle decomposes
+    * DuckDB's floor `//` by sign to match. */
+  def kmeansUpdate(emb: DataFrame, kCentroids: Int): DataFrame =
+    assignCentroids(emb, kCentroids)
+      .selectExpr("centroid", "posexplode(v) AS (d0, x)")
+      .selectExpr("centroid", "cast(d0 + 1 as bigint) AS dim",
+        "cast(round(x * 1000000) as bigint) AS xm")
+      .groupBy(col("centroid"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("xm")).as("sum_micro"))
+      .selectExpr("cast(centroid as bigint) AS centroid", "dim",
+        "cast(n_members as bigint) AS n_members",
+        "sum_micro div n_members AS mean_micro")
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       kCentroids: Int, nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -94,24 +158,9 @@ object Similarity {
       .map { case (id, v, n) => (id, v.toArray, n) }
     val bc = spark.sparkContext.broadcast(cents)
 
-    def cos(v: Array[Double], nv: Double, w: Array[Double], nw: Double): Double = {
-      var dot = 0.0
-      var i = 0
-      while (i < v.length) { dot += v(i) * w(i); i += 1 }
-      dot / (math.sqrt(nv) * math.sqrt(nw))
-    }
-
-    // each vector -> its nearest centroid (strictly-greater keeps the
-    // smallest centroid id on ties, matching the oracle's tie-break)
+    // each vector -> its nearest centroid
     val assigned = p.map { case (id, vSeq, nrm) =>
-      val v = vSeq.toArray
-      var bestId = -1L
-      var bestCos = Double.NegativeInfinity
-      bc.value.foreach { case (cid, cv, cn) =>
-        val c = cos(v, nrm, cv, cn)
-        if (c > bestCos) { bestCos = c; bestId = cid }
-      }
-      (id, vSeq, nrm, bestId)
+      (id, vSeq, nrm, nearestCentroid(vSeq.toArray, nrm, bc.value))
     }.toDF("vec_id", "v", "nrm", "centroid")
 
     // each query -> its nprobe nearest centroids

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Cluster, Dedup, TextOps}
+import graft.operators.{Cluster, Dedup, Similarity, TextOps}
 
 /** Round-5 LLM-pipeline additions: the remaining curation steps a
   * training-data pipeline runs between pair generation and shard
@@ -14,7 +14,44 @@ import graft.operators.{Cluster, Dedup, TextOps}
   */
 object Pipeline3 {
 
-  def all: Seq[QueryDef] = Seq(c01, t09, p09, t10)
+  def all: Seq[QueryDef] = Seq(c01, t09, p09, t10, s06)
+
+  /** One k-means (Lloyd) centroid-update step over the s04 IVF
+    * partition ([[graft.operators.Similarity.kmeansUpdate]]): per
+    * (centroid, dimension), member count and the exact-integer mean
+    * of micro-quantized coordinates — the embedding-clustering
+    * refinement an IVF index build runs. The oracle replays the
+    * broadcast-argmax assignment (same fold order, same (cos DESC,
+    * cid) tie-break as s04) and the micro-unit mean; DuckDB's `//`
+    * floors while Spark's `div` truncates, so the oracle decomposes
+    * the division by sign. */
+  val s06: QueryDef = QueryDef(
+    "s06_kmeans_update",
+    (s, d) => Similarity.kmeansUpdate(Tables.embeddings(s, d), 16)
+      .orderBy(col("centroid"), col("dim")),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM nn WHERE vec_id < 16),
+      sc AS (SELECT vec_id, v, cid,
+               ${DuckOps.dot("v", "cv")} / (sqrt(nrm) * sqrt(cn)) AS cos
+             FROM nn, c),
+      asg AS (SELECT vec_id, v, cid FROM (
+               SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM sc) WHERE rk = 1),
+      x AS (SELECT cid AS centroid,
+              unnest(range(1, len(v) + 1)) AS dim,
+              unnest(list_transform(range(1, len(v) + 1),
+                i -> CAST(round(v[i] * 1000000) AS BIGINT))) AS xm
+            FROM asg),
+      g AS (SELECT centroid, dim, count(*) AS n_members, sum(xm) AS s
+            FROM x GROUP BY 1, 2)
+      SELECT CAST(centroid AS BIGINT) AS centroid, CAST(dim AS BIGINT) AS dim,
+        CAST(n_members AS BIGINT) AS n_members,
+        CAST(CASE WHEN s < 0 THEN -((-s) // n_members)
+             ELSE s // n_members END AS BIGINT) AS mean_micro
+      FROM g ORDER BY centroid, dim"""))
 
   /** Near-dup cluster assignment: MinHash-LSH pairs (d03's generator)
     * contracted to connected components
