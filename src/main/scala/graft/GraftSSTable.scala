@@ -174,6 +174,37 @@ object GraftSSTable {
     }
   }
 
+  /** Snapshot diff — the ops question one compaction can't answer:
+    * what changed between two snapshots of a column family? Both dirs
+    * are compacted independently (each the standard one-shuffle plan)
+    * and the compacted states compared key-by-key via a full-outer
+    * equi-join on the raw key bytes; per-key equality is equality of
+    * the rendered aeg-JSON line, which is deterministic (sorted
+    * columns, canonical rendering), so "changed" is exact. Returns
+    * (key_hex, status in {added, removed, changed, same}, old_line,
+    * new_line) with null lines on the absent side. 100 TB shape: two
+    * compaction shuffles + one sort-merge join keyed the same way —
+    * no driver state, no collect. */
+  def diffSnapshots(
+      spark: SparkSession,
+      oldDir: String,
+      newDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def lines(dir: String) =
+      aegJsonLines(compact(readAtoms(spark, dir, options))).toDF("key", "line")
+    lines(oldDir).select(col("key"), col("line").as("old_line"))
+      .join(lines(newDir).select(col("key"), col("line").as("new_line")),
+        Seq("key"), "full_outer")
+      .select(
+        lower(hex(col("key"))).as("key_hex"),
+        when(col("old_line").isNull, "added")
+          .when(col("new_line").isNull, "removed")
+          .when(col("old_line") =!= col("new_line"), "changed")
+          .otherwise("same").as("status"),
+        col("old_line"), col("new_line"))
+  }
+
   /** Write aeg-%05d text files, one per partition, rows ordered by raw
     * key bytes (deterministic file naming per
     * `output/JsonOutputFormat.java:62-67`). `numFiles=1` reproduces a

@@ -10,7 +10,7 @@ object SparkEntry {
     * SURVEY.md §2 (or the extended LLM-pipeline surface). */
   def registry: Seq[QueryDef] =
     Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
-      Pipeline3.all ++ Seq(cassCompaction, cassCompactionTyped)
+      Pipeline3.all ++ Seq(cassCompaction, cassCompactionTyped, cassDiff)
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures
@@ -70,6 +70,48 @@ object SparkEntry {
       '{"6b657931":{"deletedAt":-9223372036854775808,"columns":' ||
       '[["-1","6e65672d6e6577",20],["2","74776f",10],["100","68756e64726564",10]]}}'
       AS line"""))
+
+  /** Snapshot diff ([[GraftSSTable.diffSnapshots]]) through the driver
+    * gate: two deterministic snapshots of one CF written through the
+    * real SSTableWriter — a row that is identical in both, a row whose
+    * cell is overwritten by a newer timestamp, a row only in the old
+    * snapshot, and a row only in the new one — compacted independently
+    * and full-outer-diffed on the raw key. The oracle pins the exact
+    * (key_hex, status) matrix. */
+  val cassDiff: QueryDef = QueryDef(
+    "cass_diff",
+    (s, _) => {
+      import graft.sstable._
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_diff").toFile
+      def cell(n: String, v: String, ts: Long) =
+        CellOut(SSTableFormat.KindColumn, n.getBytes, v.getBytes, ts, None, None, None)
+      def write(dir: String, name: String, rows: Seq[CompactedRow]): Unit = {
+        val d = new java.io.File(root, dir)
+        d.mkdirs()
+        val f = new java.io.DataOutputStream(new java.io.FileOutputStream(
+          new java.io.File(d, name)))
+        rows.foreach(SSTableWriter.writeRow(f, _, SSTableVersion("jb")))
+        f.close()
+      }
+      def row(k: String, cells: Seq[CellOut]) =
+        CompactedRow(k.getBytes, Long.MinValue, cells)
+      write("old", "ks-cf-jb-1-Data.db", Seq(
+        row("k1", Seq(cell("c1", "same", 10L))),
+        row("k2", Seq(cell("c1", "old", 10L))),
+        row("k3", Seq(cell("c1", "gone", 10L)))))
+      write("new", "ks-cf-jb-1-Data.db", Seq(
+        row("k1", Seq(cell("c1", "same", 10L))),
+        row("k2", Seq(cell("c1", "new", 20L))),
+        row("k4", Seq(cell("c1", "born", 10L)))))
+      GraftSSTable.diffSnapshots(s, s"$root/old", s"$root/new")
+        .select(col("key_hex"), col("status"))
+        .orderBy(col("key_hex"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('6b31', 'same'), ('6b32', 'changed'), ('6b33', 'removed'),
+        ('6b34', 'added')) AS t(key_hex, status)
+      ORDER BY key_hex"""))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -66,12 +66,17 @@ object Cluster {
       val jumped = propagated
         .join(reps, propagated("lbl") === reps("rep_id"))
         .select(propagated("id"), col("rep_lbl").as("lbl"))
+      // convergence flag computed INSIDE the checkpoint materialization
+      // (one distributed pass per round: the old-label comparison join
+      // runs in the same job that persists the round's labels; the
+      // isEmpty probe then only scans the cached result)
+      val flagged = jumped.alias("n")
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .select(col("id"), col("n.lbl").as("lbl"),
+          (col("n.lbl") =!= col("prev")).as("chg"))
         .localCheckpoint()
-      val changed = jumped.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-      val done = changed.isEmpty
-      labels = jumped
+      val done = flagged.filter(col("chg")).isEmpty
+      labels = flagged.select(col("id"), col("lbl"))
       round += 1
       if (done) return labels
     }
