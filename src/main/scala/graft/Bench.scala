@@ -52,20 +52,39 @@ object Bench {
       val med = times.map(_._1).sorted.apply(times.length / 2)
       System.err.println(
         f"[bench] ${q.name}%-28s min=$best%7.2fs med=$med%7.2fs rows=${times.head._2}")
-      q.name -> best
+      (q.name, best, med, times.head._2)
     }
-    // rounded values keep the whole JSON line under the harness's
-    // 2000-char output-tail capture (full-precision doubles pushed it
-    // to ~2.1k chars and the head was truncated every round): 10 ms
-    // per query, 1 ms for the total
     def r(v: Double, scale: Int): String = {
       val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    def r3(v: Double): String = r(v, 3)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r(v, 2) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // full-fidelity per-query record (full names, min+median, rows,
+    // iteration count) goes to a FILE — the stdout tail capture is
+    // 2000 chars, which the 75-query full-name map outgrew in round 5
+    // (the line head was truncated and the harness parse failed)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail = results.map { case (k, best, med, rows) =>
+      s""""$k":{"min":${r(best, 3)},"med":${r(med, 3)},"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"$sfDir","queries":$detail}\n"""
+        .getBytes("UTF-8"))
+    // the stdout contract line stays under the tail capture by keying
+    // each query on its unique 'q07'/'d02'-style id (the prefix before
+    // the first underscore); names with no numeric id (the cass_*
+    // fixtures) keep their full name. Collisions fall back to the full
+    // name so the map is always 1:1 with the registry
+    val shortIds = results.map { case (k, _, _, _) =>
+      val id = k.takeWhile(_ != '_')
+      k -> (if (id.matches("[a-z]+\\d+")) id else k)
+    }
+    val counts = shortIds.groupBy(_._2).map { case (id, g) => id -> g.size }
+    val keyed = shortIds.map { case (k, id) => k -> (if (counts(id) > 1) k else id) }.toMap
+    val qs = results.map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

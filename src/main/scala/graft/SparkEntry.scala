@@ -12,6 +12,24 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
       Pipeline3.all ++ Seq(cassCompaction, cassCompactionTyped, cassDiff)
 
+  /** One shared per-JVM root for the synthetic sstable fixtures below.
+    * The fixture bytes are deterministic, so re-writing them on every
+    * invocation is idempotent — but the bench harness runs each query
+    * n>=3 times, and a fresh temp dir per invocation leaked a
+    * directory per run. Removed on JVM exit. */
+  private lazy val fixtureRoot: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_fixtures").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(): Unit
+      }
+      del(d)
+    }))
+    d
+  }
+
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures
     * (independent of sfDir). The oracle is the reference's checked-in
@@ -48,7 +66,7 @@ object SparkEntry {
     "cass_compaction_typed",
     (s, _) => {
       import graft.sstable._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_typed").toFile
+      val tmp = new java.io.File(fixtureRoot, "typed"); tmp.mkdirs()
       def longB(v: Long): Array[Byte] =
         java.nio.ByteBuffer.allocate(8).putLong(v).array()
       def cell(n: Long, v: String, ts: Long) =
@@ -83,7 +101,7 @@ object SparkEntry {
     (s, _) => {
       import graft.sstable._
       import org.apache.spark.sql.functions.col
-      val root = java.nio.file.Files.createTempDirectory("graft_diff").toFile
+      val root = new java.io.File(fixtureRoot, "diff")
       def cell(n: String, v: String, ts: Long) =
         CellOut(SSTableFormat.KindColumn, n.getBytes, v.getBytes, ts, None, None, None)
       def write(dir: String, name: String, rows: Seq[CompactedRow]): Unit = {

@@ -135,7 +135,12 @@ object SketchExprs {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  // NOT nullIntolerant and always nullable: a null array ELEMENT makes
+  // the fold null even when both array inputs are non-null, so the
+  // optimizer must not rewrite IsNotNull(graft_dot(a,b)) into
+  // IsNotNull(a) AND IsNotNull(b) or mark the output non-nullable
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $t")

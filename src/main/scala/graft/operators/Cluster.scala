@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Distributed graph clustering for dedup: connected components over a
@@ -52,6 +54,11 @@ object Cluster {
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
+    // round N's label blocks are consumed exactly once — by round
+    // N+1's eager checkpoint materialization. Unpersist them as soon
+    // as the new round is materialized, or executor storage holds one
+    // full label-set PER ROUND for the life of the job
+    var stale: Seq[RDD[_]] = checkpointRdds(labels)
     var round = 0
     while (round < maxRounds) {
       // (a) min over self + neighbor labels
@@ -75,12 +82,25 @@ object Cluster {
         .select(col("id"), col("n.lbl").as("lbl"),
           (col("n.lbl") =!= col("prev")).as("chg"))
         .localCheckpoint()
+      stale.foreach(_.unpersist(blocking = false))
+      stale = checkpointRdds(flagged)
       val done = flagged.filter(col("chg")).isEmpty
       labels = flagged.select(col("id"), col("lbl"))
       round += 1
-      if (done) return labels
+      if (done) {
+        // the result is checkpointed (materialized) — the edge blocks
+        // are no longer reachable from it and can be freed too
+        checkpointRdds(sym).foreach(_.unpersist(blocking = false))
+        return labels
+      }
     }
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds")
   }
+
+  /** The cached RDDs behind a `localCheckpoint`ed DataFrame (the
+    * blocks `Dataset.unpersist` does NOT release — checkpoint storage
+    * is owned by the underlying RDD, not the Dataset cache). */
+  private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case r: LogicalRDD => r.rdd }
 }

@@ -112,5 +112,4 @@ object TextOps {
       .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
         "if(n_tokens = 0, 0, (n_types * 1000000) div n_tokens) AS ttr_micro",
         "if(n_types = 0, 0, (n_hapax * 1000000) div n_types) AS hapax_ratio_micro")
-      .orderBy(col("doc_id"))
 }

@@ -57,7 +57,8 @@ object Pipeline2 {
     * scaladoc; TextOpsSpec pins the empty/hapax boundary cases). */
   val t08: QueryDef = QueryDef(
     "t08_lexical_diversity",
-    (s, d) => TextOps.lexicalDiversity(Tables.documents(s, d), "text"),
+    (s, d) => TextOps.lexicalDiversity(Tables.documents(s, d), "text")
+      .orderBy(col("doc_id")),
     Some(s"""WITH q AS (SELECT doc_id,
           list_sort(${DuckOps.tokens("text")}) AS ts FROM documents),
       m AS (SELECT doc_id,

@@ -109,7 +109,13 @@ object Pipeline3 {
   // lower(text) so case handling is explicit, counted BEFORE
   // redaction, redacted in a fixed email -> ipv4 -> phone order
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // octets restricted to 0-255 (no leading zeros): \d{1,3} accepted
+  // 999.999.999.999 and dotted version numbers. Alternation order
+  // (longest first) gives the same leftmost-first result under Java
+  // backtracking and RE2's priority NFA; groups are non-capturing so
+  // group-0 counts and replacement stay whole-match in both engines
+  private val Octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  private val Ipv4Re = s"\\b$Octet(?:\\.$Octet){3}\\b"
   private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
   /** PII redaction: count and scrub emails / IPv4 addresses / phone
