@@ -165,7 +165,8 @@ object CassFunctions {
     "graft_lsh_bucket" -> (es => LshBucket(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
-    "graft_token_hashes" -> (es => TokenHashes(es.head)))
+    "graft_token_hashes" -> (es => TokenHashes(es.head)),
+    "graft_nfc" -> (es => NfcNormalize(es.head)))
 
   /** Idempotently register all engine expressions on the session. */
   def registerAll(spark: SparkSession): Unit = {

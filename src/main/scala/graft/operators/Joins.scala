@@ -53,4 +53,41 @@ object Joins {
       .filter(col("__is_left") === 1)
       .drop("__ord", "__is_left", "__rord")
   }
+
+  /** Interval (range) join with NO equi-key: every (point, interval)
+    * pair with `start <= point < end`. Column sets of the two inputs
+    * must be disjoint; `pointCol`/`startCol`/`endCol` are integral
+    * (e.g. `unix_micros` timestamps). Empty intervals (end <= start)
+    * match nothing and are dropped up front.
+    *
+    * Spark's own plan for a pure inequality join is a broadcast
+    * nested-loop / cartesian scan — O(|P|·|I|) compares, the classic
+    * range-join scale killer. This operator buckets the domain into
+    * `bucketWidth`-sized cells: each interval replicates to the
+    * buckets it covers (explode of a `sequence` — bounded by
+    * len/bucketWidth + 1), each point lands in exactly ONE bucket, and
+    * the join becomes a plain hash-shuffle equi-join on the bucket id
+    * with the exact range predicate as a post-filter. No dedup pass is
+    * needed: a matching pair meets in precisely the point's bucket.
+    *
+    * 100 TB shape: compares drop from |P|·|I| to pairs that share a
+    * bucket — pick bucketWidth near the typical interval length so
+    * replication stays O(1) per interval while buckets stay selective;
+    * time-ordered data also keeps both sides' bucket ids range-
+    * clustered, so AQE sees a well-distributed shuffle key.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pts = points.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
+    // last candidate bucket is (end-1) div width: the end bound is
+    // exclusive, so a point in a later bucket can never match
+    val ivs = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(expr(
+        s"sequence($startCol div $bucketWidth, ($endCol - 1) div $bucketWidth)")))
+    pts.join(ivs, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
 }

@@ -182,6 +182,62 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings (the
+    * [[assignCentroids]] coarse quantization — broadcast argmax, pure
+    * map), compare vectors ONLY within their cluster, and drop every
+    * vector that has a lower-id cluster-mate with cosine >= threshold
+    * (one-pass keep-lowest-id policy, same greedy rule as d05). The
+    * embedding twin of MinHash dedup: catches paraphrases and
+    * re-encodings that share no n-grams.
+    *
+    * 100 TB shape: the only quadratic term is per-cluster pair
+    * generation, an equi-join on centroid id whose fan-out is bounded
+    * by cluster size — kCentroids must grow with the corpus (the
+    * SemDeDup paper runs 50k clusters for 1e9 docs; sqrt(N) is the
+    * usual rule) to keep clusters O(sqrt N). Assignment state stays
+    * O(kCentroids) broadcast, constant in corpus size.
+    *
+    * @return (vec_id, centroid, kept) for every corpus vector.
+    */
+  def semanticDedup(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame = {
+    val a = assignCentroids(emb, kCentroids)
+    val l = a.select(col("centroid"), col("vec_id").as("d1"),
+      col("v").as("v1"), col("nrm").as("nrm1"))
+    val r = a.select(col("centroid"), col("vec_id").as("d2"),
+      col("v").as("v2"), col("nrm").as("nrm2"))
+    val losers = l.join(r, Seq("centroid"))
+      .filter(col("d1") < col("d2"))
+      .selectExpr("d2", cosExpr.format("v1", "v2", "nrm1", "nrm2") + " AS cos")
+      .filter(col("cos") >= threshold)
+      .select(col("d2").as("vec_id"))
+      .distinct()
+    a.select(col("vec_id"), col("centroid"))
+      .join(losers.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cast(centroid as bigint) AS centroid",
+        "coalesce(NOT __dropped, true) AS kept")
+  }
+
+  /** Per-vector symmetric int8 quantization — the storage/transport
+    * format a 100 TB embedding corpus actually ships (4x smaller than
+    * float32, SIMD-friendly dot products). scale = maxabs/127;
+    * q_i = round(v_i * 127 / maxabs) in [-127, 127]. Pure projection,
+    * zero shuffle. All arithmetic is fixed-order IEEE (one multiply,
+    * one divide, one round per element) so the DuckDB oracle
+    * reproduces every q_i bit-exactly; zero vectors quantize to zeros
+    * with scale 0.
+    *
+    * @return (vec_id, v, nrm, maxabs, q) — q is the int8 code array
+    *         (stored as int; parquet INT8 annotation applies at write).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    prepared(emb)
+      .selectExpr("vec_id", "v", "nrm",
+        "aggregate(v, cast(0 as double), (m, x) -> greatest(m, abs(x))) AS maxabs")
+      .selectExpr("vec_id", "v", "nrm", "maxabs",
+        "if(maxabs = 0d, transform(v, x -> 0), " +
+          "transform(v, x -> cast(round((x * 127d) / maxabs) as int))) AS q")
+
   /** Near-duplicate vector pairs (cosine >= threshold, d1 < d2) via
     * banded hyperplane LSH + exact re-rank: one `nBands * bandBits`-
     * plane signature per vector (pure projection), sliced into

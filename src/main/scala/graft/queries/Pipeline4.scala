@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Joins, Similarity, TextOps}
+
+/** Round-6 additions: the embedding-side curation steps (semantic
+  * dedup, int8 quantization) with tested accuracy invariants, sketch
+  * accuracy as a hash-checked bound (the q37 pattern applied to
+  * MinHash), Unicode NFC normalization through a native expression,
+  * a bucketed interval join (the range-join shape Spark would
+  * otherwise plan as a nested-loop scan), and an adaptive per-group
+  * quantile gate. Exact-integer / fixed-order-IEEE throughout so the
+  * DuckDB oracles stay cell-exact.
+  */
+object Pipeline4 {
+
+  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10)
+
+  /** SemDeDup-style semantic dedup over the embedding corpus
+    * ([[graft.operators.Similarity.semanticDedup]]): IVF-style
+    * centroid assignment, within-cluster cosine pairs, drop any
+    * vector with a lower-id cluster-mate at cosine >= 0.4. The
+    * synthetic corpus has no true paraphrase pairs (max within-
+    * cluster cosine ~0.49), so 0.4 exercises the drop path while the
+    * plan is the one a real corpus runs at ~0.95. The oracle replays
+    * the argmax assignment (s06's CTE chain), the within-cluster
+    * pair generation, and the keep-lowest-id policy. */
+  val s07: QueryDef = QueryDef(
+    "s07_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 16, 0.4)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM nn WHERE vec_id < 16),
+      sc AS (SELECT vec_id, v, nrm, cid,
+               ${DuckOps.dot("v", "cv")} / (sqrt(nrm) * sqrt(cn)) AS cos
+             FROM nn, c),
+      asg AS (SELECT vec_id, v, nrm, cid FROM (
+               SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM sc) WHERE rk = 1),
+      pr AS (SELECT b.vec_id AS d2,
+               ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+             FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      losers AS (SELECT DISTINCT d2 FROM pr WHERE cos >= 0.4)
+      SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
+        vec_id NOT IN (SELECT d2 FROM losers) AS kept
+      FROM asg ORDER BY vec_id"""))
+
+  /** Per-vector int8 quantization
+    * ([[graft.operators.Similarity.quantizeInt8]]) with its accuracy
+    * invariant hash-checked: the full code array is pinned by an
+    * exact-integer fold hash (offset +127 keeps every term
+    * non-negative) plus its sum, and `cos_ok` asserts the
+    * reconstruction cosine stays >= 0.999 (measured floor on this
+    * corpus: ~0.99995). The q37 pattern: the sketch's ERROR BOUND is
+    * the tested, deterministic output — not the engine-specific float
+    * soup. Zero vectors (scale 0) pass by definition. */
+  val s08: QueryDef = QueryDef(
+    "s08_quantize_int8",
+    (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .selectExpr("vec_id",
+        "aggregate(q, cast(0 as bigint), (a, x) -> a + x) AS q_sum",
+        s"${TextOps.foldHash("transform(q, x -> cast(x + 127 as bigint))")} AS q_hash",
+        "if(maxabs = 0d, true, " +
+          "graft_dot(v, transform(q, qi -> (qi * maxabs) / 127d)) / " +
+          "(sqrt(nrm) * sqrt(graft_dot(transform(q, qi -> (qi * maxabs) / 127d), " +
+          "transform(q, qi -> (qi * maxabs) / 127d)))) >= 0.999d) AS cos_ok")
+      .orderBy(col("vec_id")),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      m AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm,
+              list_reduce(list_concat([0.0::DOUBLE],
+                list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS maxabs
+            FROM e),
+      qz AS (SELECT vec_id, v, nrm, maxabs,
+               CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::INT)
+                 ELSE list_transform(v, x -> CAST(round((x * 127) / maxabs) AS INT))
+               END AS q
+             FROM m),
+      rec AS (SELECT vec_id, v, nrm, maxabs, q,
+               list_transform(q, qi -> (qi * maxabs) / 127) AS vr FROM qz)
+      SELECT vec_id,
+        CAST(list_reduce(list_concat([0::BIGINT], q), (a, b) -> a + b) AS BIGINT) AS q_sum,
+        ${DuckOps.foldHash("list_transform(q, x -> (x + 127)::BIGINT)")} AS q_hash,
+        CASE WHEN maxabs = 0 THEN true
+          ELSE ${DuckOps.dot("v", "vr")} /
+            (sqrt(nrm) * sqrt(${DuckOps.norm2("vr")})) >= 0.999 END AS cos_ok
+      FROM rec ORDER BY vec_id"""))
+
+  /** MinHash accuracy as a tested invariant (the q37 pattern applied
+    * to d03): for every LSH-surfaced pair, the 16-perm signature
+    * estimate vs the EXACT shingle-set Jaccard, with the error bound
+    * evaluated in pure integer cross-multiplication —
+    * |matches/16 - shared/uni| <= 0.3 becomes
+    * |matches*uni - shared*16| * 10 <= 3*16*uni, no doubles anywhere
+    * — so the accuracy of the sketch is itself a hash-matchable cell,
+    * not an untested estimate. */
+  val d06: QueryDef = QueryDef(
+    "d06_minhash_accuracy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+        .select(col("d1"), col("d2"), col("matches"))
+      val sets = Dedup.shingleHashSets(docs, "text", 3)
+      pairs
+        .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+          col("n_shingles").as("n1")), Seq("d1"))
+        .join(sets.select(col("doc_id").as("d2"), col("hs").as("h2"),
+          col("n_shingles").as("n2")), Seq("d2"))
+        .selectExpr("d1", "d2", "matches",
+          "cast(size(array_intersect(h1, h2)) as bigint) AS shared",
+          "cast(n1 + n2 - size(array_intersect(h1, h2)) as bigint) AS uni")
+        .withColumn("est_ok",
+          abs(col("matches") * col("uni") - col("shared") * 16) * 10
+            <= col("uni") * (3 * 16))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
+      hs AS (SELECT doc_id, list_distinct(
+               list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
+      sig AS (SELECT doc_id, ${DuckOps.minhashSig("h", 16)} AS sig FROM hs),
+      bands AS (SELECT doc_id, b, ${DuckOps.foldHash("sig[b * 4 + 1 : b * 4 + 4]")} AS bucket
+                FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      pairs AS (SELECT d1, d2,
+                  CAST(len(list_filter(range(1, 17),
+                    i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS matches
+                FROM cand
+                JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+                WHERE CAST(len(list_filter(range(1, 17),
+                  i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 >= 0.5),
+      ex AS (SELECT d1, d2, matches,
+               CAST(len(list_intersect(e1.h, e2.h)) AS BIGINT) AS shared,
+               CAST(len(e1.h) + len(e2.h) - len(list_intersect(e1.h, e2.h)) AS BIGINT) AS uni
+             FROM pairs JOIN hs e1 ON d1 = e1.doc_id JOIN hs e2 ON d2 = e2.doc_id)
+      SELECT d1, d2, matches, shared, uni,
+        abs(matches * uni - shared * 16) * 10 <= uni * 48 AS est_ok
+      FROM ex ORDER BY d1, d2"""))
+
+  // deterministic non-NFC salt appended to every doc so the ASCII-only
+  // synthetic corpus actually exercises composition: 'e' + U+0301
+  // composes to U+00E9 under NFC (one codepoint shorter)
+  private val Salt = " cafe\u0301"
+
+  /** Unicode NFC normalization through the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression — the cleanup pass
+    * that must run before any hashing/dedup so decomposed and
+    * precomposed spellings of the same text collapse. Pure
+    * projection, zero shuffle. The oracle is DuckDB's utf8proc-backed
+    * `nfc_normalize`; the JDK implements the same Unicode standard
+    * algorithm, and the char-length delta pins that composition
+    * actually happened. */
+  val t11: QueryDef = QueryDef(
+    "t11_nfc_normalize",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", s"concat(text, '$Salt') AS salted")
+      .selectExpr("doc_id",
+        "cast(length(salted) as bigint) AS n_before",
+        "cast(length(graft_nfc(salted)) as bigint) AS n_after",
+        "graft_nfc(salted) AS text_norm")
+      .orderBy(col("doc_id")),
+    Some("""WITH s AS (SELECT doc_id, text || ' cafe' || chr(769) AS salted
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(salted) AS BIGINT) AS n_before,
+        CAST(length(nfc_normalize(salted)) AS BIGINT) AS n_after,
+        nfc_normalize(salted) AS text_norm
+      FROM s ORDER BY doc_id"""))
+
+  /** Bucketed interval join ([[graft.operators.Joins.rangeJoin]]):
+    * purchases landing in the 60-second window after each error
+    * event, counted per error — NO equi-key relates the two sides, so
+    * Spark's native plan would be a nested-loop scan; the operator's
+    * bucket expansion turns it into a hash-shuffle equi-join on the
+    * 60 s bucket id (each interval replicates to <= 2 buckets, each
+    * point to exactly 1). The left join back to the interval side
+    * keeps zero-count windows. */
+  val q38: QueryDef = QueryDef(
+    "q38_range_join",
+    (s, d) => {
+      val W = 60000000L // 60 s in microseconds
+      val ev = Tables.events(s, d).withColumn("tm", expr("unix_micros(ts)"))
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("tm").as("pm"))
+      val ivs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("tm").as("w_start"),
+          (col("tm") + W).as("w_end"))
+      val counts = Joins.rangeJoin(pts, ivs, "pm", "w_start", "w_end", W)
+        .groupBy(col("e_id")).agg(count(lit(1)).as("n"))
+      ivs.select(col("e_id"))
+        .join(counts, Seq("e_id"), "left")
+        .selectExpr("e_id", "cast(coalesce(n, 0) as bigint) AS n_purchases")
+        .orderBy(col("e_id"))
+    },
+    Some("""WITH er AS (SELECT event_id AS e_id, epoch_us(ts) AS s0
+          FROM events WHERE event_type = 'error'),
+        p AS (SELECT epoch_us(ts) AS pm FROM events WHERE event_type = 'purchase')
+      SELECT e_id, CAST(count(pm) AS BIGINT) AS n_purchases
+      FROM er LEFT JOIN p ON pm >= s0 AND pm < s0 + 60000000
+      GROUP BY e_id ORDER BY e_id"""))
+
+  /** Adaptive per-source quality gate: keep the top 75% of each
+    * source's docs by token count — the threshold ADAPTS to the group
+    * (rank * 4 <= n * 3, pure integers) instead of a fixed global
+    * cutoff, which is how real corpus curation sets per-domain
+    * quality bars. One window shuffle, exact-integer predicate. */
+  val p10: QueryDef = QueryDef(
+    "p10_quality_quartile",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        s"cast(size(${TextOps.tokens("text")}) as bigint) AS n_tokens")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .filter(col("rk") * 4 <= col("n_src") * 3)
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, source,
+        CAST(len(${DuckOps.tokens("text")}) AS BIGINT) AS n_tokens,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY len(${DuckOps.tokens("text")}) DESC, doc_id) AS BIGINT) AS rk,
+        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM documents QUALIFY rk * 4 <= n_src * 3 ORDER BY doc_id"""))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+/** [[graft.operators.Joins.rangeJoin]] contract: equivalence to the
+  * naive inequality join (every pair, no duplicates, no misses),
+  * inclusive/exclusive boundary semantics, multi-bucket intervals,
+  * empty-interval drop, and the plan-shape claim the operator exists
+  * for — a hash/SMJ equi-join on the bucket id instead of a
+  * nested-loop scan. */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  private def fixture() = {
+    import spark.implicits._
+    // points at every integer 0..199; intervals of assorted lengths,
+    // some spanning many buckets (width 10), some empty, some at exact
+    // bucket edges
+    val pts = (0L until 200L).map(i => (i, i)).toDF("p_id", "pm")
+    val ivs = Seq(
+      (100L, 0L, 10L),    // exactly one bucket
+      (101L, 5L, 35L),    // spans 4 buckets
+      (102L, 17L, 18L),   // single point
+      (103L, 50L, 50L),   // empty: matches nothing
+      (104L, 60L, 59L),   // inverted: matches nothing
+      (105L, 195L, 240L), // runs past the point domain
+      (106L, 9L, 11L),    // straddles a bucket edge
+      (107L, 0L, 200L)    // covers everything
+    ).toDF("i_id", "s0", "e0")
+    (pts, ivs)
+  }
+
+  test("matches the naive inequality join exactly (no dups, no misses)") {
+    val (pts, ivs) = fixture()
+    val got = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 10L)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = pts.join(ivs, col("pm") >= col("s0") && col("pm") < col("e0"))
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+    assert(got.size == got.toSet.size, "bucket expansion must not duplicate pairs")
+    assert(want.nonEmpty)
+  }
+
+  test("boundaries: start inclusive, end exclusive") {
+    val (pts, ivs) = fixture()
+    val m = Joins.rangeJoin(pts, ivs.filter(col("i_id") === 100L), "pm", "s0", "e0", 10L)
+      .select("pm").collect().map(_.getLong(0)).sorted
+    assert(m.toSeq == (0L until 10L))
+  }
+
+  test("result is bucket-width independent") {
+    val (pts, ivs) = fixture()
+    val ws = Seq(1L, 3L, 10L, 64L, 1000L)
+    val results = ws.map { w =>
+      Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", w)
+        .select("p_id", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(results.distinct.size == 1)
+  }
+
+  test("plan is an equi-join on the bucket — no nested-loop/cartesian scan") {
+    val (pts, ivs) = fixture()
+    val plan = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -59,4 +59,55 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall >= 0.5, s"LSH recall degraded: $recall (${banded.size}/${brute.size})")
     }
   }
+
+  test("semanticDedup: drop policy is exactly 'lower-id cluster-mate above threshold'") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val tau = 0.4
+    val out = Similarity.semanticDedup(emb, 8, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    // recompute ground truth from the assignment + exact cosines
+    val asg = Similarity.assignCentroids(emb, 8)
+      .selectExpr("vec_id", "centroid", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val byCluster = asg.groupBy(_._2)
+    def cosine(a: (Long, Long, Array[Double], Double), b: (Long, Long, Array[Double], Double)) = {
+      var dot = 0.0; var i = 0
+      while (i < a._3.length) { dot += a._3(i) * b._3(i); i += 1 }
+      dot / (math.sqrt(a._4) * math.sqrt(b._4))
+    }
+    val expectDropped = (for {
+      (_, members) <- byCluster.toSeq
+      b <- members
+      if members.exists(a => a._1 < b._1 && cosine(a, b) >= tau)
+    } yield b._1).toSet
+    out.foreach { case (id, _, kept) =>
+      assert(kept == !expectDropped.contains(id), s"vec $id kept=$kept")
+    }
+    // the lowest id of every cluster can never be dropped
+    byCluster.values.foreach { members =>
+      val lowest = members.map(_._1).min
+      assert(out.find(_._1 == lowest).exists(_._3))
+    }
+  }
+
+  test("quantizeInt8: codes in [-127,127], per-element error <= scale/2") {
+    val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .selectExpr("vec_id", "v", "maxabs", "q").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val maxabs = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.length == v.length)
+      assert(q.forall(qi => qi >= -127 && qi <= 127))
+      if (maxabs > 0) {
+        val scale = maxabs / 127
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12,
+            s"vec ${r.getLong(0)}: |$x - $qi*$scale| > scale/2")
+        }
+      } else assert(q.forall(_ == 0))
+    }
+  }
 }
