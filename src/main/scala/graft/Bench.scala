@@ -48,6 +48,12 @@ object Bench {
         val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      // drop this query's cached intermediates (dedup/similarity
+      // operators cache signature sets) so storage doesn't accumulate
+      // across the 80+ query registry and evict/thrash later queries;
+      // within one query's iterations the cache stays warm, matching
+      // earlier rounds' min semantics
+      spark.catalog.clearCache()
       val best = times.map(_._1).min
       val med = times.map(_._1).sorted.apply(times.length / 2)
       System.err.println(

@@ -24,11 +24,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * code), so the two registration routes cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     graft.functions.CassFunctions.builders.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // opt-in optimizer rule: inequality (range) joins become bucketed
+    // equi-joins when spark.graft.rangeJoin.bucketWidth is set — see
+    // graft.plans.RangeJoinRewrite
+    extensions.injectOptimizerRule(graft.plans.RangeJoinRewrite)
+  }
 }

@@ -39,6 +39,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // hex caster: 8-byte width sniffs to a long
       val hx = spark.sql("SELECT hex_to_long('00000000000000ff') AS v").head().getLong(0)
       assert(hx == 255L)
+      val nfc = spark.sql("SELECT graft_nfc('cafe\u0301') AS n").head().getString(0)
+      assert(nfc == "caf\u00e9")
+      // EVERY builder-listed expression must resolve through this path —
+      // a function added to CassFunctions.builders is covered here
+      // without editing this spec
+      graft.functions.CassFunctions.builders.foreach { case (name, _) =>
+        assert(
+          spark.sessionState.functionRegistry
+            .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"$name not injected by GraftExtensions")
+      }
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
