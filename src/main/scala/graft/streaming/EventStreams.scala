@@ -170,4 +170,41 @@ object EventStreams {
     * the streaming face of the dedup operator family. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes").dropDuplicates("event_id")
+
+  /** Watermarked stream-stream interval self-join — the streaming face
+    * of q38's range join: every purchase landing within
+    * `windowSeconds` after an error event, paired.
+    *
+    * Structured Streaming refuses a stream-stream join with no
+    * equality predicate (state matching would be a full scan), so the
+    * same bucket-expansion trick as [[graft.operators.Joins.rangeJoin]]
+    * supplies one: each error replicates to the `windowSeconds`-wide
+    * time buckets its window covers (<= 2), each purchase keys to its
+    * single bucket, and the join becomes `bucket == bucket AND the
+    * exact interval test`. State stays bounded twice over — the bucket
+    * key hash-partitions the state store, and the event-time interval
+    * in the join condition lets the engine evict buffered rows once
+    * the opposing watermark passes them (state is O(watermark x rate),
+    * not O(stream)). Works identically over batch frames —
+    * batch/stream parity and agreement with the q38 plan are
+    * spec-pinned. */
+  def purchasesNearErrors(events: DataFrame, windowSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windowSeconds * 1000000L // bucket width in micros
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame, tsCol: String) =
+      if (isStreaming) df.withWatermark(tsCol, watermark) else df
+    val errors = wm(events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts")), "e_ts")
+      .withColumn("bucket_e", explode(expr(
+        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts")), "p_ts")
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    errors.join(purchases,
+      col("bucket_e") === col("bucket_p") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("bucket_e", "bucket_p")
+  }
 }

@@ -100,4 +100,37 @@ class EventStreamsSpec extends AnyFunSuite {
     // one millisecond past the gap splits in both
     assert(run(gapMs + 1) == ((2L, 2L)), "gap+1ms events must split in BOTH sessionizers")
   }
+
+  test("stream-stream interval join: stream (memory sink) == batch == q38's match set") {
+    // sf0.001 averages one event per ~43 min, so a 60 s window matches
+    // nothing — one hour yields a meaningful pair set
+    val winSec = 3600L
+    val stream = EventStreams.readEventStream(spark, sfDir)
+    val q = EventStreams.purchasesNearErrors(stream, windowSeconds = winSec)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT e_id, p_id FROM ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.purchasesNearErrors(
+          Tables.events(spark, sfDir), windowSeconds = winSec)
+        .select("e_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream-stream join diverged from batch: ${streamed.size} vs ${batch.size}")
+      assert(batch.nonEmpty, "fixture produced no error->purchase pairs")
+      // same match set as the bucketed range-join operator (q38's plan)
+      val w = winSec * 1000000L
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("tm", org.apache.spark.sql.functions.expr("unix_micros(ts)"))
+      val pts = ev.filter("event_type = 'purchase'")
+        .selectExpr("event_id AS p_id", "tm AS pm")
+      val ivs = ev.filter("event_type = 'error'")
+        .selectExpr("event_id AS e_id", "tm AS w_start", s"tm + $w AS w_end")
+      val bucketed = graft.operators.Joins.rangeJoin(pts, ivs, "pm", "w_start", "w_end", w)
+        .select("e_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == batch)
+    } finally q.stop()
+  }
 }
