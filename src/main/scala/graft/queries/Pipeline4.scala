@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Joins, Similarity, TextOps}
   */
 object Pipeline4 {
 
-  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10)
+  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10, p11)
 
   /** SemDeDup-style semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): IVF-style
@@ -205,6 +205,46 @@ object Pipeline4 {
       SELECT e_id, CAST(count(pm) AS BIGINT) AS n_purchases
       FROM er LEFT JOIN p ON pm >= s0 AND pm < s0 + 60000000
       GROUP BY e_id ORDER BY e_id"""))
+
+  /** Deterministic round-robin source interleaving — the training-
+    * order construction step that spreads every source evenly through
+    * the epoch (consecutive batches should not be single-domain runs).
+    * interleave_key = (r-1) * n_src + src_idx gives source s's r-th
+    * doc the r-th round-robin slot: a contiguous schedule when sources
+    * are balanced, and a deterministic total order regardless.
+    *
+    * 100 TB shape: ONE window shuffle partitioned by source for the
+    * per-source rank; the source index and source count are tiny
+    * broadcast tables (the single-partition window ranks only the
+    * distinct sources — bounded by |domains|, not docs). No global
+    * row_number anywhere: the schedule key is pure arithmetic. */
+  val p11: QueryDef = QueryDef(
+    "p11_source_interleave",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcIdx = docs.select(col("source")).distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy(col("source"))).cast("long"))
+      val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+        .join(broadcast(srcIdx), Seq("source"))
+        .crossJoin(broadcast(nSrc))
+        .selectExpr("doc_id", "source", "r", "src_idx",
+          "(r - 1) * n_src + src_idx AS interleave_key")
+        .orderBy(col("interleave_key"))
+    },
+    Some("""WITH si AS (SELECT source,
+          CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+        FROM (SELECT DISTINCT source FROM documents)),
+      n AS (SELECT count(*) AS n_src FROM si),
+      rk AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r
+        FROM documents)
+      SELECT doc_id, source, r, src_idx,
+        CAST((r - 1) * n_src + src_idx AS BIGINT) AS interleave_key
+      FROM rk JOIN si USING (source), n ORDER BY interleave_key"""))
 
   /** Adaptive per-source quality gate: keep the top 75% of each
     * source's docs by token count — the threshold ADAPTS to the group

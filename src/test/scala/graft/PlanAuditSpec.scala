@@ -154,6 +154,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"component labeling joins must stay equi:\n$c01")
   }
 
+  test("round-6 queries keep their scale shapes (s07 equi-only, q38 no nested loop, t11/s08 map-only)") {
+    val s07 = finalPlan(queries.Pipeline4.s07.run(spark, sfDir))
+    assert(!s07.contains("CartesianProduct") && !s07.contains("BroadcastNestedLoopJoin"),
+      s"semantic-dedup pairs must be an equi-join on the centroid id:\n$s07")
+    val q38 = finalPlan(queries.Pipeline4.q38.run(spark, sfDir))
+    assert(!q38.contains("CartesianProduct") && !q38.contains("BroadcastNestedLoopJoin"),
+      s"the range join must be the bucketed equi-join, not a nested-loop scan:\n$q38")
+    Seq(queries.Pipeline4.t11, queries.Pipeline4.s08).foreach { q =>
+      val p = finalPlan(q.run(spark, sfDir))
+      val fin = p.split("== Initial Plan ==").head
+      assert("Exchange".r.findAllIn(fin).length <= 1,
+        s"${q.name} is a pure projection — no shuffle before the final order-by:\n$p")
+      assert(!p.contains("ScalaUDF"), s"${q.name} stays native/codegen")
+    }
+    val d06 = finalPlan(queries.Pipeline4.d06.run(spark, sfDir))
+    assert(!d06.contains("CartesianProduct"),
+      s"sketch-accuracy joins must stay equi:\n$d06")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
