@@ -108,7 +108,11 @@ case class RangeJoinRewrite(spark: SparkSession)
     (lower, upper) match {
       case (Some((p1, s)), Some((p2, e)))
           if p1.semanticEquals(p2) &&
-            p1.dataType == LongType && s.dataType == LongType && e.dataType == LongType =>
+            p1.dataType == LongType && s.dataType == LongType && e.dataType == LongType &&
+            // the rewrite evaluates p/s/e again (bucket projection,
+            // emptiness filter, sequence bounds) — only sound for
+            // deterministic expressions
+            p1.deterministic && s.deterministic && e.deterministic =>
         val p = p1
         def onlyIn(ex: Expression, side: LogicalPlan) =
           ex.references.nonEmpty && ex.references.subsetOf(side.outputSet)
