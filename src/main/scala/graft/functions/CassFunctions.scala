@@ -166,7 +166,10 @@ object CassFunctions {
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_token_hashes" -> (es => TokenHashes(es.head)),
-    "graft_nfc" -> (es => NfcNormalize(es.head)))
+    "graft_nfc" -> (es => NfcNormalize(es.head)),
+    // bare AggregateFunction: the analyzer wraps it in an
+    // AggregateExpression at resolution, same as the built-in registry
+    "graft_collect_capped" -> (es => new CollectCapped(es.head, es(1))))
 
   /** Idempotently register all engine expressions on the session. */
   def registerAll(spark: SparkSession): Unit = {

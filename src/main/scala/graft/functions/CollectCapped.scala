@@ -1,0 +1,110 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Buffer for [[CollectCapped]]: once a group exceeds the cap it is
+  * permanently overflowed and its storage is RELEASED — a hot group
+  * costs O(cap) memory no matter how many rows it receives. */
+final class CappedLongBuf(var overflowed: Boolean, var buf: ArrayBuffer[Long])
+
+/** `graft_collect_capped(col, cap)` — collect at most `cap` LongType
+  * values per group, SORTED; a group that exceeds the cap evaluates to
+  * NULL (and stops buffering immediately).
+  *
+  * The similarity self-join's doc-frequency prune in one aggregation:
+  * "shingles with more than `cap` docs generate no candidates" is
+  * exactly "groups that overflow collapse to null". The two-extra-pass
+  * alternative (count doc frequencies, broadcast the hot set for an
+  * anti-join, THEN collect the surviving groups) reads the exploded
+  * corpus three times; this reads it once, and unlike a plain
+  * `collect_list`-then-filter it cannot buffer a hot shingle's
+  * millions of ids — the buffer is dropped at cap+1, which is the
+  * property that makes single-pass collection safe at 100 TB.
+  */
+case class CollectCapped(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedLongBuf] {
+
+  def this(child: Expression, capExpr: Expression) =
+    this(child, {
+      val v = capExpr.eval()
+      require(v != null, "graft_collect_capped: cap must be a non-null literal")
+      v.asInstanceOf[Number].intValue()
+    })
+
+  require(cap > 0, "graft_collect_capped: cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_collect_capped expects a BIGINT column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): CappedLongBuf =
+    new CappedLongBuf(false, ArrayBuffer.empty)
+
+  private def overflow(b: CappedLongBuf): Unit = {
+    b.overflowed = true
+    b.buf = ArrayBuffer.empty // release, don't just clear
+  }
+
+  override def update(b: CappedLongBuf, input: InternalRow): CappedLongBuf = {
+    if (!b.overflowed) {
+      val v = child.eval(input)
+      if (v != null) {
+        b.buf += v.asInstanceOf[Long]
+        if (b.buf.length > cap) overflow(b)
+      }
+    }
+    b
+  }
+
+  override def merge(b: CappedLongBuf, o: CappedLongBuf): CappedLongBuf = {
+    if (o.overflowed) overflow(b)
+    else if (!b.overflowed) {
+      b.buf ++= o.buf
+      if (b.buf.length > cap) overflow(b)
+    }
+    b
+  }
+
+  override def eval(b: CappedLongBuf): Any =
+    if (b.overflowed) null
+    else new GenericArrayData(b.buf.sorted.toArray)
+
+  override def serialize(b: CappedLongBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + 8 * b.buf.length)
+    bb.put(if (b.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(b.buf.length)
+    b.buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val overflowed = bb.get() == 1.toByte
+    val n = bb.getInt()
+    val buf = new ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { buf += bb.getLong(); i += 1 }
+    new CappedLongBuf(overflowed, buf)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -63,24 +63,21 @@ object Dedup {
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("shared"))
       } else {
-        // capped path: prune hot shingles FIRST — count() is a cheap
-        // partial-aggregating pass and the hot set (df > cap) is tiny
-        // by construction, so it broadcasts for a map-side anti-join.
-        // Only THEN group-collect per shingle: after the prune every
-        // group is <= cap doc_ids, so the collect is genuinely
-        // bounded (collecting before pruning would buffer a hot
-        // shingle's millions of doc_ids in one aggregation group).
-        // Pair emission from the bounded group replaces the self-join.
-        // Bounds at the cap: each surviving group buffers <= cap ids
-        // (~8B each) and fans out <= cap*(cap-1)/2 pairs — 2016 at the
-        // registered cap=64 — so executor memory and shuffle volume
-        // scale with the cap, not the corpus.
-        val hot = ex.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("sgl")
-        ex.join(broadcast(hot), Seq("sgl"), "left_anti")
-          .groupBy(col("sgl"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
+        // capped path: ONE aggregation pass with the size-capped
+        // collect ([[graft.functions.CollectCapped]]) — a group that
+        // exceeds the cap collapses to null (releasing its buffer at
+        // cap+1 elements), which IS the doc-frequency prune: "shingles
+        // with df > cap generate no candidates". Replaces the earlier
+        // three-pass shape (df count, broadcast-hot-set anti-join,
+        // collect the survivors) with a single read of the exploded
+        // corpus, while keeping the same bound: each live group
+        // buffers <= cap+1 ids (~8B each) and fans out
+        // <= cap*(cap-1)/2 pairs — 2016 at the registered cap=64 — so
+        // executor memory and shuffle volume scale with the cap, not
+        // the corpus. Oracle parity is untouched: overflow == df>cap.
+        ex.groupBy(col("sgl"))
+          .agg(expr(s"graft_collect_capped(doc_id, $maxDocFreq)").as("ds"))
+          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
           .selectExpr("explode(flatten(transform(sequence(1, size(ds) - 1), " +
             "i -> transform(sequence(i + 1, size(ds)), " +
             "j -> struct(element_at(ds, i) AS d1, element_at(ds, j) AS d2))))) AS pr")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.functions.CollectCapped]] (graft_collect_capped) contract:
+  * exact cap boundary (cap kept, cap+1 nulls), sorted output, null
+  * skipping, buffer release on overflow, and the differential claim
+  * the d02 rewrite rests on — one capped pass == the old df-count +
+  * broadcast-anti-join + collect three-pass shape. */
+class CollectCappedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.CassFunctions.registerAll(s)
+    s
+  }
+
+  test("groups at the cap survive sorted; groups past the cap are null") {
+    import spark.implicits._
+    // group 1: exactly 4 values; group 2: 5 values (> cap=4); group 3: 1
+    val df = (Seq((1L, 40L), (1L, 10L), (1L, 30L), (1L, 20L)) ++
+        (1L to 5L).map(i => (2L, i)) ++ Seq((3L, 7L)))
+      .toDF("g", "v")
+      .repartition(4) // force merges across partial buffers
+      .groupBy("g").agg(expr("graft_collect_capped(v, 4)").as("vs"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(df(1L).contains(Seq(10L, 20L, 30L, 40L)), "sorted, exactly-at-cap kept")
+    assert(df(2L).isEmpty, "cap+1 values must collapse to null")
+    assert(df(3L).contains(Seq(7L)))
+  }
+
+  test("nulls are skipped, not counted against the cap") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(2L)), (1L, None), (1L, Some(1L)), (1L, None))
+    val out = rows.toDF("g", "v")
+      .groupBy("g").agg(expr("graft_collect_capped(v, 2)").as("vs"))
+      .collect()(0).getSeq[Long](1)
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("d02's one-pass capped collect equals the old three-pass df-prune shape") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = 3 // small cap so the prune actually fires on the fixture
+    val ex = graft.operators.Dedup.shingleHashSets(docs, "text", 3)
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+    // old shape: count doc frequencies, broadcast the hot set for an
+    // anti-join, then collect the survivors
+    val hot = ex.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sgl")
+    assert(hot.count() > 0, s"fixture has no hot shingles at cap=$cap — test is vacuous")
+    val old = ex.join(broadcast(hot), Seq("sgl"), "left_anti")
+      .groupBy(col("sgl"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .selectExpr("sgl", "ds")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val capped = ex.groupBy(col("sgl"))
+      .agg(expr(s"graft_collect_capped(doc_id, $cap)").as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .selectExpr("sgl", "ds")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(capped == old)
+  }
+}
