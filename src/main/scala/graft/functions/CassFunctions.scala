@@ -169,7 +169,8 @@ object CassFunctions {
     "graft_nfc" -> (es => NfcNormalize(es.head)),
     // bare AggregateFunction: the analyzer wraps it in an
     // AggregateExpression at resolution, same as the built-in registry
-    "graft_collect_capped" -> (es => new CollectCapped(es.head, es(1))))
+    "graft_collect_capped" -> (es => new CollectCapped(es.head, es(1))),
+    "graft_collect_set_capped" -> (es => new CollectSetCapped(es.head, es(1))))
 
   /** Idempotently register all engine expressions on the session. */
   def registerAll(spark: SparkSession): Unit = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Buffer for [[CollectCapped]]: once a group exceeds the cap it is
   * permanently overflowed and its storage is RELEASED — a hot group
@@ -103,6 +103,107 @@ case class CollectCapped(child: Expression, cap: Int,
   override def withNewMutableAggBufferOffset(newOffset: Int): CollectCapped =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Buffer for [[CollectSetCapped]]: `n` counts ALL rows seen (the
+  * group-size cap is on rows, matching a doc-frequency prune), `set`
+  * holds the distinct values — released permanently on overflow. */
+final class CappedStrBuf(var overflowed: Boolean, var n: Int,
+    var set: scala.collection.mutable.TreeSet[String])
+
+/** `graft_collect_set_capped(col, cap)` — the STRING/set sibling of
+  * [[CollectCapped]] for the source-overlap shape: count the group's
+  * rows, collect the DISTINCT string values, and collapse to null the
+  * moment the group exceeds `cap` rows (releasing the buffer). Output
+  * sorted. One aggregation pass replaces "count doc frequencies,
+  * broadcast the hot set for an anti-join, collect_set the survivors".
+  */
+case class CollectSetCapped(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedStrBuf] {
+
+  def this(child: Expression, capExpr: Expression) =
+    this(child, {
+      val v = capExpr.eval()
+      require(v != null, "graft_collect_set_capped: cap must be a non-null literal")
+      v.asInstanceOf[Number].intValue()
+    })
+
+  require(cap > 0, "graft_collect_set_capped: cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_collect_set_capped expects a STRING column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): CappedStrBuf =
+    new CappedStrBuf(false, 0, scala.collection.mutable.TreeSet.empty)
+
+  private def overflow(b: CappedStrBuf): Unit = {
+    b.overflowed = true
+    b.set = scala.collection.mutable.TreeSet.empty
+  }
+
+  override def update(b: CappedStrBuf, input: InternalRow): CappedStrBuf = {
+    if (!b.overflowed) {
+      val v = child.eval(input)
+      if (v != null) {
+        b.n += 1
+        if (b.n > cap) overflow(b)
+        else b.set += v.toString // copy out of the row buffer
+      }
+    }
+    b
+  }
+
+  override def merge(b: CappedStrBuf, o: CappedStrBuf): CappedStrBuf = {
+    if (o.overflowed) overflow(b)
+    else if (!b.overflowed) {
+      b.n += o.n
+      if (b.n > cap) overflow(b)
+      else b.set ++= o.set
+    }
+    b
+  }
+
+  override def eval(b: CappedStrBuf): Any =
+    if (b.overflowed) null
+    else new GenericArrayData(
+      b.set.toArray.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+
+  override def serialize(b: CappedStrBuf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBoolean(b.overflowed)
+    out.writeInt(b.n)
+    out.writeInt(b.set.size)
+    b.set.foreach(out.writeUTF)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedStrBuf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val overflowed = in.readBoolean()
+    val n = in.readInt()
+    val k = in.readInt()
+    val set = scala.collection.mutable.TreeSet.empty[String]
+    var i = 0
+    while (i < k) { set += in.readUTF(); i += 1 }
+    new CappedStrBuf(overflowed, n, set)
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectSetCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectSetCapped =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

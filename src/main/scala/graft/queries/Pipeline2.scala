@@ -139,22 +139,20 @@ object Pipeline2 {
   val p06: QueryDef = QueryDef(
     "p06_src_overlap",
     (s, d) => {
-      // cached (spillable): the hot-count pass and the pair pass both
-      // read it — without the cache the tokenize+hash scan runs twice
-      // (the d02 treatment)
       val e = Tables.documents(s, d)
         .selectExpr("doc_id", "source", "graft_shingle_hashes(text, 8) AS hs")
         .selectExpr("doc_id", "source", "explode(hs) AS sgl")
-        .cache()
-      val hot = e.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 64).select("sgl")
-      // d02's bounded-group pair emission instead of a distinct +
-      // self-join: the hot prune caps docs per shingle at 64, so the
-      // per-shingle source set is <= 64 entries and the pair fanout
-      // <= 2016 — one shuffle, executor memory bounded by the cap
-      e.join(broadcast(hot), Seq("sgl"), "left_anti")
-        .groupBy(col("sgl")).agg(array_sort(collect_set(col("source"))).as("ss"))
-        .filter(size(col("ss")) >= 2)
+      // ONE aggregation pass (the d02 treatment,
+      // [[graft.functions.CollectSetCapped]]): a shingle whose doc
+      // frequency exceeds 64 collapses to null — the hot prune — and
+      // live groups collect their <= 64-entry distinct source set
+      // sorted, so the pair fanout stays <= 2016 and executor memory
+      // is bounded by the cap. Replaces the earlier df-count +
+      // broadcast-hot-set anti-join + collect_set three-pass shape
+      // (and the cache those passes shared).
+      e.groupBy(col("sgl"))
+        .agg(expr("graft_collect_set_capped(source, 64)").as("ss"))
+        .filter(col("ss").isNotNull && size(col("ss")) >= 2)
         .selectExpr("explode(flatten(transform(sequence(1, size(ss) - 1), " +
           "i -> transform(sequence(i + 1, size(ss)), " +
           "j -> struct(element_at(ss, i) AS src1, element_at(ss, j) AS src2))))) AS pr")

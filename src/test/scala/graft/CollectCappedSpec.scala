@@ -44,6 +44,41 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L))
   }
 
+  test("string-set variant: row-count cap, distinct sorted values, merge overflow") {
+    import spark.implicits._
+    // group 1: 4 rows / 2 distinct values (cap 4 on ROWS — survives);
+    // group 2: 5 rows (> cap — null even though only 2 distinct);
+    // group 3: 1 row
+    val rows = Seq((1L, "b"), (1L, "a"), (1L, "b"), (1L, "a")) ++
+      (1 to 5).map(i => (2L, if (i % 2 == 0) "x" else "y")) ++ Seq((3L, "z"))
+    val out = rows.toDF("g", "v")
+      .repartition(4)
+      .groupBy("g").agg(expr("graft_collect_set_capped(v, 4)").as("vs"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out(1L).contains(Seq("a", "b")), "distinct + sorted")
+    assert(out(2L).isEmpty, "the cap counts rows, not distinct values")
+    assert(out(3L).contains(Seq("z")))
+  }
+
+  test("p06's one-pass capped set equals the old df-prune + collect_set shape") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = 3
+    val e = docs.selectExpr("doc_id", "source", "graft_shingle_hashes(text, 3) AS hs")
+      .selectExpr("doc_id", "source", "explode(hs) AS sgl")
+    val hot = e.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sgl")
+    assert(hot.count() > 0, s"fixture has no hot shingles at cap=$cap — test is vacuous")
+    val old = e.join(broadcast(hot), Seq("sgl"), "left_anti")
+      .groupBy(col("sgl")).agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val capped = e.groupBy(col("sgl"))
+      .agg(expr(s"graft_collect_set_capped(source, $cap)").as("ss"))
+      .filter(col("ss").isNotNull && size(col("ss")) >= 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(capped == old)
+  }
+
   test("d02's one-pass capped collect equals the old three-pass df-prune shape") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cap = 3 // small cap so the prune actually fires on the fixture
