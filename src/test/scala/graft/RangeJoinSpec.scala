@@ -70,6 +70,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(results.distinct.size == 1)
   }
 
+  test("randomized differential fuzz vs the naive inequality join (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val pts = Seq.fill(300)(rnd.nextLong(2000) - 500).zipWithIndex
+        .map { case (pm, i) => (i.toLong, pm) }.toDF("p_id", "pm")
+      val ivs = Seq.fill(40) {
+        val s = rnd.nextLong(2200) - 600
+        (s, s + rnd.nextLong(400) - 20) // ~5% empty/inverted
+      }.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }.toDF("i_id", "s0", "e0")
+      val width = Seq(7L, 50L, 1000L)(round - 1)
+      val got = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", width)
+        .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = pts.join(ivs, col("pm") >= col("s0") && col("pm") < col("e0"))
+        .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"round $round (width=$width) diverged")
+    }
+  }
+
   test("plan is an equi-join on the bucket — no nested-loop/cartesian scan") {
     val (pts, ivs) = fixture()
     val plan = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 10L)
