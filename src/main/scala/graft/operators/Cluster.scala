@@ -51,8 +51,13 @@ object Cluster {
       .union(edges.selectExpr(s"$dstCol AS a", s"$srcCol AS b"))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // seed with min(self, neighbors) — round 1's propagation step (a)
+    // computed directly from the grouped edge list, no join: every
+    // neighbor label still equals its id at this point. Saves one full
+    // loop round (near-clique LSH graphs then converge in 1-2)
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("minb"))
+      .select(col("a").as("id"), least(col("a"), col("minb")).as("lbl"))
       .localCheckpoint()
     // round N's label blocks are consumed exactly once — by round
     // N+1's eager checkpoint materialization. Unpersist them as soon
