@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Joins, Similarity, TextOps}
   */
 object Pipeline4 {
 
-  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10, p11, p12)
+  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10, p11, p12, t12)
 
   /** SemDeDup-style semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): IVF-style
@@ -205,6 +205,32 @@ object Pipeline4 {
       SELECT e_id, CAST(count(pm) AS BIGINT) AS n_purchases
       FROM er LEFT JOIN p ON pm >= s0 AND pm < s0 + 60000000
       GROUP BY e_id ORDER BY e_id"""))
+
+  /** The first BPE merge step — the tokenizer-training primitive:
+    * count every adjacent character pair across all token instances
+    * and rank the top 20 (the pair a byte-pair-encoding trainer would
+    * merge first). 100 TB shape: explode to pairs is a pure
+    * projection, the count is a map-side-combined groupBy over a
+    * bounded key space (alphabet^2), and the ranking is
+    * TakeOrderedAndProject — the full pair table is never sorted.
+    * Exact integers throughout. */
+  val t12: QueryDef = QueryDef(
+    "t12_bpe_pairs",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr(s"explode(${TextOps.tokens("text")}) AS t")
+      .filter(length(col("t")) >= 2)
+      .selectExpr(
+        "explode(transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))) AS pair")
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20),
+    Some(s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
+      pr AS (SELECT unnest(list_transform(range(1, length(t)),
+               i -> substr(t, i, 2))) AS pair
+             FROM tok WHERE length(t) >= 2)
+      SELECT pair, count(*) AS n FROM pr
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
 
   /** Deterministic round-robin source interleaving — the training-
     * order construction step that spreads every source evenly through
