@@ -75,10 +75,15 @@ object GraftSSTable {
       atoms: DataFrame,
       columnType: CassType = CassType.BytesType,
       numPartitions: Int = -1,
-      maxRowSize: Long = Long.MaxValue): Dataset[CompactedRow] = {
+      maxRowSize: Long = Long.MaxValue,
+      rowCounter: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[CompactedRow] = {
     val spark = atoms.sparkSession
     import spark.implicits._
-    val acc = spark.sparkContext.longAccumulator("compaction.rowsWritten")
+    // callers composing several compactions (diffSnapshots) pass one
+    // shared accumulator so the published rowsWritten covers all of
+    // them instead of only the last compact() call
+    val acc = rowCounter.getOrElse(
+      spark.sparkContext.longAccumulator("compaction.rowsWritten"))
     rowsWritten = Some(acc)
     // default BytesType defers to a comparator configured on the scan
     // (cql/columnType reader option), like the reference's job config
@@ -191,8 +196,22 @@ object GraftSSTable {
       newDir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
+    // one shared counter across both compactions, so rowsWritten
+    // reports the whole diff's row count, not just the new side's
+    val acc = spark.sparkContext.longAccumulator("compaction.rowsWritten")
+    // render with the CF's configured types (the reader's keyType/
+    // columnType options, case-insensitive like DSv2, plus a
+    // valueType render option) so old_line/new_line match what
+    // writeAegJson emits for the same typed CF
+    val opts = options.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val kt = opts.getOrElse("keytype", "BytesType")
+    val nt = opts.getOrElse("columntype", "BytesType")
+    val vt = opts.getOrElse("valuetype", "BytesType")
     def lines(dir: String) =
-      aegJsonLines(compact(readAtoms(spark, dir, options))).toDF("key", "line")
+      aegJsonLines(compact(readAtoms(spark, dir, options), rowCounter = Some(acc)),
+        keyType = kt, nameType = nt, valueType = vt).toDF("key", "line")
     lines(oldDir).select(col("key"), col("line").as("old_line"))
       .join(lines(newDir).select(col("key"), col("line").as("new_line")),
         Seq("key"), "full_outer")

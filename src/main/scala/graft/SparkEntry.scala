@@ -31,6 +31,20 @@ object SparkEntry {
     d
   }
 
+  /** Write a deterministic jb-version sstable fixture (driver-local
+    * path — the registry queries run local-mode per the driver
+    * contract; a cluster deployment would stage fixtures on a shared
+    * filesystem). Closes the stream even when a row write throws, so
+    * a failed attempt cannot leak the fd or leave a partial Data.db
+    * behind for the shared fixture root to re-serve. */
+  private def writeFixture(file: java.io.File, rows: Seq[graft.sstable.CompactedRow]): Unit = {
+    file.getParentFile.mkdirs()
+    val f = new java.io.DataOutputStream(new java.io.FileOutputStream(file))
+    try rows.foreach(graft.sstable.SSTableWriter.writeRow(f, _,
+      graft.sstable.SSTableVersion("jb")))
+    finally f.close()
+  }
+
   /** The reference's core operator (SURVEY §2.4 A1): distributed
     * SSTable compaction over the reference's own binary fixtures
     * (independent of sfDir). The oracle is the reference's checked-in
@@ -72,13 +86,9 @@ object SparkEntry {
         java.nio.ByteBuffer.allocate(8).putLong(v).array()
       def cell(n: Long, v: String, ts: Long) =
         CellOut(SSTableFormat.KindColumn, longB(n), v.getBytes, ts, None, None, None)
-      def write(name: String, cells: Seq[CellOut]): Unit = {
-        val f = new java.io.DataOutputStream(new java.io.FileOutputStream(
-          new java.io.File(tmp, name)))
-        SSTableWriter.writeRow(f,
-          CompactedRow("key1".getBytes, Long.MinValue, cells), SSTableVersion("jb"))
-        f.close()
-      }
+      def write(name: String, cells: Seq[CellOut]): Unit =
+        writeFixture(new java.io.File(tmp, name),
+          Seq(CompactedRow("key1".getBytes, Long.MinValue, cells)))
       write("ks-cf-jb-1-Data.db", Seq(cell(2L, "two", 10L), cell(-1L, "neg-old", 5L)))
       write("ks-cf-jb-2-Data.db", Seq(cell(-1L, "neg-new", 20L), cell(100L, "hundred", 10L)))
       val atoms = GraftSSTable.readAtoms(s, tmp.toString, Map("columnType" -> "LongType"))
@@ -105,14 +115,8 @@ object SparkEntry {
       val root = new java.io.File(fixtureRoot, "diff")
       def cell(n: String, v: String, ts: Long) =
         CellOut(SSTableFormat.KindColumn, n.getBytes, v.getBytes, ts, None, None, None)
-      def write(dir: String, name: String, rows: Seq[CompactedRow]): Unit = {
-        val d = new java.io.File(root, dir)
-        d.mkdirs()
-        val f = new java.io.DataOutputStream(new java.io.FileOutputStream(
-          new java.io.File(d, name)))
-        rows.foreach(SSTableWriter.writeRow(f, _, SSTableVersion("jb")))
-        f.close()
-      }
+      def write(dir: String, name: String, rows: Seq[CompactedRow]): Unit =
+        writeFixture(new java.io.File(new java.io.File(root, dir), name), rows)
       def row(k: String, cells: Seq[CellOut]) =
         CompactedRow(k.getBytes, Long.MinValue, cells)
       write("old", "ks-cf-jb-1-Data.db", Seq(
