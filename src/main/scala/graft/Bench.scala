@@ -64,6 +64,16 @@ object Bench {
       val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
+    // env-provided paths go into JSON strings — escape them (a quote
+    // or backslash in SPARK_GRAFT_SF_DIR would otherwise break the
+    // very parse this line exists for)
+    def js(v: String): String =
+      v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val total = results.map(_._2).sum
     // full-fidelity per-query record (full names, min+median, rows,
     // iteration count) goes to a FILE — the stdout tail capture is
@@ -75,7 +85,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"$sfDir","queries":$detail}\n"""
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","queries":$detail}\n"""
         .getBytes("UTF-8"))
     // the stdout contract line stays under the tail capture by keying
     // each query on its unique 'q07'/'d02'-style id (the prefix before
@@ -91,6 +101,6 @@ object Bench {
     val qs = results.map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}""")
   }
 }

@@ -34,15 +34,21 @@ object SparkEntry {
   /** Write a deterministic jb-version sstable fixture (driver-local
     * path — the registry queries run local-mode per the driver
     * contract; a cluster deployment would stage fixtures on a shared
-    * filesystem). Closes the stream even when a row write throws, so
-    * a failed attempt cannot leak the fd or leave a partial Data.db
-    * behind for the shared fixture root to re-serve. */
-  private def writeFixture(file: java.io.File, rows: Seq[graft.sstable.CompactedRow]): Unit = {
+    * filesystem). On a failed row write the stream is closed AND the
+    * partial file deleted, so the shared fixture root can never
+    * re-serve a truncated Data.db. package-private: DiffSnapshotsSpec
+    * writes its fixtures through the same helper. */
+  private[graft] def writeFixture(file: java.io.File, rows: Seq[graft.sstable.CompactedRow]): Unit = {
     file.getParentFile.mkdirs()
     val f = new java.io.DataOutputStream(new java.io.FileOutputStream(file))
     try rows.foreach(graft.sstable.SSTableWriter.writeRow(f, _,
       graft.sstable.SSTableVersion("jb")))
-    finally f.close()
+    catch {
+      case e: Throwable =>
+        try f.close() finally file.delete()
+        throw e
+    }
+    f.close()
   }
 
   /** The reference's core operator (SURVEY §2.4 A1): distributed

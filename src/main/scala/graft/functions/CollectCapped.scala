@@ -12,11 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Buffer for [[CollectCapped]]: once a group exceeds the cap it is
   * permanently overflowed and its storage is RELEASED — a hot group
   * costs O(cap) memory no matter how many rows it receives. */
-final class CappedLongBuf(var overflowed: Boolean, var buf: ArrayBuffer[Long])
+final class CappedLongBuf(var overflowed: Boolean, var n: Int, var buf: ArrayBuffer[Long])
 
-/** `graft_collect_capped(col, cap)` — collect at most `cap` LongType
-  * values per group, SORTED; a group that exceeds the cap evaluates to
-  * NULL (and stops buffering immediately).
+/** `graft_collect_capped(col, cap)` — collect a group's LongType
+  * values, SORTED; a group receiving more than `cap` ROWS (nulls
+  * included — count(*) semantics) evaluates to NULL and stops
+  * buffering immediately.
   *
   * The similarity self-join's doc-frequency prune in one aggregation:
   * "shingles with more than `cap` docs generate no candidates" is
@@ -47,7 +48,7 @@ case class CollectCapped(child: Expression, cap: Int,
       s"graft_collect_capped expects a BIGINT column, got ${child.dataType}")
 
   override def createAggregationBuffer(): CappedLongBuf =
-    new CappedLongBuf(false, ArrayBuffer.empty)
+    new CappedLongBuf(false, 0, ArrayBuffer.empty)
 
   private def overflow(b: CappedLongBuf): Unit = {
     b.overflowed = true
@@ -56,10 +57,14 @@ case class CollectCapped(child: Expression, cap: Int,
 
   override def update(b: CappedLongBuf, input: InternalRow): CappedLongBuf = {
     if (!b.overflowed) {
-      val v = child.eval(input)
-      if (v != null) {
-        b.buf += v.asInstanceOf[Long]
-        if (b.buf.length > cap) overflow(b)
+      // EVERY row counts toward the cap (count(*) semantics — the df
+      // prune this replaces counted null rows too); only non-null
+      // values are collected
+      b.n += 1
+      if (b.n > cap) overflow(b)
+      else {
+        val v = child.eval(input)
+        if (v != null) b.buf += v.asInstanceOf[Long]
       }
     }
     b
@@ -68,8 +73,9 @@ case class CollectCapped(child: Expression, cap: Int,
   override def merge(b: CappedLongBuf, o: CappedLongBuf): CappedLongBuf = {
     if (o.overflowed) overflow(b)
     else if (!b.overflowed) {
-      b.buf ++= o.buf
-      if (b.buf.length > cap) overflow(b)
+      b.n += o.n
+      if (b.n > cap) overflow(b)
+      else b.buf ++= o.buf
     }
     b
   }
@@ -79,8 +85,9 @@ case class CollectCapped(child: Expression, cap: Int,
     else new GenericArrayData(b.buf.sorted.toArray)
 
   override def serialize(b: CappedLongBuf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(5 + 8 * b.buf.length)
+    val bb = java.nio.ByteBuffer.allocate(9 + 8 * b.buf.length)
     bb.put(if (b.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(b.n)
     bb.putInt(b.buf.length)
     b.buf.foreach(bb.putLong)
     bb.array()
@@ -90,10 +97,11 @@ case class CollectCapped(child: Expression, cap: Int,
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val overflowed = bb.get() == 1.toByte
     val n = bb.getInt()
-    val buf = new ArrayBuffer[Long](n)
+    val k = bb.getInt()
+    val buf = new ArrayBuffer[Long](k)
     var i = 0
-    while (i < n) { buf += bb.getLong(); i += 1 }
-    new CappedLongBuf(overflowed, buf)
+    while (i < k) { buf += bb.getLong(); i += 1 }
+    new CappedLongBuf(overflowed, n, buf)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -109,11 +117,14 @@ case class CollectCapped(child: Expression, cap: Int,
     copy(child = newChildren.head)
 }
 
-/** Buffer for [[CollectSetCapped]]: `n` counts ALL rows seen (the
-  * group-size cap is on rows, matching a doc-frequency prune), `set`
-  * holds the distinct values — released permanently on overflow. */
+/** Buffer for [[CollectSetCapped]]: `n` counts ALL rows seen — nulls
+  * included (the group-size cap is on rows, matching a count(*)
+  * doc-frequency prune), `set` holds the distinct non-null values —
+  * released permanently on overflow. UTF8String storage keeps the
+  * output in binary (codepoint) order, matching array_sort /
+  * collect_set and the DuckDB oracle for non-ASCII values. */
 final class CappedStrBuf(var overflowed: Boolean, var n: Int,
-    var set: scala.collection.mutable.TreeSet[String])
+    var set: scala.collection.mutable.HashSet[org.apache.spark.unsafe.types.UTF8String])
 
 /** `graft_collect_set_capped(col, cap)` — the STRING/set sibling of
   * [[CollectCapped]] for the source-overlap shape: count the group's
@@ -141,20 +152,24 @@ case class CollectSetCapped(child: Expression, cap: Int,
       s"graft_collect_set_capped expects a STRING column, got ${child.dataType}")
 
   override def createAggregationBuffer(): CappedStrBuf =
-    new CappedStrBuf(false, 0, scala.collection.mutable.TreeSet.empty)
+    new CappedStrBuf(false, 0, scala.collection.mutable.HashSet.empty)
 
   private def overflow(b: CappedStrBuf): Unit = {
     b.overflowed = true
-    b.set = scala.collection.mutable.TreeSet.empty
+    b.set = scala.collection.mutable.HashSet.empty
   }
 
   override def update(b: CappedStrBuf, input: InternalRow): CappedStrBuf = {
     if (!b.overflowed) {
-      val v = child.eval(input)
-      if (v != null) {
-        b.n += 1
-        if (b.n > cap) overflow(b)
-        else b.set += v.toString // copy out of the row buffer
+      // every row counts (count(*) semantics), null or not
+      b.n += 1
+      if (b.n > cap) overflow(b)
+      else {
+        val v = child.eval(input)
+        if (v != null) {
+          // copy out of the reused row buffer
+          b.set += v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+        }
       }
     }
     b
@@ -173,15 +188,21 @@ case class CollectSetCapped(child: Expression, cap: Int,
   override def eval(b: CappedStrBuf): Any =
     if (b.overflowed) null
     else new GenericArrayData(
-      b.set.toArray.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
+      b.set.toArray.sortWith(_.compareTo(_) < 0).map(x => x: Any))
 
   override def serialize(b: CappedStrBuf): Array[Byte] = {
+    // length-prefixed UTF-8 bytes — DataOutputStream.writeUTF would
+    // throw past 64 KB per string
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeBoolean(b.overflowed)
     out.writeInt(b.n)
     out.writeInt(b.set.size)
-    b.set.foreach(out.writeUTF)
+    b.set.foreach { u =>
+      val bytes = u.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -191,9 +212,15 @@ case class CollectSetCapped(child: Expression, cap: Int,
     val overflowed = in.readBoolean()
     val n = in.readInt()
     val k = in.readInt()
-    val set = scala.collection.mutable.TreeSet.empty[String]
+    val set = scala.collection.mutable.HashSet.empty[org.apache.spark.unsafe.types.UTF8String]
     var i = 0
-    while (i < k) { set += in.readUTF(); i += 1 }
+    while (i < k) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      set += org.apache.spark.unsafe.types.UTF8String.fromBytes(arr)
+      i += 1
+    }
     new CappedStrBuf(overflowed, n, set)
   }
 

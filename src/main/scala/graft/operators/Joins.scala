@@ -76,6 +76,14 @@ object Joins {
     * time-ordered data also keeps both sides' bucket ids range-
     * clustered, so AQE sees a well-distributed shuffle key.
     */
+  /** replication guard for [[rangeJoin]]: one corrupt/open-ended
+    * interval (an end timestamp years out) would otherwise explode to
+    * millions-to-billions of sequence elements in a single row —
+    * overflowing Spark's array limit or OOMing one task. Past the cap
+    * the job fails FAST with a diagnosable message (raise bucketWidth
+    * or clean the interval) instead of dying in codegen. */
+  val MaxBucketsPerInterval = 65536L
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
@@ -83,9 +91,15 @@ object Joins {
     val pts = points.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
     // last candidate bucket is (end-1) div width: the end bound is
     // exclusive, so a point in a later bucket can never match
+    val lastB = s"(($endCol - 1) div $bucketWidth)"
+    val firstB = s"($startCol div $bucketWidth)"
     val ivs = intervals.filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(expr(
-        s"sequence($startCol div $bucketWidth, ($endCol - 1) div $bucketWidth)")))
+        s"if($lastB - $firstB < $MaxBucketsPerInterval, " +
+          s"sequence($firstB, $lastB), " +
+          s"cast(raise_error(concat('rangeJoin: interval [', $startCol, ', ', $endCol, " +
+          s"') covers more than $MaxBucketsPerInterval buckets of width $bucketWidth — " +
+          s"raise bucketWidth or clean the interval')) as array<bigint>))")))
     pts.join(ivs, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

@@ -201,7 +201,11 @@ object Similarity {
     * @return (vec_id, centroid, kept) for every corpus vector.
     */
   def semanticDedup(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame = {
-    val a = assignCentroids(emb, kCentroids)
+    // cached (spillable): the assignment is referenced three times
+    // (both pair sides + the final keep/drop projection) — without
+    // the cache the full embedding scan and broadcast-argmax map pass
+    // run three times (the minhashLshPairs treatment)
+    val a = assignCentroids(emb, kCentroids).cache()
     val l = a.select(col("centroid"), col("vec_id").as("d1"),
       col("v").as("v1"), col("nrm").as("nrm1"))
     val r = a.select(col("centroid"), col("vec_id").as("d2"),

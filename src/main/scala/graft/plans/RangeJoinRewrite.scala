@@ -72,13 +72,25 @@ case class RangeJoinRewrite(spark: SparkSession)
             val bi = AttributeReference("__graft_bucket_i", LongType, nullable = false)()
             // Sequence is TimeZoneAwareExpression: resolved only once
             // timeZoneId is filled — normally the analyzer's job, but
-            // this rule runs post-analysis
+            // this rule runs post-analysis. The per-interval bucket
+            // count is capped like the operator's: a corrupt
+            // open-ended interval fails fast with a clear message
+            // instead of building a multi-billion-element array
+            val firstB = IntegralDivide(s, w)
+            val lastB = IntegralDivide(Subtract(e, Literal(1L)), w)
+            val seqExpr = Sequence(firstB, lastB, Some(Literal(1L)),
+              Some(spark.sessionState.conf.sessionLocalTimeZone))
+            val guarded = If(
+              LessThan(Subtract(lastB, firstB),
+                Literal(graft.operators.Joins.MaxBucketsPerInterval)),
+              seqExpr,
+              Cast(RaiseError(Literal(
+                s"rangeJoin rewrite: an interval covers more than " +
+                  s"${graft.operators.Joins.MaxBucketsPerInterval} buckets of width " +
+                  s"$width — raise $ConfKey or clean the interval")),
+                seqExpr.dataType))
             val gen = Generate(
-              Explode(Sequence(
-                IntegralDivide(s, w),
-                IntegralDivide(Subtract(e, Literal(1L)), w),
-                Some(Literal(1L)),
-                Some(spark.sessionState.conf.sessionLocalTimeZone))),
+              Explode(guarded),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bi),
               child = Filter(GreaterThan(e, s), intervalPlan))

@@ -35,13 +35,20 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(df(3L).contains(Seq(7L)))
   }
 
-  test("nulls are skipped, not counted against the cap") {
+  test("nulls count toward the cap (count(*) df semantics) but are not collected") {
     import spark.implicits._
-    val rows = Seq((1L, Some(2L)), (1L, None), (1L, Some(1L)), (1L, None))
-    val out = rows.toDF("g", "v")
+    // 4 rows (2 null) > cap 2 -> the GROUP overflows, like count(*)>cap
+    val over = Seq((1L, Some(2L)), (1L, None), (1L, Some(1L)), (1L, None))
+      .toDF("g", "v")
       .groupBy("g").agg(expr("graft_collect_capped(v, 2)").as("vs"))
+      .collect()(0)
+    assert(over.isNullAt(1))
+    // 3 rows (1 null) <= cap 3 -> kept; only the non-nulls collected
+    val under = Seq((1L, Some(2L)), (1L, None), (1L, Some(1L)))
+      .toDF("g", "v")
+      .groupBy("g").agg(expr("graft_collect_capped(v, 3)").as("vs"))
       .collect()(0).getSeq[Long](1)
-    assert(out == Seq(1L, 2L))
+    assert(under == Seq(1L, 2L))
   }
 
   test("string-set variant: row-count cap, distinct sorted values, merge overflow") {

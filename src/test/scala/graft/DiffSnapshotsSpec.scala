@@ -17,12 +17,8 @@ class DiffSnapshotsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def writeFixture(file: java.io.File, rows: Seq[CompactedRow]): Unit = {
-    file.getParentFile.mkdirs()
-    val f = new java.io.DataOutputStream(new java.io.FileOutputStream(file))
-    try rows.foreach(SSTableWriter.writeRow(f, _, SSTableVersion("jb")))
-    finally f.close()
-  }
+  private def writeFixture(file: java.io.File, rows: Seq[CompactedRow]): Unit =
+    SparkEntry.writeFixture(file, rows)
 
   private def longB(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(v).array()

@@ -89,6 +89,19 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a pathologically long interval fails fast with a diagnosable error, not an OOM") {
+    import spark.implicits._
+    val pts = Seq(1L).toDF("pm")
+    // covers ~9e12 one-unit buckets — would be a multi-terabyte array
+    val ivs = Seq((0L, 9000000000000L)).toDF("s0", "e0")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 1L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("buckets")), s"unexpected error: $e")
+  }
+
   test("plan is an equi-join on the bucket — no nested-loop/cartesian scan") {
     val (pts, ivs) = fixture()
     val plan = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 10L)
