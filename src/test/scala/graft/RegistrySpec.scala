@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants on the query registry: the driver keys
+  * its correctness and bench artifacts on query names, so collisions
+  * or malformed names would silently drop rows from the round's
+  * scorecard. No Spark session needed. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("registry names are unique, well-formed, and short-id-unambiguous") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"malformed name: $n"))
+    // the bench stdout contract keys on the prefix before the first
+    // underscore; ids must stay unique or the line falls back to full
+    // names and can outgrow the harness's tail capture again
+    val ids = names.map(_.takeWhile(_ != '_')).filter(_.matches("[a-z]+\\d+"))
+    assert(ids.distinct.size == ids.size,
+      s"colliding short ids: ${ids.diff(ids.distinct).distinct}")
+  }
+
+  test("every registered query carries a DuckDB oracle") {
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty,
+      s"queries without oracles fall to the weaker rows-only check: $missing")
+    SparkEntry.registry.flatMap(_.oracle).foreach(sql =>
+      assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT")))
+  }
+}
