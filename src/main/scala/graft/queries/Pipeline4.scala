@@ -272,54 +272,20 @@ object Pipeline4 {
         CAST((r - 1) * n_src + src_idx AS BIGINT) AS interleave_key
       FROM rk JOIN si USING (source), n ORDER BY interleave_key"""))
 
-  /** The composed end-to-end curation pipeline — every stage ranked
-    * over the SURVIVORS of the previous one, which is what makes it a
+  /** The composed end-to-end curation pipeline
+    * ([[graft.operators.Curate.pipeline]]) — every stage ranked over
+    * the SURVIVORS of the previous one, which is what makes it a
     * pipeline rather than independent predicates: NFC-normalize ->
     * exact-dup keep-first on the normalized fingerprint -> per-domain
     * cap (first 20 per source) -> per-source quality quartile gate
     * (top 75% by token count) -> round-robin interleave key over the
     * final survivor set. The oracle replays the whole chain as one
     * CTE cascade, so the COMPOSITION is cell-exact, not just each
-    * stage in isolation.
-    *
-    * 100 TB shape: one fingerprint window shuffle + three
-    * source-partitioned window shuffles over a monotonically
-    * shrinking survivor set, plus the p11 broadcast arithmetic — no
-    * joins between big sides, no global windows. */
+    * stage in isolation. */
   val p12: QueryDef = QueryDef(
     "p12_curation_pipeline",
-    (s, d) => {
-      val bySource = Window.partitionBy(col("source"))
-      val norm = Tables.documents(s, d)
-        .selectExpr("doc_id", "source", "graft_nfc(text) AS text_n")
-        .selectExpr("doc_id", "source", "text_n",
-          s"${TextOps.strHash60("text_n")} AS fp")
-      val deduped = norm
-        .withColumn("dup_rk",
-          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-        .filter(col("dup_rk") === 1)
-      val capped = deduped
-        .withColumn("cap_rk", row_number().over(bySource.orderBy(col("doc_id"))))
-        .filter(col("cap_rk") <= 20)
-        .selectExpr("doc_id", "source",
-          s"cast(size(${TextOps.tokens("text_n")}) as bigint) AS n_tokens")
-      val gated = capped
-        .withColumn("q_rk", row_number().over(
-          bySource.orderBy(col("n_tokens").desc, col("doc_id"))).cast("long"))
-        .withColumn("n_src", count(lit(1)).over(bySource).cast("long"))
-        .filter(col("q_rk") * 4 <= col("n_src") * 3)
-      val srcIdx = gated.select(col("source")).distinct()
-        .withColumn("src_idx",
-          row_number().over(Window.orderBy(col("source"))).cast("long"))
-      val nSrc = srcIdx.agg(count(lit(1)).as("n_all_src"))
-      gated
-        .withColumn("r", row_number().over(bySource.orderBy(col("doc_id"))).cast("long"))
-        .join(broadcast(srcIdx), Seq("source"))
-        .crossJoin(broadcast(nSrc))
-        .selectExpr("doc_id", "source", "n_tokens",
-          "(r - 1) * n_all_src + src_idx AS interleave_key")
-        .orderBy(col("interleave_key"))
-    },
+    (s, d) => graft.operators.Curate.pipeline(Tables.documents(s, d))
+      .orderBy(col("interleave_key")),
     Some(s"""WITH norm AS (SELECT doc_id, source, nfc_normalize(text) AS text_n
           FROM documents),
       fpx AS (SELECT doc_id, source, text_n, ${DuckOps.strHash60("text_n")} AS fp
