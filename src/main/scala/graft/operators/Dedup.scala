@@ -138,7 +138,15 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = k), bucket-join on (band, bucketHash), then estimate Jaccard as
     * the fraction of agreeing signature positions. Deterministic given
-    * (n, k, bands) — the oracle replicates it exactly. */
+    * (n, k, bands) — the oracle replicates it exactly.
+    *
+    * Scale note: all EMPTY/trivial docs share one sentinel signature,
+    * so they land in the same band buckets and pair quadratically —
+    * semantically sound (empty docs ARE exact dups; d05's keep-first
+    * collapses them) but O(empties^2) in candidates. At corpus scale,
+    * run exact dedup (d01) or a length floor (t06's gate) FIRST — the
+    * standard pipeline ordering — so at most one representative of
+    * any trivial class reaches LSH. */
   def minhashLshPairs(docs: DataFrame, textCol: String, n: Int, k: Int,
       bands: Int, threshold: Double): DataFrame = {
     val r = k / bands
