@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Joins, Similarity, TextOps}
   */
 object Pipeline4 {
 
-  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, p10, p11, p12, t12)
+  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, q39, p10, p11, p12, t12)
 
   /** SemDeDup-style semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): IVF-style
@@ -312,6 +312,35 @@ object Pipeline4 {
       SELECT doc_id, source, n_tokens,
         CAST((r - 1) * n_all_src + src_idx AS BIGINT) AS interleave_key
       FROM rk JOIN si USING (source), n ORDER BY interleave_key"""))
+
+  /** Time-RANGE window frames — the window capability q23's ROWS
+    * frames don't cover: per user, the trailing-one-hour event count
+    * and cent total at every event (the per-row sliding aggregate
+    * behind rate limiting and burst detection). The frame bound is on
+    * the ORDER-BY VALUE (unix_micros), not a row offset, so ties and
+    * gaps behave per SQL RANGE semantics in both engines. One window
+    * shuffle partitioned by user. */
+  val q39: QueryDef = QueryDef(
+    "q39_time_range_frames",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tm"))
+        .rangeBetween(-3600000000L, 0L) // trailing hour in micros
+      Tables.events(s, d)
+        .selectExpr("event_id", "user_id", "unix_micros(ts) AS tm",
+          "cast(round(value * 100) as bigint) AS cents")
+        .withColumn("n_hour", count(lit(1)).over(w).cast("long"))
+        .withColumn("cents_hour", sum(col("cents")).over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), col("n_hour"), col("cents_hour"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_hour,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
 
   /** Adaptive per-source quality gate: keep the top 75% of each
     * source's docs by token count — the threshold ADAPTS to the group
