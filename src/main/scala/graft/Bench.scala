@@ -1,6 +1,16 @@
 package graft
 
 object Bench {
+  /** The stdout contract keys each query on its short id (the prefix
+    * before the first underscore) to stay under the harness's
+    * 2000-char tail capture; names with no numeric id keep their full
+    * name. Shared with RegistrySpec so the uniqueness test exercises
+    * THIS derivation, not a copy. */
+  def shortId(name: String): String = {
+    val id = name.takeWhile(_ != '_')
+    if (id.matches("[a-z]+\\d+")) id else name
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -87,15 +97,9 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","queries":$detail}\n"""
         .getBytes("UTF-8"))
-    // the stdout contract line stays under the tail capture by keying
-    // each query on its unique 'q07'/'d02'-style id (the prefix before
-    // the first underscore); names with no numeric id (the cass_*
-    // fixtures) keep their full name. Collisions fall back to the full
-    // name so the map is always 1:1 with the registry
-    val shortIds = results.map { case (k, _, _, _) =>
-      val id = k.takeWhile(_ != '_')
-      k -> (if (id.matches("[a-z]+\\d+")) id else k)
-    }
+    // collisions fall back to the full name so the map is always 1:1
+    // with the registry (see shortId)
+    val shortIds = results.map { case (k, _, _, _) => k -> shortId(k) }
     val counts = shortIds.groupBy(_._2).map { case (id, g) => id -> g.size }
     val keyed = shortIds.map { case (k, id) => k -> (if (counts(id) > 1) k else id) }.toMap
     val qs = results.map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }

@@ -88,12 +88,7 @@ class CqlPivotSpec extends AnyFunSuite {
       val direct = pivoted.selectExpr("sum(smallnumber)", "max(length(name))").head()
       assert(agg.getLong(2) == direct.getLong(0))
       assert(agg.getInt(3) == direct.getInt(1))
-    } finally {
-      def del(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(del); f.delete(): Unit
-      }
-      del(out)
-    }
+    } finally TestUtil.deleteRecursively(out)
   }
 
   test("pivot rangetombstone fixtures (clustering + tombstoned columns)") {

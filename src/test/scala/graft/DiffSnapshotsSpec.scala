@@ -48,9 +48,6 @@ class DiffSnapshotsSpec extends AnyFunSuite {
     // the shared accumulator counted the rows of BOTH compactions
     assert(GraftSSTable.rowsWritten.exists(_.value == 4L),
       s"rowsWritten must cover both sides, got ${GraftSSTable.rowsWritten.map(_.value)}")
-    def del(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(del); f.delete(): Unit
-    }
-    del(root)
+    TestUtil.deleteRecursively(root)
   }
 }

@@ -13,10 +13,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
     names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"malformed name: $n"))
-    // the bench stdout contract keys on the prefix before the first
-    // underscore; ids must stay unique or the line falls back to full
-    // names and can outgrow the harness's tail capture again
-    val ids = names.map(_.takeWhile(_ != '_')).filter(_.matches("[a-z]+\\d+"))
+    // the bench stdout contract keys on Bench.shortId; ids must stay
+    // unique or the line falls back to full names and can outgrow the
+    // harness's tail capture again. Asserting on the REAL derivation
+    // (not a copy) so this test cannot drift from the contract
+    val ids = names.map(Bench.shortId)
     assert(ids.distinct.size == ids.size,
       s"colliding short ids: ${ids.diff(ids.distinct).distinct}")
   }
