@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** @param domainCap      keep at most this many docs per source
+  /** Stage-boundary row counts ride the job as `observe` metrics
+    * (read them from `df.queryExecution.observedMetrics` after any
+    * action, keyed `curate_input`/`curate_dedup`/`curate_cap`/
+    * `curate_gate`) — the A3 accumulator pattern for the curation
+    * surface: per-stage attrition without re-running any stage.
+    *
+    * @param domainCap      keep at most this many docs per source
     *                       (first-by-doc_id, deterministic)
     * @param keepNumerator  keep the top keepNumerator/keepDenominator
     * @param keepDenominator  of each source's docs by token count
@@ -35,20 +41,24 @@ object Curate {
       .selectExpr("doc_id", "source", s"graft_nfc($textCol) AS text_n")
       .selectExpr("doc_id", "source", "text_n",
         s"${TextOps.strHash60("text_n")} AS fp")
+      .observe("curate_input", count(lit(1)).as("rows"))
     val deduped = norm
       .withColumn("dup_rk",
         row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("dup_rk") === 1)
+      .observe("curate_dedup", count(lit(1)).as("rows"))
     val capped = deduped
       .withColumn("cap_rk", row_number().over(bySource.orderBy(col("doc_id"))))
       .filter(col("cap_rk") <= domainCap)
       .selectExpr("doc_id", "source",
         s"cast(size(${TextOps.tokens("text_n")}) as bigint) AS n_tokens")
+      .observe("curate_cap", count(lit(1)).as("rows"))
     val gated = capped
       .withColumn("q_rk", row_number().over(
         bySource.orderBy(col("n_tokens").desc, col("doc_id"))).cast("long"))
       .withColumn("n_src", count(lit(1)).over(bySource).cast("long"))
       .filter(col("q_rk") * keepDenominator <= col("n_src") * keepNumerator)
+      .observe("curate_gate", count(lit(1)).as("rows"))
     val srcIdx = gated.select(col("source")).distinct()
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))).cast("long"))
