@@ -86,6 +86,40 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(capped == old)
   }
 
+  test("aggregation algebra: random chunking + serialize round-trips + merge order never change the result") {
+    import graft.functions.CollectCapped
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(7)
+    val agg = CollectCapped(BoundReference(0, LongType, nullable = true), cap = 8)
+    (1 to 50).foreach { trial =>
+      val n = rnd.nextInt(16) + 1
+      val values = Seq.fill(n)(if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong(20)))
+      // reference semantics: > cap ROWS -> null, else sorted non-nulls
+      val expect = if (values.length > 8) null
+        else values.flatMap(Option(_)).map(_.longValue).sorted
+      // split into random chunks, update each into its own partial
+      // buffer, serialize+deserialize (the shuffle path), then merge
+      // in shuffled order
+      val chunks = values.grouped(rnd.nextInt(4) + 1).toSeq
+      val partials = chunks.map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach(v => agg.update(b, InternalRow(v)))
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = rnd.shuffle(partials)
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = agg.eval(merged) match {
+        case null => null
+        case a: org.apache.spark.sql.catalyst.util.GenericArrayData =>
+          a.toLongArray.toSeq
+      }
+      assert(got == expect, s"trial $trial: values=$values chunks=$chunks")
+    }
+  }
+
   test("d02's one-pass capped collect equals the old three-pass df-prune shape") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cap = 3 // small cap so the prune actually fires on the fixture
