@@ -242,6 +242,66 @@ object Similarity {
         "if(maxabs = 0d, transform(v, x -> 0), " +
           "transform(v, x -> cast(round((x * 127d) / maxabs) as int))) AS q")
 
+  /** Product quantization (Jegou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011): split each vector into `m`
+    * subvectors and code each against a per-subvector codebook by
+    * L2 argmin — m bytes per vector at kCodes <= 256, the compressed
+    * storage format large ANN systems actually ship (vs [[quantizeInt8]]'s
+    * scalar 1-byte-per-dim). Deterministic like the IVF path: the
+    * codebook is the FIXED kCodes lowest vec_ids (a real deployment
+    * trains it on a sample; the plumbing is identical), ties keep the
+    * smallest code id, and every distance/cosine fold runs in element
+    * order so the DuckDB oracle matches bit-exactly.
+    *
+    * 100 TB shape: O(kCodes x D) broadcast state — constant in corpus
+    * size — and the coding itself is a pure map pass, no shuffle.
+    *
+    * @return (vec_id, codes ARRAY<BIGINT> of length m, recon_cos —
+    *         cosine between the vector and its codebook
+    *         reconstruction). */
+  def productQuantize(emb: DataFrame, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    val cb = p.filter(_._1 < kCodes).collect().sortBy(_._1)
+      .map { case (id, v, _) => (id, v.toArray) }
+    val bc = spark.sparkContext.broadcast(cb)
+    p.map { case (id, vSeq, nrm) =>
+      val v = vSeq.toArray
+      require(v.length % m == 0, s"dim ${v.length} not divisible by m=$m")
+      val d = v.length / m
+      val codes = new Array[Long](m)
+      val vr = new Array[Double](v.length)
+      var j = 0
+      while (j < m) {
+        var bestC = -1
+        var bestD = Double.PositiveInfinity
+        bc.value.foreach { case (cid, cv) =>
+          var dist = 0.0
+          var i = 0
+          while (i < d) {
+            val df = v(j * d + i) - cv(j * d + i)
+            dist += df * df
+            i += 1
+          }
+          // strict < keeps the smallest code id on ties, matching the
+          // oracle's (dist, cid) rank
+          if (dist < bestD) { bestD = dist; bestC = cid.toInt }
+        }
+        codes(j) = bestC.toLong
+        val c = bc.value(bestC)._2
+        var i = 0
+        while (i < d) { vr(j * d + i) = c(j * d + i); i += 1 }
+        j += 1
+      }
+      var dot = 0.0
+      var nr = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * vr(i); nr += vr(i) * vr(i); i += 1 }
+      (id, codes.toSeq, dot / (math.sqrt(nrm) * math.sqrt(nr)))
+    }.toDF("vec_id", "codes", "recon_cos")
+  }
+
   /** Near-duplicate vector pairs (cosine >= threshold, d1 < d2) via
     * banded hyperplane LSH + exact re-rank: one `nBands * bandBits`-
     * plane signature per vector (pure projection), sliced into

@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Joins, Similarity, TextOps}
   */
 object Pipeline4 {
 
-  def all: Seq[QueryDef] = Seq(s07, s08, d06, t11, q38, q39, p10, p11, p12, t12)
+  def all: Seq[QueryDef] = Seq(s07, s08, s09, d06, t11, q38, q39, p10, p11, p12, t12)
 
   /** SemDeDup-style semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): IVF-style
@@ -90,6 +90,48 @@ object Pipeline4 {
           ELSE ${DuckOps.dot("v", "vr")} /
             (sqrt(nrm) * sqrt(${DuckOps.norm2("vr")})) >= 0.999 END AS cos_ok
       FROM rec ORDER BY vec_id"""))
+
+  /** Product quantization ([[graft.operators.Similarity.productQuantize]]):
+    * 8 subvector codes per vector against the deterministic 16-entry
+    * codebooks — the compressed ANN storage format, 8 bytes/vector
+    * here. The full code assignment is pinned by an exact-integer fold
+    * hash, the reconstruction cosine is emitted raw (bit-identical
+    * fold order both engines), and recon_ok bounds it >= 0.35 (the
+    * corpus floor is ~0.39 with this untrained 16-entry codebook — a
+    * trained one recovers far more; the MACHINERY is what's tested).
+    * The driver compare cannot sort rows on ARRAY columns, so the
+    * codes travel as the fold hash (the m03 lesson). */
+  val s09: QueryDef = QueryDef(
+    "s09_product_quantization",
+    (s, d) => Similarity.productQuantize(Tables.embeddings(s, d))
+      .selectExpr("vec_id",
+        s"${TextOps.foldHash("codes")} AS code_hash",
+        "recon_cos", "recon_cos >= 0.35d AS recon_ok")
+      .orderBy(col("vec_id")),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      sub AS (SELECT e.vec_id, j, cid,
+                list_reduce(list_concat([0.0::DOUBLE],
+                  list_transform(range(1, 9), i ->
+                    (e.v[j * 8 + i] - cb.cv[j * 8 + i]) *
+                    (e.v[j * 8 + i] - cb.cv[j * 8 + i]))),
+                  (x, y) -> x + y) AS d
+              FROM e, cb, unnest(range(0, 8)) AS t(j)),
+      asg AS (SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+                FROM sub) WHERE rk = 1),
+      rec AS (SELECT a.vec_id,
+                flatten(list(cb.cv[a.j * 8 + 1 : a.j * 8 + 8] ORDER BY a.j)) AS vr,
+                list(a.cid ORDER BY a.j) AS codes
+              FROM asg a JOIN cb ON a.cid = cb.cid GROUP BY a.vec_id),
+      sc AS (SELECT r.vec_id, ${DuckOps.foldHash("r.codes")} AS code_hash,
+               ${DuckOps.dot("e.v", "r.vr")} /
+                 (sqrt(${DuckOps.norm2("e.v")}) * sqrt(${DuckOps.norm2("r.vr")})) AS recon_cos
+             FROM rec r JOIN e ON r.vec_id = e.vec_id)
+      SELECT vec_id, code_hash, recon_cos, recon_cos >= 0.35 AS recon_ok
+      FROM sc ORDER BY vec_id"""))
 
   /** MinHash accuracy as a tested invariant (the q37 pattern applied
     * to d03): for every LSH-surfaced pair, the 16-perm signature

@@ -91,6 +91,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("productQuantize: codes are the true per-subvector argmin; codebook vectors reconstruct exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 8
+    val out = Similarity.productQuantize(emb, m = 8, kCodes = k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getDouble(2))))
+      .toMap
+    val vecs = Similarity.prepared(emb).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cb = (0L until k).map(vecs)
+    def l2(v: Array[Double], c: Array[Double], j: Int, d: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val df = v(j * d + i) - c(j * d + i); s += df * df; i += 1 }
+      s
+    }
+    vecs.foreach { case (id, v) =>
+      val d = v.length / 8
+      val (codes, cos) = out(id)
+      (0 until 8).foreach { j =>
+        val chosen = l2(v, cb(codes(j).toInt), j, d)
+        cb.indices.foreach(c => assert(chosen <= l2(v, cb(c), j, d),
+          s"vec $id sub $j: code ${codes(j)} is not the argmin"))
+      }
+      if (id < k) {
+        assert(codes == (0 until 8).map(_ => id), s"codebook vec $id must code to itself")
+        // vr == v exactly, but nrm/(sqrt(nrm)*sqrt(nrm)) is not IEEE 1.0
+        assert(math.abs(cos - 1.0) < 1e-12,
+          s"codebook vec $id must reconstruct (near-)exactly, got $cos")
+      }
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], per-element error <= scale/2") {
     val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
       .selectExpr("vec_id", "v", "maxabs", "q").collect()
