@@ -108,8 +108,27 @@ object Similarity {
     bestId
   }
 
+  /** The FIXED deterministic codebook every coarse-quantization
+    * operator here shares: the vectors with `vec_id < k` (= the k
+    * lowest ids on the contiguous-id test corpora; a real deployment
+    * trains these on a sample). UNTYPED filter so the predicate pushes
+    * into the parquet scan — fetching k rows must not cost a full
+    * corpus deserialization pass. Throws when the id range holds no
+    * vectors rather than letting every downstream argmin index -1. */
+  private def fixedCodebook(emb: DataFrame, k: Int): Array[(Long, Array[Double], Double)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = prepared(emb).filter(col("vec_id") < k)
+      .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (id, v, n) => (id, v.toArray, n) }
+    require(cb.nonEmpty,
+      s"no vectors with vec_id < $k — the deterministic codebook needs the low-id range populated")
+    cb
+  }
+
   /** Coarse quantization: every vector labeled with its nearest of the
-    * `kCentroids` FIXED deterministic centroids (the lowest vec_ids).
+    * `kCentroids` FIXED deterministic centroids ([[fixedCodebook]]).
     * The 100 TB shape behind both IVF search and the k-means update:
     * O(kCentroids) broadcast state — constant in N — and the
     * assignment itself is a pure map pass. Returns
@@ -118,9 +137,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val cents = p.filter(_._1 < kCentroids).collect().sortBy(_._1)
-      .map { case (id, v, n) => (id, v.toArray, n) }
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(fixedCodebook(emb, kCentroids))
     p.map { case (id, vSeq, nrm) =>
       (id, vSeq, nrm, nearestCentroid(vSeq.toArray, nrm, bc.value))
     }.toDF("vec_id", "v", "nrm", "centroid")
@@ -154,9 +171,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val cents = p.filter(_._1 < kCentroids).collect().sortBy(_._1)
-      .map { case (id, v, n) => (id, v.toArray, n) }
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(fixedCodebook(emb, kCentroids))
 
     // each vector -> its nearest centroid
     val assigned = p.map { case (id, vSeq, nrm) =>
@@ -248,10 +263,11 @@ object Similarity {
     * L2 argmin — m bytes per vector at kCodes <= 256, the compressed
     * storage format large ANN systems actually ship (vs [[quantizeInt8]]'s
     * scalar 1-byte-per-dim). Deterministic like the IVF path: the
-    * codebook is the FIXED kCodes lowest vec_ids (a real deployment
-    * trains it on a sample; the plumbing is identical), ties keep the
-    * smallest code id, and every distance/cosine fold runs in element
-    * order so the DuckDB oracle matches bit-exactly.
+    * codebook is the [[fixedCodebook]] (vec_id < kCodes), ties keep
+    * the smallest code id, every distance/cosine fold runs in element
+    * order so the DuckDB oracle matches bit-exactly, and degenerate
+    * norms (zero input or zero reconstruction) pin recon_cos to 0 on
+    * both sides rather than NaN-vs-NULL divergence.
     *
     * 100 TB shape: O(kCodes x D) broadcast state — constant in corpus
     * size — and the coding itself is a pure map pass, no shuffle.
@@ -263,20 +279,26 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val cb = p.filter(_._1 < kCodes).collect().sortBy(_._1)
-      .map { case (id, v, _) => (id, v.toArray) }
-    val bc = spark.sparkContext.broadcast(cb)
+    val bc = spark.sparkContext.broadcast(
+      fixedCodebook(emb, kCodes).map { case (id, v, _) => (id, v) })
     p.map { case (id, vSeq, nrm) =>
       val v = vSeq.toArray
       require(v.length % m == 0, s"dim ${v.length} not divisible by m=$m")
       val d = v.length / m
+      val cb = bc.value
       val codes = new Array[Long](m)
       val vr = new Array[Double](v.length)
       var j = 0
       while (j < m) {
-        var bestC = -1
+        // argmin over codebook POSITIONS (a sparse id range must not
+        // be indexed by cid); cb is id-sorted, so position order IS
+        // ascending-cid order and strict < keeps the smallest code id
+        // on ties, matching the oracle's (dist, cid) rank
+        var bestIdx = -1
         var bestD = Double.PositiveInfinity
-        bc.value.foreach { case (cid, cv) =>
+        var c = 0
+        while (c < cb.length) {
+          val cv = cb(c)._2
           var dist = 0.0
           var i = 0
           while (i < d) {
@@ -284,21 +306,25 @@ object Similarity {
             dist += df * df
             i += 1
           }
-          // strict < keeps the smallest code id on ties, matching the
-          // oracle's (dist, cid) rank
-          if (dist < bestD) { bestD = dist; bestC = cid.toInt }
+          if (dist < bestD) { bestD = dist; bestIdx = c }
+          c += 1
         }
-        codes(j) = bestC.toLong
-        val c = bc.value(bestC)._2
+        codes(j) = cb(bestIdx)._1
+        val cv = cb(bestIdx)._2
         var i = 0
-        while (i < d) { vr(j * d + i) = c(j * d + i); i += 1 }
+        while (i < d) { vr(j * d + i) = cv(j * d + i); i += 1 }
         j += 1
       }
       var dot = 0.0
       var nr = 0.0
       var i = 0
       while (i < v.length) { dot += v(i) * vr(i); nr += vr(i) * vr(i); i += 1 }
-      (id, codes.toSeq, dot / (math.sqrt(nrm) * math.sqrt(nr)))
+      // 0/0 would be NaN here but NULL in the oracle's SQL division —
+      // pin the degenerate case (zero input or zero reconstruction) to
+      // cosine 0: "nothing reconstructed", mirrored in the s09 oracle
+      val cos = if (nrm == 0.0 || nr == 0.0) 0.0
+        else dot / (math.sqrt(nrm) * math.sqrt(nr))
+      (id, codes.toSeq, cos)
     }.toDF("vec_id", "codes", "recon_cos")
   }
 

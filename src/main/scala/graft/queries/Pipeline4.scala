@@ -127,8 +127,9 @@ object Pipeline4 {
                 list(a.cid ORDER BY a.j) AS codes
               FROM asg a JOIN cb ON a.cid = cb.cid GROUP BY a.vec_id),
       sc AS (SELECT r.vec_id, ${DuckOps.foldHash("r.codes")} AS code_hash,
-               ${DuckOps.dot("e.v", "r.vr")} /
-                 (sqrt(${DuckOps.norm2("e.v")}) * sqrt(${DuckOps.norm2("r.vr")})) AS recon_cos
+               CASE WHEN ${DuckOps.norm2("e.v")} = 0 OR ${DuckOps.norm2("r.vr")} = 0
+                 THEN 0.0 ELSE ${DuckOps.dot("e.v", "r.vr")} /
+                 (sqrt(${DuckOps.norm2("e.v")}) * sqrt(${DuckOps.norm2("r.vr")})) END AS recon_cos
              FROM rec r JOIN e ON r.vec_id = e.vec_id)
       SELECT vec_id, code_hash, recon_cos, recon_cos >= 0.35 AS recon_ok
       FROM sc ORDER BY vec_id"""))
