@@ -86,6 +86,26 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(capped == old)
   }
 
+  test("results survive the sort-based aggregation fallback (hash map pressure path)") {
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // this threshold — a different merge/serialize code path than the
+    // in-memory hash map; force it immediately and require identical
+    // results
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(): Set[(Long, Long, Long)] =
+      graft.operators.Dedup.ngramJaccardPairs(docs, "text", 3, 0.5, maxDocFreq = 8)
+        .select("d1", "d2", "shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val normal = run()
+    spark.conf.set(key, "1")
+    try {
+      val fallback = run()
+      assert(fallback == normal, "sort-based fallback changed the capped-collect results")
+      assert(normal.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("aggregation algebra: random chunking + serialize round-trips + merge order never change the result") {
     import graft.functions.CollectCapped
     import org.apache.spark.sql.catalyst.InternalRow
