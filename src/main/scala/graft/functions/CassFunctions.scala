@@ -167,6 +167,9 @@ object CassFunctions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_token_hashes" -> (es => TokenHashes(es.head)),
     "graft_nfc" -> (es => NfcNormalize(es.head)),
+    "graft_centroid_ranks" -> (es => CentroidRanks(es.head, es(1), es(2))),
+    "graft_pq" -> (es => PqEncode(es.head, es(1), es(2))),
+    "graft_scrub_keep" -> (es => ScrubKeep(es.head, es(1), es(2))),
     // bare AggregateFunction: the analyzer wraps it in an
     // AggregateExpression at resolution, same as the built-in registry
     "graft_collect_capped" -> (es => new CollectCapped(es.head, es(1))),

@@ -1,5 +1,8 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -245,6 +248,59 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
       str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString,
       1, distinct = false))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_scrub_keep(cov, n, len)` — the kept-token positions for
+  * [[graft.operators.Dedup.scrubRepeatedPassages]]: 1-based position
+  * `j` in `1..len` survives iff no removal-window start `i` in the
+  * SORTED-ascending `cov` satisfies `i <= j AND i > j - n` (i.e. no
+  * n-token removal window covers token j). A linear two-pointer merge
+  * over (positions, cov) — O(len + |cov|) — replacing the
+  * `filter(sequence(1, len), j -> exists(cov, ...))` form whose
+  * re-scan of the whole removal list per token was O(len·|cov|):
+  * quadratic exactly on the long highly-duplicated documents this
+  * operator exists to scrub. */
+case class ScrubKeep(first: Expression, second: Expression, third: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_scrub_keep expects (ARRAY<BIGINT>, INT, INT), got $t")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val covAny = first.eval(input)
+    val nAny = second.eval(input)
+    val lenAny = third.eval(input)
+    if (covAny == null || nAny == null || lenAny == null) return null
+    val cov = covAny.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val len = lenAny.asInstanceOf[Int]
+    val nCov = cov.numElements()
+    val out = new ArrayBuffer[Int](len)
+    var ptr = 0
+    var last = Long.MinValue // greatest removal start <= j so far
+    var j = 1
+    while (j <= len) {
+      while (ptr < nCov && cov.getLong(ptr) <= j) {
+        last = cov.getLong(ptr); ptr += 1
+      }
+      if (last <= j - n) out += j
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(first = newChildren(0), second = newChildren(1), third = newChildren(2))
 }
 
 case class MinHashSig(left: Expression, right: Expression)
