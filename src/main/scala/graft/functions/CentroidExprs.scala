@@ -25,12 +25,22 @@ import org.apache.spark.sql.types._
   */
 object CentroidExprs {
 
-  /** Unpack an ARRAY<ARRAY<DOUBLE>> literal into JVM arrays once. */
-  private[functions] def unpackCents(a: Any): Array[Array[Double]] = {
+  /** Unpack an ARRAY<ARRAY<DOUBLE>> literal into JVM arrays once, with
+    * the shared codebook contract enforced where it is cheapest — once
+    * per plan, not per row: non-empty, and every centroid the same
+    * dimension (a silently min-truncated dot product is a
+    * plausible-but-wrong cosine, worse than an error). */
+  private[functions] def unpackCents(a: Any, fn: String): Array[Array[Double]] = {
     val outer = a.asInstanceOf[ArrayData]
-    Array.tabulate(outer.numElements()) { i =>
+    val cents = Array.tabulate(outer.numElements()) { i =>
       outer.getArray(i).toDoubleArray()
     }
+    require(cents.nonEmpty, s"$fn: codebook literal must be non-empty")
+    val d = cents(0).length
+    require(cents.forall(_.length == d),
+      s"$fn: all codebook vectors must share one dimension " +
+        s"(saw ${cents.map(_.length).distinct.mkString(",")})")
+    cents
   }
 
   private[functions] def unpackNorms(a: Any): Array[Double] =
@@ -47,11 +57,19 @@ object CentroidExprs {
   }
 }
 
-/** `graft_centroid_ranks(v, cents, cnorms)` — ALL codebook positions
+/** `graft_centroid_ranks(v, cents, cnorms)` — the codebook positions
   * (0-based) ordered by `(cosine(v, cents[p]) DESC, p ASC)`: element 1
   * is the nearest-centroid assignment, `slice(.., 1, nprobe)` is the
   * IVF probe list. `cents`/`cnorms` must be foldable (literals): the
   * codebook is plan-time state, not row data.
+  *
+  * NaN cosines are SKIPPED (excluded from the ranking), mirroring the
+  * strict `c > bestCos` closure semantics this expression replaces: a
+  * NaN never wins an argmax there, so a zero-norm input vector yields
+  * an EMPTY ranking (callers coalesce the assignment to -1, exactly
+  * the closure's bestId = -1) and a zero-norm centroid can never be
+  * assigned or probed. ±Inf cosines (zero-norm centroid, non-zero
+  * dot) rank normally on both sides.
   */
 case class CentroidRanks(first: Expression, second: Expression, third: Expression)
     extends Expression with CodegenFallback {
@@ -72,33 +90,42 @@ case class CentroidRanks(first: Expression, second: Expression, third: Expressio
     }
 
   @transient private lazy val cents: Array[Array[Double]] =
-    CentroidExprs.unpackCents(second.eval(null))
-  @transient private lazy val cnorms: Array[Double] =
-    CentroidExprs.unpackNorms(third.eval(null))
+    CentroidExprs.unpackCents(second.eval(null), "graft_centroid_ranks")
+  @transient private lazy val cnorms: Array[Double] = {
+    val ns = CentroidExprs.unpackNorms(third.eval(null))
+    require(ns.length == cents.length,
+      s"graft_centroid_ranks: ${cents.length} centroids but ${ns.length} norms")
+    ns
+  }
 
   override def eval(input: InternalRow): Any = {
     val vAny = first.eval(input)
     if (vAny == null) return null
     val v = vAny.asInstanceOf[ArrayData]
+    val d = cents(0).length
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"graft_centroid_ranks: vector dim ${v.numElements()} != codebook dim $d")
     val nv = CentroidExprs.norm2(v)
     val k = cents.length
     val cos = new Array[Double](k)
     var c = 0
     while (c < k) {
       val cv = cents(c)
-      val n = math.min(v.numElements(), cv.length)
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      while (i < d) { dot += v.getDouble(i) * cv(i); i += 1 }
       cos(c) = dot / (math.sqrt(nv) * math.sqrt(cnorms(c)))
       c += 1
     }
-    // rank (cos DESC, pos ASC); Double.compare puts NaN greatest —
-    // the same total order Spark and DuckDB sort doubles with
-    val pos = Array.tabulate(k)(identity)
+    // rank (cos DESC, pos ASC) over NON-NaN cosines only — a NaN is
+    // never strictly greater, so the closure argmax skipped it; ties
+    // (incl. -0.0 vs 0.0, neither strictly greater) keep the earlier
+    // position, exactly the closure's first-wins behavior
+    val pos = Array.tabulate(k)(identity).filter(p => !cos(p).isNaN)
     val ranked = pos.sortWith { (a, b) =>
-      val cmp = java.lang.Double.compare(cos(b), cos(a))
-      if (cmp != 0) cmp < 0 else a < b
+      if (cos(a) > cos(b)) true
+      else if (cos(b) > cos(a)) false
+      else a < b
     }
     new GenericArrayData(ranked.map(_.toLong))
   }
@@ -136,13 +163,19 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     }
 
   @transient private lazy val cents: Array[Array[Double]] =
-    CentroidExprs.unpackCents(second.eval(null))
-  @transient private lazy val m: Int = third.eval(null).asInstanceOf[Int]
+    CentroidExprs.unpackCents(second.eval(null), "graft_pq")
+  @transient private lazy val m: Int = {
+    val v = third.eval(null).asInstanceOf[Int]
+    require(v > 0, s"graft_pq: m must be positive, got $v")
+    v
+  }
 
   override def eval(input: InternalRow): Any = {
     val vAny = first.eval(input)
     if (vAny == null) return null
     val v = vAny.asInstanceOf[ArrayData].toDoubleArray()
+    require(v.length == cents(0).length,
+      s"graft_pq: vector dim ${v.length} != codebook dim ${cents(0).length}")
     require(v.length % m == 0, s"graft_pq: dim ${v.length} not divisible by m=$m")
     val d = v.length / m
     val codes = new Array[Long](m)

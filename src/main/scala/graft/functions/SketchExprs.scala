@@ -290,7 +290,14 @@ case class ScrubKeep(first: Expression, second: Expression, third: Expression)
     var j = 1
     while (j <= len) {
       while (ptr < nCov && cov.getLong(ptr) <= j) {
-        last = cov.getLong(ptr); ptr += 1
+        val c = cov.getLong(ptr)
+        // the two-pointer merge is only correct on ascending cov — the
+        // function is in the general SQL registry, so enforce the
+        // contract at runtime (one comparison per consumed element)
+        // instead of silently returning a wrong kept-set
+        if (c < last) throw new IllegalArgumentException(
+          s"graft_scrub_keep: cov must be sorted ascending (saw $c after $last)")
+        last = c; ptr += 1
       }
       if (last <= j - n) out += j
       j += 1

@@ -227,10 +227,15 @@ object Dedup {
         "coalesce(cov, cast(array() as array<bigint>)) AS cov")
       .selectExpr("doc_id", "t",
         // kept token positions: 1-based j survives iff no removal
-        // window starting in (j-n, j] covers it
-        s"if(size(t) = 0, cast(array() as array<int>), " +
-          s"filter(sequence(1, size(t)), j -> " +
-          s"NOT exists(cov, i -> i <= j AND i > j - $n))) AS kept")
+        // window starting in (j-n, j] covers it. The native
+        // [[graft.functions.ScrubKeep]] two-pointer merge is
+        // O(len + |cov|) where the earlier
+        // filter(sequence(...), j -> exists(cov, ...)) form re-scanned
+        // the whole removal list per token — quadratic exactly on the
+        // long highly-duplicated docs this operator exists to scrub.
+        // cov is sorted ascending by construction (sort_array above);
+        // the expression validates that contract at runtime.
+        s"graft_scrub_keep(cov, $n, size(t)) AS kept")
       .selectExpr("doc_id",
         "cast(size(t) as bigint) AS n_before",
         "cast(size(kept) as bigint) AS n_after",

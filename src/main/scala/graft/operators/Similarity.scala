@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -96,8 +96,13 @@ object Similarity {
   }
 
   /** nearest centroid by cosine; strictly-greater keeps the smallest
-    * centroid id on ties, matching the oracle's (cos DESC, cid) rank. */
-  private def nearestCentroid(v: Array[Double], nrm: Double,
+    * centroid id on ties, matching the oracle's (cos DESC, cid) rank.
+    * No longer on the assignment hot path (the native
+    * [[graft.functions.CentroidRanks]] expression is) — retained as
+    * the executable semantic contract the CentroidExprsSpec parity
+    * fuzz checks the expression against, NaN/zero-norm cases
+    * included. */
+  private[graft] def nearestCentroid(v: Array[Double], nrm: Double,
       cents: Array[(Long, Array[Double], Double)]): Long = {
     var bestId = -1L
     var bestCos = Double.NegativeInfinity
@@ -127,20 +132,51 @@ object Similarity {
     cb
   }
 
+  /** The codebook as three foldable literal Columns —
+    * (cents ARRAY<ARRAY<DOUBLE>>, cnorms ARRAY<DOUBLE>,
+    * ids ARRAY<BIGINT>) — the plan-time state the native
+    * [[graft.functions.CentroidRanks]] / [[graft.functions.PqEncode]]
+    * expressions unpack once per plan. O(k·D) constants riding the
+    * serialized plan: fine up to ~10^6 doubles (the 50k-cluster/768-dim
+    * SemDeDup regime should instead switch the assignment to a
+    * broadcast-join + window-argmin form — the literal is the
+    * SMALL-codebook fast path, which is every codebook here). */
+  private def codebookCols(
+      cb: Array[(Long, Array[Double], Double)]): (Column, Column, Column) =
+    (typedLit(cb.map(_._2.toSeq).toSeq),
+      typedLit(cb.map(_._3).toSeq),
+      typedLit(cb.map(_._1).toSeq))
+
   /** Coarse quantization: every vector labeled with its nearest of the
     * `kCentroids` FIXED deterministic centroids ([[fixedCodebook]]).
     * The 100 TB shape behind both IVF search and the k-means update:
-    * O(kCentroids) broadcast state — constant in N — and the
-    * assignment itself is a pure map pass. Returns
-    * (vec_id, v, nrm, centroid). */
-  def assignCentroids(emb: DataFrame, kCentroids: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val bc = spark.sparkContext.broadcast(fixedCodebook(emb, kCentroids))
-    p.map { case (id, vSeq, nrm) =>
-      (id, vSeq, nrm, nearestCentroid(vSeq.toArray, nrm, bc.value))
-    }.toDF("vec_id", "v", "nrm", "centroid")
+    * O(kCentroids) plan-literal state — constant in N — and the
+    * assignment itself is a pure columnar projection through the
+    * native [[graft.functions.CentroidRanks]] expression (no
+    * Serialize/DeserializeToObject barrier: the earlier typed-lambda
+    * `Dataset.map` round-tripped every corpus vector
+    * Tungsten→JVM→Tungsten). Returns (vec_id, v, nrm, centroid). */
+  def assignCentroids(emb: DataFrame, kCentroids: Int): DataFrame =
+    assignTo(prepared(emb).select("vec_id", "v", "nrm"),
+      fixedCodebook(emb, kCentroids))
+
+  /** [[assignCentroids]] against an EXPLICIT codebook — the entry
+    * point [[kmeansTrain]]ed centroids feed back through. `p` must
+    * carry (vec_id, v, nrm). A vector whose every cosine is NaN
+    * (zero-norm input) gets centroid -1, the closure-semantics
+    * contract ([[nearestCentroid]]). */
+  private[graft] def assignTo(p: DataFrame,
+      cb: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val (cents, cnorms, ids) = codebookCols(cb)
+    p.withColumn("__rk",
+        call_function("graft_centroid_ranks", col("v"), cents, cnorms))
+      // try_element_at: an all-NaN ranking is EMPTY (ANSI element_at
+      // would throw); the null propagates through the id lookup into
+      // the -1 coalesce
+      .withColumn("centroid",
+        coalesce(try_element_at(ids, try_element_at(col("__rk"), lit(1)).cast("int") + 1),
+          lit(-1L)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid"))
   }
 
   /** One k-means (Lloyd) centroid-update step over the
@@ -168,24 +204,25 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       kCentroids: Int, nprobe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val bc = spark.sparkContext.broadcast(fixedCodebook(emb, kCentroids))
+    val cb = fixedCodebook(emb, kCentroids)
+    val (cents, cnorms, ids) = codebookCols(cb)
+    val p = prepared(emb).select("vec_id", "v", "nrm")
 
-    // each vector -> its nearest centroid
-    val assigned = p.map { case (id, vSeq, nrm) =>
-      (id, vSeq, nrm, nearestCentroid(vSeq.toArray, nrm, bc.value))
-    }.toDF("vec_id", "v", "nrm", "centroid")
+    // each vector -> its nearest centroid (native columnar projection)
+    val assigned = assignTo(p, cb)
 
-    // each query -> its nprobe nearest centroids
-    val probes = p.filter(_._1 < nQueries).flatMap { case (id, vSeq, nrm) =>
-      val v = vSeq.toArray
-      bc.value.map { case (cid, cv, cn) => (id, vSeq, nrm, cid, cos(v, nrm, cv, cn)) }
-        .sortBy { case (_, _, _, cid, c) => (-c, cid) }
-        .take(nprobe)
-        .map { case (qid, qv, qn, cid, _) => (qid, qv, qn, cid) }
-    }.toDF("q_id", "qv", "qn", "qcentroid")
+    // each query -> its nprobe nearest centroids: the probe list is
+    // the rank prefix, `slice(graft_centroid_ranks(..), 1, nprobe)`.
+    // Positions map to centroid ids through the id literal (the
+    // codebook is id-sorted, so position order IS ascending-cid order
+    // and the (cos DESC, pos ASC) rank equals the (cos DESC, cid ASC)
+    // rank the oracle replays). NaN-cosine centroids are never probed.
+    val probes = p.filter(col("vec_id") < nQueries)
+      .withColumn("__pos", explode(slice(
+        call_function("graft_centroid_ranks", col("v"), cents, cnorms),
+        1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        element_at(ids, col("__pos").cast("int") + 1).as("qcentroid"))
 
     val scored = broadcast(probes)
       .join(assigned, col("qcentroid") === col("centroid") && col("vec_id") =!= col("q_id"))
@@ -276,56 +313,26 @@ object Similarity {
     *         cosine between the vector and its codebook
     *         reconstruction). */
   def productQuantize(emb: DataFrame, m: Int = 8, kCodes: Int = 16): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val p = prepared(emb).select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
-    val bc = spark.sparkContext.broadcast(
-      fixedCodebook(emb, kCodes).map { case (id, v, _) => (id, v) })
-    p.map { case (id, vSeq, nrm) =>
-      val v = vSeq.toArray
-      require(v.length % m == 0, s"dim ${v.length} not divisible by m=$m")
-      val d = v.length / m
-      val cb = bc.value
-      val codes = new Array[Long](m)
-      val vr = new Array[Double](v.length)
-      var j = 0
-      while (j < m) {
-        // argmin over codebook POSITIONS (a sparse id range must not
-        // be indexed by cid); cb is id-sorted, so position order IS
-        // ascending-cid order and strict < keeps the smallest code id
-        // on ties, matching the oracle's (dist, cid) rank
-        var bestIdx = -1
-        var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < cb.length) {
-          val cv = cb(c)._2
-          var dist = 0.0
-          var i = 0
-          while (i < d) {
-            val df = v(j * d + i) - cv(j * d + i)
-            dist += df * df
-            i += 1
-          }
-          if (dist < bestD) { bestD = dist; bestIdx = c }
-          c += 1
-        }
-        codes(j) = cb(bestIdx)._1
-        val cv = cb(bestIdx)._2
-        var i = 0
-        while (i < d) { vr(j * d + i) = cv(j * d + i); i += 1 }
-        j += 1
-      }
-      var dot = 0.0
-      var nr = 0.0
-      var i = 0
-      while (i < v.length) { dot += v(i) * vr(i); nr += vr(i) * vr(i); i += 1 }
-      // 0/0 would be NaN here but NULL in the oracle's SQL division —
-      // pin the degenerate case (zero input or zero reconstruction) to
-      // cosine 0: "nothing reconstructed", mirrored in the s09 oracle
-      val cos = if (nrm == 0.0 || nr == 0.0) 0.0
-        else dot / (math.sqrt(nrm) * math.sqrt(nr))
-      (id, codes.toSeq, cos)
-    }.toDF("vec_id", "codes", "recon_cos")
+    // coding runs in the native [[graft.functions.PqEncode]]
+    // expression — argmin over codebook POSITIONS (a sparse id range
+    // must not be indexed by cid), strict < keeping the smallest
+    // position on ties; cb is id-sorted, so position order IS
+    // ascending-cid order, matching the oracle's (dist, cid) rank.
+    // Positions map back to codebook IDS through the id literal.
+    // Degenerate norms (zero input or zero reconstruction) pin
+    // recon_cos to 0 on both engines rather than NaN-vs-NULL
+    // divergence. The whole pass is a columnar projection — no
+    // Serialize/DeserializeToObject barrier, no broadcast round-trip.
+    val cb = fixedCodebook(emb, kCodes)
+    val ids = typedLit(cb.map(_._1).toSeq)
+    val cents = typedLit(cb.map(_._2.toSeq).toSeq)
+    prepared(emb)
+      .select(col("vec_id"),
+        call_function("graft_pq", col("v"), cents, lit(m)).as("__pq"))
+      .select(col("vec_id"),
+        transform(col("__pq.codes"),
+          c => element_at(ids, c.cast("int") + 1)).as("codes"),
+        col("__pq.recon_cos").as("recon_cos"))
   }
 
   /** Near-duplicate vector pairs (cosine >= threshold, d1 < d2) via

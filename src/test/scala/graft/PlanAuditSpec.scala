@@ -158,6 +158,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val s07 = finalPlan(queries.Pipeline4.s07.run(spark, sfDir))
     assert(!s07.contains("CartesianProduct") && !s07.contains("BroadcastNestedLoopJoin"),
       s"semantic-dedup pairs must be an equi-join on the centroid id:\n$s07")
+    assert(!s07.contains("DeserializeToObject") && !s07.contains("SerializeFromObject"),
+      s"centroid assignment must stay columnar (native graft_centroid_ranks, " +
+        s"no typed-lambda Tungsten round-trip):\n$s07")
     val q38 = finalPlan(queries.Pipeline4.q38.run(spark, sfDir))
     assert(!q38.contains("CartesianProduct") && !q38.contains("BroadcastNestedLoopJoin"),
       s"the range join must be the bucketed equi-join, not a nested-loop scan:\n$q38")
@@ -171,6 +174,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val d06 = finalPlan(queries.Pipeline4.d06.run(spark, sfDir))
     assert(!d06.contains("CartesianProduct"),
       s"sketch-accuracy joins must stay equi:\n$d06")
+    // the whole embedding family: full-corpus passes stay columnar
+    Seq(queries.Pipeline.s04, queries.Pipeline3.s06, queries.Pipeline4.s09)
+      .foreach { q =>
+        val p = finalPlan(q.run(spark, sfDir))
+        assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+          s"${q.name}: assignment/coding must stay columnar:\n$p")
+      }
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {

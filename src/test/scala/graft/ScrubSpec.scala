@@ -88,6 +88,61 @@ class ScrubSpec extends AnyFunSuite {
     assert(scrub(docs) == reference(docs))
   }
 
+  test("graft_scrub_keep parity vs the exists() form it replaced (random cov/n/len)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cases = (0 until 200).map { i =>
+      val len = rnd.nextInt(40)
+      val n = 1 + rnd.nextInt(5)
+      val nCov = rnd.nextInt(10)
+      val cov = Seq.fill(nCov)(1L + rnd.nextInt(math.max(1, len + 2))).sorted
+      (i.toLong, cov, n, len)
+    }
+    val df = cases.toDF("id", "cov", "n", "len")
+    val out = df.selectExpr("id",
+        "graft_scrub_keep(cov, n, len) AS fast",
+        // the pre-round-8 O(len*|cov|) form — retained here as the
+        // executable semantic oracle
+        "if(len = 0, cast(array() as array<int>), " +
+          "filter(sequence(1, len), j -> NOT exists(cov, i -> i <= j AND i > j - n))) AS slow")
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"case ${r.getLong(0)}: fast ${r.getSeq[Int](1)} != slow ${r.getSeq[Int](2)}")
+    }
+  }
+
+  test("graft_scrub_keep rejects unsorted cov (the two-pointer contract)") {
+    import spark.implicits._
+    val e = intercept[Throwable] {
+      Seq((1L, Seq(5L, 2L))).toDF("id", "cov")
+        .selectExpr("graft_scrub_keep(cov, 3, 10)").collect()
+    }
+    val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs.contains("sorted ascending"), s"unexpected failure: $msgs")
+  }
+
+  test("pathological long doc (100k tokens, ~90% repeated) scrubs in linear time") {
+    // one hot 10-token phrase repeated 9000 times + 10k unique tokens:
+    // cov has ~90k entries over a 100k-token doc — the shape that made
+    // the exists() form O(len*|cov|) ~ 9e9 lambda steps. The linear
+    // two-pointer expression finishes in seconds.
+    val phrase = (0 until 10).map(i => s"p$i").mkString(" ")
+    val text = ((0 until 10000).map(i => s"u$i") ++ Seq.fill(9000)(phrase))
+      .mkString(" ")
+    val t0 = System.nanoTime()
+    val out = scrub(Seq(0L -> text))(0L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 100_000 tokens in; the first phrase occurrence survives, every
+    // later repeat (and the windows straddling repeats) is scrubbed
+    assert(out._1 == 100000L)
+    // survivors: the 10k unique prefix + the phrase's first copy (all
+    // later copies are fully covered by rank>=2 windows)
+    assert(out._2 == 10010L, s"kept ${out._2} tokens")
+    assert(secs < 90, f"scrub took $secs%.1f s — quadratic path suspected")
+  }
+
   test("scrub result is partition-count independent") {
     import spark.implicits._
     val docs = Seq(0L -> "a b c d e", 1L -> "x a b c y", 2L -> "z b c d w")
