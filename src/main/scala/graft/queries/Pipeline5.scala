@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Round-8 additions: the coarse-quantizer TRAINING loop as a
+  * hash-checked query surface. `kmeansUpdate` (s06) proved one Lloyd
+  * step; these prove the iterated training — the piece that turns the
+  * deterministic seed codebook into a real quantizer — and that the
+  * trained codebook is measurably better than the seed it started
+  * from. The oracle replays every iteration as an unrolled CTE
+  * cascade: assignment argmax (cos DESC, cid), exact-integer
+  * micro-mean, truncating div decomposed by sign (Spark `div` vs
+  * DuckDB floor `//`), centroid rebuild as `mean_micro / 1e6` — one
+  * IEEE division per coordinate, bit-identical across engines — with
+  * empty clusters keeping their previous centroid via the LEFT JOIN
+  * coalesce. */
+object Pipeline5 {
+
+  def all: Seq[QueryDef] = Seq(s10, s11, s12)
+
+  private val K = 8 // seed codebook size (vec_id < 8)
+  private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
+
+  /** the shared CTE prefix: corpus vectors + seed codebook. */
+  private def prefixSql: String =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      cb0 AS (SELECT vec_id AS cid, v AS cv FROM nn WHERE vec_id < $K)"""
+
+  /** iteration `i`'s assignment + micro-mean aggregation vs codebook
+    * `cb`: emits CTEs s<i> (cosines), a<i> (argmax assignment),
+    * x<i> (exploded micro coords), g<i> (per (cid, dim) count/sum). */
+  private def stepSql(i: Int, cb: String): String =
+    s""",
+      s$i AS (SELECT vec_id, v, cid,
+               ${DuckOps.dot("v", "cv")} / (sqrt(nrm) * sqrt(${DuckOps.norm2("cv")})) AS cos
+             FROM nn, $cb),
+      a$i AS (SELECT vec_id, v, cid FROM (
+               SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM s$i) WHERE rk = 1),
+      x$i AS (SELECT cid, unnest(range(1, len(v) + 1)) AS dim,
+               unnest(list_transform(range(1, len(v) + 1),
+                 q -> CAST(round(v[q] * 1000000) AS BIGINT))) AS xm
+             FROM a$i),
+      g$i AS (SELECT cid, dim, count(*) AS n, sum(xm) AS s FROM x$i GROUP BY 1, 2)"""
+
+  /** codebook `i` rebuilt from g<i> over codebook `prev` (empty
+    * clusters keep their previous centroid). */
+  private def rebuildSql(i: Int, prev: String): String =
+    s""",
+      m$i AS (SELECT cid, dim,
+               CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS mm FROM g$i),
+      u$i AS (SELECT cid, list(mm / 1000000.0 ORDER BY dim) AS nv FROM m$i GROUP BY cid),
+      cb$i AS (SELECT c.cid, coalesce(u.nv, c.cv) AS cv
+               FROM $prev c LEFT JOIN u$i u ON c.cid = u.cid)"""
+
+  /** the chain through `Iters` assignments (cb0 → … → cb{Iters-1},
+    * with g1..gIters available). */
+  private def chainSql: String = {
+    val sb = new StringBuilder(prefixSql)
+    var it = 1
+    while (it <= Iters) {
+      sb ++= stepSql(it, s"cb${it - 1}")
+      if (it < Iters) sb ++= rebuildSql(it, s"cb${it - 1}")
+      it += 1
+    }
+    sb.toString
+  }
+
+  /** Iterated k-means training ([[graft.operators.Similarity.kmeansTrain]]):
+    * the final (3rd) Lloyd update table after two driver-fed-back
+    * steps — per (centroid, dim), member count and the exact-integer
+    * micro-mean. s06 pinned ONE step; this pins the LOOP (assignment
+    * against trained, non-corpus centroid vectors included). */
+  val s10: QueryDef = QueryDef(
+    "s10_kmeans_train",
+    (s, d) => Similarity.kmeansTrain(Tables.embeddings(s, d), K, Iters)
+      .orderBy(col("centroid"), col("dim")),
+    Some(s"""$chainSql
+      SELECT CAST(cid AS BIGINT) AS centroid, CAST(dim AS BIGINT) AS dim,
+        CAST(n AS BIGINT) AS n_members,
+        CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS BIGINT) AS mean_micro
+      FROM g$Iters ORDER BY centroid, dim"""))
+
+  /** Training gain as a tested invariant (the q37/d06 pattern applied
+    * to the training loop): summed micro-quantized assignment cosine
+    * under the seed codebook vs the trained one, and the
+    * strictly-better flag — so "training actually improves the
+    * quantizer" is itself a hash-matched cell, not a claim. The
+    * assigned-centroid cosine is the rk=1 cosine both engines already
+    * rank identically; round(cos·1e9) sums are order-insensitive
+    * BIGINTs. */
+  val s11: QueryDef = QueryDef(
+    "s11_kmeans_gain",
+    (s, d) => Similarity.kmeansGain(Tables.embeddings(s, d), K, Iters),
+    Some(s"""$chainSql,
+      sq AS (SELECT CAST(sum(CAST(round(cos * 1000000000) AS BIGINT)) AS BIGINT)
+               AS seed_quality
+             FROM (SELECT cos, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM s1) WHERE rk = 1),
+      tq AS (SELECT CAST(sum(CAST(round(cos * 1000000000) AS BIGINT)) AS BIGINT)
+               AS trained_quality
+             FROM (SELECT cos, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM s$Iters) WHERE rk = 1)
+      SELECT seed_quality, trained_quality,
+        trained_quality > seed_quality AS trained_better
+      FROM sq, tq"""))
+
+  /** PQ coding + micro-summed reconstruction cosine vs codebook CTE
+    * `cb` (the s09 oracle shape, parameterized): emits pq/pa/pr/pm
+    * CTEs suffixed `t`. m=8 subvectors over 64 dims. */
+  private def pqReconSql(t: String, cb: String, outCol: String): String =
+    s""",
+      pq$t AS (SELECT nn.vec_id, j, cid,
+                list_reduce(list_concat([0.0::DOUBLE],
+                  list_transform(range(1, 9), q ->
+                    (nn.v[j * 8 + q] - cb.cv[j * 8 + q]) *
+                    (nn.v[j * 8 + q] - cb.cv[j * 8 + q]))),
+                  (x, y) -> x + y) AS d
+              FROM nn, $cb cb, unnest(range(0, 8)) AS t(j)),
+      pa$t AS (SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+                FROM pq$t) WHERE rk = 1),
+      pr$t AS (SELECT a.vec_id,
+                flatten(list(cb.cv[a.j * 8 + 1 : a.j * 8 + 8] ORDER BY a.j)) AS vr
+              FROM pa$t a JOIN $cb cb ON a.cid = cb.cid GROUP BY a.vec_id),
+      pm$t AS (SELECT CAST(sum(CAST(round(
+                (CASE WHEN nn.nrm = 0 OR ${DuckOps.norm2("r.vr")} = 0 THEN 0.0
+                 ELSE ${DuckOps.dot("nn.v", "r.vr")} /
+                   (sqrt(nn.nrm) * sqrt(${DuckOps.norm2("r.vr")})) END) * 1000000000)
+                AS BIGINT)) AS BIGINT) AS $outCol
+              FROM pr$t r JOIN nn ON r.vec_id = nn.vec_id)"""
+
+  /** Trained-vs-seed product-quantizer reconstruction
+    * ([[graft.operators.Similarity.pqGain]]): the s09 recon metric
+    * re-run under the trained codebook, micro-summed, with the
+    * strictly-better flag hash-matched — closing the loop on s09's
+    * documented untrained-codebook recon floor (~0.46 seed → ~0.51
+    * trained on this corpus). */
+  val s12: QueryDef = QueryDef(
+    "s12_pq_trained_recon",
+    (s, d) => Similarity.pqGain(Tables.embeddings(s, d), K, Iters, 8),
+    Some(s"""$chainSql
+      ${pqReconSql("s", "cb0", "seed_recon")}
+      ${pqReconSql("t", s"cb${Iters - 1}", "trained_recon")}
+      SELECT seed_recon, trained_recon,
+        trained_recon > seed_recon AS trained_better
+      FROM pms, pmt"""))
+}

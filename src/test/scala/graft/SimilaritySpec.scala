@@ -123,6 +123,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTrain: step 0 is the seed codebook; training is partition-count independent") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = Similarity.trainedCodebook(emb, 8, 0)
+    // 0 steps == the fixed deterministic seed
+    assert(seed.map(_._1).toSeq == (0L until 8L))
+    val one = Similarity.kmeansTrain(emb.repartition(1), 8, 3).collect().toSet
+    val many = Similarity.kmeansTrain(emb.repartition(7), 8, 3).collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
+
+  test("kmeansTrain: member counts still partition the corpus after training") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val total = emb.count()
+    val perCluster = Similarity.kmeansTrain(emb, 8, 3)
+      .filter("dim = 1").selectExpr("sum(n_members)").collect()(0).getLong(0)
+    assert(perCluster == total)
+  }
+
+  test("kmeansGain/pqGain: training strictly improves assignment quality and PQ reconstruction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val g = Similarity.kmeansGain(emb, 8, 3).collect()(0)
+    assert(g.getBoolean(2), s"trained ${g.getLong(1)} !> seed ${g.getLong(0)}")
+    val p = Similarity.pqGain(emb, 8, 3, 8).collect()(0)
+    assert(p.getBoolean(2), s"trained recon ${p.getLong(1)} !> seed ${p.getLong(0)}")
+  }
+
   test("quantizeInt8: codes in [-127,127], per-element error <= scale/2") {
     val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
       .selectExpr("vec_id", "v", "maxabs", "q").collect()
