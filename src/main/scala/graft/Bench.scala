@@ -55,14 +55,22 @@ object Bench {
     val results = SparkEntry.registry.sortBy(_.name).map { q =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val n = try {
+          val df = q.run(spark, sfDir)
+          val c = df.count()
+          // free the iteration's operator-result checkpoint blocks
+          // (dedup/similarity operators materialize-and-release their
+          // intermediates internally now; the RESULT blocks are the
+          // caller's to release) so storage doesn't accumulate across
+          // the 90-query registry and evict/thrash later queries.
+          // NOTE: since round 8 every iteration pays the full
+          // signature recompute — operators no longer leave a warm
+          // cache behind — so per-query min is the true cold-run cost.
+          graft.operators.Storage.release(df)
+          c
+        } catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      // drop this query's cached intermediates (dedup/similarity
-      // operators cache signature sets) so storage doesn't accumulate
-      // across the 80+ query registry and evict/thrash later queries;
-      // within one query's iterations the cache stays warm, matching
-      // earlier rounds' min semantics
       spark.catalog.clearCache()
       val best = times.map(_._1).min
       val med = times.map(_._1).sorted.apply(times.length / 2)

@@ -34,11 +34,7 @@ case class CollectCapped(child: Expression, cap: Int,
   extends TypedImperativeAggregate[CappedLongBuf] {
 
   def this(child: Expression, capExpr: Expression) =
-    this(child, {
-      val v = capExpr.eval()
-      require(v != null, "graft_collect_capped: cap must be a non-null literal")
-      v.asInstanceOf[Number].intValue()
-    })
+    this(child, CollectCapped.literalCap(capExpr, "graft_collect_capped"))
 
   require(cap > 0, "graft_collect_capped: cap must be positive")
 
@@ -138,11 +134,7 @@ case class CollectSetCapped(child: Expression, cap: Int,
   extends TypedImperativeAggregate[CappedStrBuf] {
 
   def this(child: Expression, capExpr: Expression) =
-    this(child, {
-      val v = capExpr.eval()
-      require(v != null, "graft_collect_set_capped: cap must be a non-null literal")
-      v.asInstanceOf[Number].intValue()
-    })
+    this(child, CollectCapped.literalCap(capExpr, "graft_collect_set_capped"))
 
   require(cap > 0, "graft_collect_set_capped: cap must be positive")
 
@@ -235,4 +227,22 @@ case class CollectSetCapped(child: Expression, cap: Int,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object CollectCapped {
+  /** Resolve a cap argument to its Int value with clear analysis-time
+    * errors: a non-foldable cap (a column, a subquery) or a
+    * non-integral literal previously surfaced as an opaque
+    * `eval`/ClassCast failure from inside the function builder. */
+  private[functions] def literalCap(capExpr: Expression, fn: String): Int = {
+    if (!capExpr.foldable) throw new IllegalArgumentException(
+      s"$fn: cap must be a literal, got the non-foldable expression ${capExpr.sql}")
+    capExpr.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: cap must be a non-null literal")
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: cap must be an integral literal, got '$other' (${capExpr.dataType.sql})")
+    }
+  }
 }

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import Storage.checkpointRdds
 
 /** Distributed graph clustering for dedup: connected components over a
   * near-duplicate pair graph (the step after LSH pair generation that
@@ -102,10 +102,4 @@ object Cluster {
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds")
   }
-
-  /** The cached RDDs behind a `localCheckpoint`ed DataFrame (the
-    * blocks `Dataset.unpersist` does NOT release — checkpoint storage
-    * is owned by the underlying RDD, not the Dataset cache). */
-  private def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
-    df.queryExecution.analyzed.collect { case r: LogicalRDD => r.rdd }
 }

@@ -59,10 +59,20 @@ object Curate {
       .withColumn("n_src", count(lit(1)).over(bySource).cast("long"))
       .filter(col("q_rk") * keepDenominator <= col("n_src") * keepNumerator)
       .observe("curate_gate", count(lit(1)).as("rows"))
-    val srcIdx = gated.select(col("source")).distinct()
+    // the interleave side inputs (surviving-source index + count) need
+    // a SECOND and THIRD traversal of the whole window chain if built
+    // lazily off `gated` (they ride broadcast branches, so plan-level
+    // reuse never kicks in — the round-7 triple-recompute advisory).
+    // Materialize ONCE, pruned to the distinct sources — O(|domains|)
+    // storage, not O(corpus) — and build both side inputs from that.
+    // The MAIN path stays lazy, so the caller's action still runs the
+    // observed chain exactly once and the four attrition metrics
+    // surface on the returned frame per the A3 contract.
+    val srcs = gated.select(col("source")).distinct().localCheckpoint(eager = true)
+    val srcIdx = srcs
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))).cast("long"))
-    val nSrc = srcIdx.agg(count(lit(1)).as("n_all_src"))
+    val nSrc = srcs.agg(count(lit(1)).as("n_all_src"))
     gated
       .withColumn("r", row_number().over(bySource.orderBy(col("doc_id"))).cast("long"))
       .join(broadcast(srcIdx), Seq("source"))

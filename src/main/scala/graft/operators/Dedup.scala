@@ -50,8 +50,15 @@ object Dedup {
     * (every group <= cap after the prune) and emit pairs from the
     * bounded group — no self-join, bounded executor memory. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleHashSets(docs, textCol, n).cache()
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    Storage.withCached(shingleHashSets(docs, textCol, n))(
+      ngramJaccardPairsFrom(_, threshold, maxDocFreq))
+
+  /** the [[ngramJaccardPairs]] plan over an already-available shingle
+    * set frame — the lazy builder [[Storage.withCached]] wraps (and
+    * PlanAuditSpec audits pre-checkpoint). */
+  private[graft] def ngramJaccardPairsFrom(sets: DataFrame,
+      threshold: Double, maxDocFreq: Int): DataFrame = {
     val ex = sets.selectExpr("doc_id", "explode(hs) AS sgl")
     val shared =
       if (maxDocFreq == Int.MaxValue) {
@@ -107,11 +114,14 @@ object Dedup {
     * shingles: 10.7s vs 7.3s at sf0.1) — kept as the alternative for
     * skew-heavy real-text corpora. */
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, textCol, n)
+      threshold: Double): DataFrame =
+    Storage.withCached(shingleSets(docs, textCol, n)
       .selectExpr("doc_id", "array_sort(s) AS s", "n_shingles",
-        s"slice(array_sort(s), 1, greatest(0, size(s) - cast(ceil($threshold * size(s)) as int) + 1)) AS prefix")
-      .cache()
+        s"slice(array_sort(s), 1, greatest(0, size(s) - cast(ceil($threshold * size(s)) as int) + 1)) AS prefix"))(
+      ngramJaccardPairsPrefixFrom(_, threshold))
+
+  private[graft] def ngramJaccardPairsPrefixFrom(sets: DataFrame,
+      threshold: Double): DataFrame = {
     val ex = sets.selectExpr("doc_id", "explode(prefix) AS sgl")
     val cands = ex.as("a")
       .join(ex.as("b"),
@@ -151,7 +161,13 @@ object Dedup {
       bands: Int, threshold: Double): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands $bands must divide k $k")
-    val sigs = minhashSignatures(docs, textCol, n, k).cache()
+    Storage.withCached(minhashSignatures(docs, textCol, n, k))(
+      minhashLshPairsFrom(_, k, bands, threshold))
+  }
+
+  private[graft] def minhashLshPairsFrom(sigs: DataFrame, k: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val r = k / bands
     val bandRows = sigs.selectExpr("doc_id",
         s"explode(transform(sequence(0, ${bands - 1}), " +
         s"b -> struct(b AS band, ${TextOps.foldHash(s"slice(sig, b * $r + 1, $r)")} AS bucket))) AS bb")
@@ -249,7 +265,10 @@ object Dedup {
     * oracle matches exactly. */
   def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band LSH guarantees recall only for hamming <= 3")
-    val sh = simhashes(docs, textCol).cache()
+    Storage.withCached(simhashes(docs, textCol))(simhashPairsFrom(_, maxHamming))
+  }
+
+  private[graft] def simhashPairsFrom(sh: DataFrame, maxHamming: Int): DataFrame = {
     val bandRows = sh.selectExpr("doc_id", "simhash",
         "explode(transform(sequence(0, 3), b -> struct(b AS band, (shiftright(simhash, b * 15) % 32768) AS bucket))) AS bb")
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

@@ -84,24 +84,30 @@ object Joins {
     * or clean the interval) instead of dying in codegen. */
   val MaxBucketsPerInterval = 65536L
 
+  /** backtick-quote an identifier for splicing into SQL-text
+    * expressions (a column named `point value` or `a-b` must not be
+    * parsed as arithmetic or silently mis-bind). */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pts = points.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
+    val (pc, sc, ec) = (q(pointCol), q(startCol), q(endCol))
+    val pts = points.withColumn("__bucket", expr(s"$pc div $bucketWidth"))
     // last candidate bucket is (end-1) div width: the end bound is
     // exclusive, so a point in a later bucket can never match
-    val lastB = s"(($endCol - 1) div $bucketWidth)"
-    val firstB = s"($startCol div $bucketWidth)"
-    val ivs = intervals.filter(col(endCol) > col(startCol))
+    val lastB = s"(($ec - 1) div $bucketWidth)"
+    val firstB = s"($sc div $bucketWidth)"
+    val ivs = intervals.filter(expr(s"$ec > $sc"))
       .withColumn("__bucket", explode(expr(
         s"if($lastB - $firstB < $MaxBucketsPerInterval, " +
           s"sequence($firstB, $lastB), " +
-          s"cast(raise_error(concat('rangeJoin: interval [', $startCol, ', ', $endCol, " +
+          s"cast(raise_error(concat('rangeJoin: interval [', $sc, ', ', $ec, " +
           s"') covers more than $MaxBucketsPerInterval buckets of width $bucketWidth — " +
           s"raise bucketWidth or clean the interval')) as array<bigint>))")))
     pts.join(ivs, Seq("__bucket"))
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .filter(expr(s"$pc >= $sc AND $pc < $ec"))
       .drop("__bucket")
   }
 }

@@ -350,12 +350,16 @@ object Similarity {
     *
     * @return (vec_id, centroid, kept) for every corpus vector.
     */
-  def semanticDedup(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame = {
-    // cached (spillable): the assignment is referenced three times
-    // (both pair sides + the final keep/drop projection) — without
-    // the cache the full embedding scan and broadcast-argmax map pass
-    // run three times (the minhashLshPairs treatment)
-    val a = assignCentroids(emb, kCentroids).cache()
+  def semanticDedup(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame =
+    // cached (spillable) while the result materializes: the
+    // assignment is referenced three times (both pair sides + the
+    // final keep/drop projection); [[Storage.withCached]] releases it
+    // as soon as the result is checkpointed, so a long-lived session
+    // doesn't accumulate corpus-sized assignment caches
+    Storage.withCached(assignCentroids(emb, kCentroids))(
+      semanticDedupFrom(_, threshold))
+
+  private[graft] def semanticDedupFrom(a: DataFrame, threshold: Double): DataFrame = {
     val l = a.select(col("centroid"), col("vec_id").as("d1"),
       col("v").as("v1"), col("nrm").as("nrm1"))
     val r = a.select(col("centroid"), col("vec_id").as("d2"),

@@ -59,7 +59,14 @@ case class RangeJoinRewrite(spark: SparkSession)
   val ConfKey = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.sessionState.conf.getConfString(ConfKey, "0").toLong
+    val raw = spark.sessionState.conf.getConfString(ConfKey, "0")
+    // defensive parse: a typo'd conf must fail with the key named, not
+    // surface as a bare NumberFormatException from inside the
+    // optimizer batch (and must not silently disable the rewrite)
+    val width = try raw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$ConfKey must be an integral bucket width, got '$raw'")
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

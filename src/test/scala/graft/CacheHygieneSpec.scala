@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, Storage}
+
+/** Round-8 cache-hygiene contract: operators that share an
+  * intermediate across plan branches (signatures, assignments) must
+  * not leak it — after the operator returns, the CacheManager holds
+  * nothing new, and after the caller's terminal action +
+  * [[Storage.release]] the executor's persistent-RDD map is back to
+  * its pre-call baseline. (Round 7: five operators cached
+  * corpus-sized frames forever; a long-lived library session
+  * accumulated them without recourse.) */
+class CacheHygieneSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.CassFunctions.registerAll(s)
+    s
+  }
+
+  private def checkHygiene(name: String)(op: => DataFrame): Unit = {
+    val baseCached = spark.sharedState.cacheManager.isEmpty
+    assert(baseCached, s"$name: CacheManager not empty before the call — broken fixture")
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val out = op
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$name: operator left an entry in the CacheManager")
+    assert(out.count() > 0, s"$name: empty fixture result")
+    Storage.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty,
+      s"$name: ${leaked.size} persistent RDD(s) leaked beyond release: $leaked")
+  }
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("ngramJaccardPairs releases its shingle-set cache") {
+    checkHygiene("ngramJaccardPairs")(
+      Dedup.ngramJaccardPairs(docs, "text", 3, 0.5, maxDocFreq = 64))
+  }
+
+  test("ngramJaccardPairsPrefix releases its sorted-set cache") {
+    checkHygiene("ngramJaccardPairsPrefix")(
+      Dedup.ngramJaccardPairsPrefix(docs, "text", 3, 0.5))
+  }
+
+  test("minhashLshPairs releases its signature cache") {
+    checkHygiene("minhashLshPairs")(
+      Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5))
+  }
+
+  test("simhashPairs releases its simhash cache") {
+    checkHygiene("simhashPairs")(Dedup.simhashPairs(docs, "text", 3))
+  }
+
+  test("semanticDedup releases its assignment cache") {
+    checkHygiene("semanticDedup")(Similarity.semanticDedup(emb, 8, 0.4))
+  }
+
+  test("composed pipelines (d05-style anti-join over released pairs) still compute") {
+    // the checkpointed pair frame must stay consumable after the
+    // intermediate release — lineage was truncated at materialization
+    val pairs = Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+    val kept = docs.join(
+      pairs.select(org.apache.spark.sql.functions.col("d2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    Storage.release(pairs)
+  }
+}

@@ -163,4 +163,21 @@ class CollectCappedSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(capped == old)
   }
+
+  test("non-literal and non-integral caps fail with clear messages, not opaque eval errors") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("v", "c")
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    val nonLit = intercept[Throwable](
+      df.selectExpr("graft_collect_capped(v, c)").collect())
+    assert(msgs(nonLit).contains("cap must be a literal"), msgs(nonLit))
+    val strCap = intercept[Throwable](
+      df.selectExpr("graft_collect_capped(v, 'ten')").collect())
+    assert(msgs(strCap).contains("integral literal"), msgs(strCap))
+    val nullCap = intercept[Throwable](
+      df.selectExpr("graft_collect_set_capped(cast(v as string), cast(null as int))").collect())
+    assert(msgs(nullCap).contains("non-null"), msgs(nullCap))
+  }
 }

@@ -47,15 +47,25 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("similarity/dedup candidate generation never plans a cartesian product") {
-    val d02 = finalPlan(queries.Pipeline.d02.run(spark, sfDir))
+    import graft.operators.{Dedup, Similarity}
+    val docs = Tables.documents(spark, sfDir)
+    // the cached operators materialize-and-release internally since
+    // round 8, so the interesting candidate plans are audited through
+    // their lazy pre-checkpoint builders
+    val d02 = finalPlan(Dedup.ngramJaccardPairsFrom(
+      Dedup.shingleHashSets(docs, "text", 3), 0.5, 64))
     assert(!d02.contains("CartesianProduct"), "n-gram candidates must be an equi-join/agg")
+    val d03 = finalPlan(Dedup.minhashLshPairsFrom(
+      Dedup.minhashSignatures(docs, "text", 3, 16), 16, 4, 0.5))
+    assert(!d03.contains("CartesianProduct"), "minhash bands must bucket equi-join")
+    val d04 = finalPlan(Dedup.simhashPairsFrom(Dedup.simhashes(docs, "text"), 3))
+    assert(!d04.contains("CartesianProduct"), "simhash bands must bucket equi-join")
     val s03 = finalPlan(queries.Pipeline.s03.run(spark, sfDir))
     assert(!s03.contains("CartesianProduct"), "LSH candidates must be a bucket equi-join")
     assert(!s03.contains("collect"), "no driver-side collect operators in the plan")
     // every other candidate-generating pipeline query, same contract
-    Seq(queries.Pipeline.d03, queries.Pipeline.d04, queries.Pipeline.s02,
-        queries.Pipeline.s04, queries.Pipeline.s05, queries.Pipeline.d05,
-        queries.Pipeline2.p06).foreach { q =>
+    Seq(queries.Pipeline.s02, queries.Pipeline.s04, queries.Pipeline.s05,
+        queries.Pipeline.d05, queries.Pipeline2.p06).foreach { q =>
       val p = finalPlan(q.run(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"${q.name}: candidates must be equi-joins")
     }
@@ -155,7 +165,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("round-6 queries keep their scale shapes (s07 equi-only, q38 no nested loop, t11/s08 map-only)") {
-    val s07 = finalPlan(queries.Pipeline4.s07.run(spark, sfDir))
+    // semanticDedup materializes-and-releases internally — audit the
+    // lazy pre-checkpoint builder
+    val s07 = finalPlan(graft.operators.Similarity.semanticDedupFrom(
+      graft.operators.Similarity.assignCentroids(
+        Tables.embeddings(spark, sfDir), 16), 0.4))
     assert(!s07.contains("CartesianProduct") && !s07.contains("BroadcastNestedLoopJoin"),
       s"semantic-dedup pairs must be an equi-join on the centroid id:\n$s07")
     assert(!s07.contains("DeserializeToObject") && !s07.contains("SerializeFromObject"),

@@ -96,6 +96,22 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a malformed bucket-width conf fails with the key named, not a bare NumberFormatException") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "ten")
+    try {
+      val pts = Seq(1L).toDF("pm")
+      val ivs = Seq((0L, 5L)).toDF("s0", "e0")
+      val e = intercept[Throwable] {
+        pts.join(ivs, col("pm") >= col("s0") && col("pm") < col("e0")).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("spark.graft.rangeJoin.bucketWidth") && msgs.contains("ten"),
+        s"unexpected failure: $msgs")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("boundary semantics survive the rewrite (start inclusive, end exclusive)") {
     import spark.implicits._
     val pts = Seq(9L, 10L, 19L, 20L).toDF("pm")

@@ -102,6 +102,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("buckets")), s"unexpected error: $e")
   }
 
+  test("column names needing quoting (spaces, dashes, backticks) bind correctly") {
+    import spark.implicits._
+    val pts = (0L until 20L).map(i => (i, i)).toDF("p_id", "point value")
+    val ivs = Seq((1L, 3L, 9L)).toDF("i_id", "start-at", "end`tick")
+    val got = Joins.rangeJoin(pts, ivs, "point value", "start-at", "end`tick", 5L)
+      .select("p_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (3L until 9L).toSeq)
+  }
+
   test("plan is an equi-join on the bucket — no nested-loop/cartesian scan") {
     val (pts, ivs) = fixture()
     val plan = Joins.rangeJoin(pts, ivs, "pm", "s0", "e0", 10L)
