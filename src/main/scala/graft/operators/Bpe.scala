@@ -1,0 +1,98 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterated byte-pair-encoding vocabulary training — the tokenizer-
+  * training loop t12's single pair-count step feeds (Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016: repeatedly merge the most frequent adjacent symbol
+  * pair). Each round is one distributed aggregation (adjacent-pair
+  * counts, map-side combined over the bounded live-symbol-pair key
+  * space) + one driver-side top-1 + one pure-projection merge apply
+  * (a greedy left-to-right fold per token). The driver holds ONLY the
+  * O(steps) merge table — the c01 loop discipline: per-round
+  * `localCheckpoint` truncates lineage so round k costs one apply,
+  * not k, and the previous round's blocks are released as soon as the
+  * new round is materialized.
+  *
+  * Determinism: ties rank (count DESC, left ASC, right ASC); the
+  * greedy fold is the canonical BPE apply (merged symbols never
+  * re-match inside the same pass), so a DuckDB oracle replays the
+  * whole loop exactly.
+  */
+object Bpe {
+
+  /** escape a corpus-derived symbol for splicing into a SQL string
+    * literal (tokens are lowercase alnum today; stay safe anyway). */
+  private def strLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** adjacent symbol pairs of a `syms` array column — empty for
+    * single-symbol tokens (a raw `sequence(1, size-1)` would run
+    * DESCENDING when size = 1 and fabricate pairs). */
+  private val pairsExpr: String =
+    "if(size(syms) < 2, cast(array() as array<struct<l:string,r:string>>), " +
+      "transform(sequence(1, size(syms) - 1), " +
+      "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)))"
+
+  /** greedy left-to-right merge of the (l, r) pair in a `syms` array:
+    * fold each symbol onto the accumulator, collapsing when the
+    * accumulator's tail is `l` and the incoming symbol is `r`. The
+    * freshly merged `lr` symbol differs from `l` as a string, so it
+    * never chains into an overlapping second merge — canonical BPE
+    * apply semantics. */
+  private def mergeExpr(l: String, r: String): String = {
+    val (ll, rl) = (strLit(l), strLit(r))
+    val merged = strLit(l + r)
+    s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+      s"if(size(acc) > 0 AND element_at(acc, -1) = $ll AND x = $rl, " +
+      s"concat(slice(acc, 1, size(acc) - 1), array($merged)), " +
+      s"concat(acc, array(x))))"
+  }
+
+  /** Train `steps` BPE merges over the corpus' token instances
+    * (tokens shorter than 2 chars carry no pairs and are excluded up
+    * front, matching t12). Returns the merge table
+    * (step, l, r, n) — merge `step` fused symbols `l`+`r`, which
+    * occurred adjacently `n` times at that point of training. Stops
+    * early if the corpus runs out of pairs. */
+  def trainMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"trainMerges needs steps >= 1, got $steps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .selectExpr(s"explode(${TextOps.tokens(textCol)}) AS t")
+      .filter(length(col("t")) >= 2)
+      .selectExpr("transform(sequence(1, length(t)), i -> substring(t, i, 1)) AS syms")
+      .localCheckpoint(eager = true)
+    var stale: Seq[RDD[_]] = Storage.checkpointRdds(cur)
+    val merges = ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = cur.selectExpr(s"explode($pairsExpr) AS pr")
+        .select(col("pr.l").as("l"), col("pr.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, n))
+        if (step < steps) {
+          cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms")
+            .localCheckpoint(eager = true)
+          stale.foreach(_.unpersist(blocking = false))
+          stale = Storage.checkpointRdds(cur)
+        }
+        step += 1
+      }
+    }
+    stale.foreach(_.unpersist(blocking = false))
+    merges.toSeq.toDF("step", "l", "r", "n")
+  }
+}

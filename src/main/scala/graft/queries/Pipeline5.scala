@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Bpe, Similarity}
 
 /** Round-8 additions: the coarse-quantizer TRAINING loop as a
   * hash-checked query surface. `kmeansUpdate` (s06) proved one Lloyd
@@ -18,7 +18,7 @@ import graft.operators.Similarity
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, t13)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -153,4 +153,57 @@ object Pipeline5 {
       SELECT seed_recon, trained_recon,
         trained_recon > seed_recon AS trained_better
       FROM pms, pmt"""))
+
+  private val BpeSteps = 8 // greedy merge rounds for t13
+
+  /** round `k`'s pair count + top-1 CTEs over symbol table b{k-1};
+    * appends the merge-applied b{k} only when another round follows.
+    * The correlated `m.l`/`m.r` inside the lambda is the oracle's
+    * analog of the Spark side's driver-spliced literals. */
+  private def bpeStepSql(k: Int, last: Boolean): String = {
+    val apply =
+      if (last) ""
+      else s""",
+      b$k AS (SELECT list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
+                 ELSE acc || x END) AS syms
+             FROM b${k - 1}, m$k m)"""
+    s""",
+      p$k AS (SELECT unnest(list_transform(range(1, len(syms)),
+               i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+             FROM b${k - 1}),
+      c$k AS (SELECT pr.l AS l, pr.r AS r, count(*) AS n FROM p$k GROUP BY 1, 2),
+      m$k AS (SELECT l, r, n FROM c$k ORDER BY n DESC, l, r LIMIT 1)$apply"""
+  }
+
+  /** Iterated BPE vocabulary training
+    * ([[graft.operators.Bpe.trainMerges]]): the full merge table after
+    * `BpeSteps` greedy rounds. t12 pinned round 1's pair counts; this
+    * pins the LOOP — each round's winner depends on every previous
+    * merge apply, so a single hash-matched table proves the per-round
+    * count/rank/apply all agree with the oracle's replay. The oracle
+    * unrolls the loop exactly as the k-means chain does (t12's CTE
+    * iterated): adjacent-pair count, (n DESC, l, r) top-1, greedy
+    * left-to-right fold via list_reduce over singleton lists (DuckDB's
+    * reduce seeds from the first element; Spark's seeds from empty —
+    * identical semantics since the guard only fires with a non-empty
+    * accumulator). */
+  val t13: QueryDef = QueryDef(
+    "t13_bpe_train",
+    (s, d) => Bpe.trainMerges(Tables.documents(s, d), "text", BpeSteps)
+      .orderBy(col("step")),
+    Some {
+      val steps = (1 to BpeSteps)
+        .map(k => bpeStepSql(k, last = k == BpeSteps)).mkString
+      val out = (1 to BpeSteps)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, n FROM m$k")
+        .mkString("\n      UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
+      b0 AS (SELECT list_transform(range(1, length(t) + 1),
+               i -> substr(t, i, 1)) AS syms
+             FROM tok WHERE length(t) >= 2)$steps
+      SELECT * FROM (
+      $out) ORDER BY step"""
+    })
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** Iterated BPE training semantics: greedy-apply non-overlap on runs
+  * (merged symbols never chain inside one pass), deterministic
+  * tie-break (n DESC, l ASC, r ASC), early exhaustion when the corpus
+  * runs out of adjacent pairs, the short-token filter, and the c01
+  * loop discipline (no leaked checkpoint blocks after the terminal
+  * action).
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.CassFunctions.registerAll(s)
+    s
+  }
+
+  private def train(docs: Seq[String], steps: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    Bpe.trainMerges(docs.toDF("text"), "text", steps)
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("greedy apply does not chain merges inside one pass") {
+    // "aaaa": pairs (a,a)x3 -> merge 1 = (a,a). Canonical apply gives
+    // [aa, aa], NOT [aaa, a] — so round 2's top pair is (aa, aa)x1.
+    val out = train(Seq("aaaa"), 2)
+    assert(out == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("tie-break is (n DESC, l ASC, r ASC)") {
+    // "ba" and "ab" each give one pair with count 2; (a,b) wins on l.
+    val out = train(Seq("ab ab ba ba"), 1)
+    assert(out == Seq((1L, "a", "b", 2L)))
+  }
+
+  test("stops early when the corpus runs out of pairs") {
+    // one token "ab": round 1 merges it to a single symbol; rounds
+    // 2..5 have zero adjacent pairs -> one row, not five.
+    val out = train(Seq("ab"), 5)
+    assert(out == Seq((1L, "a", "b", 1L)))
+  }
+
+  test("sub-2-char tokens carry no pairs (t12's filter)") {
+    // "a b c" contributes nothing; merges come from "xy" only.
+    val out = train(Seq("a b c xy", "a xy"), 1)
+    assert(out == Seq((1L, "x", "y", 2L)))
+  }
+
+  test("merge table replays a hand-computed 3-round trace") {
+    // corpus tokens: lower, lower, low
+    // r1: (l,o)x3 top (e,r)x2 (o,w)x3 (w,e)x2 -> (l,o)=3 ties (o,w)=3, l wins on "l"<"o"
+    // r2: after merge: [lo,w,e,r]x2 [lo,w]x1 -> (lo,w)x3 wins
+    // r3: [low,e,r]x2 [low]x1 -> (e,r)x2 ties (low,e)x2, "e"<"low"
+    val out = train(Seq("lower lower low"), 3)
+    assert(out == Seq((1L, "l", "o", 3L), (2L, "lo", "w", 3L), (3L, "e", "r", 2L)))
+  }
+
+  test("no leaked storage after training (cache hygiene)") {
+    import spark.implicits._
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = Bpe.trainMerges(Seq("abc abd abe").toDF("text"), "text", 3)
+    df.collect(): Unit
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+}
