@@ -333,8 +333,10 @@ object GraftSSTable {
     * schema): tasks stage attempt-private files and the driver's
     * job-level commit publishes them only after every task succeeds —
     * a surface the reference's read-only Pig loader never had. */
-  def readAegJson(spark: SparkSession, path: String, clean: Boolean = true): DataFrame =
-    spark.read.format("aegjson").option("clean", clean.toString).load(path)
+  def readAegJson(spark: SparkSession, path: String, clean: Boolean = true,
+      mapView: Boolean = false): DataFrame =
+    spark.read.format("aegjson").option("clean", clean.toString)
+      .option("mapView", mapView.toString).load(path)
 
   /** Pivot compacted CQL3 rows to a relational DataFrame per a CQL
     * CREATE TABLE schema (SURVEY §3.2 / M4), incl. collections; write

@@ -9,7 +9,7 @@ import org.apache.hadoop.io.Text
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -36,10 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `clean` (default true — drop tombstoned/shadowed cells and
   * rows left empty, reference `AegisthusLoader.java:75-90`),
-  * `blocksize`. */
+  * `blocksize`, `mapView` (default false — add the reference loader's
+  * name-keyed `map_columns` dual view, see
+  * [[AegJsonSource.MapSchema]]). */
 class AegJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "aegjson"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AegJsonSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AegJsonSource.schemaFor(options.asScala.toMap)
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -64,12 +67,32 @@ object AegJsonSource {
     StructField("key", StringType, nullable = false),
     StructField("deletedAt", LongType, nullable = false),
     StructField("columns", ArrayType(CellSchema, containsNull = false), nullable = false)))
+
+  /** the reference loader's DUAL view (`AegisthusLoader.java:185-194`
+    * exposes `map_columns` MAP alongside `bag_columns`): name-keyed
+    * cell lookup — the most common consumption pattern of the
+    * snapshot — without a lateral explode+filter. The map value is the
+    * full cell struct (name included), matching the reference's map
+    * tuple (`AegisthusLoader.java:262-265`); on duplicate names the
+    * last cell wins (HashMap put semantics there), first-seen key
+    * order here for determinism. */
+  val MapSchema: StructType = StructType(Schema.fields :+
+    StructField("map_columns",
+      MapType(StringType, CellSchema, valueContainsNull = false), nullable = false))
+
+  /** option keys arrive lowercased from `CaseInsensitiveStringMap` on
+    * the scan path but original-cased via table properties — check
+    * case-insensitively. */
+  def schemaFor(options: Map[String, String]): StructType =
+    if (options.exists { case (k, v) => k.equalsIgnoreCase("mapview") && v.toBoolean })
+      MapSchema
+    else Schema
 }
 
 final class AegJsonTable(props: Map[String, String])
     extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"aegjson(${props.getOrElse("path", props.getOrElse("paths", "?"))})"
-  override def schema(): StructType = AegJsonSource.Schema
+  override def schema(): StructType = AegJsonSource.schemaFor(props)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -83,7 +106,7 @@ final class AegJsonTable(props: Map[String, String])
 
 final class AegJsonScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = AegJsonSource.Schema
+  private var required: StructType = AegJsonSource.schemaFor(options)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = new AegJsonScan(options, required)
 }
@@ -210,8 +233,22 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AegJsonPartition]
     val fieldNames = required.fieldNames // computed once, not per row
-    val needColumns = clean || fieldNames.contains("columns")
+    val needColumns =
+      clean || fieldNames.contains("columns") || fieldNames.contains("map_columns")
     val needDeletedAt = needColumns || fieldNames.contains("deletedAt")
+    // Catalyst also prunes NESTED fields (a `map_columns['x'].ts`
+    // lookup arrives as MAP<STRING, STRUCT<ts>>) — emit cell structs
+    // with exactly the required subfields, in the required order
+    val arrayCellFields: Array[String] = required.fields
+      .find(_.name == "columns")
+      .map(_.dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames)
+      .getOrElse(Array.empty)
+    val mapCellFields: Array[String] = required.fields
+      .find(_.name == "map_columns")
+      .map(_.dataType.asInstanceOf[MapType]
+        .valueType.asInstanceOf[StructType].fieldNames)
+      .getOrElse(Array.empty)
     new PartitionReader[InternalRow] {
       private val path = new Path(p.path)
       private val fs = path.getFileSystem(hadoopConf.value)
@@ -260,21 +297,39 @@ final class AegJsonReaderFactory(required: StructType, clean: Boolean,
         }
       }
 
+      private def cellValue(c: AegCell, field: String): Any = field match {
+        case "name" => UTF8String.fromString(c.name)
+        case "value" => UTF8String.fromString(c.value)
+        case "ts" => c.ts
+        case "status" => c.status.map(UTF8String.fromString).orNull
+        case "ttl" => c.ttl.map(Long.box).orNull
+        case "localDeletionTime" => c.localDeletionTime.map(Long.box).orNull
+        case "tsOfLastDelete" => c.tsOfLastDelete.map(Long.box).orNull
+      }
+
+      private def cellStruct(c: AegCell, sub: Array[String]): GenericInternalRow =
+        new GenericInternalRow(sub.map(cellValue(c, _)))
+
       private def fromFields(key: String, deletedAt: Long, cols: Seq[AegCell]): InternalRow = {
         val values = fieldNames.map {
           case "key" => UTF8String.fromString(key)
           case "deletedAt" => deletedAt
           case "columns" =>
-            new GenericArrayData(cols.map { c =>
-              new GenericInternalRow(Array[Any](
-                UTF8String.fromString(c.name),
-                UTF8String.fromString(c.value),
-                c.ts,
-                c.status.map(UTF8String.fromString).orNull,
-                c.ttl.map(Long.box).orNull,
-                c.localDeletionTime.map(Long.box).orNull,
-                c.tsOfLastDelete.map(Long.box).orNull))
-            }.toArray[Any])
+            new GenericArrayData(cols.map(cellStruct(_, arrayCellFields): Any).toArray[Any])
+          case "map_columns" =>
+            // name-keyed dual view: last cell wins per name (reference
+            // HashMap put), first-seen key order for determinism
+            val idx = new util.LinkedHashMap[String, AegCell]()
+            cols.foreach(c => idx.put(c.name, c))
+            val keys = new Array[Any](idx.size)
+            val vals = new Array[Any](idx.size)
+            var i = 0
+            idx.forEach { (name, cell) =>
+              keys(i) = UTF8String.fromString(name)
+              vals(i) = cellStruct(cell, mapCellFields)
+              i += 1
+            }
+            new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
