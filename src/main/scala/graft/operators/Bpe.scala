@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
   * training loop t12's single pair-count step feeds (Sennrich et al.,
   * "Neural Machine Translation of Rare Words with Subword Units",
   * ACL 2016: repeatedly merge the most frequent adjacent symbol
-  * pair). Each round is one distributed aggregation (adjacent-pair
-  * counts, map-side combined over the bounded live-symbol-pair key
-  * space) + one driver-side top-1 + one pure-projection merge apply
-  * (a greedy left-to-right fold per token). The driver holds ONLY the
-  * O(steps) merge table — the c01 loop discipline: per-round
-  * `localCheckpoint` truncates lineage so round k costs one apply,
-  * not k, and the previous round's blocks are released as soon as the
-  * new round is materialized.
+  * pair).
+  *
+  * 100 TB shape: the corpus is touched ONCE — a single aggregation to
+  * the distinct-token FREQUENCY table (the classic BPE word-count
+  * preprocessing) — and every training round then runs over that
+  * vocabulary-bounded table: one weighted adjacent-pair aggregation
+  * (map-side combined over the bounded live-pair key space) + one
+  * driver-side top-1 + one pure-projection merge apply (a greedy
+  * left-to-right fold per distinct token). Pair counts weighted by
+  * token frequency equal the per-instance counts exactly, because
+  * merges depend only on the symbols, never on which document they
+  * came from. The driver holds ONLY the O(steps) merge table — the
+  * c01 loop discipline: per-round `localCheckpoint` truncates lineage
+  * so round k costs one apply, not k, and the previous round's blocks
+  * are released as soon as the new round is materialized.
   *
   * Determinism: ties rank (count DESC, left ASC, right ASC); the
   * greedy fold is the canonical BPE apply (merged symbols never
@@ -53,29 +60,37 @@ object Bpe {
       s"concat(acc, array(x))))"
   }
 
-  /** Train `steps` BPE merges over the corpus' token instances
-    * (tokens shorter than 2 chars carry no pairs and are excluded up
-    * front, matching t12). Returns the merge table
-    * (step, l, r, n) — merge `step` fused symbols `l`+`r`, which
-    * occurred adjacently `n` times at that point of training. Stops
-    * early if the corpus runs out of pairs. */
+  /** the distinct-token frequency table (syms: one single-char symbol
+    * per character, freq: instance count) — the ONE corpus-wide pass
+    * everything else trains/encodes against. Tokens shorter than
+    * 2 chars carry no pairs and are excluded up front, matching
+    * t12. */
+  private def freqTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .selectExpr(s"explode(${TextOps.tokens(textCol)}) AS t")
+      .filter(length(col("t")) >= 2)
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .selectExpr(
+        "transform(sequence(1, length(t)), i -> substring(t, i, 1)) AS syms", "freq")
+
+  /** Train `steps` BPE merges over the corpus' token instances.
+    * Returns the merge table (step, l, r, n) — merge `step` fused
+    * symbols `l`+`r`, which occurred adjacently `n` times at that
+    * point of training. Stops early if the corpus runs out of
+    * pairs. */
   def trainMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
     require(steps >= 1, s"trainMerges needs steps >= 1, got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = docs
-      .selectExpr(s"explode(${TextOps.tokens(textCol)}) AS t")
-      .filter(length(col("t")) >= 2)
-      .selectExpr("transform(sequence(1, length(t)), i -> substring(t, i, 1)) AS syms")
-      .localCheckpoint(eager = true)
+    var cur = freqTable(docs, textCol).localCheckpoint(eager = true)
     var stale: Seq[RDD[_]] = Storage.checkpointRdds(cur)
     val merges = ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
-      val top = cur.selectExpr(s"explode($pairsExpr) AS pr")
-        .select(col("pr.l").as("l"), col("pr.r").as("r"))
-        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+      val top = cur.selectExpr(s"explode($pairsExpr) AS pr", "freq")
+        .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .collect()
@@ -84,7 +99,7 @@ object Bpe {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, l, r, n))
         if (step < steps) {
-          cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms")
+          cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
             .localCheckpoint(eager = true)
           stale.foreach(_.unpersist(blocking = false))
           stale = Storage.checkpointRdds(cur)
@@ -94,5 +109,35 @@ object Bpe {
     }
     stale.foreach(_.unpersist(blocking = false))
     merges.toSeq.toDF("step", "l", "r", "n")
+  }
+
+  /** The tokenizer-APPLY step: encode the corpus under the merge
+    * table [[trainMerges]] produces and return the top-`topK`
+    * vocabulary occupancy — (sym, n) where `n` counts the symbol's
+    * occurrences across every encoded token instance. This is the
+    * table a tokenizer-training pipeline actually ships next to the
+    * merge list: which learned units carry the token mass.
+    *
+    * 100 TB shape: training reads the corpus once (inside
+    * [[trainMerges]]) and the encode runs over the SAME
+    * vocabulary-bounded frequency table — the merge applies are
+    * chained pure projections in ONE linear plan (no checkpoint
+    * needed: each symbol array is referenced once per apply, so the
+    * collapsed projection stays linear in `steps`), followed by a
+    * single map-side-combined aggregation and a
+    * TakeOrderedAndProject. */
+  def vocabAfterTraining(docs: DataFrame, textCol: String, steps: Int,
+      topK: Int): DataFrame = {
+    val merges = trainMerges(docs, textCol, steps)
+      .orderBy("step").select("l", "r").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var cur = freqTable(docs, textCol)
+    merges.foreach { case (l, r) =>
+      cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
+    }
+    cur.selectExpr("explode(syms) AS sym", "freq")
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .limit(topK)
   }
 }

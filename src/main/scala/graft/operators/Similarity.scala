@@ -299,6 +299,14 @@ object Similarity {
       kCentroids: Int, nprobe: Int): DataFrame =
     ivfTopKWith(emb, fixedCodebook(emb, kCentroids), nQueries, k, nprobe)
 
+  /** [[ivfTopK]] under the [[trainedCodebook]] after `iters - 1`
+    * Lloyd rebuilds — the trained-quantizer ANN search path (the same
+    * codebook s12 reconstructs against), so training feeds the
+    * search operator itself, not just the quality metrics. */
+  def ivfTopKTrained(emb: DataFrame, kCentroids: Int, iters: Int,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(emb, trainedCodebook(emb, kCentroids, iters - 1), nQueries, k, nprobe)
+
   /** [[ivfTopK]] against an EXPLICIT (e.g. [[trainedCodebook]])
     * codebook. */
   def ivfTopKWith(emb: DataFrame, cb: Array[(Long, Array[Double], Double)],

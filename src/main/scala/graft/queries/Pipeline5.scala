@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, t13)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -154,6 +154,40 @@ object Pipeline5 {
         trained_recon > seed_recon AS trained_better
       FROM pms, pmt"""))
 
+  /** Trained-quantizer ANN search ([[graft.operators.Similarity.ivfTopKTrained]]):
+    * s04's IVF top-k re-run under the cb2 codebook the training loop
+    * produced — the trained centroids drive the SEARCH operator, not
+    * just the gain metrics. Oracle = s04's assignment/probe/re-rank
+    * SQL parameterized by the chain's cb2 CTE (8 trained centroids,
+    * 2 probed lists, exact re-rank top-3, queries vec_id < 10). */
+  val s13: QueryDef = QueryDef(
+    "s13_ivf_trained_topk",
+    (s, d) => Similarity.ivfTopKTrained(Tables.embeddings(s, d), K, Iters, 10, 3, 2)
+      .orderBy(col("q_id"), col("rk")),
+    Some(s"""$chainSql,
+      cc AS (SELECT cid, cv, ${DuckOps.norm2("cv")} AS cn FROM cb${Iters - 1}),
+      iasg AS (SELECT vec_id, v, nrm, cid AS centroid FROM (
+          SELECT a.vec_id, a.v, a.nrm, c.cid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM nn a CROSS JOIN cc c) WHERE rn = 1),
+      iprobes AS (SELECT q_id, qv, qn, qcentroid FROM (
+          SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.cid AS qcentroid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM nn a CROSS JOIN cc c WHERE a.vec_id < 10) WHERE rn <= 2),
+      iscored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
+          ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
+        FROM iprobes p JOIN iasg s
+        ON p.qcentroid = s.centroid AND s.vec_id <> p.q_id)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos FROM (
+        SELECT q_id, n_id, cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+        FROM iscored) WHERE rk <= 3
+      ORDER BY q_id, rk"""))
+
   private val BpeSteps = 8 // greedy merge rounds for t13
 
   /** round `k`'s pair count + top-1 CTEs over symbol table b{k-1};
@@ -189,6 +223,16 @@ object Pipeline5 {
     * reduce seeds from the first element; Spark's seeds from empty —
     * identical semantics since the guard only fires with a non-empty
     * accumulator). */
+  /** the token-instance symbol tables the BPE oracles unroll from
+    * (instance-level on the DuckDB side; the Spark side trains on the
+    * weighted distinct-token table — identical counts by
+    * construction). */
+  private val bpePrefixSql: String =
+    s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
+      b0 AS (SELECT list_transform(range(1, length(t) + 1),
+               i -> substr(t, i, 1)) AS syms
+             FROM tok WHERE length(t) >= 2)"""
+
   val t13: QueryDef = QueryDef(
     "t13_bpe_train",
     (s, d) => Bpe.trainMerges(Tables.documents(s, d), "text", BpeSteps)
@@ -199,11 +243,27 @@ object Pipeline5 {
       val out = (1 to BpeSteps)
         .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, n FROM m$k")
         .mkString("\n      UNION ALL ")
-      s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
-      b0 AS (SELECT list_transform(range(1, length(t) + 1),
-               i -> substr(t, i, 1)) AS syms
-             FROM tok WHERE length(t) >= 2)$steps
+      s"""$bpePrefixSql$steps
       SELECT * FROM (
       $out) ORDER BY step"""
+    })
+
+  /** The tokenizer-APPLY step ([[graft.operators.Bpe.vocabAfterTraining]]):
+    * encode the corpus under the t13 merge table and emit the top-20
+    * vocabulary occupancy — which learned subword units carry the
+    * token mass. The oracle replays the full chain with every merge
+    * APPLIED (b8 exists, unlike t13 which stops at m8) and counts
+    * symbols over the encoded instances; the Spark side encodes the
+    * weighted distinct-token table — identical counts, corpus touched
+    * twice total (train + the shared freq aggregation). */
+  val t14: QueryDef = QueryDef(
+    "t14_bpe_vocab",
+    (s, d) => Bpe.vocabAfterTraining(Tables.documents(s, d), "text", BpeSteps, 20),
+    Some {
+      val steps = (1 to BpeSteps).map(k => bpeStepSql(k, last = false)).mkString
+      s"""$bpePrefixSql$steps,
+      v AS (SELECT unnest(syms) AS sym FROM b$BpeSteps)
+      SELECT sym, count(*) AS n FROM v
+      GROUP BY sym ORDER BY n DESC, sym LIMIT 20"""
     })
 }

@@ -67,6 +67,16 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Seq((1L, "l", "o", 3L), (2L, "lo", "w", 3L), (3L, "e", "r", 2L)))
   }
 
+  test("vocab after training: encoded symbol mass, weighted by token frequency") {
+    import spark.implicits._
+    // merges (see the trace test): (l,o), (lo,w), (e,r)
+    // lower(x2) encodes to [low, er]; low(x1) encodes to [low]
+    val out = Bpe.vocabAfterTraining(
+        Seq("lower lower low").toDF("text"), "text", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("low", 3L), ("er", 2L)))
+  }
+
   test("no leaked storage after training (cache hygiene)") {
     import spark.implicits._
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
