@@ -120,24 +120,35 @@ object Bpe {
     *
     * 100 TB shape: training reads the corpus once (inside
     * [[trainMerges]]) and the encode runs over the SAME
-    * vocabulary-bounded frequency table — the merge applies are
-    * chained pure projections in ONE linear plan (no checkpoint
-    * needed: each symbol array is referenced once per apply, so the
-    * collapsed projection stays linear in `steps`), followed by a
-    * single map-side-combined aggregation and a
-    * TakeOrderedAndProject. */
+    * vocabulary-bounded frequency table, one merge apply per round
+    * with the t13 checkpoint discipline. The per-apply
+    * `localCheckpoint` is NOT about recompute: Catalyst's
+    * analysis/optimization of a deep chain of nested lambda folds is
+    * super-linear in nesting depth (measured: 8 chained applies as
+    * one plan cost ~9 s of pure planning on a 30-row table; 0.8 s
+    * checkpointed), so each apply is planned against a flat
+    * materialized base. The returned frame owns its O(topK)
+    * checkpoint blocks per the [[Storage]] contract —
+    * [[Storage.release]] frees them deterministically. */
   def vocabAfterTraining(docs: DataFrame, textCol: String, steps: Int,
       topK: Int): DataFrame = {
     val merges = trainMerges(docs, textCol, steps)
       .orderBy("step").select("l", "r").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    var cur = freqTable(docs, textCol)
+    var cur = freqTable(docs, textCol).localCheckpoint(eager = true)
+    var stale: Seq[RDD[_]] = Storage.checkpointRdds(cur)
     merges.foreach { case (l, r) =>
       cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
+        .localCheckpoint(eager = true)
+      stale.foreach(_.unpersist(blocking = false))
+      stale = Storage.checkpointRdds(cur)
     }
-    cur.selectExpr("explode(syms) AS sym", "freq")
+    val out = cur.selectExpr("explode(syms) AS sym", "freq")
       .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)
+      .localCheckpoint(eager = true)
+    stale.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -84,5 +84,12 @@ class BpeSpec extends AnyFunSuite {
     val df = Bpe.trainMerges(Seq("abc abd abe").toDF("text"), "text", 3)
     df.collect(): Unit
     assert(spark.sparkContext.getPersistentRDDs.size == before)
+
+    // the encode keeps only the O(topK) result checkpoint, freed by
+    // Storage.release (the withCached contract)
+    val vocab = Bpe.vocabAfterTraining(Seq("abc abd abe").toDF("text"), "text", 3, 10)
+    vocab.collect(): Unit
+    graft.operators.Storage.release(vocab)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 }
