@@ -170,6 +170,7 @@ object CassFunctions {
     "graft_centroid_ranks" -> (es => CentroidRanks(es.head, es(1), es(2))),
     "graft_pq" -> (es => PqEncode(es.head, es(1), es(2))),
     "graft_scrub_keep" -> (es => ScrubKeep(es.head, es(1), es(2))),
+    "graft_bpe_apply" -> (es => BpeApply(es.head, es(1))),
     // bare AggregateFunction: the analyzer wraps it in an
     // AggregateExpression at resolution, same as the built-in registry
     "graft_collect_capped" -> (es => new CollectCapped(es.head, es(1))),

@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterated byte-pair-encoding vocabulary training — the tokenizer-
@@ -119,36 +119,53 @@ object Bpe {
     * merge list: which learned units carry the token mass.
     *
     * 100 TB shape: training reads the corpus once (inside
-    * [[trainMerges]]) and the encode runs over the SAME
-    * vocabulary-bounded frequency table, one merge apply per round
-    * with the t13 checkpoint discipline. The per-apply
-    * `localCheckpoint` is NOT about recompute: Catalyst's
-    * analysis/optimization of a deep chain of nested lambda folds is
-    * super-linear in nesting depth (measured: 8 chained applies as
-    * one plan cost ~9 s of pure planning on a 30-row table; 0.8 s
-    * checkpointed), so each apply is planned against a flat
-    * materialized base. The returned frame owns its O(topK)
-    * checkpoint blocks per the [[Storage]] contract —
-    * [[Storage.release]] frees them deterministically. */
+    * [[trainMerges]]) and the encode is ONE `graft_bpe_apply`
+    * projection over the SAME vocabulary-bounded frequency table —
+    * the native expression runs every merge pass as a single
+    * O(steps · len) JVM loop per token, so there is no chained plan
+    * to analyze (Catalyst's planning of 8 chained lambda folds
+    * measured ~9 s on a 30-row table) and nothing to checkpoint. The
+    * returned frame is fully lazy. */
   def vocabAfterTraining(docs: DataFrame, textCol: String, steps: Int,
       topK: Int): DataFrame = {
-    val merges = trainMerges(docs, textCol, steps)
-      .orderBy("step").select("l", "r").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    var cur = freqTable(docs, textCol).localCheckpoint(eager = true)
-    var stale: Seq[RDD[_]] = Storage.checkpointRdds(cur)
-    merges.foreach { case (l, r) =>
-      cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
-        .localCheckpoint(eager = true)
-      stale.foreach(_.unpersist(blocking = false))
-      stale = Storage.checkpointRdds(cur)
-    }
-    val out = cur.selectExpr("explode(syms) AS sym", "freq")
+    val mergesLit = collectMergesLit(docs, textCol, steps)
+    freqTable(docs, textCol)
+      .select(call_function("graft_bpe_apply", col("syms"), mergesLit).as("syms"),
+        col("freq"))
+      .selectExpr("explode(syms) AS sym", "freq")
       .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)
-      .localCheckpoint(eager = true)
-    stale.foreach(_.unpersist(blocking = false))
-    out
+  }
+
+  /** Encode every document under the trained merge table: `outCol`
+    * is the document's subword sequence — its tokens in order, each
+    * token split to characters and run through every merge (1-char
+    * tokens pass through unchanged; training never saw them, no merge
+    * matches them). This is the corpus-scale tokenizer-apply a
+    * packing/token-budget stage consumes downstream.
+    *
+    * 100 TB shape: pure map — one projection, zero shuffles; the
+    * merge table rides the plan as an O(steps) literal. */
+  def encodeDocs(docs: DataFrame, textCol: String, steps: Int,
+      outCol: String = "subwords"): DataFrame = {
+    val mergesLit = collectMergesLit(docs, textCol, steps)
+    docs.withColumn(outCol,
+      flatten(transform(
+        expr(TextOps.tokens(textCol)),
+        t => call_function("graft_bpe_apply",
+          transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))),
+          mergesLit))))
+  }
+
+  /** the trained merge table as the ARRAY<ARRAY<STRING>> plan literal
+    * `graft_bpe_apply` consumes. */
+  private def collectMergesLit(docs: DataFrame, textCol: String,
+      steps: Int): Column = {
+    val merges = trainMerges(docs, textCol, steps)
+      .orderBy("step").select("l", "r").collect()
+      .map(r => Seq(r.getString(0), r.getString(1)))
+      .toSeq
+    typedlit(merges)
   }
 }

@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14, t15)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -265,5 +265,49 @@ object Pipeline5 {
       v AS (SELECT unnest(syms) AS sym FROM b$BpeSteps)
       SELECT sym, count(*) AS n FROM v
       GROUP BY sym ORDER BY n DESC, sym LIMIT 20"""
+    })
+
+  /** Corpus-scale tokenizer ENCODE ([[graft.operators.Bpe.encodeDocs]],
+    * the native `graft_bpe_apply` expression): every document's
+    * subword sequence under the t13 merge table, summarized per doc
+    * (subword count, distinct-subword count, head subword — the
+    * row-set a packing stage consumes, reduced to hash-checkable
+    * scalars). Unlike training, 1-char tokens pass through. The
+    * oracle replays training (m1..m8), then re-applies each merge to
+    * per-(doc, token-position) rows — single-level lambdas only — and
+    * reassembles documents by token position; docs with no tokens
+    * come back via the LEFT JOIN with zero counts. */
+  val t15: QueryDef = QueryDef(
+    "t15_bpe_encode",
+    (s, d) => Bpe.encodeDocs(Tables.documents(s, d), "text", BpeSteps)
+      .selectExpr("doc_id",
+        "cast(size(subwords) as bigint) AS n_subwords",
+        "cast(size(array_distinct(subwords)) as bigint) AS n_distinct",
+        "try_element_at(subwords, 1) AS head_sym")
+      .orderBy(col("doc_id")),
+    Some {
+      val steps = (1 to BpeSteps)
+        .map(k => bpeStepSql(k, last = k == BpeSteps)).mkString
+      val applies = (1 to BpeSteps).map { k =>
+        s""",
+      x$k AS (SELECT doc_id, i, list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
+                 ELSE acc || x END) AS syms
+             FROM x${k - 1}, m$k m)"""
+      }.mkString
+      s"""$bpePrefixSql$steps,
+      t0 AS (SELECT doc_id, ${DuckOps.tokens("text")} AS tl FROM documents),
+      x0 AS (SELECT doc_id, i,
+               list_transform(range(1, length(tl[i]) + 1), q -> substr(tl[i], q, 1)) AS syms
+             FROM t0, unnest(range(1, len(tl) + 1)) AS u(i))$applies,
+      enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS sub
+              FROM x$BpeSteps GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(len(e.sub), 0) AS BIGINT) AS n_subwords,
+        CAST(coalesce(len(list_distinct(e.sub)), 0) AS BIGINT) AS n_distinct,
+        e.sub[1] AS head_sym
+      FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+      ORDER BY d.doc_id"""
     })
 }

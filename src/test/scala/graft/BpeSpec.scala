@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Bpe
 
 /** Iterated BPE training semantics: greedy-apply non-overlap on runs
@@ -75,6 +76,66 @@ class BpeSpec extends AnyFunSuite {
         Seq("lower lower low").toDF("text"), "text", 3, 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out == Seq(("low", 3L), ("er", 2L)))
+  }
+
+  test("encodeDocs: trace, 1-char pass-through, empty doc, map-only plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a lower lowest"), (2L, ""), (3L, "low")).toDF("doc_id", "text")
+    // merges over this corpus (tokens lower, lowest, low):
+    // r1 (l,o)x3  r2 (lo,w)x3  r3 ties (e,s)(lo,we)?? -> computed by
+    // the same trainMerges under test, so assert against the
+    // independent Scala reference instead of a hand trace
+    val merges = Bpe.trainMerges(docs, "text", 3)
+      .orderBy("step").select("l", "r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val enc = Bpe.encodeDocs(docs, "text", 3)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be a pure projection:\n$plan")
+
+    def refApply(token: String): Seq[String] =
+      merges.foldLeft(token.map(_.toString): Seq[String]) { case (cur, (l, r)) =>
+        cur.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    def refDoc(text: String): Seq[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq.flatMap(refApply)
+
+    val got = enc.select(col("doc_id"), col("subwords")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == refDoc("a lower lowest"))
+    assert(got(1L).head == "a", "1-char tokens must pass through unchanged")
+    assert(got(2L) == Seq.empty, "empty doc encodes to an empty sequence")
+    assert(got(3L) == refDoc("low"))
+  }
+
+  test("native apply == independent greedy reference on fuzz corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "ab"
+    val docs = (0L until 40L).map { id =>
+      val words = Seq.fill(rnd.nextInt(6) + 1)(
+        (0 until rnd.nextInt(8) + 1).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      (id, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", 5)
+      .orderBy("step").select("l", "r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def refApply(token: String): Seq[String] =
+      merges.foldLeft(token.map(_.toString): Seq[String]) { case (cur, (l, r)) =>
+        cur.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    val got = Bpe.encodeDocs(df, "text", 5).select(col("doc_id"), col("subwords"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.foreach { case (id, text) =>
+      val expected = text.split(" ").filter(_.nonEmpty).toSeq.flatMap(refApply)
+      assert(got(id) == expected, s"doc $id: $text")
+    }
   }
 
   test("no leaked storage after training (cache hygiene)") {
