@@ -197,6 +197,31 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("round-8 queries keep their scale shapes (s13 equi-only columnar, t14 top-k, t15 map-only)") {
+    // trained-codebook ANN search: candidate generation stays an
+    // equi-join on the centroid id and the full-corpus assignment
+    // stays columnar (native graft_centroid_ranks)
+    val s13 = finalPlan(queries.Pipeline5.s13.run(spark, sfDir))
+    assert(!s13.contains("CartesianProduct") && !s13.contains("BroadcastNestedLoopJoin"),
+      s"trained-IVF candidates must meet on the centroid id:\n$s13")
+    assert(!s13.contains("DeserializeToObject") && !s13.contains("SerializeFromObject"),
+      s"trained-codebook assignment must stay columnar:\n$s13")
+    // tokenizer vocab: the encode is one flat graft_bpe_apply
+    // projection and the top-k never sorts the full vocabulary
+    val t14 = finalPlan(queries.Pipeline5.t14.run(spark, sfDir))
+    assert(t14.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be TakeOrderedAndProject:\n$t14")
+    assert(!t14.contains("ScalaUDF") && !t14.contains("DeserializeToObject"),
+      s"the encode stays native (graft_bpe_apply, no typed lambda):\n$t14")
+    // corpus encode: pure projection — no shuffle at all before the
+    // final order-by
+    val t15 = finalPlan(queries.Pipeline5.t15.run(spark, sfDir))
+    val t15Final = t15.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(t15Final).length <= 1,
+      s"document encode is map-only (merge table rides as a literal):\n$t15")
+    assert(!t15.contains("ScalaUDF"), s"t15 stays native/codegen:\n$t15")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
