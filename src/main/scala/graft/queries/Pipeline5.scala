@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Similarity}
+import graft.operators.{Bpe, Packing, Similarity}
 
 /** Round-8 additions: the coarse-quantizer TRAINING loop as a
   * hash-checked query surface. `kmeansUpdate` (s06) proved one Lloyd
@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14, t15)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14, t15, p13)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -309,5 +309,61 @@ object Pipeline5 {
         e.sub[1] AS head_sym
       FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
       ORDER BY d.doc_id"""
+    })
+
+  /** END-TO-END pipeline composition: context-window packing (p03's
+    * operator) driven by the TRAINED tokenizer's real subword counts
+    * (t15's encode) instead of whitespace token counts — train the
+    * tokenizer, encode the corpus, pack to a 512-subword budget per
+    * language. One corpus pass for sizes (pure projection), one hash
+    * shuffle for the packing sort, O(1) packing state — the full
+    * pretraining-prep chain as a single hash-checked surface. */
+  val p13: QueryDef = QueryDef(
+    "p13_pack_subwords",
+    (s, d) => {
+      val sized = Bpe.encodeDocs(Tables.documents(s, d), "text", BpeSteps)
+        .selectExpr("lang", "doc_id", "cast(size(subwords) as bigint) AS n_subwords")
+      Packing.packGreedy(sized, "lang", "doc_id", "n_subwords", budget = 512L)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val steps = (1 to BpeSteps)
+        .map(k => bpeStepSql(k, last = k == BpeSteps)).mkString
+      val applies = (1 to BpeSteps).map { k =>
+        s""",
+      x$k AS (SELECT doc_id, i, list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
+                 ELSE acc || x END) AS syms
+             FROM x${k - 1}, m$k m)"""
+      }.mkString
+      s"""WITH RECURSIVE ${bpePrefixSql.stripPrefix("WITH ")}$steps,
+      t0 AS (SELECT doc_id, ${DuckOps.tokens("text")} AS tl FROM documents),
+      x0 AS (SELECT doc_id, i,
+               list_transform(range(1, length(tl[i]) + 1), q -> substr(tl[i], q, 1)) AS syms
+             FROM t0, unnest(range(1, len(tl) + 1)) AS u(i))$applies,
+      enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS sub
+              FROM x$BpeSteps GROUP BY doc_id),
+      ordered AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing: the recursive term below
+        -- references `ordered`, and without it DuckDB re-inlines (and
+        -- re-evaluates) the whole BPE-encode chain on every recursion
+        -- step — measured minutes vs 5 s materialized
+        SELECT d.lang, d.doc_id,
+          CAST(coalesce(len(e.sub), 0) AS BIGINT) AS n_subwords,
+          row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
+        FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+      packed AS (
+        SELECT lang, doc_id, n_subwords, rn, CAST(0 AS BIGINT) AS bin_id,
+          n_subwords AS fill_after
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.doc_id, o.n_subwords, o.rn,
+          CASE WHEN p.fill_after + o.n_subwords > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+          CASE WHEN p.fill_after + o.n_subwords > 512 THEN o.n_subwords
+               ELSE p.fill_after + o.n_subwords END
+        FROM packed p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1)
+      SELECT lang, doc_id, n_subwords, bin_id, fill_after
+      FROM packed ORDER BY doc_id"""
     })
 }
