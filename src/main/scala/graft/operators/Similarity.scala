@@ -367,6 +367,19 @@ object Similarity {
     Storage.withCached(assignCentroids(emb, kCentroids))(
       semanticDedupFrom(_, threshold))
 
+  /** [[semanticDedup]] under the [[trainedCodebook]] after `iters - 1`
+    * Lloyd rebuilds: trained clusters group semantically-close vectors
+    * tighter, so the within-cluster comparison catches pairs the
+    * arbitrary seed partition splits across clusters — same plan, same
+    * state bounds, better recall (the SemDeDup paper trains its
+    * clustering for exactly this reason). */
+  def semanticDedupTrained(emb: DataFrame, kCentroids: Int, iters: Int,
+      threshold: Double): DataFrame =
+    Storage.withCached(
+      assignTo(prepared(emb).select("vec_id", "v", "nrm"),
+        trainedCodebook(emb, kCentroids, iters - 1)))(
+      semanticDedupFrom(_, threshold))
+
   private[graft] def semanticDedupFrom(a: DataFrame, threshold: Double): DataFrame = {
     val l = a.select(col("centroid"), col("vec_id").as("d1"),
       col("v").as("v1"), col("nrm").as("nrm1"))

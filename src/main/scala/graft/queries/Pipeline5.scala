@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Packing, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, t13, t14, t15, p13)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, s14, t13, t14, t15, p13)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -187,6 +187,35 @@ object Pipeline5 {
           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
         FROM iscored) WHERE rk <= 3
       ORDER BY q_id, rk"""))
+
+  /** SemDeDup under the TRAINED codebook
+    * ([[graft.operators.Similarity.semanticDedupTrained]]): s07's
+    * within-cluster dedup re-run on cb2's clusters — the last
+    * embedding operator still running on the seed partition. Trained
+    * clusters group close vectors together, so the within-cluster
+    * comparison sees pairs the arbitrary seed split apart. Oracle =
+    * s07's assignment/pair/keep SQL parameterized by the chain's cb2
+    * CTE. */
+  val s14: QueryDef = QueryDef(
+    "s14_semantic_dedup_trained",
+    (s, d) => Similarity.semanticDedupTrained(Tables.embeddings(s, d), K, Iters, 0.4)
+      .orderBy(col("vec_id")),
+    Some(s"""$chainSql,
+      cc AS (SELECT cid, cv, ${DuckOps.norm2("cv")} AS cn FROM cb${Iters - 1}),
+      tsc AS (SELECT vec_id, v, nrm, cid,
+               ${DuckOps.dot("v", "cv")} / (sqrt(nrm) * sqrt(cn)) AS cos
+             FROM nn, cc),
+      tasg AS (SELECT vec_id, v, nrm, cid FROM (
+               SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+               FROM tsc) WHERE rk = 1),
+      tpr AS (SELECT b.vec_id AS d2,
+               ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+             FROM tasg a JOIN tasg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      tlosers AS (SELECT DISTINCT d2 FROM tpr WHERE cos >= 0.4)
+      SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
+        vec_id NOT IN (SELECT d2 FROM tlosers) AS kept
+      FROM tasg ORDER BY vec_id"""))
 
   private val BpeSteps = 8 // greedy merge rounds for t13
 

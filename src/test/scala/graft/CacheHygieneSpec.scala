@@ -65,6 +65,11 @@ class CacheHygieneSpec extends AnyFunSuite {
     checkHygiene("semanticDedup")(Similarity.semanticDedup(emb, 8, 0.4))
   }
 
+  test("semanticDedupTrained releases its assignment cache") {
+    checkHygiene("semanticDedupTrained")(
+      Similarity.semanticDedupTrained(emb, 8, 2, 0.4))
+  }
+
   test("composed pipelines (d05-style anti-join over released pairs) still compute") {
     // the checkpointed pair frame must stay consumable after the
     // intermediate release — lineage was truncated at materialization
