@@ -63,7 +63,15 @@ case class BpeApply(first: Expression, second: Expression)
     var n = in.numElements()
     val buf = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { buf(i) = in.getUTF8String(i); i += 1 }
+    while (i < n) {
+      val s = in.getUTF8String(i)
+      // registry-callable: a clear error beats an opaque NPE from the
+      // merge comparison below
+      if (s == null) throw new IllegalArgumentException(
+        s"graft_bpe_apply: null symbol at position $i")
+      buf(i) = s
+      i += 1
+    }
     var m = 0
     while (m < merges.length && n > 1) {
       val (l, r, lr) = merges(m)

@@ -240,7 +240,16 @@ object CollectCapped {
     capExpr.eval() match {
       case null => throw new IllegalArgumentException(
         s"$fn: cap must be a non-null literal")
-      case n: java.lang.Number => n.intValue()
+      // integral types only: a fractional DOUBLE/DECIMAL cap silently
+      // truncating (2.9 -> 2) is exactly the unclear behavior this
+      // helper exists to reject
+      case b: java.lang.Byte => b.intValue()
+      case s: java.lang.Short => s.intValue()
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l > Int.MaxValue || l < Int.MinValue) throw new IllegalArgumentException(
+          s"$fn: cap $l overflows Int")
+        l.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: cap must be an integral literal, got '$other' (${capExpr.dataType.sql})")
     }

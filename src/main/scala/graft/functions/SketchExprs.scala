@@ -284,20 +284,25 @@ case class ScrubKeep(first: Expression, second: Expression, third: Expression)
     val n = nAny.asInstanceOf[Int]
     val len = lenAny.asInstanceOf[Int]
     val nCov = cov.numElements()
+    // the two-pointer merge is only correct on ascending cov — the
+    // function is in the general SQL registry, so enforce the contract
+    // over the WHOLE array up front (a consumed-elements-only check
+    // would miss an out-of-order witness parked behind an entry > len,
+    // which the merge below never advances past)
+    var p = 1
+    while (p < nCov) {
+      if (cov.getLong(p) < cov.getLong(p - 1)) throw new IllegalArgumentException(
+        s"graft_scrub_keep: cov must be sorted ascending " +
+          s"(saw ${cov.getLong(p)} after ${cov.getLong(p - 1)})")
+      p += 1
+    }
     val out = new ArrayBuffer[Int](len)
     var ptr = 0
     var last = Long.MinValue // greatest removal start <= j so far
     var j = 1
     while (j <= len) {
       while (ptr < nCov && cov.getLong(ptr) <= j) {
-        val c = cov.getLong(ptr)
-        // the two-pointer merge is only correct on ascending cov — the
-        // function is in the general SQL registry, so enforce the
-        // contract at runtime (one comparison per consumed element)
-        // instead of silently returning a wrong kept-set
-        if (c < last) throw new IllegalArgumentException(
-          s"graft_scrub_keep: cov must be sorted ascending (saw $c after $last)")
-        last = c; ptr += 1
+        last = cov.getLong(ptr); ptr += 1
       }
       if (last <= j - n) out += j
       j += 1

@@ -73,42 +73,60 @@ object Bpe {
       .selectExpr(
         "transform(sequence(1, length(t)), i -> substring(t, i, 1)) AS syms", "freq")
 
+  /** The training loop. Returns the merge list and the UNMERGED
+    * frequency-table checkpoint it trained from — still live, so a
+    * caller that re-consumes the table (the encode path) does not pay
+    * a second corpus-wide aggregation; the caller owns its release.
+    * Intermediate (per-round) checkpoints are released as each round
+    * materializes, and EVERYTHING — base included — is released if
+    * the loop dies mid-training (the round-7 leak contract). */
+  private def trainLoop(docs: DataFrame, textCol: String,
+      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(steps >= 1, s"BPE training needs steps >= 1, got $steps")
+    val base = freqTable(docs, textCol).localCheckpoint(eager = true)
+    var cur = base
+    var stale: Seq[RDD[_]] = Nil // merged-round checkpoints only, never base's
+    val merges = ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
+        val top = cur.selectExpr(s"explode($pairsExpr) AS pr", "freq")
+          .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((step.toLong, l, r, n))
+          if (step < steps) {
+            cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
+              .localCheckpoint(eager = true)
+            stale.foreach(_.unpersist(blocking = false))
+            stale = Storage.checkpointRdds(cur)
+          }
+          step += 1
+        }
+      }
+    } catch {
+      case t: Throwable => Storage.release(base); throw t
+    } finally stale.foreach(_.unpersist(blocking = false))
+    (merges.toSeq, base)
+  }
+
   /** Train `steps` BPE merges over the corpus' token instances.
     * Returns the merge table (step, l, r, n) — merge `step` fused
     * symbols `l`+`r`, which occurred adjacently `n` times at that
     * point of training. Stops early if the corpus runs out of
     * pairs. */
   def trainMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
-    require(steps >= 1, s"trainMerges needs steps >= 1, got $steps")
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = freqTable(docs, textCol).localCheckpoint(eager = true)
-    var stale: Seq[RDD[_]] = Storage.checkpointRdds(cur)
-    val merges = ArrayBuffer.empty[(Long, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= steps && !exhausted) {
-      val top = cur.selectExpr(s"explode($pairsExpr) AS pr", "freq")
-        .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
-        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, l, r, n))
-        if (step < steps) {
-          cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
-            .localCheckpoint(eager = true)
-          stale.foreach(_.unpersist(blocking = false))
-          stale = Storage.checkpointRdds(cur)
-        }
-        step += 1
-      }
-    }
-    stale.foreach(_.unpersist(blocking = false))
-    merges.toSeq.toDF("step", "l", "r", "n")
+    val (merges, base) = trainLoop(docs, textCol, steps)
+    Storage.release(base)
+    merges.toDF("step", "l", "r", "n")
   }
 
   /** The tokenizer-APPLY step: encode the corpus under the merge
@@ -119,18 +137,20 @@ object Bpe {
     * merge list: which learned units carry the token mass.
     *
     * 100 TB shape: training reads the corpus once (inside
-    * [[trainMerges]]) and the encode is ONE `graft_bpe_apply`
-    * projection over the SAME vocabulary-bounded frequency table —
-    * the native expression runs every merge pass as a single
-    * O(steps · len) JVM loop per token, so there is no chained plan
-    * to analyze (Catalyst's planning of 8 chained lambda folds
-    * measured ~9 s on a 30-row table) and nothing to checkpoint. The
-    * returned frame is fully lazy. */
+    * [[trainLoop]]) and the encode is ONE `graft_bpe_apply`
+    * projection over the SAME frequency-table checkpoint the training
+    * started from (no second corpus pass) — the native expression
+    * runs every merge pass as a single O(steps · len) JVM loop per
+    * token, so there is no chained plan to analyze (Catalyst's
+    * planning of 8 chained lambda folds measured ~9 s on a 30-row
+    * table). The returned frame reads the O(vocabulary) checkpoint
+    * blocks it rides on — freed via [[Storage.release]] after the
+    * terminal action, per the [[Storage]] contract. */
   def vocabAfterTraining(docs: DataFrame, textCol: String, steps: Int,
       topK: Int): DataFrame = {
-    val mergesLit = collectMergesLit(docs, textCol, steps)
-    freqTable(docs, textCol)
-      .select(call_function("graft_bpe_apply", col("syms"), mergesLit).as("syms"),
+    val (merges, base) = trainLoop(docs, textCol, steps)
+    base
+      .select(call_function("graft_bpe_apply", col("syms"), mergesLit(merges)).as("syms"),
         col("freq"))
       .selectExpr("explode(syms) AS sym", "freq")
       .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
@@ -149,23 +169,18 @@ object Bpe {
     * merge table rides the plan as an O(steps) literal. */
   def encodeDocs(docs: DataFrame, textCol: String, steps: Int,
       outCol: String = "subwords"): DataFrame = {
-    val mergesLit = collectMergesLit(docs, textCol, steps)
+    val (merges, base) = trainLoop(docs, textCol, steps)
+    Storage.release(base) // the encode reads docs, not the freq table
     docs.withColumn(outCol,
       flatten(transform(
         expr(TextOps.tokens(textCol)),
         t => call_function("graft_bpe_apply",
           transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))),
-          mergesLit))))
+          mergesLit(merges)))))
   }
 
   /** the trained merge table as the ARRAY<ARRAY<STRING>> plan literal
-    * `graft_bpe_apply` consumes. */
-  private def collectMergesLit(docs: DataFrame, textCol: String,
-      steps: Int): Column = {
-    val merges = trainMerges(docs, textCol, steps)
-      .orderBy("step").select("l", "r").collect()
-      .map(r => Seq(r.getString(0), r.getString(1)))
-      .toSeq
-    typedlit(merges)
-  }
+    * `graft_bpe_apply` consumes (training order). */
+  private def mergesLit(merges: Seq[(Long, String, String, Long)]): Column =
+    typedlit(merges.sortBy(_._1).map { case (_, l, r, _) => Seq(l, r) })
 }

@@ -63,12 +63,15 @@ object Curate {
     // a SECOND and THIRD traversal of the whole window chain if built
     // lazily off `gated` (they ride broadcast branches, so plan-level
     // reuse never kicks in — the round-7 triple-recompute advisory).
-    // Materialize ONCE, pruned to the distinct sources — O(|domains|)
+    // Checkpoint ONCE, pruned to the distinct sources — O(|domains|)
     // storage, not O(corpus) — and build both side inputs from that.
-    // The MAIN path stays lazy, so the caller's action still runs the
-    // observed chain exactly once and the four attrition metrics
-    // surface on the returned frame per the A3 contract.
-    val srcs = gated.select(col("source")).distinct().localCheckpoint(eager = true)
+    // eager = false: building a plan must not execute it (explain/
+    // audit callers pay nothing, and no observe metrics fire at
+    // construction) — the blocks materialize with the caller's first
+    // action and both branches reuse them. The O(|domains|) blocks are
+    // owned by the returned frame: Storage.release(result) frees them
+    // deterministically, the ContextCleaner otherwise.
+    val srcs = gated.select(col("source")).distinct().localCheckpoint(eager = false)
     val srcIdx = srcs
       .withColumn("src_idx",
         row_number().over(Window.orderBy(col("source"))).cast("long"))

@@ -27,8 +27,16 @@ object Similarity {
     * [[graft.functions.DotProduct]] loop, one division; same IEEE
     * addition order as the aggregate(zip_with(...)) form it replaced,
     * so oracle parity is unchanged). */
+  /** cosine with NULL-on-zero-norm semantics ("no similarity
+    * evidence"): a zero-norm operand yields NULL, not an ANSI
+    * DIVIDE_BY_ZERO crash — NULL fails every `cos >= tau` drop test
+    * (degenerate vectors are never deduplicated away) and ranks after
+    * every real cosine in the top-k windows (Spark DESC default,
+    * NULLS LAST). Non-degenerate inputs take the exact IEEE path the
+    * oracles replay. */
   val cosExpr: String =
-    "graft_dot(%s, %s) / (sqrt(%s) * sqrt(%s))"
+    "if(%3$s = 0d or %4$s = 0d, cast(null as double), " +
+      "graft_dot(%1$s, %2$s) / (sqrt(%3$s) * sqrt(%4$s)))"
 
   /** Brute-force exact top-k neighbors for each query vector
     * (queries = vec_id < nQueries), ranked by cosine desc. */
@@ -201,6 +209,11 @@ object Similarity {
   private def updateTable(p: DataFrame,
       cb: Array[(Long, Array[Double], Double)]): DataFrame =
     assignTo(p, cb)
+      // a zero-norm vector is UNASSIGNABLE (centroid -1, the closure
+      // contract) — it belongs to no cluster and must not perturb any
+      // cluster mean; the oracles replay this by ranking over non-NaN
+      // cosines only
+      .filter(col("centroid") =!= -1L)
       .selectExpr("centroid", "posexplode(v) AS (d0, x)")
       .selectExpr("centroid", "cast(d0 + 1 as bigint) AS dim",
         "cast(round(x * 1000000) as bigint) AS xm")

@@ -360,13 +360,17 @@ object Pipeline {
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
                        c.cid ASC) AS rn
-          FROM n a CROSS JOIN c) WHERE rn = 1),
+          -- NaN cosines never assign (graft_centroid_ranks skips them;
+          -- an unfiltered ORDER BY would rank NaN FIRST here)
+          FROM n a CROSS JOIN c
+          WHERE NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn = 1),
       probes AS (SELECT q_id, qv, qn, qcentroid FROM (
           SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.cid AS qcentroid,
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
                        c.cid ASC) AS rn
-          FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rn <= 2),
+          FROM n a CROSS JOIN c WHERE a.vec_id < 10
+            AND NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn <= 2),
       scored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
           ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
         FROM probes p JOIN asg s
@@ -413,13 +417,15 @@ object Pipeline {
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)) DESC,
                        cc.cid ASC) AS rn
-          FROM n a CROSS JOIN cc) WHERE rn = 1),
+          FROM n a CROSS JOIN cc
+          WHERE NOT isnan(${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)))) WHERE rn = 1),
       probes AS (SELECT q_id, qv, qn, qcentroid FROM (
           SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, cc.cid AS qcentroid,
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)) DESC,
                        cc.cid ASC) AS rn
-          FROM n a CROSS JOIN cc WHERE a.vec_id < 10) WHERE rn <= 2),
+          FROM n a CROSS JOIN cc WHERE a.vec_id < 10
+            AND NOT isnan(${DuckOps.dot("a.v", "cc.cv")} / (sqrt(a.nrm) * sqrt(cc.cn)))) WHERE rn <= 2),
       scored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
           ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
         FROM probes p JOIN asg s

@@ -39,7 +39,9 @@ object Pipeline3 {
       asg AS (SELECT vec_id, v, cid FROM (
                SELECT vec_id, v, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM sc) WHERE rk = 1),
+               -- NaN cosines never assign (zero-norm vectors are
+               -- unassignable and excluded from every cluster mean)
+               FROM sc WHERE NOT isnan(cos)) WHERE rk = 1),
       x AS (SELECT cid AS centroid,
               unnest(range(1, len(v) + 1)) AS dim,
               unnest(list_transform(range(1, len(v) + 1),

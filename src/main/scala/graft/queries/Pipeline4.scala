@@ -41,14 +41,21 @@ object Pipeline4 {
       asg AS (SELECT vec_id, v, nrm, cid FROM (
                SELECT vec_id, v, nrm, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM sc) WHERE rk = 1),
+               -- NaN cosines never assign (graft_centroid_ranks skips
+               -- them); the LEFT JOIN below restores the vector with
+               -- the closure's centroid -1
+               FROM sc WHERE NOT isnan(cos)) WHERE rk = 1),
+      fasg AS (SELECT nn.vec_id, nn.v, nn.nrm,
+                 coalesce(a.cid, CAST(-1 AS BIGINT)) AS cid
+               FROM nn LEFT JOIN asg a ON nn.vec_id = a.vec_id),
       pr AS (SELECT b.vec_id AS d2,
-               ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-             FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+               CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN NULL
+                 ELSE ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) END AS cos
+             FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
       losers AS (SELECT DISTINCT d2 FROM pr WHERE cos >= 0.4)
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
         vec_id NOT IN (SELECT d2 FROM losers) AS kept
-      FROM asg ORDER BY vec_id"""))
+      FROM fasg ORDER BY vec_id"""))
 
   /** Per-vector int8 quantization
     * ([[graft.operators.Similarity.quantizeInt8]]) with its accuracy

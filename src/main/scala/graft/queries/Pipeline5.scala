@@ -41,7 +41,7 @@ object Pipeline5 {
       a$i AS (SELECT vec_id, v, cid FROM (
                SELECT vec_id, v, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM s$i) WHERE rk = 1),
+               FROM s$i WHERE NOT isnan(cos)) WHERE rk = 1),
       x$i AS (SELECT cid, unnest(range(1, len(v) + 1)) AS dim,
                unnest(list_transform(range(1, len(v) + 1),
                  q -> CAST(round(v[q] * 1000000) AS BIGINT))) AS xm
@@ -102,12 +102,12 @@ object Pipeline5 {
                AS seed_quality
              FROM (SELECT cos, row_number() OVER
                  (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM s1) WHERE rk = 1),
+               FROM s1 WHERE NOT isnan(cos)) WHERE rk = 1),
       tq AS (SELECT CAST(sum(CAST(round(cos * 1000000000) AS BIGINT)) AS BIGINT)
                AS trained_quality
              FROM (SELECT cos, row_number() OVER
                  (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM s$Iters) WHERE rk = 1)
+               FROM s$Iters WHERE NOT isnan(cos)) WHERE rk = 1)
       SELECT seed_quality, trained_quality,
         trained_quality > seed_quality AS trained_better
       FROM sq, tq"""))
@@ -171,13 +171,15 @@ object Pipeline5 {
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
                        c.cid ASC) AS rn
-          FROM nn a CROSS JOIN cc c) WHERE rn = 1),
+          FROM nn a CROSS JOIN cc c
+          WHERE NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn = 1),
       iprobes AS (SELECT q_id, qv, qn, qcentroid FROM (
           SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.cid AS qcentroid,
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
                        c.cid ASC) AS rn
-          FROM nn a CROSS JOIN cc c WHERE a.vec_id < 10) WHERE rn <= 2),
+          FROM nn a CROSS JOIN cc c WHERE a.vec_id < 10
+            AND NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn <= 2),
       iscored AS (SELECT DISTINCT p.q_id, s.vec_id AS n_id,
           ${DuckOps.dot("p.qv", "s.v")} / (sqrt(p.qn) * sqrt(s.nrm)) AS cos
         FROM iprobes p JOIN iasg s
@@ -208,14 +210,18 @@ object Pipeline5 {
       tasg AS (SELECT vec_id, v, nrm, cid FROM (
                SELECT vec_id, v, nrm, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-               FROM tsc) WHERE rk = 1),
+               FROM tsc WHERE NOT isnan(cos)) WHERE rk = 1),
+      tfull AS (SELECT nn.vec_id, nn.v, nn.nrm,
+                 coalesce(a.cid, CAST(-1 AS BIGINT)) AS cid
+               FROM nn LEFT JOIN tasg a ON nn.vec_id = a.vec_id),
       tpr AS (SELECT b.vec_id AS d2,
-               ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-             FROM tasg a JOIN tasg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+               CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN NULL
+                 ELSE ${DuckOps.dot("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) END AS cos
+             FROM tfull a JOIN tfull b ON a.cid = b.cid AND a.vec_id < b.vec_id),
       tlosers AS (SELECT DISTINCT d2 FROM tpr WHERE cos >= 0.4)
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
         vec_id NOT IN (SELECT d2 FROM tlosers) AS kept
-      FROM tasg ORDER BY vec_id"""))
+      FROM tfull ORDER BY vec_id"""))
 
   private val BpeSteps = 8 // greedy merge rounds for t13
 

@@ -63,9 +63,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val s03 = finalPlan(queries.Pipeline.s03.run(spark, sfDir))
     assert(!s03.contains("CartesianProduct"), "LSH candidates must be a bucket equi-join")
     assert(!s03.contains("collect"), "no driver-side collect operators in the plan")
+    // d05 audited through the LAZY pair builder + anti-join composition:
+    // the registered query's minhashLshPairs materializes-and-releases
+    // internally, so auditing d05.run() would inspect a pre-collapsed
+    // LogicalRDD where the candidate join used to be
+    val d05 = finalPlan {
+      import org.apache.spark.sql.functions.col
+      val pairs = Dedup.minhashLshPairsFrom(
+        Dedup.minhashSignatures(docs, "text", 3, 16), 16, 4, 0.5)
+      docs.join(pairs.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    }
+    assert(!d05.contains("CartesianProduct"), "d05: pairs + anti-join must stay equi")
     // every other candidate-generating pipeline query, same contract
     Seq(queries.Pipeline.s02, queries.Pipeline.s04, queries.Pipeline.s05,
-        queries.Pipeline.d05, queries.Pipeline2.p06).foreach { q =>
+        queries.Pipeline2.p06).foreach { q =>
       val p = finalPlan(q.run(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"${q.name}: candidates must be equi-joins")
     }

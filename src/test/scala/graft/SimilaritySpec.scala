@@ -168,4 +168,47 @@ class SimilaritySpec extends AnyFunSuite {
       } else assert(q.forall(_ == 0))
     }
   }
+
+  test("zero-norm vectors: unassignable (-1), excluded from cluster means, kept by dedup") {
+    import spark.implicits._
+    // vec_ids 0..3 are unit-ish seed vectors; 9 is all-zero (NaN cosine
+    // to every centroid — the closure contract assigns -1)
+    val emb = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)), (1L, "a", Seq(0.0f, 1.0f)),
+      (2L, "a", Seq(1.0f, 1.0f)), (3L, "a", Seq(-1.0f, 0.5f)),
+      (9L, "a", Seq(0.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+
+    val assigned = Similarity.assignCentroids(emb, 2)
+      .select("vec_id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(9L) == -1L, "zero-norm vector must be unassignable")
+    assert(assigned.filterKeys(_ != 9L).values.forall(_ >= 0L))
+
+    // cluster means never see the unassignable vector (and the update
+    // table carries no -1 group — the oracle replays this by ranking
+    // over non-NaN cosines only)
+    val upd = Similarity.kmeansUpdate(emb, 2).collect()
+    assert(upd.forall(_.getLong(0) >= 0L), "no -1 group in the update table")
+    val membersDim1 = upd.filter(_.getLong(1) == 1L).map(_.getLong(2)).sum
+    assert(membersDim1 == 4L, "the 4 assignable vectors partition; the zero-norm one is out")
+
+    // semantic dedup still covers the WHOLE corpus: the zero-norm
+    // vector comes back as (vec_id, -1, kept) rather than vanishing
+    val sd = Similarity.semanticDedup(emb, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(sd.length == 5)
+    val zeroRow = sd.find(_._1 == 9L).get
+    assert(zeroRow._2 == -1L && zeroRow._3,
+      "a lone zero-norm vector is its own -1 group and survives")
+
+    // TWO zero-norm cluster-mates: the pair cosine is NULL ("no
+    // similarity evidence" — not an ANSI DIVIDE_BY_ZERO crash, which
+    // this case hit before cosExpr's zero-norm guard), so neither is
+    // ever dropped — the oracle's CASE..NULL replays this exactly
+    val emb2 = emb.union(Seq((10L, "a", Seq(0.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    val sd2 = Similarity.semanticDedup(emb2, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(sd2(9L) && sd2(10L),
+      "degenerate vectors must never be deduplicated away on NULL evidence")
+  }
 }
