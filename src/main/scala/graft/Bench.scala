@@ -57,17 +57,19 @@ object Bench {
         val t0 = System.nanoTime()
         val n = try {
           val df = q.run(spark, sfDir)
-          val c = df.count()
           // free the iteration's operator-result checkpoint blocks
           // (dedup/similarity operators materialize-and-release their
           // intermediates internally now; the RESULT blocks are the
           // caller's to release) so storage doesn't accumulate across
-          // the 90-query registry and evict/thrash later queries.
+          // the 90-query registry and evict/thrash later queries —
+          // release in a finally so a failing count() can't leak them
+          // for the rest of the run (clearCache() only clears
+          // CacheManager entries, never checkpoint blocks).
           // NOTE: since round 8 every iteration pays the full
           // signature recompute — operators no longer leave a warm
           // cache behind — so per-query min is the true cold-run cost.
-          graft.operators.Storage.release(df)
-          c
+          try df.count()
+          finally graft.operators.Storage.release(df)
         } catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }

@@ -45,11 +45,16 @@ case class BpeApply(first: Expression, second: Expression)
 
   /** (l, r, l||r) per merge, in training order. */
   @transient private lazy val merges: Array[(UTF8String, UTF8String, UTF8String)] = {
-    val outer = second.eval(null).asInstanceOf[ArrayData]
+    val outerAny = second.eval(null)
+    require(outerAny != null, "graft_bpe_apply: merges literal must not be null")
+    val outer = outerAny.asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements()) { i =>
+      require(!outer.isNullAt(i), s"graft_bpe_apply: merge $i is null, expected [l, r]")
       val pair = outer.getArray(i)
       require(pair.numElements() == 2,
         s"graft_bpe_apply: merge ${i} has ${pair.numElements()} elements, expected [l, r]")
+      require(!pair.isNullAt(0) && !pair.isNullAt(1),
+        s"graft_bpe_apply: merge $i contains a null side, expected [l, r]")
       val l = pair.getUTF8String(0).clone()
       val r = pair.getUTF8String(1).clone()
       (l, r, UTF8String.concat(l, r))

@@ -80,10 +80,20 @@ object Bpe {
     * Intermediate (per-round) checkpoints are released as each round
     * materializes, and EVERYTHING — base included — is released if
     * the loop dies mid-training (the round-7 leak contract). */
+  /** lazy-checkpoint `df`, then force materialization — releasing the
+    * checkpoint's own (possibly partially persisted) blocks if the
+    * materializing action dies, which an eager `localCheckpoint` can't
+    * do (the failed frame is never returned to the caller). */
+  private def checkpointed(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
+    try { out.count(): Unit; out }
+    catch { case t: Throwable => Storage.release(out); throw t }
+  }
+
   private def trainLoop(docs: DataFrame, textCol: String,
       steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(steps >= 1, s"BPE training needs steps >= 1, got $steps")
-    val base = freqTable(docs, textCol).localCheckpoint(eager = true)
+    val base = checkpointed(freqTable(docs, textCol))
     var cur = base
     var stale: Seq[RDD[_]] = Nil // merged-round checkpoints only, never base's
     val merges = ArrayBuffer.empty[(Long, String, String, Long)]
@@ -102,8 +112,7 @@ object Bpe {
           val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((step.toLong, l, r, n))
           if (step < steps) {
-            cur = cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq")
-              .localCheckpoint(eager = true)
+            cur = checkpointed(cur.selectExpr(s"${mergeExpr(l, r)} AS syms", "freq"))
             stale.foreach(_.unpersist(blocking = false))
             stale = Storage.checkpointRdds(cur)
           }

@@ -22,12 +22,9 @@ object Similarity {
     emb.selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS v")
       .selectExpr("vec_id", "label", "v", "graft_dot(v, v) AS nrm")
 
-  /** cosine between columns a and b given norm columns na/nb — single
-    * deterministic expression (left-fold dot via the native
-    * [[graft.functions.DotProduct]] loop, one division; same IEEE
-    * addition order as the aggregate(zip_with(...)) form it replaced,
-    * so oracle parity is unchanged). */
-  /** cosine with NULL-on-zero-norm semantics ("no similarity
+  /** cosine between columns %1/%2 given norm columns %3/%4 (left-fold
+    * dot via the native [[graft.functions.DotProduct]] loop, one
+    * division), with NULL-on-zero-norm semantics ("no similarity
     * evidence"): a zero-norm operand yields NULL, not an ANSI
     * DIVIDE_BY_ZERO crash — NULL fails every `cos >= tau` drop test
     * (degenerate vectors are never deduplicated away) and ranks after

@@ -225,19 +225,29 @@ object Pipeline5 {
 
   private val BpeSteps = 8 // greedy merge rounds for t13
 
+  /** merge `k` applied to symbol table `from` (carried columns
+    * preserved via `t.* REPLACE`): the single shared greedy-fold
+    * lambda every BPE oracle replays — one copy, so t14/t15/p13 can
+    * never drift apart. The correlated `m.l`/`m.r` is the oracle's
+    * analog of the Spark side's driver-spliced literals. LEFT JOIN ON
+    * TRUE is load-bearing: if training EXHAUSTS pairs before step k,
+    * `m$k` is empty and a cross join would wipe this table and every
+    * later round — the LEFT JOIN leaves it unchanged instead, matching
+    * the Spark operators' early-stop (they apply only the merges that
+    * exist). */
+  private def bpeApplySql(name: String, from: String, k: Int): String =
+    s""",
+      $name AS (SELECT t.* REPLACE (CASE WHEN m.l IS NULL THEN syms
+                 ELSE list_reduce(list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                     THEN acc[1:len(acc) - 1] || [m.l || m.r]
+                     ELSE acc || x END) END AS syms)
+               FROM $from t LEFT JOIN m$k m ON TRUE)"""
+
   /** round `k`'s pair count + top-1 CTEs over symbol table b{k-1};
-    * appends the merge-applied b{k} only when another round follows.
-    * The correlated `m.l`/`m.r` inside the lambda is the oracle's
-    * analog of the Spark side's driver-spliced literals. */
+    * appends the merge-applied b{k} only when another round follows. */
   private def bpeStepSql(k: Int, last: Boolean): String = {
-    val apply =
-      if (last) ""
-      else s""",
-      b$k AS (SELECT list_reduce(list_transform(syms, s -> [s]),
-               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
-                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
-                 ELSE acc || x END) AS syms
-             FROM b${k - 1}, m$k m)"""
+    val apply = if (last) "" else bpeApplySql(s"b$k", s"b${k - 1}", k)
     s""",
       p$k AS (SELECT unnest(list_transform(range(1, len(syms)),
                i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
@@ -245,6 +255,16 @@ object Pipeline5 {
       c$k AS (SELECT pr.l AS l, pr.r AS r, count(*) AS n FROM p$k GROUP BY 1, 2),
       m$k AS (SELECT l, r, n FROM c$k ORDER BY n DESC, l, r LIMIT 1)$apply"""
   }
+
+  /** the token-instance symbol tables the BPE oracles unroll from
+    * (instance-level on the DuckDB side; the Spark side trains on the
+    * weighted distinct-token table — identical counts by
+    * construction). */
+  private val bpePrefixSql: String =
+    s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
+      b0 AS (SELECT list_transform(range(1, length(t) + 1),
+               i -> substr(t, i, 1)) AS syms
+             FROM tok WHERE length(t) >= 2)"""
 
   /** Iterated BPE vocabulary training
     * ([[graft.operators.Bpe.trainMerges]]): the full merge table after
@@ -258,16 +278,6 @@ object Pipeline5 {
     * reduce seeds from the first element; Spark's seeds from empty —
     * identical semantics since the guard only fires with a non-empty
     * accumulator). */
-  /** the token-instance symbol tables the BPE oracles unroll from
-    * (instance-level on the DuckDB side; the Spark side trains on the
-    * weighted distinct-token table — identical counts by
-    * construction). */
-  private val bpePrefixSql: String =
-    s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
-      b0 AS (SELECT list_transform(range(1, length(t) + 1),
-               i -> substr(t, i, 1)) AS syms
-             FROM tok WHERE length(t) >= 2)"""
-
   val t13: QueryDef = QueryDef(
     "t13_bpe_train",
     (s, d) => Bpe.trainMerges(Tables.documents(s, d), "text", BpeSteps)
@@ -323,14 +333,8 @@ object Pipeline5 {
     Some {
       val steps = (1 to BpeSteps)
         .map(k => bpeStepSql(k, last = k == BpeSteps)).mkString
-      val applies = (1 to BpeSteps).map { k =>
-        s""",
-      x$k AS (SELECT doc_id, i, list_reduce(list_transform(syms, s -> [s]),
-               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
-                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
-                 ELSE acc || x END) AS syms
-             FROM x${k - 1}, m$k m)"""
-      }.mkString
+      val applies = (1 to BpeSteps)
+        .map(k => bpeApplySql(s"x$k", s"x${k - 1}", k)).mkString
       s"""$bpePrefixSql$steps,
       t0 AS (SELECT doc_id, ${DuckOps.tokens("text")} AS tl FROM documents),
       x0 AS (SELECT doc_id, i,
@@ -364,14 +368,8 @@ object Pipeline5 {
     Some {
       val steps = (1 to BpeSteps)
         .map(k => bpeStepSql(k, last = k == BpeSteps)).mkString
-      val applies = (1 to BpeSteps).map { k =>
-        s""",
-      x$k AS (SELECT doc_id, i, list_reduce(list_transform(syms, s -> [s]),
-               (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
-                 THEN acc[1:len(acc) - 1] || [m.l || m.r]
-                 ELSE acc || x END) AS syms
-             FROM x${k - 1}, m$k m)"""
-      }.mkString
+      val applies = (1 to BpeSteps)
+        .map(k => bpeApplySql(s"x$k", s"x${k - 1}", k)).mkString
       s"""WITH RECURSIVE ${bpePrefixSql.stripPrefix("WITH ")}$steps,
       t0 AS (SELECT doc_id, ${DuckOps.tokens("text")} AS tl FROM documents),
       x0 AS (SELECT doc_id, i,

@@ -82,11 +82,20 @@ object AegJsonSource {
 
   /** option keys arrive lowercased from `CaseInsensitiveStringMap` on
     * the scan path but original-cased via table properties — check
-    * case-insensitively. */
-  def schemaFor(options: Map[String, String]): StructType =
-    if (options.exists { case (k, v) => k.equalsIgnoreCase("mapview") && v.toBoolean })
-      MapSchema
-    else Schema
+    * case-insensitively. A malformed value fails NAMING the option,
+    * not with a bare "For input string". */
+  def schemaFor(options: Map[String, String]): StructType = {
+    val mapView = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mapview") =>
+        v.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"aegjson option mapView must be true or false, got '$other'")
+        }
+    }.getOrElse(false)
+    if (mapView) MapSchema else Schema
+  }
 }
 
 final class AegJsonTable(props: Map[String, String])
