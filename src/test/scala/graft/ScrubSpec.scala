@@ -121,6 +121,18 @@ class ScrubSpec extends AnyFunSuite {
     val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
       .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
     assert(msgs.contains("sorted ascending"), s"unexpected failure: $msgs")
+
+    // the out-of-order witness parked BEHIND an entry > len: a
+    // consumed-elements-only check never reaches it (the merge never
+    // advances past 1000000) and silently returns the wrong kept-set —
+    // the guard must validate the whole array
+    val e2 = intercept[Throwable] {
+      Seq((1L, Seq(1000000L, 3L))).toDF("id", "cov")
+        .selectExpr("graft_scrub_keep(cov, 2, 10)").collect()
+    }
+    val msgs2 = Iterator.iterate(e2.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs2.contains("sorted ascending"), s"unexpected failure: $msgs2")
   }
 
   test("pathological long doc (100k tokens, ~90% repeated) scrubs in linear time") {
