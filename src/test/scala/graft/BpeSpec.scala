@@ -138,6 +138,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_bpe_apply from plain SQL: apply order, and named errors on malformed input") {
+    import spark.implicits._
+    // merges applied IN ORDER: (a,b) then (ab,c) -> 'abc' collapses fully
+    val out = spark.sql(
+      "SELECT graft_bpe_apply(array('a','b','c'), array(array('a','b'), array('ab','c'))) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("abc"))
+    // reversed order: (ab,c) can never fire before (a,b) exists
+    val out2 = spark.sql(
+      "SELECT graft_bpe_apply(array('a','b','c'), array(array('ab','c'), array('a','b'))) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(out2 == Seq("ab", "c"))
+
+    def failureOf(sql: String): String = {
+      val e = intercept[Throwable](spark.sql(sql).collect())
+      Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    }
+    assert(failureOf(
+      "SELECT graft_bpe_apply(array('a', cast(null as string)), array(array('a','b')))")
+      .contains("null symbol"))
+    assert(failureOf(
+      "SELECT graft_bpe_apply(array('a'), array(array('a','b','c')))")
+      .contains("expected [l, r]"))
+    assert(failureOf(
+      "SELECT graft_bpe_apply(array('a'), array(array('a', cast(null as string))))")
+      .contains("null side"))
+  }
+
   test("no leaked storage after training (cache hygiene)") {
     import spark.implicits._
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
