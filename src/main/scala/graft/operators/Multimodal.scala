@@ -88,12 +88,15 @@ object Multimodal {
   }
 
   /** Frame sampling for video records: one output row per kept frame
-    * (generator/flatMap shape). */
+    * (generator/flatMap shape), carrying the (possibly resized)
+    * frame dimensions the downstream decode step would extract at. */
   def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): DataFrame = {
+    require(everyN >= 1, s"sampleFrames needs everyN >= 1, got $everyN")
     val spark = features.sparkSession
     import spark.implicits._
     features.filter(_.kind == "video").flatMap { f =>
-      (0 until f.n_frames by everyN).map(i => (f.media_id, i, f.digest))
-    }.toDF("media_id", "frame_idx", "digest")
+      (0 until f.n_frames by everyN)
+        .map(i => (f.media_id, i.toLong, f.digest, f.width.toLong, f.height.toLong))
+    }.toDF("media_id", "frame_idx", "digest", "width", "height")
   }
 }

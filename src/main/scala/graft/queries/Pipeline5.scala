@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Packing, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, s14, t13, t14, t15, p13)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, s14, t13, t14, t15, p13, m04)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -222,6 +222,42 @@ object Pipeline5 {
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid,
         vec_id NOT IN (SELECT d2 FROM tlosers) AS kept
       FROM tfull ORDER BY vec_id"""))
+
+  /** Multimodal resize + frame-sample under the oracle gate
+    * ([[graft.operators.Multimodal.resize]] →
+    * [[graft.operators.Multimodal.sampleFrames]]): every video's
+    * every-5th frame at the 32-px-bounded dimensions — the two
+    * brief-listed media transforms that until now had only spec
+    * coverage. The oracle replays the stub decoder's digest-derived
+    * features (m03's MD5 hex-byte CTE), the bounded-scale arithmetic
+    * (one IEEE divide + multiply + floor, identical across engines),
+    * and the stride-5 frame generator. Pure map over the typed batch
+    * decode — zero shuffles before the final order-by. */
+  val m04: QueryDef = QueryDef(
+    "m04_resize_framesample",
+    (s, d) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val feats = graft.operators.Multimodal.extractFeatures(media, batchSize = 64)
+      graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.resize(feats, 32), everyN = 5)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS dg
+        FROM documents WHERE doc_id % 3 = 2),
+      b AS (SELECT *, list_transform(range(0, 4), i ->
+          (instr('0123456789abcdef', substr(dg, CAST(i*2 + 1 AS INT), 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(dg, CAST(i*2 + 2 AS INT), 1)) - 1)) AS bytes
+        FROM m),
+      f AS (SELECT media_id, dg,
+          1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h,
+          1 + (bytes[4] % 128) % 30 AS nf
+        FROM b),
+      r AS (SELECT media_id, dg, nf, w, h,
+          least(1.0, 32.0 / greatest(w, h)) AS scale FROM f)
+      SELECT media_id, unnest(range(0, nf, 5)) AS frame_idx, dg AS digest,
+        greatest(1, CAST(floor(w * scale) AS BIGINT)) AS width,
+        greatest(1, CAST(floor(h * scale) AS BIGINT)) AS height
+      FROM r ORDER BY media_id, frame_idx"""))
 
   private val BpeSteps = 8 // greedy merge rounds for t13
 
