@@ -67,6 +67,14 @@ case class BpeApply(first: Expression, second: Expression)
     val in = sAny.asInstanceOf[ArrayData]
     var n = in.numElements()
     val buf = new Array[UTF8String](n)
+    // provenance bit per slot: a merged symbol is a FRESH UTF8String
+    // (concat in `merges`), but an unmerged symbol still points into
+    // the input row's buffer — if the output is ever buffered past
+    // this row (interpreted sort/agg key paths), those references
+    // would go stale when the unsafe row buffer is reused. Surviving
+    // input symbols are cloned at emit; fresh merge products are not
+    // (same reason the merges literal itself is cloned above).
+    val fresh = new Array[Boolean](n)
     var i = 0
     while (i < n) {
       val s = in.getUTF8String(i)
@@ -86,8 +94,11 @@ case class BpeApply(first: Expression, second: Expression)
       i = 0
       while (i < n) {
         val x = buf(i)
-        if (w > 0 && buf(w - 1).equals(l) && x.equals(r)) buf(w - 1) = lr
-        else { buf(w) = x; w += 1 }
+        val xf = fresh(i)
+        if (w > 0 && buf(w - 1).equals(l) && x.equals(r)) {
+          buf(w - 1) = lr
+          fresh(w - 1) = true
+        } else { buf(w) = x; fresh(w) = xf; w += 1 }
         i += 1
       }
       n = w
@@ -95,7 +106,7 @@ case class BpeApply(first: Expression, second: Expression)
     }
     val out = new Array[Any](n)
     i = 0
-    while (i < n) { out(i) = buf(i); i += 1 }
+    while (i < n) { out(i) = if (fresh(i)) buf(i) else buf(i).clone(); i += 1 }
     new GenericArrayData(out)
   }
 

@@ -80,18 +80,17 @@ object Bpe {
     * Intermediate (per-round) checkpoints are released as each round
     * materializes, and EVERYTHING — base included — is released if
     * the loop dies mid-training (the round-7 leak contract). */
-  /** lazy-checkpoint `df`, then force materialization — releasing the
-    * checkpoint's own (possibly partially persisted) blocks if the
-    * materializing action dies, which an eager `localCheckpoint` can't
-    * do (the failed frame is never returned to the caller). */
-  private def checkpointed(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(eager = false)
-    try { out.count(): Unit; out }
-    catch { case t: Throwable => Storage.release(out); throw t }
-  }
+  /** lazy-checkpoint-then-force with failure-path block release —
+    * the shared [[Storage.checkpointed]] lifecycle. */
+  private def checkpointed(df: DataFrame): DataFrame = Storage.checkpointed(df)
 
-  private def trainLoop(docs: DataFrame, textCol: String,
-      steps: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** The training loop. `onRound` fires before each round's pair
+    * aggregation (round index 1-based) — a production no-op that the
+    * chaos spec uses to kill the loop mid-training and assert the
+    * failure-release contract below actually releases every block. */
+  private[graft] def trainLoop(docs: DataFrame, textCol: String,
+      steps: Int, onRound: Int => Unit = _ => ())
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     require(steps >= 1, s"BPE training needs steps >= 1, got $steps")
     val base = checkpointed(freqTable(docs, textCol))
     var cur = base
@@ -101,6 +100,7 @@ object Bpe {
       var step = 1
       var exhausted = false
       while (step <= steps && !exhausted) {
+        onRound(step)
         val top = cur.selectExpr(s"explode($pairsExpr) AS pr", "freq")
           .select(col("pr.l").as("l"), col("pr.r").as("r"), col("freq"))
           .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n"))

@@ -48,7 +48,11 @@ object Dedup {
     * frequencies (partial-agg pass), broadcast the tiny hot set for a
     * map-side anti-join, then group-collect per surviving shingle
     * (every group <= cap after the prune) and emit pairs from the
-    * bounded group — no self-join, bounded executor memory. */
+    * bounded group — no self-join, bounded executor memory.
+    *
+    * EAGER: executes and materializes at call time (the
+    * [[Storage.withCached]] contract); free the returned frame's
+    * blocks with [[Storage.release]] after the terminal action. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
     Storage.withCached(shingleHashSets(docs, textCol, n))(
@@ -112,7 +116,8 @@ object Dedup {
     * hot-shingle fan-out; measured SLOWER than [[ngramJaccardPairs]]
     * on the synthetic word-soup corpus (prefixes still carry the hot
     * shingles: 10.7s vs 7.3s at sf0.1) — kept as the alternative for
-    * skew-heavy real-text corpora. */
+    * skew-heavy real-text corpora. EAGER ([[Storage.withCached]]);
+    * release the result via [[Storage.release]]. */
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, n: Int,
       threshold: Double): DataFrame =
     Storage.withCached(shingleSets(docs, textCol, n)
@@ -156,7 +161,14 @@ object Dedup {
     * collapses them) but O(empties^2) in candidates. At corpus scale,
     * run exact dedup (d01) or a length floor (t06's gate) FIRST — the
     * standard pipeline ordering — so at most one representative of
-    * any trivial class reaches LSH. */
+    * any trivial class reaches LSH.
+    *
+    * EAGER: executes and materializes at call time (the
+    * [[Storage.withCached]] contract); free the returned frame's
+    * blocks with [[Storage.release]] after the terminal action. To
+    * share one signature pass across several consumers, fit the
+    * artifact once via [[fitMinhashSignatures]] and feed
+    * [[minhashLshPairsFrom]]. */
   def minhashLshPairs(docs: DataFrame, textCol: String, n: Int, k: Int,
       bands: Int, threshold: Double): DataFrame = {
     val r = k / bands
@@ -262,7 +274,8 @@ object Dedup {
     * candidate-generated by 4 bands of 15 bits. Pigeonhole: for
     * maxHamming <= 3, at most 3 of the 4 bands can differ, so every
     * true pair shares >= 1 exact band — full recall, so a brute-force
-    * oracle matches exactly. */
+    * oracle matches exactly. EAGER ([[Storage.withCached]]); release
+    * the result via [[Storage.release]]. */
   def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band LSH guarantees recall only for hamming <= 3")
     Storage.withCached(simhashes(docs, textCol))(simhashPairsFrom(_, maxHamming))

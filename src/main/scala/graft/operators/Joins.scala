@@ -84,10 +84,17 @@ object Joins {
     * or clean the interval) instead of dying in codegen. */
   val MaxBucketsPerInterval = 65536L
 
-  /** backtick-quote an identifier for splicing into SQL-text
+  /** backtick-quote a column reference for splicing into SQL-text
     * expressions (a column named `point value` or `a-b` must not be
-    * parsed as arithmetic or silently mis-bind). */
-  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    * parsed as arithmetic or silently mis-bind). Each '.'-separated
+    * part is quoted independently, so qualified / nested references
+    * ("a.point", "evt.ts") keep resolving as field accesses — quoting
+    * the whole string would turn them into one unresolvable
+    * identifier. The corner this trades away: a column whose NAME
+    * contains a literal dot can't be addressed here (rename it
+    * first). */
+  private def q(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,

@@ -340,11 +340,16 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         element_at(ids, col("__pos").cast("int") + 1).as("qcentroid"))
 
+    // (q_id, n_id) pairs are already distinct — each corpus vector is
+    // assigned to exactly ONE centroid and the probe list is a slice of
+    // DISTINCT ranked positions, so no neighbor can meet a query through
+    // two probe rows. A defensive distinct() here would re-shuffle every
+    // scored candidate for nothing at scale; SimilaritySpec pins the
+    // uniqueness property the guard would have enforced.
     val scored = broadcast(probes)
       .join(assigned, col("qcentroid") === col("centroid") && col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id AS n_id",
         cosExpr.format("qv", "v", "qn", "nrm") + " AS cos")
-      .distinct() // a neighbor may appear via multiple probed lists? (no — one list per vector; distinct guards duplicates from probe ties)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
@@ -366,6 +371,10 @@ object Similarity {
     * usual rule) to keep clusters O(sqrt N). Assignment state stays
     * O(kCentroids) broadcast, constant in corpus size.
     *
+    * EAGER: executes and materializes at call time (the
+    * [[Storage.withCached]] contract); free the returned frame's
+    * blocks with [[Storage.release]] after the terminal action.
+    *
     * @return (vec_id, centroid, kept) for every corpus vector.
     */
   def semanticDedup(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame =
@@ -382,7 +391,8 @@ object Similarity {
     * tighter, so the within-cluster comparison catches pairs the
     * arbitrary seed partition splits across clusters — same plan, same
     * state bounds, better recall (the SemDeDup paper trains its
-    * clustering for exactly this reason). */
+    * clustering for exactly this reason). EAGER
+    * ([[Storage.withCached]]); release via [[Storage.release]]. */
   def semanticDedupTrained(emb: DataFrame, kCentroids: Int, iters: Int,
       threshold: Double): DataFrame =
     Storage.withCached(

@@ -22,15 +22,41 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Storage {
 
+  /** Lazily `localCheckpoint` `df`, then force materialization —
+    * releasing the checkpoint's own (possibly partially persisted)
+    * blocks if the materializing action dies. An EAGER
+    * `localCheckpoint` can't make that guarantee: the failed frame is
+    * never returned to the caller, so its partial blocks would sit
+    * until the ContextCleaner noticed. Shared by [[withCached]] and
+    * the [[Bpe]] training loop's per-round checkpoints. */
+  private[graft] def checkpointed(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
+    try { out.count(): Unit; out }
+    catch { case t: Throwable => release(out); throw t }
+  }
+
   /** Cache `tmp` for the duration of building AND materializing the
     * result, then release it. The result comes back
     * lineage-truncated (localCheckpoint, spillable MEMORY_AND_DISK):
     * downstream consumers re-read the materialized blocks instead of
     * re-running the plan, and the unpersisted intermediate can never
-    * be silently recomputed-and-recached by a later action. */
+    * be silently recomputed-and-recached by a later action.
+    *
+    * EAGER CONTRACT: the wrapped operator EXECUTES its corpus job at
+    * call time (the materialize-then-release lifecycle above requires
+    * a definite point after which the intermediate is provably
+    * unreferenced — first-action laziness would leave the unpersist
+    * with nothing to anchor to). Public operators built on this
+    * (semanticDedup, minhashLshPairs, ngramJaccardPairs, simhashPairs,
+    * …) document the same contract; compose/explain-only callers use
+    * the `private[graft] …From` plan builders instead (which is what
+    * PlanAuditSpec audits). If build() or materialization throws,
+    * both the intermediate cache and any partially persisted result
+    * checkpoint blocks are released before the rethrow
+    * (StorageChaosSpec pins this). */
   private[graft] def withCached(tmp: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     tmp.cache()
-    try build(tmp).localCheckpoint(eager = true)
+    try checkpointed(build(tmp))
     finally tmp.unpersist(blocking = false)
   }
 

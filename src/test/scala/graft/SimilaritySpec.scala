@@ -60,6 +60,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK candidate pairs are unique — the property the removed distinct() guarded") {
+    // k larger than any candidate list => the filter keeps EVERY scored
+    // candidate, so this checks the raw candidate set, not the top-k cut
+    val emb = Tables.embeddings(spark, sfDir)
+    val cands = Similarity.ivfTopK(emb, 10, Int.MaxValue, 16, 2)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.nonEmpty)
+    assert(cands.length == cands.distinct.length,
+      "every (q_id, n_id) must meet through exactly one (centroid) probe row")
+  }
+
   test("semanticDedup: drop policy is exactly 'lower-id cluster-mate above threshold'") {
     val emb = Tables.embeddings(spark, sfDir)
     val tau = 0.4
