@@ -125,6 +125,31 @@ object Bpe {
     (merges.toSeq, base)
   }
 
+  /** A trained tokenizer ARTIFACT — "fit once, transform many": the
+    * merge table (the tokenizer itself, O(steps) driver state) plus
+    * the live frequency-table checkpoint it trained from, so apply-
+    * side consumers ([[vocabOf]] over the vocabulary, [[encodeWith]]
+    * over any corpus) never re-pay training or the corpus-wide
+    * frequency aggregation. The CALLER owns [[release]]: call it
+    * once every consumer's result is materialized (results that must
+    * outlive the artifact go through [[Storage.checkpointed]]
+    * first). */
+  final case class BpeTokenizer(
+      merges: Seq[(Long, String, String, Long)],
+      private[graft] val freq: DataFrame) {
+    /** free the frequency-table checkpoint blocks; the merge table
+      * (plain driver data) stays usable forever. */
+    def release(): Unit = Storage.release(freq)
+  }
+
+  /** Fit ONCE: train `steps` merges and hand back the reusable
+    * [[BpeTokenizer]] artifact. One corpus pass total, regardless of
+    * how many consumers apply the tokenizer afterwards. */
+  def fit(docs: DataFrame, textCol: String, steps: Int): BpeTokenizer = {
+    val (merges, base) = trainLoop(docs, textCol, steps)
+    BpeTokenizer(merges, base)
+  }
+
   /** Train `steps` BPE merges over the corpus' token instances.
     * Returns the merge table (step, l, r, n) — merge `step` fused
     * symbols `l`+`r`, which occurred adjacently `n` times at that
@@ -133,9 +158,9 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, base) = trainLoop(docs, textCol, steps)
-    Storage.release(base)
-    merges.toDF("step", "l", "r", "n")
+    val tok = fit(docs, textCol, steps)
+    tok.release()
+    tok.merges.toDF("step", "l", "r", "n")
   }
 
   /** The tokenizer-APPLY step: encode the corpus under the merge
@@ -156,16 +181,22 @@ object Bpe {
     * blocks it rides on — freed via [[Storage.release]] after the
     * terminal action, per the [[Storage]] contract. */
   def vocabAfterTraining(docs: DataFrame, textCol: String, steps: Int,
-      topK: Int): DataFrame = {
-    val (merges, base) = trainLoop(docs, textCol, steps)
-    base
-      .select(call_function("graft_bpe_apply", col("syms"), mergesLit(merges)).as("syms"),
+      topK: Int): DataFrame =
+    vocabOf(fit(docs, textCol, steps), topK)
+
+  /** Vocabulary-occupancy consumer over a fitted [[BpeTokenizer]]:
+    * applies the merge table to the artifact's frequency-table
+    * checkpoint — NO training, NO corpus pass. The returned frame
+    * rides the artifact's checkpoint blocks: materialize (or
+    * [[Storage.checkpointed]]) before [[BpeTokenizer.release]]. */
+  def vocabOf(tok: BpeTokenizer, topK: Int): DataFrame =
+    tok.freq
+      .select(call_function("graft_bpe_apply", col("syms"), mergesLit(tok.merges)).as("syms"),
         col("freq"))
       .selectExpr("explode(syms) AS sym", "freq")
       .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)
-  }
 
   /** Encode every document under the trained merge table: `outCol`
     * is the document's subword sequence — its tokens in order, each
@@ -178,15 +209,24 @@ object Bpe {
     * merge table rides the plan as an O(steps) literal. */
   def encodeDocs(docs: DataFrame, textCol: String, steps: Int,
       outCol: String = "subwords"): DataFrame = {
-    val (merges, base) = trainLoop(docs, textCol, steps)
-    Storage.release(base) // the encode reads docs, not the freq table
+    val tok = fit(docs, textCol, steps)
+    tok.release() // the encode reads docs, not the freq table
+    encodeWith(tok, docs, textCol, outCol)
+  }
+
+  /** Corpus-encode consumer over a fitted [[BpeTokenizer]]: pure map
+    * — one projection, zero shuffles, the merge table riding the
+    * plan as an O(steps) literal. Does NOT touch the artifact's
+    * frequency checkpoint (any corpus, released artifacts included,
+    * encodes fine — the merge table is plain driver data). */
+  def encodeWith(tok: BpeTokenizer, docs: DataFrame, textCol: String,
+      outCol: String = "subwords"): DataFrame =
     docs.withColumn(outCol,
       flatten(transform(
         expr(TextOps.tokens(textCol)),
         t => call_function("graft_bpe_apply",
           transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))),
-          mergesLit(merges)))))
-  }
+          mergesLit(tok.merges)))))
 
   /** the trained merge table as the ARRAY<ARRAY<STRING>> plan literal
     * `graft_bpe_apply` consumes (training order). */

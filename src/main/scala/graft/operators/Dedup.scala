@@ -150,6 +150,20 @@ object Dedup {
     docs.selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
 
+  /** Fit-once MinHash signature ARTIFACT: the (doc_id, sig) frame
+    * materialized ONCE (lineage-truncated checkpoint) for any number
+    * of downstream consumers — pair generation
+    * ([[minhashLshPairsFrom]]), keep-first filtering, accuracy
+    * audits. The signature pass is the dominant cost of every
+    * MinHash consumer (VERDICT r8: d03/d05/d06 each re-paid it);
+    * fitting once makes the second consumer's marginal signature
+    * cost zero. The CALLER owns the artifact's blocks: free them
+    * with [[Storage.release]] once every consumer's result is
+    * materialized (consumers that need to outlive the artifact must
+    * checkpoint their own results first — [[Storage.checkpointed]]). */
+  def fitMinhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    Storage.checkpointed(minhashSignatures(docs, textCol, n, k))
+
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = k), bucket-join on (band, bucketHash), then estimate Jaccard as
     * the fraction of agreeing signature positions. Deterministic given
@@ -177,7 +191,11 @@ object Dedup {
       minhashLshPairsFrom(_, k, bands, threshold))
   }
 
-  private[graft] def minhashLshPairsFrom(sigs: DataFrame, k: Int,
+  /** the [[minhashLshPairs]] plan over an already-available signature
+    * frame — LAZY (no caching, no materialization): feed it the
+    * [[fitMinhashSignatures]] artifact to share one signature pass
+    * across several consumers, or any (doc_id, sig) projection. */
+  def minhashLshPairsFrom(sigs: DataFrame, k: Int,
       bands: Int, threshold: Double): DataFrame = {
     val r = k / bands
     val bandRows = sigs.selectExpr("doc_id",

@@ -165,12 +165,38 @@ object Similarity {
     assignTo(prepared(emb).select("vec_id", "v", "nrm"),
       fixedCodebook(emb, kCentroids))
 
+  /** The plan-literal codebook ceiling: past ~10^6 doubles the
+    * serialized plan (and every task closure carrying it) stops being
+    * "free broadcast state" — the 50k-cluster/768-dim SemDeDup regime
+    * is ~4e7 doubles. [[assignTo]] auto-switches to the join-based
+    * assignment above this. */
+  val LiteralCodebookMaxDoubles: Long = 1000000L
+
+  /** the auto-dispatch decision, pinned by SimilaritySpec: literal
+    * fast path up to [[LiteralCodebookMaxDoubles]], join path above. */
+  private[graft] def useJoinAssign(k: Int, dim: Int): Boolean =
+    k.toLong * dim.toLong > LiteralCodebookMaxDoubles
+
   /** [[assignCentroids]] against an EXPLICIT codebook — the entry
     * point [[kmeansTrain]]ed centroids feed back through. `p` must
     * carry (vec_id, v, nrm). A vector whose every cosine is NaN
     * (zero-norm input) gets centroid -1, the closure-semantics
-    * contract ([[nearestCentroid]]). */
+    * contract ([[nearestCentroid]]). Auto-selects the physical form:
+    * the plan-literal columnar projection ([[assignToLiteral]], zero
+    * shuffle) for codebooks up to [[LiteralCodebookMaxDoubles]], the
+    * broadcast-join + argmax aggregation ([[assignToJoin]]) above —
+    * both produce identical assignments (parity-fuzzed in
+    * SimilaritySpec, NaN/zero-norm cases included). */
   private[graft] def assignTo(p: DataFrame,
+      cb: Array[(Long, Array[Double], Double)]): DataFrame =
+    if (useJoinAssign(cb.length, cb.headOption.map(_._2.length).getOrElse(0)))
+      assignToJoin(p, cb)
+    else assignToLiteral(p, cb)
+
+  /** small-codebook fast path: pure columnar projection through the
+    * native [[graft.functions.CentroidRanks]] expression — zero
+    * shuffle, no Serialize/DeserializeToObject barrier. */
+  private[graft] def assignToLiteral(p: DataFrame,
       cb: Array[(Long, Array[Double], Double)]): DataFrame = {
     val (cents, cnorms, ids) = codebookCols(cb)
     p.withColumn("__rk",
@@ -182,6 +208,48 @@ object Similarity {
         coalesce(try_element_at(ids, try_element_at(col("__rk"), lit(1)).cast("int") + 1),
           lit(-1L)))
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid"))
+  }
+
+  /** LARGE-codebook assignment: the codebook travels as a broadcast
+    * DataFrame instead of a plan literal. Each vector explodes to k
+    * candidate positions, meets its centroid through a broadcast HASH
+    * equi-join on the position (never a nested-loop scan), and the
+    * argmax collapses in ONE partially-aggregated shuffle:
+    * `max(struct(cos, -cid))` ranks (cos DESC, cid ASC) — identical
+    * to the literal path's (cos DESC, pos ASC) because the codebook
+    * is id-sorted — and the `when(!isnan(..))` guard turns NaN scores
+    * into NULLs the max ignores, so an all-NaN (zero-norm) vector
+    * coalesces to the same -1 the closure contract demands. The
+    * score is `try_divide(dot, sqrt(nrm) * sqrt(cn))` (ANSI-safe):
+    * a zero norm NULLs the score, which matches the literal path
+    * exactly — a zero-norm operand forces dot = 0, so the literal
+    * path's cosine is 0/0 = NaN there, and NaN is skipped just as
+    * the max skips NULL.
+    *
+    * Cost vs the literal path: one shuffle of N pre-combined rows
+    * (map-side max leaves one row per vector per task) instead of
+    * zero — the price of unbounded k. The N·k scoring work is
+    * identical in both forms. */
+  private[graft] def assignToJoin(p: DataFrame,
+      cb: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val cbDf = cb.zipWithIndex.map { case ((id, v, n), i) => (i, id, v.toSeq, n) }
+      .toSeq.toDF("__pos", "cid", "cv", "cn")
+    p.select(col("vec_id"), col("v"), col("nrm"),
+        explode(sequence(lit(0), lit(cb.length - 1))).as("__pos"))
+      .join(broadcast(cbDf), Seq("__pos"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        expr("try_divide(graft_dot(v, cv), sqrt(nrm) * sqrt(cn))").as("__cos"))
+      .groupBy(col("vec_id"))
+      // the guard must test NULL explicitly: isnan(NULL) is FALSE in
+      // Spark, so a bare !isnan would let a NULL score into the
+      // struct-max, where (NULL, neg) structs compare on neg alone
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(when(col("__cos").isNotNull && !isnan(col("__cos")),
+          struct(col("__cos"), (-col("cid")).as("neg")))).as("__m"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        coalesce(-col("__m.neg"), lit(-1L)).as("centroid"))
   }
 
   /** One k-means (Lloyd) centroid-update step over the
@@ -384,6 +452,35 @@ object Similarity {
     // as soon as the result is checkpointed, so a long-lived session
     // doesn't accumulate corpus-sized assignment caches
     Storage.withCached(assignCentroids(emb, kCentroids))(
+      semanticDedupFrom(_, threshold))
+
+  /** the sqrt(N) default for [[semanticDedup]]'s cluster count —
+    * keeps within-cluster pair generation O(sqrt N) per cluster as
+    * the corpus grows (the SemDeDup paper's 50k clusters for 1e9 docs
+    * is this rule's regime). Pinned by SimilaritySpec. */
+  private[graft] def autoKCentroids(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** [[semanticDedup]] with the cluster count DEFAULTED to
+    * ceil(sqrt(N)) from a cheap `count()` (a parquet-metadata read,
+    * not a collect) — so the 100 TB scaling contract ("kCentroids
+    * must grow with the corpus") is the default behavior, not a
+    * docstring instruction. Explicit-k callers keep full control via
+    * [[semanticDedup]]. EAGER ([[Storage.withCached]]); release via
+    * [[Storage.release]]. */
+  def semanticDedupAuto(emb: DataFrame, threshold: Double): DataFrame =
+    semanticDedup(emb, autoKCentroids(emb.count()), threshold)
+
+  /** [[semanticDedup]] FORCED through the join-based assignment
+    * ([[assignToJoin]]) — the large-codebook regime's plan.
+    * [[assignTo]] auto-selects this form once k·D passes
+    * [[LiteralCodebookMaxDoubles]]; the explicit entry point exists
+    * so the regime is exercised (and CORRECTNESS-gated) at test
+    * corpus scale, where a >10^6-double codebook can't. EAGER
+    * ([[Storage.withCached]]); release via [[Storage.release]]. */
+  def semanticDedupLargeK(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame =
+    Storage.withCached(assignToJoin(prepared(emb).select("vec_id", "v", "nrm"),
+      fixedCodebook(emb, kCentroids)))(
       semanticDedupFrom(_, threshold))
 
   /** [[semanticDedup]] under the [[trainedCodebook]] after `iters - 1`

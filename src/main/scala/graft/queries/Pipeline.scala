@@ -235,7 +235,7 @@ object Pipeline {
 
   /** shared DuckDB CTE chain computing the MinHash(16)-LSH(4-band)
     * pair estimates (used by d03 and the d05 filter). */
-  private val minhashCtes: String =
+  private[queries] val minhashCtes: String =
     s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
       sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
       hs AS (SELECT doc_id, list_distinct(

@@ -259,7 +259,7 @@ object Pipeline5 {
         greatest(1, CAST(floor(h * scale) AS BIGINT)) AS height
       FROM r ORDER BY media_id, frame_idx"""))
 
-  private val BpeSteps = 8 // greedy merge rounds for t13
+  private[queries] val BpeSteps = 8 // greedy merge rounds for t13
 
   /** merge `k` applied to symbol table `from` (carried columns
     * preserved via `t.* REPLACE`): the single shared greedy-fold
@@ -271,7 +271,7 @@ object Pipeline5 {
     * later round — the LEFT JOIN leaves it unchanged instead, matching
     * the Spark operators' early-stop (they apply only the merges that
     * exist). */
-  private def bpeApplySql(name: String, from: String, k: Int): String =
+  private[queries] def bpeApplySql(name: String, from: String, k: Int): String =
     s""",
       $name AS (SELECT t.* REPLACE (CASE WHEN m.l IS NULL THEN syms
                  ELSE list_reduce(list_transform(syms, s -> [s]),
@@ -282,7 +282,7 @@ object Pipeline5 {
 
   /** round `k`'s pair count + top-1 CTEs over symbol table b{k-1};
     * appends the merge-applied b{k} only when another round follows. */
-  private def bpeStepSql(k: Int, last: Boolean): String = {
+  private[queries] def bpeStepSql(k: Int, last: Boolean): String = {
     val apply = if (last) "" else bpeApplySql(s"b$k", s"b${k - 1}", k)
     s""",
       p$k AS (SELECT unnest(list_transform(range(1, len(syms)),
@@ -296,7 +296,7 @@ object Pipeline5 {
     * (instance-level on the DuckDB side; the Spark side trains on the
     * weighted distinct-token table — identical counts by
     * construction). */
-  private val bpePrefixSql: String =
+  private[queries] val bpePrefixSql: String =
     s"""WITH tok AS (SELECT unnest(${DuckOps.tokens("text")}) AS t FROM documents),
       b0 AS (SELECT list_transform(range(1, length(t) + 1),
                i -> substr(t, i, 1)) AS syms

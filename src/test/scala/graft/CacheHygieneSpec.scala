@@ -70,6 +70,49 @@ class CacheHygieneSpec extends AnyFunSuite {
       Similarity.semanticDedupTrained(emb, 8, 2, 0.4))
   }
 
+  test("fitMinhashSignatures artifact: consumers share it; release returns storage to baseline") {
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val sigs = Dedup.fitMinhashSignatures(docs, "text", 3, 16)
+    val pairs = Dedup.minhashLshPairsFrom(sigs, 16, 4, 0.5)
+    // two consumers of ONE artifact — neither recomputes signatures
+    assert(pairs.count() > 0)
+    assert(pairs.select("d2").distinct().count() > 0)
+    Storage.release(sigs)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"artifact release leaked: $leaked")
+  }
+
+  test("BPE tokenizer artifact: vocab + encode share one fit; release returns storage to baseline") {
+    import graft.operators.Bpe
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val tok = Bpe.fit(docs, "text", 4)
+    assert(tok.merges.nonEmpty)
+    assert(Bpe.vocabOf(tok, 10).count() > 0)
+    assert(Bpe.encodeWith(tok, docs, "text").count() > 0)
+    tok.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"tokenizer release leaked: $leaked")
+  }
+
+  test("every round-8/9 registered query returns storage to baseline after release") {
+    // VERDICT r8 Next #6: the registry-level contract — run each
+    // Pipeline5/6 query the way the bench harness does (terminal
+    // action, then Storage.release) and assert the executor's
+    // persistent-RDD map is back to its pre-query baseline
+    (graft.queries.Pipeline5.all ++ graft.queries.Pipeline6.all).foreach { q =>
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name}: CacheManager dirty before the call")
+      val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+      val out = q.run(spark, sfDir)
+      assert(out.count() > 0, s"${q.name}: empty result")
+      Storage.release(out)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name}: left a CacheManager entry")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+      assert(leaked.isEmpty, s"${q.name}: leaked ${leaked.size} RDD(s): $leaked")
+    }
+  }
+
   test("composed pipelines (d05-style anti-join over released pairs) still compute") {
     // the checkpointed pair frame must stay consumable after the
     // intermediate release — lineage was truncated at materialization

@@ -248,6 +248,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!t15.contains("ScalaUDF"), s"t15 stays native/codegen:\n$t15")
   }
 
+  test("round-9 queries keep their scale shapes (s16 join-assignment equi-only, d07 artifact consumers equi-only)") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    // the large-codebook assignment: codebook meets the corpus through
+    // a broadcast HASH join on the position — never a nested-loop scan
+    // — and the argmax is one aggregation, not a window re-shuffle
+    val p = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+    val cb = Similarity.trainedCodebook(emb, 256, 0)
+    val asg = finalPlan(Similarity.assignToJoin(p, cb))
+    assert(asg.contains("BroadcastHashJoin"),
+      s"the codebook must broadcast-hash-join on the position:\n$asg")
+    assert(!asg.contains("CartesianProduct") && !asg.contains("BroadcastNestedLoopJoin"),
+      s"large-codebook assignment must stay an equi-join:\n$asg")
+    val s16 = finalPlan(Similarity.semanticDedupFrom(
+      Similarity.assignToJoin(p, cb), 0.4))
+    assert(!s16.contains("CartesianProduct") && !s16.contains("BroadcastNestedLoopJoin"),
+      s"big-k SemDeDup pairs must meet on the centroid id:\n$s16")
+    // d07's artifact consumers: degree + keep-first filter over the
+    // lazy pair plan stay equi-join/agg only
+    val docs = Tables.documents(spark, sfDir)
+    val d07 = finalPlan {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val pairs = Dedup.minhashLshPairsFrom(
+        Dedup.minhashSignatures(docs, "text", 3, 16), 16, 4, 0.5)
+      val deg = pairs.selectExpr("d1 AS doc_id")
+        .unionAll(pairs.selectExpr("d2 AS doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+      docs.select(col("doc_id"))
+        .join(deg, Seq("doc_id"), "left")
+        .join(pairs.select(col("d2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    }
+    assert(!d07.contains("CartesianProduct") && !d07.contains("BroadcastNestedLoopJoin"),
+      s"artifact consumers must stay equi:\n$d07")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

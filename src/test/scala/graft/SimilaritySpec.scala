@@ -60,6 +60,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("assignToJoin == assignToLiteral: both assignment paths agree, degenerate vectors included") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the real corpus, seed codebook
+    val p = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+    val cb = Similarity.trainedCodebook(emb, 8, 0)
+    assert(pairs(Similarity.assignToJoin(p, cb)) == pairs(Similarity.assignToLiteral(p, cb)))
+    // trained (non-corpus) centroid vectors
+    val cbT = Similarity.trainedCodebook(emb, 8, 2)
+    assert(pairs(Similarity.assignToJoin(p, cbT)) == pairs(Similarity.assignToLiteral(p, cbT)))
+    // zero-norm corpus vector: both paths must yield -1
+    val emb2 = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)), (1L, "a", Seq(0.0f, 1.0f)),
+      (2L, "a", Seq(1.0f, 1.0f)), (9L, "a", Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val p2 = Similarity.prepared(emb2).select("vec_id", "v", "nrm")
+    val cb2 = Similarity.trainedCodebook(emb2, 2, 0)
+    val (j2, l2) = (pairs(Similarity.assignToJoin(p2, cb2)),
+      pairs(Similarity.assignToLiteral(p2, cb2)))
+    assert(j2 == l2)
+    assert(j2(9L) == -1L)
+  }
+
+  test("assignment auto-dispatch: literal up to 1e6 codebook doubles, join above; auto-k is ceil(sqrt(N))") {
+    assert(!Similarity.useJoinAssign(15625, 64)) // exactly 1e6 doubles — literal
+    assert(Similarity.useJoinAssign(15626, 64))
+    assert(!Similarity.useJoinAssign(256, 64)) // the s16 regime forces the join path explicitly
+    assert(Similarity.useJoinAssign(50000, 768)) // the SemDeDup paper regime auto-switches
+    assert(Similarity.autoKCentroids(1) == 1)
+    assert(Similarity.autoKCentroids(100) == 10)
+    assert(Similarity.autoKCentroids(500) == 23)
+    assert(Similarity.autoKCentroids(2000) == 45)
+    assert(Similarity.autoKCentroids(1000000000L) == 31623)
+  }
+
   test("ivfTopK candidate pairs are unique — the property the removed distinct() guarded") {
     // k larger than any candidate list => the filter keeps EVERY scored
     // candidate, so this checks the raw candidate set, not the top-k cut
