@@ -1,18 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 
 /** Multimodal column processing (builder brief M5): image/audio/video
-  * treated as opaque `binary` payload columns with typed metadata.
+  * as opaque `binary` payload columns with typed metadata, decoded by
+  * the REAL in-tree parsers in [[MediaCodec]] (PPM images, WAV PCM16
+  * audio, YUV4MPEG2 video — public dependency-free formats, so the
+  * decode is an actual parse, not a digest-derived stub).
   *
-  * The Spark-side plumbing is real — schema, partition-parallel batch
-  * iteration (the JVM analog of `mapInPandas` batch shape), feature
-  * schema, deterministic partitioning — while the actual media decode
-  * is STUBBED behind [[decodeStub]] (no image/audio libs in this
-  * build): it derives deterministic pseudo-features from the payload
-  * digest, so pipelines and tests exercise the full dataflow and a
-  * real decoder can be swapped in without touching any schema.
+  * Dataflow shape (the part that must survive 100 TB): payloads stay
+  * opaque bytes until a partition-parallel batched decode
+  * ([[extractFeatures]] — the JVM analog of an arrow-batch
+  * `mapInPandas` pass: bounded memory per batch, no per-row dispatch),
+  * frame extraction is a generator (`flatMap`, one row per frame), and
+  * the resample is a pure per-frame map. Format DISPATCH is by magic
+  * bytes, not by the declared mime — ingest must trust content, not
+  * labels.
+  *
+  * The fixture corpus manufactures real encoded bytes deterministically
+  * from each media_id (dimensions, sample counts and pixel/sample
+  * values are fixed arithmetic in the id), so the m03/m04 DuckDB
+  * oracles replay the decoded dimensions and channel statistics
+  * cell-exactly while MultimodalSpec pins encode∘decode identity on
+  * hand-built payloads.
   */
 object Multimodal {
 
@@ -23,45 +33,123 @@ object Multimodal {
       source: String,
       payload: Array[Byte])
 
+  /** One decoded record: real parsed dimensions/counts plus exact
+    * integer channel statistics.
+    *  - image: width/height/channels from the PPM header,
+    *    content_sum = sum of all RGB bytes (unsigned);
+    *  - audio: sample_rate/n_samples from the WAV header,
+    *    content_sum = sum of unsigned 16-bit sample words;
+    *  - video: width/height/n_frames from the Y4M stream,
+    *    content_sum = frame 0's luma-byte sum, frame_sums = per-frame
+    *    luma sums (what frame sampling consumes).
+    * The embedding is the content-derived dyadic quantization
+    * ((content_sum + i) % 256 - 128) / 128 — exactly representable in
+    * FLOAT, so oracles compare the integer quantization. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      digest: String,
       width: Int,
       height: Int,
       channels: Int,
       n_frames: Int,
+      sample_rate: Int,
+      content_sum: Long,
+      frame_sums: Array[Long],
       embedding: Array[Float])
 
-  /** Manufacture a deterministic media table from the documents corpus
-    * (text bytes standing in for encoded media). */
+  /** One video frame's luma plane — the per-frame payload the
+    * resample/sample stages transform. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      luma: Array[Byte])
+
+  // ------------------------------------------------ fixture generation
+  // Deterministic per-id media parameters, shared verbatim by the
+  // DuckDB oracles. All derived values are small enough that even the
+  // sf0.1 corpus encodes in a few MB per partition.
+
+  private[operators] def imageDims(id: Long): (Int, Int) =
+    (4 + (id % 29).toInt, 4 + (id % 23).toInt)
+  private[operators] def audioSamples(id: Long): Int = 16 + (id % 240).toInt
+  private[operators] def videoDims(id: Long): (Int, Int) =
+    (2 * (2 + (id % 14).toInt), 2 * (2 + (id % 10).toInt))
+  private[operators] def videoFrames(id: Long): Int = 1 + (id % 27).toInt
+
+  val AudioSampleRate = 8000
+
+  private[operators] def buildPayload(id: Long): (String, String, Array[Byte]) =
+    (id % 3) match {
+      case 0 =>
+        val (w, h) = imageDims(id)
+        val rgb = Array.tabulate(3 * w * h)(i => ((id * 31 + i * 7) % 256).toByte)
+        ("image", "image/x-portable-pixmap", MediaCodec.encodePpm(w, h, rgb))
+      case 1 =>
+        val n = audioSamples(id)
+        // raw unsigned words (id*131 + i*17) % 65536, stored as the
+        // usual signed LE PCM16 — the unsigned word sum is the
+        // deterministic channel statistic
+        val samples = Array.tabulate(n)(i => ((id * 131 + i * 17) % 65536).toShort)
+        ("audio", "audio/vnd.wave", MediaCodec.encodeWav(AudioSampleRate, samples))
+      case _ =>
+        val (w, h) = videoDims(id)
+        val nf = videoFrames(id)
+        val frames = Array.tabulate(nf)(f =>
+          Array.tabulate(w * h)(j => ((id * 17 + f * 11 + j * 5) % 256).toByte))
+        ("video", "video/x-yuv4mpeg2", MediaCodec.encodeY4m(w, h, frames))
+    }
+
+  /** Manufacture the deterministic media table: one real encoded
+    * payload per document id (PPM / WAV / Y4M round-robin by id). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.selectExpr(
-        "doc_id AS media_id",
-        "element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1) AS kind",
-        "element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 as int) + 1) AS mime",
-        "source",
-        "cast(text AS binary) AS payload")
-      .as[MediaRecord]
+    docs.selectExpr("doc_id", "source").as[(Long, String)].map { case (id, src) =>
+      val (kind, mime, payload) = buildPayload(id)
+      MediaRecord(id, kind, mime, src, payload)
+    }
   }
 
-  /** STUB decode: deterministic pseudo-features from an MD5 digest.
-    * Replace the body with a real decoder (javacv/libvips/ffmpeg) —
-    * the signature (one batch in, one batch out) is the contract. */
-  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  private def sumUnsigned(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+
+  private def embedding(contentSum: Long): Array[Float] =
+    Array.tabulate(8)(i => (((contentSum + i) % 256) - 128) / 128.0f)
+
+  /** REAL batch decode: dispatch on magic bytes, parse with
+    * [[MediaCodec]], emit parsed dimensions + exact channel sums.
+    * The batch signature (one Seq in, one Seq out) is the swap-in
+    * contract for any other decoder. */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { m =>
-      val md = java.security.MessageDigest.getInstance("MD5").digest(m.payload)
-      val digest = graft.sstable.CassType.hex(md)
-      val width = 1 + ((md(0) & 0x7f) % 64)
-      val height = 1 + ((md(1) & 0x7f) % 64)
-      val channels = 1 + ((md(2) & 0x7f) % 3)
-      val frames = if (m.kind == "video") 1 + ((md(3) & 0x7f) % 30) else 1
-      val emb = Array.tabulate(8)(i => ((md(i * 2) & 0xff) - 128) / 128.0f)
-      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, digest,
-        width, height, channels, frames, emb)
+      val p = m.payload
+      def magic(n: Int): String =
+        new String(p, 0, math.min(n, p.length), java.nio.charset.StandardCharsets.US_ASCII)
+      if (magic(2) == "P6") {
+        val img = MediaCodec.decodePpm(p)
+        val s = sumUnsigned(img.rgb)
+        MediaFeatures(m.media_id, "image", p.length.toLong, img.width, img.height,
+          3, 1, 0, s, Array(s), embedding(s))
+      } else if (magic(4) == "RIFF") {
+        val wav = MediaCodec.decodeWav(p)
+        var s = 0L
+        wav.samples.foreach(x => s += x & 0xffff)
+        MediaFeatures(m.media_id, "audio", p.length.toLong, 0, 0, 1, 1,
+          wav.sampleRate, s, Array(s), embedding(s))
+      } else if (magic(9) == "YUV4MPEG2") {
+        val vid = MediaCodec.decodeY4m(p)
+        val sums = vid.lumaFrames.map(sumUnsigned)
+        MediaFeatures(m.media_id, "video", p.length.toLong, vid.width, vid.height,
+          3, vid.lumaFrames.length, 0, sums(0), sums, embedding(sums(0)))
+      } else throw new IllegalArgumentException(
+        s"media ${m.media_id}: unrecognized container (magic ${magic(9)})")
     }
 
   /** Partition-parallel batched feature extraction — the batch shape
@@ -71,32 +159,69 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => decodeStub(batch))
+      it.grouped(batchSize).flatMap(batch => decodeBatch(batch))
     }
   }
 
-  /** "Resize" transform stub: recompute features at a bounded target
-    * size (real impl would transcode payloads; schema is identical). */
-  def resize(features: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
-    val spark = features.sparkSession
+  /** Video frame extraction: parse each Y4M payload and emit one row
+    * per frame (generator shape) carrying the REAL luma plane. */
+  def decodeVideoFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    features.map { f =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
-      f.copy(width = math.max(1, (f.width * scale).toInt),
-        height = math.max(1, (f.height * scale).toInt))
+    media.filter(_.kind == "video").flatMap { m =>
+      val vid = MediaCodec.decodeY4m(m.payload)
+      vid.lumaFrames.iterator.zipWithIndex.map { case (y, f) =>
+        MediaFrame(m.media_id, f, vid.width, vid.height, y)
+      }
     }
   }
 
-  /** Frame sampling for video records: one output row per kept frame
-    * (generator/flatMap shape), carrying the (possibly resized)
-    * frame dimensions the downstream decode step would extract at. */
-  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): DataFrame = {
-    require(everyN >= 1, s"sampleFrames needs everyN >= 1, got $everyN")
-    val spark = features.sparkSession
+  /** REAL nearest-neighbor resample of each frame's luma plane to fit
+    * `maxDim` (downscale only; already-small frames pass through).
+    * dst(x, y) = src(x*sw div dw, y*sh div dh) — integer source
+    * indexing, so the DuckDB oracle replays every output pixel (and
+    * therefore the channel sums) exactly. Pure map, zero shuffle. */
+  def resizeFrames(frames: Dataset[MediaFrame], maxDim: Int): Dataset[MediaFrame] = {
+    require(maxDim >= 1, s"resizeFrames needs maxDim >= 1, got $maxDim")
+    val spark = frames.sparkSession
     import spark.implicits._
-    features.filter(_.kind == "video").flatMap { f =>
-      (0 until f.n_frames by everyN)
-        .map(i => (f.media_id, i.toLong, f.digest, f.width.toLong, f.height.toLong))
-    }.toDF("media_id", "frame_idx", "digest", "width", "height")
+    frames.map { fr =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(fr.width, fr.height))
+      val dw = math.max(1, math.floor(fr.width * scale).toInt)
+      val dh = math.max(1, math.floor(fr.height * scale).toInt)
+      if (dw == fr.width && dh == fr.height) fr
+      else {
+        val out = new Array[Byte](dw * dh)
+        var y = 0
+        while (y < dh) {
+          val sy = y * fr.height / dh
+          var x = 0
+          while (x < dw) {
+            out(y * dw + x) = fr.luma(sy * fr.width + x * fr.width / dw)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFrame(fr.media_id, fr.frame_idx, dw, dh, out)
+      }
+    }
+  }
+
+  /** Keep every `everyN`-th frame (stride sampling). Run BEFORE
+    * [[resizeFrames]] — resampling a frame the stride then discards
+    * is pure waste, and at video scale the stride drops most rows. */
+  def sampleEveryNth(frames: Dataset[MediaFrame], everyN: Int): Dataset[MediaFrame] = {
+    require(everyN >= 1, s"sampleEveryNth needs everyN >= 1, got $everyN")
+    frames.filter(fr => fr.frame_idx % everyN == 0)
+  }
+
+  /** Reduce each frame's luma plane to its exact unsigned byte sum —
+    * the hash-checkable channel statistic. Pure map, zero shuffle. */
+  def frameSums(frames: Dataset[MediaFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map(fr => (fr.media_id, fr.frame_idx.toLong, fr.width.toLong, fr.height.toLong,
+        sumUnsigned(fr.luma)))
+      .toDF("media_id", "frame_idx", "width", "height", "luma_sum")
   }
 }

@@ -572,26 +572,44 @@ object Pipeline {
 
   // ----------------------------------------------------------- multimodal
 
-  /** Multimodal column plumbing: text payload treated as an opaque
-    * binary column with typed metadata; "decode" is a deterministic
-    * stub (digest + size-derived pseudo-features) — the real decode
-    * would swap in behind the same schema (see
-    * [[graft.operators.Multimodal]] for the batch-iterator path). */
+  /** Multimodal ingest metadata: the media table's opaque binary
+    * payloads (REAL encoded PPM/WAV/Y4M bytes,
+    * [[graft.operators.Multimodal.mediaFromDocuments]]) with their
+    * typed metadata, byte sizes, and the container format SNIFFED
+    * from the magic bytes — ingest trusts content, not labels, so the
+    * declared mime and the sniffed container travel as separate
+    * columns. The oracle replays the byte-exact container sizes
+    * (header + raster/sample/frame arithmetic) per format spec. */
   val m01: QueryDef = QueryDef(
     "m01_multimodal_features",
-    (s, d) => Tables.documents(s, d)
-      .selectExpr("doc_id", "source", "cast(text AS binary) AS payload")
-      .selectExpr("doc_id", "source",
+    (s, d) => graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .toDF()
+      .selectExpr("media_id", "kind", "mime",
         "cast(octet_length(payload) as bigint) AS n_bytes",
-        "md5(payload) AS digest")
-      .selectExpr("doc_id", "source", "n_bytes", "digest",
-        s"(1 + ${TextOps.strHash("digest")} % 64) AS fake_width",
-        "(1 + n_bytes % 3) AS fake_channels")
-      .orderBy(col("doc_id")),
-    Some(s"""SELECT doc_id, source,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        md5(text) AS digest,
-        (1 + ${DuckOps.strHash("md5(text)")} % 64) AS fake_width,
-        (1 + CAST(octet_length(encode(text)) AS BIGINT) % 3) AS fake_channels
-      FROM documents ORDER BY doc_id"""))
+        "cast(substring(payload, 1, 2) as string) AS magic")
+      .selectExpr("media_id", "kind", "mime", "n_bytes", "magic",
+        """CASE magic WHEN 'P6' THEN 'ppm' WHEN 'RI' THEN 'wav'
+              WHEN 'YU' THEN 'y4m' ELSE 'unknown' END AS container""")
+      .orderBy(col("media_id")),
+    Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+      b AS (SELECT media_id, k,
+          4 + media_id % 29 AS iw, 4 + media_id % 23 AS ih,
+          16 + media_id % 240 AS an,
+          2 * (2 + media_id % 14) AS vw, 2 * (2 + media_id % 10) AS vh,
+          1 + media_id % 27 AS nf
+        FROM m)
+      SELECT media_id,
+        CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE k WHEN 0 THEN 'image/x-portable-pixmap' WHEN 1 THEN 'audio/vnd.wave'
+          ELSE 'video/x-yuv4mpeg2' END AS mime,
+        CAST(CASE k
+          WHEN 0 THEN length('P6' || chr(10) || iw || ' ' || ih || chr(10)
+            || '255' || chr(10)) + 3 * iw * ih
+          WHEN 1 THEN 44 + 2 * an
+          ELSE length('YUV4MPEG2 W' || vw || ' H' || vh
+            || ' F25:1 Ip A1:1 C420jpeg' || chr(10)) + nf * (6 + (3 * vw * vh) // 2)
+        END AS BIGINT) AS n_bytes,
+        CASE k WHEN 0 THEN 'P6' WHEN 1 THEN 'RI' ELSE 'YU' END AS magic,
+        CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'y4m' END AS container
+      FROM b ORDER BY media_id"""))
 }

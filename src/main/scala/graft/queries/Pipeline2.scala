@@ -77,46 +77,72 @@ object Pipeline2 {
   /** The typed multimodal batch-decode path under the oracle gate:
     * [[graft.operators.Multimodal.extractFeatures]] (partition-parallel
     * `mapPartitions` over 64-record batches — the arrow-batch UDF
-    * shape) runs the deterministic stub decoder end-to-end, and the
-    * oracle replays the digest-derived features by decoding the MD5
-    * hex bytes in SQL — so the batching/typing plumbing itself is
-    * cell-exact-tested, not just spec'd. The float embedding is exact
-    * across engines because every value is k/128 (dyadic — exactly
-    * representable in both FLOAT and DOUBLE); it is emitted as the
-    * comma-joined integer quantization `x * 128` (= the raw digest
-    * byte - 128, exact) because the compare harness cannot sort rows
-    * on a raw ARRAY column (round-4 m03 err: pandas factorize on
-    * ndarray cells). The float array itself stays spec-covered in
-    * MultimodalSpec. */
+    * shape) runs the REAL parsers in
+    * [[graft.operators.MediaCodec]] over real encoded payloads —
+    * PPM header + RGB raster, WAV RIFF header + PCM16 samples, Y4M
+    * stream + planar frames — and the oracle replays the PARSED
+    * dimensions, sample counts and exact channel sums from the
+    * fixture arithmetic. The float embedding is exact across engines
+    * because every value is k/128 (dyadic); it travels as the
+    * comma-joined integer quantization `x * 128` because the compare
+    * harness cannot sort rows on a raw ARRAY column (round-4 m03
+    * err). The float array itself stays spec-covered in
+    * MultimodalSpec, which also pins encode-decode round trips on
+    * hand-built payloads. */
   val m03: QueryDef = QueryDef(
     "m03_media_decode",
     (s, d) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
       graft.operators.Multimodal.extractFeatures(media, batchSize = 64)
         .toDF()
-        .selectExpr("media_id", "kind", "n_bytes", "digest",
+        .selectExpr("media_id", "kind", "n_bytes",
           "cast(width as bigint) AS width", "cast(height as bigint) AS height",
           "cast(channels as bigint) AS channels", "cast(n_frames as bigint) AS n_frames",
+          "cast(sample_rate as bigint) AS sample_rate", "content_sum",
           "array_join(transform(embedding, x -> cast(cast(x * 128 as int) as string)), ',') AS emb_q")
         .orderBy(col("media_id"))
     },
-    Some("""WITH m AS (SELECT doc_id AS media_id,
-        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        md5(text) AS dg, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents),
-      b AS (SELECT *, list_transform(range(0, 16), i ->
-          (instr('0123456789abcdef', substr(dg, CAST(i*2 + 1 AS INT), 1)) - 1) * 16
-          + (instr('0123456789abcdef', substr(dg, CAST(i*2 + 2 AS INT), 1)) - 1)) AS bytes
-        FROM m)
-      SELECT media_id, kind, n_bytes, dg AS digest,
-        1 + bytes[1] % 64 AS width,
-        1 + bytes[2] % 64 AS height,
-        1 + (bytes[3] % 128) % 3 AS channels,
-        CASE WHEN kind = 'video' THEN 1 + (bytes[4] % 128) % 30
-             ELSE CAST(1 AS BIGINT) END AS n_frames,
+    Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+      img AS (SELECT media_id, 'image' AS kind,
+          4 + media_id % 29 AS w, 4 + media_id % 23 AS h FROM m WHERE k = 0),
+      img2 AS (SELECT media_id, kind,
+          CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+            || chr(10)) + 3 * w * h AS BIGINT) AS n_bytes,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS n_frames,
+          CAST(0 AS BIGINT) AS sample_rate,
+          CAST(list_sum(list_transform(range(0, 3 * w * h),
+            i -> (media_id * 31 + i * 7) % 256)) AS BIGINT) AS content_sum
+        FROM img),
+      aud AS (SELECT media_id, 'audio' AS kind,
+          16 + media_id % 240 AS n FROM m WHERE k = 1),
+      aud2 AS (SELECT media_id, kind,
+          CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+          CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+          CAST(1 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS n_frames,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(list_sum(list_transform(range(0, n),
+            i -> (media_id * 131 + i * 17) % 65536)) AS BIGINT) AS content_sum
+        FROM aud),
+      vid AS (SELECT media_id, 'video' AS kind,
+          2 * (2 + media_id % 14) AS w, 2 * (2 + media_id % 10) AS h,
+          1 + media_id % 27 AS nf FROM m WHERE k = 2),
+      vid2 AS (SELECT media_id, kind,
+          CAST(length('YUV4MPEG2 W' || w || ' H' || h
+            || ' F25:1 Ip A1:1 C420jpeg' || chr(10))
+            + nf * (6 + (3 * w * h) // 2) AS BIGINT) AS n_bytes,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+          CAST(0 AS BIGINT) AS sample_rate,
+          CAST(list_sum(list_transform(range(0, w * h),
+            j -> (media_id * 17 + j * 5) % 256)) AS BIGINT) AS content_sum
+        FROM vid),
+      u AS (SELECT * FROM img2 UNION ALL SELECT * FROM aud2 UNION ALL SELECT * FROM vid2)
+      SELECT media_id, kind, n_bytes, width, height, channels, n_frames, sample_rate,
+        content_sum,
         array_to_string(list_transform(range(0, 8),
-          i -> bytes[CAST(i*2 + 1 AS INT)] - 128), ',') AS emb_q
-      FROM b ORDER BY media_id"""))
+          i -> (content_sum + i) % 256 - 128), ',') AS emb_q
+      FROM u ORDER BY media_id"""))
 
   /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
     * sets with source attribution (twin of

@@ -223,41 +223,47 @@ object Pipeline5 {
         vec_id NOT IN (SELECT d2 FROM tlosers) AS kept
       FROM tfull ORDER BY vec_id"""))
 
-  /** Multimodal resize + frame-sample under the oracle gate
-    * ([[graft.operators.Multimodal.resize]] →
-    * [[graft.operators.Multimodal.sampleFrames]]): every video's
-    * every-5th frame at the 32-px-bounded dimensions — the two
-    * brief-listed media transforms that until now had only spec
-    * coverage. The oracle replays the stub decoder's digest-derived
-    * features (m03's MD5 hex-byte CTE), the bounded-scale arithmetic
-    * (one IEEE divide + multiply + floor, identical across engines),
-    * and the stride-5 frame generator. Pure map over the typed batch
-    * decode — zero shuffles before the final order-by. */
+  /** Multimodal frame-sample + REAL resample under the oracle gate
+    * ([[graft.operators.Multimodal.decodeVideoFrames]] →
+    * [[graft.operators.Multimodal.sampleEveryNth]] →
+    * [[graft.operators.Multimodal.resizeFrames]] →
+    * [[graft.operators.Multimodal.frameSums]]): every video's
+    * every-5th frame, parsed from the real Y4M stream, nearest-
+    * neighbor-resampled to fit 16 px, reduced to its exact luma-byte
+    * sum. The oracle replays the whole chain — the stride, the
+    * floor-scaled target dimensions (one IEEE divide+multiply+floor,
+    * identical across engines), and EVERY RESAMPLED PIXEL via the
+    * integer source-index arithmetic (dst(x,y) = src(x*sw div dw,
+    * y*sh div dh)) — so the channel statistic of the transform
+    * output, not just its shape, is cell-exact. Generator + pure
+    * maps: zero shuffles before the final order-by. */
   val m04: QueryDef = QueryDef(
     "m04_resize_framesample",
     (s, d) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      val feats = graft.operators.Multimodal.extractFeatures(media, batchSize = 64)
-      graft.operators.Multimodal.sampleFrames(
-          graft.operators.Multimodal.resize(feats, 32), everyN = 5)
+      val frames = graft.operators.Multimodal.decodeVideoFrames(media)
+      graft.operators.Multimodal.frameSums(
+          graft.operators.Multimodal.resizeFrames(
+            graft.operators.Multimodal.sampleEveryNth(frames, 5), 16))
         .orderBy(col("media_id"), col("frame_idx"))
     },
-    Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS dg
-        FROM documents WHERE doc_id % 3 = 2),
-      b AS (SELECT *, list_transform(range(0, 4), i ->
-          (instr('0123456789abcdef', substr(dg, CAST(i*2 + 1 AS INT), 1)) - 1) * 16
-          + (instr('0123456789abcdef', substr(dg, CAST(i*2 + 2 AS INT), 1)) - 1)) AS bytes
-        FROM m),
-      f AS (SELECT media_id, dg,
-          1 + bytes[1] % 64 AS w, 1 + bytes[2] % 64 AS h,
-          1 + (bytes[4] % 128) % 30 AS nf
-        FROM b),
-      r AS (SELECT media_id, dg, nf, w, h,
-          least(1.0, 32.0 / greatest(w, h)) AS scale FROM f)
-      SELECT media_id, unnest(range(0, nf, 5)) AS frame_idx, dg AS digest,
-        greatest(1, CAST(floor(w * scale) AS BIGINT)) AS width,
-        greatest(1, CAST(floor(h * scale) AS BIGINT)) AS height
-      FROM r ORDER BY media_id, frame_idx"""))
+    Some("""WITH v AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+      dims AS (SELECT media_id,
+          CAST(2 * (2 + media_id % 14) AS BIGINT) AS sw,
+          CAST(2 * (2 + media_id % 10) AS BIGINT) AS sh,
+          CAST(1 + media_id % 27 AS BIGINT) AS nf FROM v),
+      r AS (SELECT *, least(1.0, 16.0 / greatest(sw, sh)) AS scale FROM dims),
+      d2 AS (SELECT media_id, sw, sh, nf,
+          greatest(1, CAST(floor(sw * scale) AS BIGINT)) AS dw,
+          greatest(1, CAST(floor(sh * scale) AS BIGINT)) AS dh FROM r),
+      fr AS (SELECT media_id, sw, sh, dw, dh,
+          unnest(range(0, nf, 5)) AS frame_idx FROM d2)
+      SELECT media_id, frame_idx, dw AS width, dh AS height,
+        CAST(list_sum(list_transform(range(0, dw * dh), i ->
+          (media_id * 17 + frame_idx * 11 +
+           (((i // dw) * sh // dh) * sw + ((i % dw) * sw // dw)) * 5) % 256))
+          AS BIGINT) AS luma_sum
+      FROM fr ORDER BY media_id, frame_idx"""))
 
   private[queries] val BpeSteps = 8 // greedy merge rounds for t13
 

@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Multimodal
+import graft.operators.{MediaCodec, Multimodal}
 
+/** The real-decode contract: hand-built payload bytes round-trip
+  * through the in-tree PPM/WAV/Y4M parsers exactly; malformed bytes
+  * fail with diagnosable errors; the distributed batch-decode and the
+  * frame resample agree with scalar recomputation. */
 class MultimodalSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -13,28 +17,120 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("media table schema and batch feature extraction") {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
-    val feats = Multimodal.extractFeatures(media, batchSize = 16)
-    val rows = feats.collect()
-    assert(rows.length == media.count().toInt)
-    assert(rows.forall(f => f.embedding.length == 8))
-    assert(rows.forall(f => f.width >= 1 && f.width <= 64 && f.channels >= 1 && f.channels <= 3))
-    assert(rows.filter(_.kind != "video").forall(_.n_frames == 1))
-    // deterministic across runs
-    val again = Multimodal.extractFeatures(media, batchSize = 5).collect()
-    assert(rows.sortBy(_.media_id).map(_.digest).toSeq ==
-      again.sortBy(_.media_id).map(_.digest).toSeq)
+  test("PPM round trip: encode∘decode is identity on a hand-built fixture") {
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 37 % 256).toByte)
+    val bytes = MediaCodec.encodePpm(2, 3, rgb)
+    assert(new String(bytes.take(11)) == "P6\n2 3\n255\n")
+    val img = MediaCodec.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 3)
+    assert(img.rgb.toSeq == rgb.toSeq)
+    // spec-compliant variant header: comments + extra whitespace
+    val commented = ("P6\n# a comment\n 2\t3 # trailing\n255\n").getBytes("US-ASCII") ++ rgb
+    val img2 = MediaCodec.decodePpm(commented)
+    assert(img2.width == 2 && img2.height == 3 && img2.rgb.toSeq == rgb.toSeq)
   }
 
-  test("resize bounds dimensions; frame sampling explodes videos") {
+  test("WAV round trip: header fields and signed samples survive exactly") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    assert(bytes.length == 44 + 2 * samples.length)
+    val wav = MediaCodec.decodeWav(bytes)
+    assert(wav.sampleRate == 8000)
+    assert(wav.samples.toSeq == samples.toSeq)
+  }
+
+  test("Y4M round trip: multi-frame luma planes survive; chroma length is validated") {
+    val frames = Array.tabulate(3)(f => Array.tabulate(4 * 2)(j => ((f * 50 + j) % 256).toByte))
+    val bytes = MediaCodec.encodeY4m(4, 2, frames)
+    val vid = MediaCodec.decodeY4m(bytes)
+    assert(vid.width == 4 && vid.height == 2 && vid.lumaFrames.length == 3)
+    vid.lumaFrames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("malformed payloads fail fast with diagnosable errors, not index crashes") {
+    def msg(f: => Any): String = intercept[IllegalArgumentException](f).getMessage
+    assert(msg(MediaCodec.decodePpm("XX".getBytes)).contains("magic"))
+    assert(msg(MediaCodec.decodePpm("P6\n4 4\n255\n".getBytes)).contains("truncated"))
+    assert(msg(MediaCodec.decodePpm("P6\n4 4\n65535\n".getBytes ++ new Array[Byte](48)))
+      .contains("maxval"))
+    assert(msg(MediaCodec.decodeWav(new Array[Byte](10))).contains("truncated"))
+    val stereo = {
+      val ok = MediaCodec.encodeWav(8000, Array[Short](1, 2))
+      ok(22) = 2 // channel count field
+      ok
+    }
+    assert(msg(MediaCodec.decodeWav(stereo)).contains("channel"))
+    assert(msg(MediaCodec.decodeY4m("YUV4MPEG2 W4 H2\nBOGUS".getBytes)).contains("FRAME"))
+    val odd = "YUV4MPEG2 W3 H2\n".getBytes
+    assert(msg(MediaCodec.decodeY4m(odd)).contains("even"))
+    // batch decode surfaces unknown containers with the media id
+    val rec = Multimodal.MediaRecord(7L, "image", "x", "s", "not-a-container".getBytes)
+    assert(msg(Multimodal.decodeBatch(Seq(rec))).contains("media 7"))
+  }
+
+  test("batch feature extraction parses real payloads; deterministic across batch sizes") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
-    val feats = Multimodal.extractFeatures(media)
-    val resized = Multimodal.resize(feats, 16).collect()
-    assert(resized.forall(f => f.width <= 16 && f.height <= 16))
-    val frames = Multimodal.sampleFrames(feats, everyN = 5)
-    val perVideo = frames.groupBy("media_id").count().collect()
-    assert(perVideo.nonEmpty)
-    assert(perVideo.forall(_.getLong(1) >= 1))
+    val rows = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(rows.length == media.count().toInt)
+    rows.foreach { f =>
+      f.kind match {
+        case "image" =>
+          val (w, h) = (4 + (f.media_id % 29).toInt, 4 + (f.media_id % 23).toInt)
+          assert(f.width == w && f.height == h && f.channels == 3 && f.n_frames == 1)
+          // the parsed channel sum equals the generator's arithmetic
+          val want = (0 until 3 * w * h).map(i => (f.media_id * 31 + i * 7) % 256).sum
+          assert(f.content_sum == want)
+        case "audio" =>
+          assert(f.sample_rate == Multimodal.AudioSampleRate && f.channels == 1)
+          val n = 16 + (f.media_id % 240).toInt
+          val want = (0 until n).map(i => (f.media_id * 131 + i * 17) % 65536).sum
+          assert(f.content_sum == want)
+        case "video" =>
+          assert(f.n_frames == 1 + (f.media_id % 27).toInt)
+          assert(f.frame_sums.length == f.n_frames)
+        case other => fail(s"unexpected kind $other")
+      }
+      assert(f.embedding.length == 8)
+      assert(f.embedding.forall(x => x >= -1.0f && x < 1.0f))
+    }
+    val again = Multimodal.extractFeatures(media, batchSize = 5).collect()
+    assert(rows.sortBy(_.media_id).map(_.content_sum).toSeq ==
+      again.sortBy(_.media_id).map(_.content_sum).toSeq)
+  }
+
+  test("nearest-neighbor resample: exact pixels on a hand fixture; bounds respected corpus-wide") {
+    import spark.implicits._
+    // 4x2 plane downsampled to fit 2: scale = 0.5, dst 2x1;
+    // dst(x, 0) = src(x*4/2, 0*2/1) = src(2x, 0)
+    val src = Multimodal.MediaFrame(1L, 0, 4, 2,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val out = Multimodal.resizeFrames(Seq(src).toDS(), 2).collect()(0)
+    assert(out.width == 2 && out.height == 1)
+    assert(out.luma.toSeq == Seq[Byte](10, 30))
+    // already-small frames pass through untouched
+    val small = Multimodal.resizeFrames(Seq(src).toDS(), 8).collect()(0)
+    assert(small.width == 4 && small.height == 2 && small.luma.toSeq == src.luma.toSeq)
+    // corpus-wide: every resampled frame fits the bound and keeps
+    // aspect-derived dims >= 1
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val resized = Multimodal.resizeFrames(Multimodal.decodeVideoFrames(media), 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(f => f.width <= 8 && f.height <= 8 && f.width >= 1 && f.height >= 1))
+    assert(resized.forall(f => f.luma.length == f.width * f.height))
+  }
+
+  test("frame sampling keeps the stride and exact luma sums") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val frames = Multimodal.decodeVideoFrames(media)
+    val sampled = Multimodal.frameSums(Multimodal.sampleEveryNth(frames, 5)).collect()
+    assert(sampled.nonEmpty)
+    assert(sampled.forall(_.getLong(1) % 5 == 0))
+    // scalar recomputation of one frame's sum from the generator
+    val r = sampled.minBy(r => (r.getLong(0), r.getLong(1)))
+    val (id, fidx, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val want = (0L until w * h).map(j => (id * 17 + fidx * 11 + j * 5) % 256).sum
+    assert(r.getLong(4) == want)
   }
 }
