@@ -52,6 +52,24 @@ object Bench {
     // 1.3-1.4x JIT/GC noise that made round-over-round drift
     // unattributable — VERDICT r2 #5)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+
+    // fixed calibration anchor (VERDICT r8 #4): an sf-INDEPENDENT
+    // CPU+shuffle-bound workload whose definition never changes across
+    // rounds, so BENCH_r*.json totals can be drift-normalized
+    // (query_rN / calib_rN vs query_rM / calib_rM) instead of asserting
+    // "the box got slower". Runs before AND after the sweep — the two
+    // mins also bound within-run drift (GC/thermal) — and is excluded
+    // from the headline total.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("sh"),
+          org.apache.spark.sql.functions.count("*").as("n"))
+        .selectExpr("sum(sh) AS s", "sum(n) AS m").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = (1 to iters).map(_ => calibOnce()).min
     val results = SparkEntry.registry.sortBy(_.name).map { q =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -94,6 +112,10 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
+    val calibPost = (1 to iters).map(_ => calibOnce()).min
+    val calib = math.min(calibPre, calibPost)
+    System.err.println(
+      f"[bench] calib pre=$calibPre%.3fs post=$calibPost%.3fs min=$calib%.3fs")
     val total = results.map(_._2).sum
     // full-fidelity per-query record (full names, min+median, rows,
     // iteration count) goes to a FILE — the stdout tail capture is
@@ -105,7 +127,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","queries":$detail}\n"""
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)}},"queries":$detail}\n"""
         .getBytes("UTF-8"))
     // collisions fall back to the full name so the map is always 1:1
     // with the registry (see shortId)
@@ -115,6 +137,6 @@ object Bench {
     val qs = results.map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","queries":$qs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}""")
+    println(s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","calib":${r(calib, 3)},"queries":$qs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}""")
   }
 }
