@@ -423,6 +423,98 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
+  /** IVF-PQ composed search — the "IVFADC" architecture of Jegou et
+    * al. (PAMI 2011, §V): probe the `nprobe` nearest coarse lists
+    * (IVF), score every candidate by its PRODUCT-QUANTIZED
+    * reconstruction against the full-precision query (asymmetric
+    * distance computation), keep only the `rerank` best approximate
+    * hits per query, and exact-re-rank those to top k. Both stages
+    * run against the [[trainedCodebook]] after `iters - 1` Lloyd
+    * rebuilds (coarse lists AND PQ sub-codebooks, the s12/s13
+    * pattern composed).
+    *
+    * 100 TB shape — why this beats [[ivfTopK]] as the corpus grows:
+    * the per-candidate ADC row entering the top-k window shuffle is
+    * (q_id, n_id, adc) — two longs and a double — where ivfTopK's
+    * exact scoring needs nothing wider either, BUT the full-precision
+    * re-rank here touches only |Q|·rerank rows (broadcast-joined back
+    * to the corpus, no extra corpus shuffle), so the expensive
+    * D-dimensional cosine runs |Q|·rerank times instead of
+    * |Q|·listsize times. Candidate generation stays the bucketed
+    * equi-join; PQ coding + reconstruction is a pure columnar
+    * projection over O(k·D) plan-literal state (one [[graft.functions.PqEncode]]
+    * call + literal slices, no object barrier). Reconstructing per
+    * candidate is mathematically identical to the classical per-query
+    * distance-table formulation (the table IS the reconstruction dot
+    * decomposed sub-block-wise); the table form saves FLOPs per
+    * candidate but needs per-query state — the columnar form keeps
+    * whole-stage codegen and zero extra broadcast.
+    *
+    * @return (q_id, rk, n_id, adc, cos) — adc is the approximate
+    *         (reconstruction) cosine the shortlist ranked on, cos the
+    *         exact cosine of the final ranking. */
+  def ivfPqTopK(emb: DataFrame, kCentroids: Int, iters: Int, nQueries: Int,
+      k: Int, nprobe: Int, m: Int, rerank: Int): DataFrame =
+    ivfPqTopKWith(emb, trainedCodebook(emb, kCentroids, iters - 1),
+      nQueries, k, nprobe, m, rerank)
+
+  /** [[ivfPqTopK]] against an EXPLICIT codebook. */
+  def ivfPqTopKWith(emb: DataFrame, cb: Array[(Long, Array[Double], Double)],
+      nQueries: Int, k: Int, nprobe: Int, m: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover top-k $k")
+    val dim = cb.headOption.map(_._2.length).getOrElse(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val sub = dim / m
+    val (cents, cnorms, ids) = codebookCols(cb)
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+
+    // corpus side: coarse assignment + PQ code + reconstruction, all
+    // columnar (graft_centroid_ranks / graft_pq / literal slices) —
+    // vr[j*sub .. (j+1)*sub) = cents[codes[j]][j*sub .. (j+1)*sub)
+    val coded = assignTo(p, cb)
+      .withColumn("__pq", call_function("graft_pq", col("v"), cents, lit(m)))
+      .withColumn("vr", flatten(transform(col("__pq.codes"),
+        (c, j) => slice(element_at(cents, c.cast("int") + 1),
+          j * lit(sub) + 1, lit(sub)))))
+      .withColumn("rn", expr("graft_dot(vr, vr)"))
+      .select("vec_id", "centroid", "vr", "rn")
+
+    // query side: same probe-list slice as [[ivfTopKWith]]
+    val probes = p.filter(col("vec_id") < nQueries)
+      .withColumn("__pos", explode(slice(
+        call_function("graft_centroid_ranks", col("v"), cents, cnorms),
+        1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        element_at(ids, col("__pos").cast("int") + 1).as("qcentroid"))
+
+    // ADC scoring: full-precision query vs candidate RECONSTRUCTION.
+    // Projected down to (q_id, n_id, adc) BEFORE the per-query window
+    // so the wide columns never enter the shuffle.
+    val adc = broadcast(probes)
+      .join(coded, col("qcentroid") === col("centroid") && col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        cosExpr.format("qv", "vr", "qn", "rn") + " AS adc")
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id").asc)
+    val shortlist = adc.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= rerank)
+      .select("q_id", "n_id", "adc")
+
+    // exact re-rank of the |Q|*rerank survivors: the shortlist is the
+    // SMALL side of both hash joins (broadcast), so the corpus pays
+    // one more scan but zero additional shuffle
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = broadcast(shortlist)
+      .join(p, col("n_id") === col("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .selectExpr("q_id", "n_id", "adc",
+        cosExpr.format("qv", "v", "qn", "nrm") + " AS cos")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("n_id"), col("adc"), col("cos"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus embeddings (the
     * [[assignCentroids]] coarse quantization — broadcast argmax, pure

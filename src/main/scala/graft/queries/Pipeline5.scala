@@ -18,7 +18,7 @@ import graft.operators.{Bpe, Packing, Similarity}
   * coalesce. */
 object Pipeline5 {
 
-  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, s14, t13, t14, t15, p13, m04)
+  def all: Seq[QueryDef] = Seq(s10, s11, s12, s13, s14, s17, t13, t14, t15, p13, m04)
 
   private val K = 8 // seed codebook size (vec_id < 8)
   private val Iters = 3 // total Lloyd updates (2 fed back + 1 emitted)
@@ -112,10 +112,11 @@ object Pipeline5 {
         trained_quality > seed_quality AS trained_better
       FROM sq, tq"""))
 
-  /** PQ coding + micro-summed reconstruction cosine vs codebook CTE
-    * `cb` (the s09 oracle shape, parameterized): emits pq/pa/pr/pm
-    * CTEs suffixed `t`. m=8 subvectors over 64 dims. */
-  private def pqReconSql(t: String, cb: String, outCol: String): String =
+  /** PQ coding + per-vector reconstruction vs codebook CTE `cb` (the
+    * s09 oracle shape, parameterized): emits pq/pa/pr CTEs suffixed
+    * `t` — pr$t is (vec_id, vr), the codebook reconstruction. m=8
+    * subvectors over 64 dims. */
+  private def pqCodeSql(t: String, cb: String): String =
     s""",
       pq$t AS (SELECT nn.vec_id, j, cid,
                 list_reduce(list_concat([0.0::DOUBLE],
@@ -130,7 +131,12 @@ object Pipeline5 {
                 FROM pq$t) WHERE rk = 1),
       pr$t AS (SELECT a.vec_id,
                 flatten(list(cb.cv[a.j * 8 + 1 : a.j * 8 + 8] ORDER BY a.j)) AS vr
-              FROM pa$t a JOIN $cb cb ON a.cid = cb.cid GROUP BY a.vec_id),
+              FROM pa$t a JOIN $cb cb ON a.cid = cb.cid GROUP BY a.vec_id)"""
+
+  /** [[pqCodeSql]] plus the micro-summed reconstruction-cosine metric
+    * CTE pm$t. */
+  private def pqReconSql(t: String, cb: String, outCol: String): String =
+    s"""${pqCodeSql(t, cb)},
       pm$t AS (SELECT CAST(sum(CAST(round(
                 (CASE WHEN nn.nrm = 0 OR ${DuckOps.norm2("r.vr")} = 0 THEN 0.0
                  ELSE ${DuckOps.dot("nn.v", "r.vr")} /
@@ -264,6 +270,63 @@ object Pipeline5 {
            (((i // dw) * sh // dh) * sw + ((i % dw) * sw // dw)) * 5) % 256))
           AS BIGINT) AS luma_sum
       FROM fr ORDER BY media_id, frame_idx"""))
+
+  /** IVF-PQ composed search ([[graft.operators.Similarity.ivfPqTopK]],
+    * the IVFADC architecture of Jegou et al. PAMI 2011 §V): trained
+    * coarse lists probed (s13's IVF shape), candidates scored by their
+    * PQ-code RECONSTRUCTION against the full-precision query
+    * (asymmetric distance), the 6-deep approximate shortlist
+    * exact-re-ranked to top 3. Oracle = the s13 probe/assignment CTEs
+    * + the s12 PQ-coding CTEs (both against the trained cb2) + the
+    * ADC-rank/re-rank cascade — every approximate AND exact cosine
+    * hash-matched, so the two-stage ranking itself (which candidates
+    * survive the shortlist, in what order) is the tested artifact. */
+  val s17: QueryDef = QueryDef(
+    "s17_ivfpq_topk",
+    (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), K, Iters,
+      nQueries = 10, k = 3, nprobe = 2, m = 8, rerank = 6)
+      .orderBy(col("q_id"), col("rk")),
+    Some(s"""$chainSql
+      ${pqCodeSql("z", s"cb${Iters - 1}")},
+      cc AS (SELECT cid, cv, ${DuckOps.norm2("cv")} AS cn FROM cb${Iters - 1}),
+      iasg AS (SELECT vec_id, v, nrm, cid AS centroid FROM (
+          SELECT a.vec_id, a.v, a.nrm, c.cid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM nn a CROSS JOIN cc c
+          WHERE NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn = 1),
+      iprobes AS (SELECT q_id, qv, qn, qcentroid FROM (
+          SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qn, c.cid AS qcentroid,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)) DESC,
+                       c.cid ASC) AS rn
+          FROM nn a CROSS JOIN cc c WHERE a.vec_id < 10
+            AND NOT isnan(${DuckOps.dot("a.v", "c.cv")} / (sqrt(a.nrm) * sqrt(c.cn)))) WHERE rn <= 2),
+      adc AS (SELECT p.q_id, s.vec_id AS n_id,
+          CASE WHEN p.qn = 0 OR ${DuckOps.norm2("r.vr")} = 0 THEN NULL
+            ELSE ${DuckOps.dot("p.qv", "r.vr")} /
+              (sqrt(p.qn) * sqrt(${DuckOps.norm2("r.vr")})) END AS adc
+        FROM iprobes p
+        JOIN iasg s ON p.qcentroid = s.centroid AND s.vec_id <> p.q_id
+        JOIN prz r ON r.vec_id = s.vec_id),
+      short AS (SELECT q_id, n_id, adc FROM (
+          SELECT q_id, n_id, adc,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY adc DESC NULLS LAST, n_id ASC) AS ark
+          FROM adc) WHERE ark <= 6),
+      ex AS (SELECT t.q_id, t.n_id, t.adc,
+          CASE WHEN q.nrm = 0 OR n.nrm = 0 THEN NULL
+            ELSE ${DuckOps.dot("q.v", "n.v")} / (sqrt(q.nrm) * sqrt(n.nrm)) END AS cos
+        FROM short t
+        JOIN nn n ON t.n_id = n.vec_id
+        JOIN nn q ON t.q_id = q.vec_id)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, adc, cos FROM (
+        SELECT q_id, n_id, adc, cos,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC NULLS LAST, n_id ASC) AS rk
+        FROM ex) WHERE rk <= 3
+      ORDER BY q_id, rk"""))
 
   private[queries] val BpeSteps = 8 // greedy merge rounds for t13
 

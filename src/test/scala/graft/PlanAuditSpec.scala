@@ -281,6 +281,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(!d07.contains("CartesianProduct") && !d07.contains("BroadcastNestedLoopJoin"),
       s"artifact consumers must stay equi:\n$d07")
+    // s17 IVF-PQ: candidate generation + both re-rank joins stay
+    // hash-equi (shortlist broadcasts back to the corpus — the exact
+    // re-rank must not shuffle corpus rows), and the full-corpus
+    // assignment + PQ coding + reconstruction stay columnar
+    val s17 = finalPlan(queries.Pipeline5.s17.run(spark, sfDir))
+    assert(!s17.contains("CartesianProduct") && !s17.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidates and re-rank joins must stay equi:\n$s17")
+    assert(!s17.contains("DeserializeToObject") && !s17.contains("SerializeFromObject"),
+      s"PQ coding/reconstruction must stay columnar:\n$s17")
+    assert(!s17.contains("ScalaUDF"), s"s17 stays native/codegen:\n$s17")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {

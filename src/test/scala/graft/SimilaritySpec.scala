@@ -110,6 +110,46 @@ class SimilaritySpec extends AnyFunSuite {
       "every (q_id, n_id) must meet through exactly one (centroid) probe row")
   }
 
+  test("ivfPqTopK: unbounded rerank reduces to exact IVF ranking; exact cos verified scalar-side") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // with the shortlist covering EVERY candidate, the final exact
+    // re-rank must equal ivfTopKTrained's ranking — the ADC stage can
+    // then only reorder the shortlist, never change its membership
+    val full = Similarity.ivfPqTopK(emb, 8, 3, nQueries = 10, k = 3,
+        nprobe = 2, m = 8, rerank = Int.MaxValue)
+      .select("q_id", "rk", "n_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val ivf = Similarity.ivfTopKTrained(emb, 8, 3, 10, 3, 2)
+      .select("q_id", "rk", "n_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(full.nonEmpty)
+    assert(full.toSeq == ivf.toSeq,
+      "rerank=∞ IVF-PQ must return exactly the trained-IVF exact top-k")
+
+    // tight shortlist: every returned exact cosine matches a scalar
+    // recomputation from the raw vectors, and adc came from a genuine
+    // codebook reconstruction (bounded to [-1, 1])
+    val out = Similarity.ivfPqTopK(emb, 8, 3, nQueries = 10, k = 3,
+        nprobe = 2, m = 8, rerank = 6).collect()
+    assert(out.nonEmpty)
+    val vecs = Similarity.prepared(emb).select("vec_id", "v", "nrm").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (q, n, adc, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (qv, qn) = vecs(q)
+      val (nv, nn) = vecs(n)
+      var dot = 0.0; var i = 0
+      while (i < qv.length) { dot += qv(i) * nv(i); i += 1 }
+      assert(cos == dot / (math.sqrt(qn) * math.sqrt(nn)), s"exact cos mismatch for ($q,$n)")
+      assert(adc >= -1.0001 && adc <= 1.0001, s"adc $adc out of cosine range")
+    }
+    // per query at most k rows, ranks contiguous from 1
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("semanticDedup: drop policy is exactly 'lower-id cluster-mate above threshold'") {
     val emb = Tables.embeddings(spark, sfDir)
     val tau = 0.4
