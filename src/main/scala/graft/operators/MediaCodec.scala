@@ -198,7 +198,12 @@ object MediaCodec {
     }
     if (w <= 0 || h <= 0) fail("y4m", s"missing/invalid W/H in header '$header'")
     if (w % 2 != 0 || h % 2 != 0) fail("y4m", s"4:2:0 needs even dimensions, got ${w}x$h")
-    val chromaLen = (w / 2) * (h / 2)
+    // ALL size arithmetic in Long: a crafted header like W65536 H65536
+    // overflows w*h to 0 (and the frame length to negative) in Int,
+    // which would slide the cursor backwards past every bound check —
+    // the fuzz spec pins this exact payload
+    val lumaLen = w.toLong * h
+    val frameLen = lumaLen + 2L * ((w / 2).toLong * (h / 2))
     val frames = Array.newBuilder[Array[Byte]]
     var pos = headEnd + 1
     while (pos < bytes.length) {
@@ -207,11 +212,11 @@ object MediaCodec {
             java.util.Arrays.copyOfRange(bytes, pos, pos + FrameMagic.length), FrameMagic))
         fail("y4m", s"missing FRAME marker at offset $pos")
       pos += FrameMagic.length
-      if (bytes.length - pos < w * h + 2 * chromaLen)
-        fail("y4m", s"frame truncated at offset $pos: need ${w * h + 2 * chromaLen} bytes, " +
+      if (bytes.length - pos < frameLen)
+        fail("y4m", s"frame truncated at offset $pos: need $frameLen bytes, " +
           s"have ${bytes.length - pos}")
-      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + w * h)
-      pos += w * h + 2 * chromaLen // chroma validated by the bound above, not retained
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + lumaLen.toInt)
+      pos += frameLen.toInt // chroma validated by the bound above, not retained
     }
     val fs = frames.result()
     if (fs.isEmpty) fail("y4m", "stream carries no frames")
