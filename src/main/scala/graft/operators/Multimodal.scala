@@ -123,44 +123,74 @@ object Multimodal {
   private def embedding(contentSum: Long): Array[Float] =
     Array.tabulate(8)(i => (((contentSum + i) % 256) - 128) / 128.0f)
 
-  /** REAL batch decode: dispatch on magic bytes, parse with
+  /** REAL single-record decode: dispatch on magic bytes, parse with
     * [[MediaCodec]], emit parsed dimensions + exact channel sums.
-    * The batch signature (one Seq in, one Seq out) is the swap-in
-    * contract for any other decoder. */
+    * Every failure (unrecognized container included) is an
+    * IllegalArgumentException — the exception class the absorb path's
+    * corrupt policy catches. */
+  def decodeOne(m: MediaRecord): MediaFeatures = {
+    val p = m.payload
+    def magic(n: Int): String =
+      new String(p, 0, math.min(n, p.length), java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic(2) == "P6") {
+      val img = MediaCodec.decodePpm(p)
+      val s = sumUnsigned(img.rgb)
+      MediaFeatures(m.media_id, "image", p.length.toLong, img.width, img.height,
+        3, 1, 0, s, Array(s), embedding(s))
+    } else if (magic(4) == "RIFF") {
+      val wav = MediaCodec.decodeWav(p)
+      var s = 0L
+      wav.samples.foreach(x => s += x & 0xffff)
+      MediaFeatures(m.media_id, "audio", p.length.toLong, 0, 0, 1, 1,
+        wav.sampleRate, s, Array(s), embedding(s))
+    } else if (magic(9) == "YUV4MPEG2") {
+      val vid = MediaCodec.decodeY4m(p)
+      val sums = vid.lumaFrames.map(sumUnsigned)
+      MediaFeatures(m.media_id, "video", p.length.toLong, vid.width, vid.height,
+        3, vid.lumaFrames.length, 0, sums(0), sums, embedding(sums(0)))
+    } else throw new IllegalArgumentException(
+      s"media ${m.media_id}: unrecognized container (magic ${magic(9)})")
+  }
+
+  /** Batch decode — the batch signature (one Seq in, one Seq out) is
+    * the swap-in contract for any other decoder. Strict: the first
+    * corrupt payload fails the batch (and the job). */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map { m =>
-      val p = m.payload
-      def magic(n: Int): String =
-        new String(p, 0, math.min(n, p.length), java.nio.charset.StandardCharsets.US_ASCII)
-      if (magic(2) == "P6") {
-        val img = MediaCodec.decodePpm(p)
-        val s = sumUnsigned(img.rgb)
-        MediaFeatures(m.media_id, "image", p.length.toLong, img.width, img.height,
-          3, 1, 0, s, Array(s), embedding(s))
-      } else if (magic(4) == "RIFF") {
-        val wav = MediaCodec.decodeWav(p)
-        var s = 0L
-        wav.samples.foreach(x => s += x & 0xffff)
-        MediaFeatures(m.media_id, "audio", p.length.toLong, 0, 0, 1, 1,
-          wav.sampleRate, s, Array(s), embedding(s))
-      } else if (magic(9) == "YUV4MPEG2") {
-        val vid = MediaCodec.decodeY4m(p)
-        val sums = vid.lumaFrames.map(sumUnsigned)
-        MediaFeatures(m.media_id, "video", p.length.toLong, vid.width, vid.height,
-          3, vid.lumaFrames.length, 0, sums(0), sums, embedding(sums(0)))
-      } else throw new IllegalArgumentException(
-        s"media ${m.media_id}: unrecognized container (magic ${magic(9)})")
-    }
+    batch.map(decodeOne)
 
   /** Partition-parallel batched feature extraction — the batch shape
     * (`Iterator[Seq[T]] => Iterator[U]`) mirrors arrow-batch UDF
-    * processing: bounded memory per batch, no per-row dispatch cost. */
+    * processing: bounded memory per batch, no per-row dispatch cost.
+    * Strict: any corrupt payload fails the job. */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decodeBatch(batch))
     }
+  }
+
+  /** Corrupt-ABSORB feature extraction — the S7 skipCorrupt policy
+    * applied to media ingest: a payload that fails to parse
+    * (IllegalArgumentException, the only failure class the codecs are
+    * allowed — MediaCodecFuzzSpec) is counted on the returned
+    * accumulator and dropped, instead of killing a 100 TB decode job
+    * three days in. Anything NOT an IAE still fails the job: absorb
+    * is for bad DATA, not for bugs. The accumulator is registered
+    * per call, so concurrent absorb scans don't share counts; read it
+    * only after an action has materialized the result. */
+  def extractFeaturesAbsorb(media: Dataset[MediaRecord], batchSize: Int = 64)
+      : (Dataset[MediaFeatures], org.apache.spark.util.LongAccumulator) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("media.corruptPayloads")
+    val out = media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { m =>
+        try Some(decodeOne(m))
+        catch { case _: IllegalArgumentException => acc.add(1L); None }
+      })
+    }
+    (out, acc)
   }
 
   /** Video frame extraction: parse each Y4M payload and emit one row

@@ -93,16 +93,32 @@ object Pipeline2 {
     "m03_media_decode",
     (s, d) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      graft.operators.Multimodal.extractFeatures(media, batchSize = 64)
-        .toDF()
-        .selectExpr("media_id", "kind", "n_bytes",
-          "cast(width as bigint) AS width", "cast(height as bigint) AS height",
-          "cast(channels as bigint) AS channels", "cast(n_frames as bigint) AS n_frames",
-          "cast(sample_rate as bigint) AS sample_rate", "content_sum",
-          "array_join(transform(embedding, x -> cast(cast(x * 128 as int) as string)), ',') AS emb_q")
-        .orderBy(col("media_id"))
+      mediaFeaturesResult(
+        graft.operators.Multimodal.extractFeatures(media, batchSize = 64))
     },
-    Some("""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+    Some(mediaFeaturesSql(docFilter = "TRUE")))
+
+  /** The m03/m05 result shape over decoded features: parsed header
+    * fields widened to BIGINT plus the comma-joined integer embedding
+    * quantization (the compare harness cannot sort on a raw ARRAY —
+    * round-4 m03 err). */
+  private[queries] def mediaFeaturesResult(
+      feats: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaFeatures])
+      : org.apache.spark.sql.DataFrame =
+    feats.toDF()
+      .selectExpr("media_id", "kind", "n_bytes",
+        "cast(width as bigint) AS width", "cast(height as bigint) AS height",
+        "cast(channels as bigint) AS channels", "cast(n_frames as bigint) AS n_frames",
+        "cast(sample_rate as bigint) AS sample_rate", "content_sum",
+        "array_join(transform(embedding, x -> cast(cast(x * 128 as int) as string)), ',') AS emb_q")
+      .orderBy(col("media_id"))
+
+  /** The decoded-features oracle (fixture arithmetic replayed in
+    * DuckDB), restricted to documents matching `docFilter` — m03 runs
+    * it unfiltered; m05 excludes the ids its corruption rule hits. */
+  private[queries] def mediaFeaturesSql(docFilter: String): String =
+    s"""WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents
+        WHERE $docFilter),
       img AS (SELECT media_id, 'image' AS kind,
           4 + media_id % 29 AS w, 4 + media_id % 23 AS h FROM m WHERE k = 0),
       img2 AS (SELECT media_id, kind,
@@ -142,7 +158,7 @@ object Pipeline2 {
         content_sum,
         array_to_string(list_transform(range(0, 8),
           i -> (content_sum + i) % 256 - 128), ',') AS emb_q
-      FROM u ORDER BY media_id"""))
+      FROM u ORDER BY media_id"""
 
   /** shared DuckDB CTE chain: per-doc distinct 8-gram shingle-hash
     * sets with source attribution (twin of

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Dedup, Similarity, Storage}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, Storage}
 
 /** Round-9 additions: the "fit once, transform many" artifact surface
   * (shared MinHash signatures, a reusable trained BPE tokenizer) and
@@ -12,7 +12,7 @@ import graft.operators.{Bpe, Dedup, Similarity, Storage}
   */
 object Pipeline6 {
 
-  def all: Seq[QueryDef] = Seq(s15, s16, d07, t16)
+  def all: Seq[QueryDef] = Seq(s15, s16, d07, t16, m05)
 
   /** SemDeDup with the cluster count DEFAULTED to ceil(sqrt(N))
     * ([[graft.operators.Similarity.semanticDedupAuto]]): the 100 TB
@@ -116,6 +116,34 @@ object Pipeline6 {
         d.doc_id NOT IN (SELECT doc_id FROM losers) AS kept
       FROM documents d LEFT JOIN deg USING (doc_id)
       ORDER BY d.doc_id"""))
+
+  /** Corrupt-ABSORB media decode
+    * ([[graft.operators.Multimodal.extractFeaturesAbsorb]]): the S7
+    * skipCorrupt policy on the media ingest path. Every 31st payload
+    * is deterministically mangled two ways a 100 TB crawl actually
+    * produces — a wrong container magic (mislabeled bytes) on even
+    * ids, a single byte truncated (short object read) on odd ids.
+    * Both MUST parse-fail (MediaCodecFuzzSpec pins the failure class),
+    * be counted, and be dropped WITHOUT killing the scan; survivors
+    * decode bit-exactly as in m03. The oracle replays the fixture
+    * arithmetic for exactly the uncorrupted ids — a row appearing for
+    * a corrupted id (under-absorb) or missing for a clean one
+    * (over-absorb) breaks the hash. The dropped-count side of the
+    * contract is accumulator-checked in MultimodalSpec. */
+  val m05: QueryDef = QueryDef(
+    "m05_decode_absorb",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d)).map { m =>
+        if (m.media_id % 31 != 0) m
+        else if (m.media_id % 2 == 0) {
+          val p = m.payload.clone(); p(0) = 'X'.toByte; m.copy(payload = p)
+        } else m.copy(payload = java.util.Arrays.copyOf(m.payload, m.payload.length - 1))
+      }
+      val (feats, _) = Multimodal.extractFeaturesAbsorb(media, batchSize = 64)
+      Pipeline2.mediaFeaturesResult(feats)
+    },
+    Some(Pipeline2.mediaFeaturesSql(docFilter = "doc_id % 31 <> 0")))
 
   /** Fit-once/transform-many over the trained tokenizer artifact
     * ([[graft.operators.Bpe.fit]]): ONE training run (t13's 8 greedy

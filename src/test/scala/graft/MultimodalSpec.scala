@@ -121,6 +121,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(f => f.luma.length == f.width * f.height))
   }
 
+  test("corrupt-absorb decode: counts and drops exactly the mangled payloads") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val total = media.count()
+    // the m05 corruption rule: every 31st payload gets a wrong magic
+    // (even ids) or loses its last byte (odd ids)
+    val mangled = media.map { m =>
+      if (m.media_id % 31 != 0) m
+      else if (m.media_id % 2 == 0) {
+        val p = m.payload.clone(); p(0) = 'X'.toByte; m.copy(payload = p)
+      } else m.copy(payload = java.util.Arrays.copyOf(m.payload, m.payload.length - 1))
+    }
+    val nBad = mangled.filter(_.media_id % 31 == 0).count()
+    assert(nBad > 0, "fixture corpus must hit the corruption rule")
+
+    // strict path: the corrupt corpus kills the job
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(mangled, batchSize = 16).count()
+    }
+
+    // absorb path: survivors = clean ids, bit-identical to a clean
+    // decode of the same subset; accumulator = mangled count
+    val (feats, acc) = Multimodal.extractFeaturesAbsorb(mangled, batchSize = 16)
+    val got = feats.collect().sortBy(_.media_id)
+    assert(got.length.toLong == total - nBad)
+    assert(got.forall(_.media_id % 31 != 0))
+    assert(acc.value == nBad)
+    val clean = Multimodal.extractFeatures(media.filter(_.media_id % 31 != 0), batchSize = 16)
+      .collect().sortBy(_.media_id)
+    assert(got.map(f => (f.media_id, f.content_sum, f.n_bytes)).toSeq ==
+      clean.map(f => (f.media_id, f.content_sum, f.n_bytes)).toSeq)
+
+    // absorb is for bad DATA, not bugs: a non-IAE failure still
+    // escapes (null payload -> NPE inside the decoder dispatch)
+    val firstId = media.agg(org.apache.spark.sql.functions.min("media_id"))
+      .as[Long].head()
+    val poisoned = media.map(m =>
+      if (m.media_id == firstId) m.copy(payload = null) else m)
+    val (pf, _) = Multimodal.extractFeaturesAbsorb(poisoned, batchSize = 16)
+    intercept[org.apache.spark.SparkException] { pf.count() }
+  }
+
   test("frame sampling keeps the stride and exact luma sums") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
     val frames = Multimodal.decodeVideoFrames(media)
