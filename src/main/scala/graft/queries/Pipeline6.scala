@@ -152,8 +152,16 @@ object Pipeline6 {
     * pass) and the t15-style corpus encode (merge table as a plan
     * literal) — where t14 and t15 each re-trained from scratch. The
     * output joins them: every doc's subword count plus whether its
-    * head subword sits in the top-20 vocabulary. Expect this line to
-    * bench at ~max(t14, t15), not t14 + t15. */
+    * head subword sits in the top-20 vocabulary. Bench accounting
+    * (sf0.1, r9: t14 1.03 / t15 1.04 / t16 1.91): the shared fit
+    * saves the second ~1.0 s training pass, but the combined result
+    * pays its own materialization jobs — the broadcast subplan, the
+    * eager result checkpoint (REQUIRED: the artifact is released
+    * before the caller's terminal action, so a lazy plan would read
+    * freed freq-checkpoint blocks), and the final sort — landing
+    * ~0.15 s under t14 + t15 rather than at ~max(t14, t15). Those
+    * job constants are corpus-size-INDEPENDENT; the saved training
+    * pass is corpus-proportional, which is what matters at 100 TB. */
   val t16: QueryDef = QueryDef(
     "t16_bpe_artifact",
     (s, d) => {
