@@ -99,7 +99,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     // Pipeline5/6 query the way the bench harness does (terminal
     // action, then Storage.release) and assert the executor's
     // persistent-RDD map is back to its pre-query baseline
-    (graft.queries.Pipeline5.all ++ graft.queries.Pipeline6.all).foreach { q =>
+    (graft.queries.Pipeline5.all ++ graft.queries.Pipeline6.all ++
+      graft.queries.Pipeline7.all).foreach { q =>
       assert(spark.sharedState.cacheManager.isEmpty,
         s"${q.name}: CacheManager dirty before the call")
       val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
