@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Importance
+import graft.operators.{Importance, QualityModel, TextOps}
 
 /** Round-9 additions, part 2: data-selection operators a training-data
   * pipeline runs between curation and tokenization — DSIR-style
@@ -12,7 +12,7 @@ import graft.operators.Importance
   */
 object Pipeline7 {
 
-  def all: Seq[QueryDef] = Seq(p14)
+  def all: Seq[QueryDef] = Seq(p14, t17)
 
   /** DSIR importance-weighted selection
     * ([[graft.operators.Importance.dsirSelect]], arXiv:2302.03169):
@@ -61,4 +61,63 @@ object Pipeline7 {
       SELECT doc_id, n_grams, score_micro,
              score_micro >= (SELECT s0 FROM th) AS kept
       FROM sc ORDER BY doc_id"""))
+
+  /** GD-trained linear quality scorer
+    * ([[graft.operators.QualityModel]]): 4 batch-gradient steps on
+    * squared loss over (stop-ratio, TTR, saturating length) with
+    * "lang = 'en'" as the heuristic label, then a map-only scoring
+    * pass under the trained weights. The oracle UNROLLS the training
+    * loop as a CTE chain replaying the exact quantize -> integer-sum
+    * -> divide -> halve update, so the hash pins the TRAINED WEIGHTS
+    * (emitted as micro-quantized constant columns) as well as every
+    * per-doc score. */
+  val t17: QueryDef = QueryDef(
+    "t17_quality_trained",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = QualityModel.fit(docs, "text", "lang = 'en'", steps = 4)
+      QualityModel.score(docs, "text", "lang = 'en'", w).orderBy(col("doc_id"))
+    },
+    Some(qualityTrainedSql(4)))
+
+  /** The t17 oracle: featurize, then `steps` unrolled GD CTEs, then
+    * score. Generated (not hand-unrolled) so the step count provably
+    * matches the Spark side's. */
+  private def qualityTrainedSql(steps: Int): String = {
+    // residual under the step-k weights; op order mirrors the Spark
+    // Column expression (left-associated sum of products, then - y)
+    val e = "((((w0 + (x1 * w1)) + (x2 * w2)) + (x3 * w3)) - y)"
+    def gsum(term: String) =
+      s"CAST(sum(CAST(round(($term) * 1000000) AS BIGINT)) AS DOUBLE)"
+    val stepCtes = (1 to steps).map { k =>
+      s"""g$k AS (SELECT ${gsum(e)} AS g0d, ${gsum(s"x1 * $e")} AS g1d,
+             ${gsum(s"x2 * $e")} AS g2d, ${gsum(s"x3 * $e")} AS g3d,
+             CAST(count(*) AS BIGINT) AS nd FROM ft, ws${k - 1}),
+      ws$k AS (SELECT w0 - g0d / 1000000 / nd / 2 AS w0,
+                      w1 - g1d / 1000000 / nd / 2 AS w1,
+                      w2 - g2d / 1000000 / nd / 2 AS w2,
+                      w3 - g3d / 1000000 / nd / 2 AS w3 FROM ws${k - 1}, g$k)"""
+    }.mkString(",\n      ")
+    s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t,
+             CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+           FROM documents),
+      ft AS MATERIALIZED (SELECT doc_id, y,
+             CASE WHEN nt = 0 THEN CAST(0 AS DOUBLE) ELSE sh::DOUBLE / nt::DOUBLE END AS x1,
+             CASE WHEN nt = 0 THEN CAST(0 AS DOUBLE) ELSE ntypes::DOUBLE / nt::DOUBLE END AS x2,
+             nt::DOUBLE / (nt + 100)::DOUBLE AS x3
+           FROM (SELECT doc_id, y, CAST(len(t) AS BIGINT) AS nt,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS ntypes,
+                   CAST(${DuckOps.stopHits("t", TextOps.StopEn)} AS BIGINT) AS sh
+                 FROM tk)),
+      ws0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                     CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+      $stepCtes
+      SELECT doc_id, CAST(y AS BIGINT) AS y_label,
+        CAST(round(((((w0 + (x1 * w1)) + (x2 * w2)) + (x3 * w3))) * 1000000) AS BIGINT) AS score_micro,
+        CAST(round(w0 * 1000000) AS BIGINT) AS w0_micro,
+        CAST(round(w1 * 1000000) AS BIGINT) AS w1_micro,
+        CAST(round(w2 * 1000000) AS BIGINT) AS w2_micro,
+        CAST(round(w3 * 1000000) AS BIGINT) AS w3_micro
+      FROM ft, ws$steps ORDER BY doc_id"""
+  }
 }
