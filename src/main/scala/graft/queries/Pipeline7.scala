@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Importance, QualityModel, TextOps}
+import graft.operators.{Decontaminate, Importance, QualityModel, TextOps}
 
 /** Round-9 additions, part 2: data-selection operators a training-data
   * pipeline runs between curation and tokenization — DSIR-style
@@ -12,7 +12,7 @@ import graft.operators.{Importance, QualityModel, TextOps}
   */
 object Pipeline7 {
 
-  def all: Seq[QueryDef] = Seq(p14, t17)
+  def all: Seq[QueryDef] = Seq(p14, t17, p15)
 
   /** DSIR importance-weighted selection
     * ([[graft.operators.Importance.dsirSelect]], arXiv:2302.03169):
@@ -79,6 +79,37 @@ object Pipeline7 {
       QualityModel.score(docs, "text", "lang = 'en'", w).orderBy(col("doc_id"))
     },
     Some(qualityTrainedSql(4)))
+
+  /** Bloom-prefiltered exact decontamination
+    * ([[graft.operators.Decontaminate.cleanDocs]]): drop every corpus
+    * doc (doc_id >= 50) sharing a distinct 5-gram with the benchmark
+    * slice (doc_id < 50) — t05's contamination semantics flipped to
+    * the keep-side, executed through the Bloom plan (2^17-bit image,
+    * 3 probes): clean docs are proven clean by a map-only probe and
+    * never enter a join; only probe-positives reach the exact verify
+    * join. The oracle checks the exact anti-join semantics — a Bloom
+    * with any FPP must produce the identical kept set, which is
+    * precisely the operator's contract (DecontaminateSpec pins the
+    * plan shape and the false-positive/no-false-negative behavior). */
+  val p15: QueryDef = QueryDef(
+    "p15_bloom_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.cleanDocs(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "text", n = 5, m = 1 << 17, k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(${DuckOps.shingles("t", 5)},
+               x -> ${DuckOps.strHash60("x")})) AS hs FROM tk),
+      bh AS (SELECT DISTINCT unnest(hs) AS sgl FROM sh WHERE doc_id < 50),
+      bad AS (SELECT DISTINCT s.doc_id FROM
+                (SELECT doc_id, unnest(hs) AS sgl FROM sh WHERE doc_id >= 50) s
+                JOIN bh USING (sgl))
+      SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles FROM sh
+      WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""))
 
   /** The t17 oracle: featurize, then `steps` unrolled GD CTEs, then
     * score. Generated (not hand-unrolled) so the step count provably
