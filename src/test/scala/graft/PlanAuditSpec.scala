@@ -293,6 +293,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s17.contains("ScalaUDF"), s"s17 stays native/codegen:\n$s17")
   }
 
+  test("round-9 part-2 shapes (p14 broadcast weight table, t17 map-only scoring, p15 equi-only)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    // p14's lazy score builder (dsirSelect adds the eager threshold
+    // pass on top): the bucket-weight table must reach the exploded
+    // corpus as a BROADCAST hash join — a shuffled join here would
+    // shuffle every corpus token — and everything stays equi (the only
+    // loop joins are the broadcast 1-row totals, the t10 idiom)
+    val p14 = finalPlan(operators.Importance.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "text", 2, 512))
+    assert(p14.contains("BroadcastHashJoin"),
+      s"the lambda table must broadcast onto the exploded corpus:\n$p14")
+    assert(!p14.contains("CartesianProduct"),
+      s"DSIR fit/transform joins must stay equi:\n$p14")
+    assert(!p14.contains("ScalaUDF") && !p14.contains("DeserializeToObject"),
+      s"DSIR stays native/codegen:\n$p14")
+    // t17 scoring under fitted weights: pure projection — ZERO
+    // exchanges, the whole pass is map-side (training cost lives in
+    // the fit's 1-row aggregations, not here)
+    val t17 = finalPlan(operators.QualityModel.score(
+      docs, "text", "lang = 'en'", Array(0.25, -0.5, 0.125, 1.0)))
+    assert(!t17.contains("Exchange"),
+      s"trained-scorer transform must be map-only:\n$t17")
+    assert(!t17.contains("ScalaUDF"), s"t17 stays native/codegen:\n$t17")
+    // p15 registered query: DecontaminateSpec pins the full shape on
+    // fixtures; re-assert the equi-only contract at table scale
+    val p15 = finalPlan(queries.Pipeline7.p15.run(spark, sfDir))
+    assert(!p15.contains("CartesianProduct") && !p15.contains("BroadcastNestedLoopJoin"),
+      s"bloom decontamination must stay equi:\n$p15")
+    assert(!p15.contains("SortMergeJoin"),
+      s"p15's verify/anti joins must broadcast — the corpus is never shuffled:\n$p15")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
