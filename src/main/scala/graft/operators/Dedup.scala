@@ -58,11 +58,12 @@ object Dedup {
     Storage.withCached(shingleHashSets(docs, textCol, n))(
       ngramJaccardPairsFrom(_, threshold, maxDocFreq))
 
-  /** the [[ngramJaccardPairs]] plan over an already-available shingle
-    * set frame — the lazy builder [[Storage.withCached]] wraps (and
-    * PlanAuditSpec audits pre-checkpoint). */
-  private[graft] def ngramJaccardPairsFrom(sets: DataFrame,
-      threshold: Double, maxDocFreq: Int): DataFrame = {
+  /** Candidate (d1 < d2, shared-shingle count) pairs over a shingle
+    * set frame, plus each side's set size — the common core of
+    * [[ngramJaccardPairsFrom]] (symmetric Jaccard) and
+    * [[containmentPairsFrom]] (asymmetric containment); the two
+    * operators differ only in the final metric. */
+  private def sharedShingleCounts(sets: DataFrame, maxDocFreq: Int): DataFrame = {
     val ex = sets.selectExpr("doc_id", "explode(hs) AS sgl")
     val shared =
       if (maxDocFreq == Int.MaxValue) {
@@ -101,12 +102,43 @@ object Dedup {
       .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"), col("shared"),
-        col("s1.n_shingles").as("n1"), col("s2.n_shingles").as("n2"),
-        (col("shared").cast("double") /
-          (col("s1.n_shingles") + col("s2.n_shingles") - col("shared")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        col("s1.n_shingles").cast("long").as("n1"),
+        col("s2.n_shingles").cast("long").as("n2"))
   }
+
+  /** the [[ngramJaccardPairs]] plan over an already-available shingle
+    * set frame — the lazy builder [[Storage.withCached]] wraps (and
+    * PlanAuditSpec audits pre-checkpoint). */
+  private[graft] def ngramJaccardPairsFrom(sets: DataFrame,
+      threshold: Double, maxDocFreq: Int): DataFrame =
+    sharedShingleCounts(sets, maxDocFreq)
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric CONTAINMENT pairs: C = shared / min(|S1|, |S2|) —
+    * the doc-inside-doc signal symmetric Jaccard misses (a short doc
+    * quoted verbatim inside a long one has high containment but near
+    * zero Jaccard, because the union is dominated by the long doc).
+    * Candidate generation, the doc-frequency cap, and the 100 TB
+    * memory/fan-out bounds are exactly [[ngramJaccardPairs]]'s
+    * ([[sharedShingleCounts]]); only the final per-pair metric
+    * differs, so the operator inherits the audited plan shape.
+    *
+    * EAGER ([[Storage.withCached]]); release the result's blocks via
+    * [[Storage.release]] after the terminal action. */
+  def containmentPairs(docs: DataFrame, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    Storage.withCached(shingleHashSets(docs, textCol, n))(
+      containmentPairsFrom(_, threshold, maxDocFreq))
+
+  private[graft] def containmentPairsFrom(sets: DataFrame,
+      threshold: Double, maxDocFreq: Int): DataFrame =
+    sharedShingleCounts(sets, maxDocFreq)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= threshold)
 
   /** Prefix-filtered variant (ppjoin family), exact for Jaccard >= t:
     * with canonically sorted sets, a qualifying pair must share an

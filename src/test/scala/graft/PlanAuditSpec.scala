@@ -326,6 +326,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"p15's verify/anti joins must broadcast — the corpus is never shuffled:\n$p15")
   }
 
+  test("round-9 part-3 shapes (d08 shares d02's capped machinery, p17 map-only, p16 broadcast totals)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    // d08 through the lazy pre-checkpoint builder: the capped-collect
+    // candidate aggregation, never a cartesian/self-product
+    val d08 = finalPlan(Dedup.containmentPairsFrom(
+      Dedup.shingleHashSets(docs, "text", 3), 0.6, 64))
+    assert(!d08.contains("CartesianProduct") && !d08.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must be the capped equi-agg:\n$d08")
+    assert(d08.contains("collectcapped"),
+      s"d08 must reuse the one-pass capped collect:\n$d08")
+    // p17 chunking: generator explode is map-side — the only exchange
+    // is the final presentation order-by
+    val p17 = finalPlan(queries.Pipeline8.p17.run(spark, sfDir))
+    val p17Final = p17.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(p17Final).length <= 1,
+      s"p17 must not shuffle before the final sort:\n$p17")
+    assert(!p17.contains("ScalaUDF"), s"p17 stays native/codegen:\n$p17")
+    // p16: one partial-agg shuffle to O(sources) rows; the 1-row
+    // totals reach them as a broadcast, never a shuffled join
+    val p16 = finalPlan(queries.Pipeline8.p16.run(spark, sfDir))
+    assert(p16.contains("BroadcastNestedLoopJoin") || p16.contains("BroadcastHashJoin"),
+      s"p16 totals must broadcast:\n$p16")
+    assert(!p16.contains("CartesianProduct"), s"p16 must not plan a cartesian:\n$p16")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
