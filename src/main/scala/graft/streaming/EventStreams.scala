@@ -23,17 +23,24 @@ object EventStreams {
 
   private final case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 
-  /** events.parquet as a bounded stream (ns timestamps handled the
-    * same way as [[graft.Tables.events]]). */
+  /** events.parquet as a bounded stream (on-disk `ts` encodings
+    * handled the same way as [[graft.Tables.events]]: legacy ns-longs
+    * truncate to µs, native µs TIMESTAMP_NTZ casts to the session-TZ
+    * TimestampType). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source requires a directory: stream the parent
     // dir with a glob filter for the events table
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark —
