@@ -88,6 +88,49 @@ object TextOps {
   def stopHits(toksCol: String, stop: Seq[String]): String =
     s"size(filter($toksCol, t -> array_contains(${arrayLit(stop)}, t)))"
 
+  /** HTML entity pairs decoded by [[stripHtml]], in application
+    * order. `&amp;` MUST decode last: decoding it first would turn
+    * the literal text `&amp;lt;` into `&lt;` and then wrongly into
+    * `<` (double-decode); decoding the specific entities first cannot
+    * match inside `&amp;...` because the raw byte run `&...;` they
+    * look for is not present there. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction, the crawl pipeline's first stage:
+    * drop script/style/comment blocks WITH their content, strip the
+    * remaining tags (replaced by a space so adjacent words don't
+    * fuse), decode the common entities, collapse whitespace. Every
+    * step is a plain string op or a regex with identical Java/RE2
+    * semantics (no capture groups, no backrefs — the t09 discipline),
+    * so the DuckDB oracle replays it exactly. 100 TB shape: pure
+    * projection, ZERO shuffle.
+    *
+    * Returns `doc_id, n_tags, n_entities, clean_text`. Not a
+    * spec-complete HTML5 parser (no CDATA, no conditional comments) —
+    * it is the boilerplate-strip a corpus pipeline runs, and malformed
+    * markup degrades to extra text, never to an error. */
+  def stripHtml(docs: DataFrame, htmlCol: String): DataFrame = {
+    val noBlocks =
+      s"""regexp_replace(regexp_replace(regexp_replace($htmlCol,
+         |  '(?is)<script[^>]*>.*?</script>', ' '),
+         |  '(?is)<style[^>]*>.*?</style>', ' '),
+         |  '(?s)<!--.*?-->', ' ')""".stripMargin
+    val deEnt = HtmlEntities.foldLeft("no_tags") {
+      case (acc, (ent, ch)) => s"replace($acc, '$ent', '${ch.replace("'", "\\'")}')"
+    }
+    docs
+      .selectExpr("doc_id",
+        s"cast(regexp_count($htmlCol, '<[^>]*>') as bigint) AS n_tags",
+        s"cast(regexp_count($htmlCol, '&(?:lt|gt|quot|#39|nbsp|amp);') as bigint) AS n_entities",
+        s"$noBlocks AS no_blocks")
+      .selectExpr("doc_id", "n_tags", "n_entities",
+        "regexp_replace(no_blocks, '<[^>]*>', ' ') AS no_tags")
+      .selectExpr("doc_id", "n_tags", "n_entities",
+        s"trim(regexp_replace($deEnt, '[ \\t\\r\\n]+', ' ')) AS clean_text")
+  }
+
   /** Per-doc lexical diversity (type/token ratio, hapax ratio) — the
     * vocabulary-richness quality signal. 100 TB shape: pure
     * projection, ZERO shuffle — run-boundary counting over the

@@ -13,7 +13,7 @@ import graft.operators.{Dedup, TextOps}
   */
 object Pipeline8 {
 
-  def all: Seq[QueryDef] = Seq(d08, p16, p17)
+  def all: Seq[QueryDef] = Seq(d08, p16, p17, t18)
 
   /** floor(x * 1e6 / y) in pure BIGINT via long-division
     * decomposition (the p02 idiom): exact up to ~9e15, where a naive
@@ -95,6 +95,64 @@ object Pipeline8 {
       SELECT source, n_docs, p_micro, q_micro,
         CASE WHEN p_micro = 0 THEN 0 ELSE (q_micro * 1000000) // p_micro END AS boost_micro
       FROM m ORDER BY source"""))
+
+  /** HTML boilerplate shell wrapped around each doc's text,
+    * byte-identical in both engines: a scripted head (whose content —
+    * including a raw `<` and an entity — must vanish WITH the block),
+    * a styled block, a comment carrying the doc_id, and a paragraph
+    * with every decoded entity incl. the `&amp;lt;` double-decode
+    * trap. The corpus text rides inside a nested div. */
+  private val htmlHead =
+    "<html><head><script type=\"text/javascript\">if (1 < 2) { emit(\"&amp;\"); }" +
+      "</script><style>p > em { color: \"red\"; }</style></head><body><!-- doc "
+  private val htmlMid =
+    " --><h1 class=\"t\">"
+  private val htmlEnt =
+    "</h1><p>a &amp;amp; b &lt;raw&gt; &quot;"
+  private val htmlTail =
+    "&quot; it&#39;s&nbsp;fine</p><div><p>"
+  private val htmlEnd = "</p><br/></div></body></html>"
+
+  /** HTML → text extraction ([[graft.operators.TextOps.stripHtml]]):
+    * drop script/style/comment blocks with their content, strip tags,
+    * decode entities (`&amp;` last — the double-decode trap is a
+    * pinned test), collapse whitespace. The query wraps each doc in a
+    * deterministic adversarial HTML shell IN BOTH ENGINES, so the
+    * stripper is proven on markup even though the corpus is plain
+    * text. 100 TB shape: pure projection, ZERO shuffle (the orderBy
+    * is presentation-only). */
+  val t18: QueryDef = QueryDef(
+    "t18_html_strip",
+    (s, d) => TextOps.stripHtml(
+      Tables.documents(s, d).selectExpr("doc_id",
+        s"concat('${sqlQ(htmlHead)}', cast(doc_id as string), '${sqlQ(htmlMid)}', source, " +
+          s"'${sqlQ(htmlEnt)}', lang, '${sqlQ(htmlTail)}', text, '${sqlQ(htmlEnd)}') AS html"),
+      "html").orderBy(col("doc_id")),
+    Some(s"""WITH h AS (SELECT doc_id,
+        '${duckQ(htmlHead)}' || CAST(doc_id AS VARCHAR) || '${duckQ(htmlMid)}' || source ||
+        '${duckQ(htmlEnt)}' || lang || '${duckQ(htmlTail)}' || text || '${duckQ(htmlEnd)}' AS html
+      FROM documents),
+      s1 AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        CAST(len(regexp_extract_all(html, '&(?:lt|gt|quot|#39|nbsp|amp);')) AS BIGINT) AS n_entities,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS nb
+      FROM h),
+      s2 AS (SELECT doc_id, n_tags, n_entities,
+        regexp_replace(nb, '<[^>]*>', ' ', 'g') AS nt FROM s1)
+      SELECT doc_id, n_tags, n_entities,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(nt,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
+      FROM s2 ORDER BY doc_id"""))
+
+  /** Spark-SQL single-quoted literal escaping for the shell strings. */
+  private def sqlQ(x: String): String = x.replace("\\", "\\\\").replace("'", "\\'")
+  /** DuckDB single-quoted literal escaping. */
+  private def duckQ(x: String): String = x.replace("'", "''")
 
   /** Overlapping token-window chunking (window 32, stride 24): every
     * document becomes ceil(n/stride) context windows of <= 32 tokens

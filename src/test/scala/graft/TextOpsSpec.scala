@@ -52,4 +52,44 @@ class TextOpsSpec extends AnyFunSuite {
     val out = div(Seq(0L -> "x y x y"))
     assert(out(0L) == ((4L, 2L, 0L, 500000L, 0L)))
   }
+
+  // ---- stripHtml (t18) ----
+
+  private def strip(html: String): (Long, Long, String) = {
+    import spark.implicits._
+    val r = TextOps.stripHtml(Seq((0L, html)).toDF("doc_id", "html"), "html").collect().head
+    (r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("stripHtml removes script/style/comment blocks WITH their content") {
+    val (_, _, t) = strip(
+      "<html><head><script>if (1 < 2) { emit(\"&amp;\"); }</script>" +
+        "<style>p > em { color: red; }</style></head>" +
+        "<body><!-- secret\nmultiline -->kept</body></html>")
+    assert(t == "kept", s"got: '$t'")
+  }
+
+  test("stripHtml entity decode order: &amp; last, so &amp;lt; stays a literal &lt;") {
+    val (_, nEnt, t) = strip("<p>a &amp;lt; b, c &lt; d, x &amp;amp; y</p>")
+    // &amp;lt; -> &lt; (NOT <); &lt; -> <; &amp;amp; -> &amp;
+    assert(t == "a &lt; b, c < d, x &amp; y", s"got: '$t'")
+    assert(nEnt == 3L) // &amp; x2 + the bare &lt; (the 'lt;' after &amp; is raw text, not an entity)
+  }
+
+  test("stripHtml tags become spaces so adjacent words never fuse; whitespace collapses") {
+    val (nTags, _, t) = strip("<p>foo</p><p>bar</p>\n\n  <br/>baz\t end")
+    assert(t == "foo bar baz end", s"got: '$t'")
+    assert(nTags == 5L)
+  }
+
+  test("stripHtml degrades on malformed markup — unclosed tags pass through as text") {
+    val (_, _, t) = strip("before <div unclosed and a lone & stays")
+    assert(t.contains("before") && t.contains("& stays"), s"got: '$t'")
+  }
+
+  test("stripHtml decodes the full entity set") {
+    val (_, nEnt, t) = strip("&lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b")
+    assert(t == "<tag> \"q\" it's a b", s"got: '$t'")
+    assert(nEnt == 6L)
+  }
 }
