@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Graph, LanguageModel, Retrieval, TextOps}
+
+/** Round-9 additions, part 4: graph centrality over derived
+  * relationship graphs (PageRank), ranked full-text retrieval
+  * (BM25 top-k), and n-gram LM fluency scoring (the CCNet-style
+  * typicality filter) — the analytics, search, and LM-filter layers
+  * over corpus-shaped data.
+  */
+object Pipeline9 {
+
+  def all: Seq[QueryDef] = Seq(c02, t19, t20, p18)
+
+  /** One damped PageRank iteration as a DuckDB CTE triple — the
+    * exact-integer twin of [[graft.operators.Graph.rankStep]]:
+    * per-edge floor-divided contributions, summed inflow, dangling
+    * mass spread uniformly (floor), then
+    * teleport + (d · (inflow + dshare)) // 1e6. */
+  private def prStep(k: Int): String = {
+    val p = s"r${k - 1}"
+    s"""i$k AS (SELECT ew.dst AS id, CAST(sum((p.r * ew.w) // ew.ow) AS BIGINT) AS inflow
+                FROM ew JOIN $p p ON ew.src = p.id GROUP BY 1),
+        d$k AS (SELECT COALESCE((SELECT sum(p.r) FROM $p p SEMI JOIN dang g ON p.id = g.id), 0)
+                  // (SELECT n FROM nn) AS dshare),
+        r$k AS (SELECT n.id,
+                  150000 + (850000 * (COALESCE(i.inflow, 0) + (SELECT dshare FROM d$k))) // 1000000 AS r
+                FROM nodes n LEFT JOIN i$k i ON n.id = i.id)"""
+  }
+
+  /** Weighted PageRank ([[graft.operators.Graph.pageRank]]) over the
+    * inter-nation trade graph: an edge cust_nation → supp_nation
+    * weighted by the number of lineitems that flowed between them
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier). 5 damped iterations
+    * (d = 0.85) in exact integer micro-units; the oracle UNROLLS the
+    * loop as generated CTEs replaying the identical floor-division
+    * arithmetic, so the hash pins every iteration. 100 TB shape: the
+    * edge derivation is plain partially-aggregated equi-joins; each
+    * iteration is one rank⋈edges equi-join + one dst-keyed partial
+    * agg + an O(1)-row dangling aggregate — no driver graph state,
+    * lineage truncated per round ([[graft.operators.Cluster]]
+    * discipline). */
+  val c02: QueryDef = QueryDef(
+    "c02_pagerank",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+        .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
+        .select(col("id").as("nation_id"), col("n_name").as("nation"),
+          col("rank_micro"))
+        .orderBy(col("nation_id"))
+    },
+    Some(s"""WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+             FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             GROUP BY 1, 2),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      outw AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.id),
+      dang AS (SELECT n.id FROM nodes n ANTI JOIN outw o ON n.id = o.id),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${(1 to 5).map(prStep).mkString(",\n      ")}
+      SELECT r5.id AS nation_id, nat.n_name AS nation, r5.r AS rank_micro
+      FROM r5 JOIN nation nat ON r5.id = nat.n_nationkey
+      ORDER BY nation_id"""))
+
+  /** BM25 top-5 retrieval ([[graft.operators.Retrieval.bm25TopK]]):
+    * every 100th document turned into a keyword query (its first 6
+    * distinct tokens, lexicographic — deterministic in both engines)
+    * and run against the whole corpus. Self-retrieval is the built-in
+    * sanity check: a doc's own terms should rank it highly. The
+    * oracle replays the full scoring pipeline — postings, df, the
+    * rational BM25 core, the Padé idf surrogate, micro-quantized
+    * exact-integer sums — term for term. */
+  val t19: QueryDef = QueryDef(
+    "t19_bm25_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("q_id"), col("text"))
+      Retrieval.bm25TopK(docs, "text", qs, "text", k = 5, maxQueryTerms = 6)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM tk WHERE len(t) > 0),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(t) AS term FROM d) GROUP BY 1, 2, 3),
+      dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM d),
+      qt AS (SELECT doc_id AS q_id, unnest(list_sort(list_distinct(t))[1:6]) AS term
+             FROM d WHERE doc_id % 100 = 7),
+      rc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(2 * tot.n - 2 * dft.df + 1 AS DOUBLE) / CAST(2 * dft.df + 1 AS DOUBLE) AS r,
+               CAST(22 * tf.tf * tot.tt AS DOUBLE) /
+                 CAST(10 * tf.tf * tot.tt + 3 * tot.tt + 9 * tf.dl * tot.n AS DOUBLE) AS core
+             FROM qt JOIN dft ON qt.term = dft.term
+                  JOIN tf ON qt.term = tf.term, tot),
+      sc AS (SELECT q_id, doc_id,
+               CAST(round((2 * (r - 1) / (r + 1)) * core * 1000000) AS BIGINT) AS s_micro
+             FROM rc),
+      agg AS (SELECT q_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+                CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM sc GROUP BY 1, 2),
+      rk AS (SELECT q_id, doc_id, score_micro, n_terms_hit,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+             FROM agg)
+      SELECT q_id, rnk, doc_id, score_micro, n_terms_hit
+      FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  /** Bigram-LM fluency scores
+    * ([[graft.operators.LanguageModel.bigramSurprisal]], CCNet-style
+    * typicality filter, B = 4096 hashed buckets): every document's
+    * mean inverse conditional bigram probability under an
+    * add-one-smoothed model fit on the corpus itself — the
+    * high-surprisal tail is the drop candidate set. Exact-integer
+    * micro sums (see operator scaladoc for the harmonic-surrogate
+    * contract); the oracle refits the same model and replays every
+    * division. */
+  val t20: QueryDef = QueryDef(
+    "t20_lm_fluency",
+    (s, d) => LanguageModel.bigramSurprisal(Tables.documents(s, d), "text", 4096)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(${DuckOps.shingles("t", 2)}) AS s FROM tk),
+      g AS (SELECT doc_id,
+              ${DuckOps.strHash("split_part(s, ' ', 1)")} % 4096 AS ctx_b,
+              ${DuckOps.strHash("s")} % 4096 AS big_b
+            FROM sh),
+      cc AS (SELECT ctx_b, CAST(count(*) AS BIGINT) AS cc FROM g GROUP BY 1),
+      cb AS (SELECT big_b, CAST(count(*) AS BIGINT) AS cb FROM g GROUP BY 1),
+      sc AS (SELECT doc_id,
+               CAST(round(CAST(cc.cc + 4096 AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE)
+                 * 1000000) AS BIGINT) AS inv_micro
+             FROM g JOIN cc USING (ctx_b) JOIN cb USING (big_b)),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(inv_micro) AS BIGINT) AS surprisal_micro
+             FROM sc GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(pd.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        COALESCE(pd.surprisal_micro, CAST(0 AS BIGINT)) AS surprisal_micro,
+        CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+             ELSE pd.surprisal_micro // pd.n_bigrams END AS mean_inv_micro
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** End-to-end corpus build — the full pre-tokenization chain
+    * COMPOSED from the audited operators, proving they stack: corpus
+    * = docs with doc_id >= 50; (1) quality gate + exact-dedup keeper
+    * (t06 semantics: token bounds, stopword floor, fingerprint
+    * keep-first); (2) decontamination against the bench slice
+    * (doc_id < 50): any gated doc sharing a 5-gram shingle hash with
+    * a bench doc is dropped (t05 semantics, broadcast bench side);
+    * (3) surviving docs become overlapping token-window chunks (p17
+    * semantics: window 32, stride 24, per-chunk fingerprints). The
+    * tokens array is computed ONCE and carried through gate →
+    * decontaminate → chunk. 100 TB shape: one fp-window shuffle, one
+    * broadcast semi/anti join pair, one generator explode — no
+    * cartesian, no driver state; the oracle replays the whole chain
+    * as composed CTEs. */
+  val p18: QueryDef = QueryDef(
+    "p18_corpus_build",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = docs.filter(col("doc_id") >= 50)
+        .selectExpr("doc_id", "text", s"${TextOps.tokens("text")} AS t")
+        .selectExpr("doc_id", "text", "t",
+          "cast(size(t) as bigint) AS n_tokens",
+          s"cast(${TextOps.stopHits("t", TextOps.StopEn)} as bigint) AS stop_en",
+          s"${TextOps.strHash60("concat_ws(' ', t)")} AS fp")
+      val gated = scored
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keeper") &&
+          col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
+          col("stop_en") * 1000000L >= col("n_tokens") * lit(20000L))
+        .select(col("doc_id"), col("text"), col("t"))
+      val bench = docs.filter(col("doc_id") < 50)
+        .selectExpr("explode_outer(graft_shingle_hashes(text, 5)) AS sgl")
+        .filter(col("sgl").isNotNull).distinct()
+      val dirty = gated
+        .selectExpr("doc_id", "explode_outer(graft_shingle_hashes(text, 5)) AS sgl")
+        .join(broadcast(bench), Seq("sgl"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = gated.join(dirty, Seq("doc_id"), "left_anti")
+      clean
+        .selectExpr("doc_id", "t", "cast(size(t) as bigint) AS n")
+        .filter(col("n") > 0)
+        .selectExpr("doc_id", "n", "t", "explode(sequence(1, n, 24)) AS start_tok")
+        .selectExpr("doc_id",
+          "cast((start_tok - 1) div 24 as bigint) AS chunk_id",
+          "cast(start_tok as bigint) AS start_tok",
+          "cast(size(slice(t, start_tok, 32)) as bigint) AS n_tok",
+          s"${TextOps.strHash60("concat_ws(' ', slice(t, start_tok, 32))")} AS chunk_fp")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+      q AS (SELECT doc_id, text, ${DuckOps.tokens("text")} AS t FROM corpus),
+      scored AS (SELECT doc_id, text, t,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(${DuckOps.stopHits("t", TextOps.StopEn)} AS BIGINT) AS stop_en,
+          ${DuckOps.strHash60("array_to_string(t, ' ')")} AS fp
+        FROM q),
+      keepers AS (SELECT fp, min(doc_id) AS keeper FROM scored GROUP BY fp),
+      gated AS (SELECT s.doc_id, s.text, s.t
+        FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper
+        WHERE s.n_tokens BETWEEN 5 AND 2000
+          AND s.stop_en * 1000000 >= s.n_tokens * 20000),
+      bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+          ${DuckOps.shingles("t", 5)}, x -> ${DuckOps.strHash60("x")}))) AS sgl
+        FROM (SELECT ${DuckOps.tokens("text")} AS t FROM documents WHERE doc_id < 50)),
+      csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          ${DuckOps.shingles("t", 5)}, x -> ${DuckOps.strHash60("x")}))) AS sgl
+        FROM gated),
+      dirty AS (SELECT DISTINCT c.doc_id FROM csh c SEMI JOIN bsh b ON c.sgl = b.sgl),
+      clean AS (SELECT g.doc_id, g.t FROM gated g ANTI JOIN dirty x ON g.doc_id = x.doc_id),
+      g2 AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM clean WHERE len(t) > 0),
+      e AS (SELECT doc_id, n, t, unnest(range(1, n + 1, 24)) AS start_tok FROM g2),
+      c AS (SELECT doc_id,
+              CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_id,
+              CAST(start_tok AS BIGINT) AS start_tok,
+              CAST(len(t[start_tok : start_tok + 31]) AS BIGINT) AS n_tok,
+              array_to_string(t[start_tok : start_tok + 31], ' ') AS cs
+            FROM e)
+      SELECT doc_id, chunk_id, start_tok, n_tok,
+        ${DuckOps.strHash60("cs")} AS chunk_fp
+      FROM c ORDER BY doc_id, chunk_id"""))
+}

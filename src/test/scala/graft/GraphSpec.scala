@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Storage}
+
+/** PageRank: exact-integer replay against an in-memory reference
+  * (same floor-division arithmetic the oracle unrolls), dangling and
+  * self-loop handling, teleport floor, centrality ordering on a star
+  * graph, guards, and storage hygiene. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(edges: Seq[(Long, Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val df = Graph.pageRank(edges.toDF("s", "d", "w").repartition(parts),
+      "s", "d", "w", iterations = iters)
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Storage.release(df)
+    out
+  }
+
+  /** In-memory twin of the operator's exact integer arithmetic:
+    * per-edge floor division, order-insensitive integer sums, floored
+    * dangling share, floored damping. */
+  private def reference(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val pos = edges.filter(_._3 > 0)
+    val nodes = (pos.map(_._1) ++ pos.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val ow = pos.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      pos.foreach { case (s, d, w) => inflow(d) += r(s) * w / ow(s) }
+      val dm = nodes.filterNot(ow.contains).map(r).sum / n
+      r = nodes.map(v => v -> (150000L + 850000L * (inflow(v) + dm) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("cycle + chord + dangling node matches the exact-integer reference") {
+    // 1 -> 2 -> 3 -> 1 cycle, a chord 1 -> 3, and 3 -> 4 where 4 has
+    // no out-edges (dangling: its mass redistributes uniformly)
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 3L), (1L, 3L, 1L), (3L, 4L, 1L))
+    for (iters <- Seq(1, 2, 5)) {
+      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("star graph: the hub outranks every spoke") {
+    val spokes = (2L to 9L)
+    val edges = spokes.map(s => (s, 1L, 1L)) ++ spokes.map(s => (1L, s, 1L))
+    val ranks = run(edges, 5)
+    assert(ranks === reference(edges, 5))
+    val hub = ranks(1L)
+    spokes.foreach(s => assert(ranks(s) < hub, s"spoke $s must rank below the hub"))
+  }
+
+  test("teleport floor: every rank is at least (1-d) even for a pure sink's sources") {
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 1L))
+    val ranks = run(edges, 5)
+    assert(ranks === reference(edges, 5))
+    ranks.values.foreach(r => assert(r >= 150000L))
+  }
+
+  test("self-loops and zero/negative weights: loops feed back, bad edges drop") {
+    val edges = Seq((1L, 1L, 5L), (1L, 2L, 1L), (2L, 1L, 1L),
+      (7L, 8L, 0L), (8L, 9L, -3L)) // the last two must be ignored entirely
+    val ranks = run(edges, 3)
+    assert(ranks === reference(edges, 3))
+    assert(!ranks.contains(7L) && !ranks.contains(8L) && !ranks.contains(9L),
+      "nodes appearing only on non-positive edges are not part of the graph")
+  }
+
+  test("partition independence: same ranks from 1 and 7 input partitions") {
+    val edges = (1L to 40L).map(i => (i, (i * 7) % 40 + 1, i % 5 + 1))
+    assert(run(edges, 4, parts = 1) === run(edges, 4, parts = 7))
+  }
+
+  test("guards: empty graph, bad iteration count, bad damping") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L)).toDF("s", "d", "w")
+    intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", "w", 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", "w", 1, -1L))
+    intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", "w", 1, 1000001L))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(Seq.empty[(Long, Long, Long)].toDF("s", "d", "w"), "s", "d", "w", 1))
+  }
+
+  test("storage hygiene: release() returns executor storage to baseline") {
+    import spark.implicits._
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val df = Graph.pageRank(
+      (1L to 20L).map(i => (i, i % 20 + 1, 1L)).toDF("s", "d", "w"),
+      "s", "d", "w", iterations = 3)
+    df.count()
+    Storage.release(df)
+    // <= not ===: the shared-session ContextCleaner may concurrently
+    // reap unreachable blocks left by OTHER suites, shrinking the map
+    // under us — pageRank itself must add nothing
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "pageRank must not leak checkpoint blocks past release()")
+  }
+
+  test("failure hygiene: a guard trip after partial checkpointing releases its blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException](Graph.pageRank(
+      Seq((1L, 2L, 0L)).toDF("s", "d", "w"), "s", "d", "w", 3))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "the empty-graph guard fires AFTER e/nodes checkpoint — those blocks must be released")
+  }
+}

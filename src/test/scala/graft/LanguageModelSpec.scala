@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LanguageModel
+
+/** Bigram-LM fluency: in-memory replay of the hashed add-one model
+  * and the exact micro arithmetic, fluent-vs-gibberish ordering,
+  * degenerate docs, and plan shape. */
+class LanguageModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val P = 1000000007L
+
+  private def run(corpus: Seq[(Long, String)], buckets: Int) = {
+    import spark.implicits._
+    LanguageModel.bigramSurprisal(corpus.toDF("doc_id", "text"), "text", buckets)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  /** In-memory twin: same tokenizer, polynomial hash, add-one
+    * smoothing, IEEE division, HALF_UP micro rounding, integer
+    * sums/floors. */
+  private def reference(corpus: Seq[(Long, String)], buckets: Int) = {
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def hash(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val grams = corpus.flatMap { case (id, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(p => (id, p.head, p.mkString(" ")))
+    }
+    val withB = grams.map { case (id, w1, s) =>
+      (id, hash(w1) % buckets, hash(s) % buckets)
+    }
+    val cc = withB.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cb = withB.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    corpus.map { case (id, _) =>
+      val mine = withB.filter(_._1 == id)
+      val n = mine.size.toLong
+      val sum = mine.map { case (_, c, b) =>
+        BigDecimal((cc(c) + buckets).toDouble / (cb(b) + 1).toDouble * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      id -> ((n, sum, if (n == 0) 0L else sum / n))
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    1L -> "the cat sat on the mat",
+    2L -> "the cat sat on the rug",
+    3L -> "the dog sat on the mat",
+    4L -> "zyx qwv plk mjn bgt", // gibberish: every transition unique
+    5L -> "one", //  single token: no bigrams
+    6L -> "") //    empty: no tokens
+
+  test("replay matches the in-memory twin (several bucket counts)") {
+    for (b <- Seq(7, 64, 4096)) {
+      assert(run(corpus, b) === reference(corpus, b), s"buckets=$b")
+    }
+  }
+
+  test("gibberish scores strictly higher mean inverse probability than fluent text") {
+    val scores = run(corpus, 4096)
+    val fluent = Seq(1L, 2L, 3L).map(scores(_)._3).max
+    assert(scores(4L)._3 > fluent,
+      s"unique transitions must out-surprise repeated ones: ${scores.toSeq.sortBy(_._1)}")
+  }
+
+  test("degenerate docs: <2 tokens yields zero bigrams and zero score") {
+    val scores = run(corpus, 64)
+    assert(scores(5L) === ((0L, 0L, 0L)))
+    assert(scores(6L) === ((0L, 0L, 0L)))
+  }
+
+  test("guards and plan shape: count tables broadcast, no cartesian") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      LanguageModel.bigramSurprisal(corpus.toDF("doc_id", "text"), "text", 0))
+    val plan = LanguageModel.bigramSurprisal(corpus.toDF("doc_id", "text"), "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the O(B) count tables must broadcast:\n$plan")
+  }
+}
