@@ -38,8 +38,8 @@ import Storage.checkpointRdds
   *
   * Overflow bound: `rank_src * w` must stay inside Int64 —
   * rank_src <= V * 1e6 (total mass), so weights up to ~9e18/(V*1e6)
-  * are safe (w <= 9e6 even at V = 1e6 nodes); `require`d below on the
-  * aggregate scale the caller declares.
+  * are safe (w <= 9e6 even at V = 1e6 nodes); `require`d in
+  * [[pageRank]] via an O(1)-row max-weight aggregate before the loop.
   */
 object Graph {
 
@@ -77,6 +77,16 @@ object Graph {
         .distinct())
       val nNodes = nodes.count()
       require(nNodes > 0, "pageRank needs at least one positive-weight edge")
+      // the documented Int64 bound, enforced: any rank is at most the
+      // total mass V·1e6 (mass is conserved up to floor loss), so the
+      // per-edge product rank_src·w stays exact iff
+      // V·1e6·max(w) < 2^63. One O(1)-row aggregate over the already
+      // checkpointed edge frame — constant cost, corpus-independent.
+      val maxW = e.agg(max(col("w"))).head.getLong(0)
+      require(
+        BigInt(nNodes) * BigInt(1000000L) * BigInt(maxW) < BigInt(Long.MaxValue),
+        s"pageRank exact-integer contract: nNodes($nNodes) * 1e6 * maxWeight($maxW) " +
+          "must stay below 2^63; rescale weights first")
       val teleport = 1000000L - dampingMicro
       // out-weight per source; nodes absent here are dangling
       val outW = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))

@@ -14,19 +14,29 @@ object Pipeline9 {
 
   def all: Seq[QueryDef] = Seq(c02, t19, t20, p18)
 
+  /** Damping constants for c02 — the SINGLE source of truth for both
+    * the Spark call (passed as `dampingMicro`) and the generated
+    * oracle CTEs, so the two sides cannot silently diverge. */
+  private val DampingMicro = 850000L
+  private val TeleportMicro = 1000000L - DampingMicro
+
   /** One damped PageRank iteration as a DuckDB CTE triple — the
     * exact-integer twin of [[graft.operators.Graph.rankStep]]:
     * per-edge floor-divided contributions, summed inflow, dangling
     * mass spread uniformly (floor), then
-    * teleport + (d · (inflow + dshare)) // 1e6. */
-  private def prStep(k: Int): String = {
+    * teleport + (d · (inflow + dshare)) // 1e6. Every aggregate is
+    * CAST back to BIGINT: DuckDB `sum(BIGINT)` returns HUGEINT, and
+    * an uncast dshare propagated int128 through every later round
+    * into the result column (the round-9 c02 hash failure — values
+    * identical, type wrong). */
+  private def prStep(k: Int, dampingMicro: Long, teleportMicro: Long): String = {
     val p = s"r${k - 1}"
     s"""i$k AS (SELECT ew.dst AS id, CAST(sum((p.r * ew.w) // ew.ow) AS BIGINT) AS inflow
                 FROM ew JOIN $p p ON ew.src = p.id GROUP BY 1),
-        d$k AS (SELECT COALESCE((SELECT sum(p.r) FROM $p p SEMI JOIN dang g ON p.id = g.id), 0)
-                  // (SELECT n FROM nn) AS dshare),
+        d$k AS (SELECT CAST(COALESCE((SELECT sum(p.r) FROM $p p SEMI JOIN dang g ON p.id = g.id), 0)
+                  // (SELECT n FROM nn) AS BIGINT) AS dshare),
         r$k AS (SELECT n.id,
-                  150000 + (850000 * (COALESCE(i.inflow, 0) + (SELECT dshare FROM d$k))) // 1000000 AS r
+                  CAST($teleportMicro + ($dampingMicro * (COALESCE(i.inflow, 0) + (SELECT dshare FROM d$k))) // 1000000 AS BIGINT) AS r
                 FROM nodes n LEFT JOIN i$k i ON n.id = i.id)"""
   }
 
@@ -51,7 +61,8 @@ object Pipeline9 {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
-      Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 5,
+          dampingMicro = DampingMicro)
         .join(Tables.nation(s, d), col("id") === col("n_nationkey"))
         .select(col("id").as("nation_id"), col("n_name").as("nation"),
           col("rank_micro"))
@@ -70,7 +81,7 @@ object Pipeline9 {
       ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.id),
       dang AS (SELECT n.id FROM nodes n ANTI JOIN outw o ON n.id = o.id),
       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-      ${(1 to 5).map(prStep).mkString(",\n      ")}
+      ${(1 to 5).map(prStep(_, DampingMicro, TeleportMicro)).mkString(",\n      ")}
       SELECT r5.id AS nation_id, nat.n_name AS nation, r5.r AS rank_micro
       FROM r5 JOIN nation nat ON r5.id = nat.n_nationkey
       ORDER BY nation_id"""))

@@ -54,6 +54,17 @@ def main():
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
             n_fail += 1; continue
+        # The driver's hash is TYPE-sensitive (r9 lesson: an uncast
+        # DuckDB sum() promoted BIGINT->HUGEINT and failed the driver
+        # hash on value-identical results). Mirror that: numeric kind
+        # AND width must match exactly; HUGEINT surfaces as float64 or
+        # object against Spark's int64 and fails here.
+        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                  if g[c].dtype.kind != e[c].dtype.kind
+                  or (g[c].dtype.kind in "iuf" and g[c].dtype != e[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash is type-sensitive) {dt_bad}")
+            n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rowcount spark={len(g)} oracle={len(e)}")
             n_fail += 1; continue
