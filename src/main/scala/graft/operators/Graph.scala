@@ -125,8 +125,10 @@ object Graph {
 
   /** One damped iteration: exact-integer inflow + dangling
     * redistribution + teleport. Kept separate so the arithmetic reads
-    * like the oracle's unrolled CTE. */
-  private def rankStep(ew: DataFrame, ranks: DataFrame, nodes: DataFrame,
+    * like the oracle's unrolled CTE. package-private: PlanAuditSpec
+    * audits the per-round join shape here (the public loop
+    * checkpoints each round, collapsing it to a LogicalRDD). */
+  private[graft] def rankStep(ew: DataFrame, ranks: DataFrame, nodes: DataFrame,
       danglers: DataFrame, nNodes: Long, dampingMicro: Long,
       teleport: Long): DataFrame = {
     val inflow = ew.join(ranks, ew("src") === ranks("id"))

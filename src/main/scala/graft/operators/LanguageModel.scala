@@ -37,20 +37,91 @@ import org.apache.spark.sql.functions._
   *  - both count tables are O(B) and BROADCAST: the scoring pass is
   *    a map-side join over the exploded corpus followed by ONE
   *    doc-keyed partially aggregated shuffle;
-  *  - pure plan builder — lazy, no action, no driver state.
+  *  - [[bigramSurprisal]] is a pure plan builder — lazy, no action,
+  *    no driver state. To score many batches (or held-out corpora)
+  *    under one model, fit the [[BigramModel]] artifact ONCE
+  *    ([[fitBigramModel]]: a single corpus pass producing BOTH count
+  *    tables) and feed [[bigramSurprisalWith]] — the
+  *    [[Dedup.fitMinhashSignatures]] / [[Bpe.fit]] fit-once
+  *    discipline; at 100 TB the model fit dwarfs any scoring batch.
   */
 object LanguageModel {
+
+  /** The fitted model — ONE checkpointed O(2B) table
+    * (`kind`, `bucket`, `n`): kind 0 rows are context-bucket counts
+    * c(w1 ·), kind 1 rows bigram-bucket counts c(w1 w2). Built by a
+    * single corpus pass in [[fitBigramModel]]; consumed lazily (and
+    * broadcast) by any number of [[bigramSurprisalWith]] calls.
+    * Caller owns the blocks: materialize every consumer result
+    * BEFORE [[release]] (the [[Storage]] ownership contract). */
+  final case class BigramModel private[graft] (buckets: Int, counts: DataFrame) {
+    /** context-bucket counts (`ctx_b`, `cc`) — lazy view over the
+      * checkpoint. */
+    def cc: DataFrame =
+      counts.filter(col("kind") === 0)
+        .select(col("bucket").as("ctx_b"), col("n").as("cc"))
+    /** bigram-bucket counts (`big_b`, `cb`) — lazy view over the
+      * checkpoint. */
+    def cb: DataFrame =
+      counts.filter(col("kind") === 1)
+        .select(col("bucket").as("big_b"), col("n").as("cb"))
+    /** free the model's checkpoint blocks; consumers must not run
+      * afterwards. */
+    def release(): Unit = Storage.release(counts)
+  }
+
+  /** Fit ONCE: both count tables in a SINGLE corpus pass — each gram
+    * explodes to its (context, bigram) bucket pair and one
+    * (kind, bucket)-keyed map-side-combined aggregation produces the
+    * O(2B) table, checkpointed. ([[bigramSurprisal]]'s inline lazy
+    * plan walks the corpus once per count table; the artifact halves
+    * that AND amortizes it across every scoring batch.) */
+  def fitBigramModel(corpus: DataFrame, textCol: String, buckets: Int): BigramModel = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val counts = Storage.checkpointed(
+      gramsPlan(corpus, textCol, buckets)
+        .selectExpr("explode(array(named_struct('kind', 0, 'bucket', ctx_b), " +
+          "named_struct('kind', 1, 'bucket', big_b))) AS e")
+        .selectExpr("e.kind AS kind", "e.bucket AS bucket")
+        .groupBy(col("kind"), col("bucket")).agg(count(lit(1)).as("n")))
+    BigramModel(buckets, counts)
+  }
 
   /** Per-document fluency: (`doc_id`, `n_bigrams`,
     * `surprisal_micro` = Σ micro(1/p), `mean_inv_micro` =
     * surprisal_micro div n_bigrams). Docs with fewer than 2 tokens
-    * have no bigrams and score 0. */
+    * have no bigrams and score 0. Fits the model on `corpus` itself
+    * (lazy, self-contained); to reuse one model across batches, see
+    * [[fitBigramModel]] + [[bigramSurprisalWith]]. */
   def bigramSurprisal(corpus: DataFrame, textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    // explode_outer + post-Generate filter: a plain explode makes the
-    // optimizer infer a size(...)>0 PRE-filter duplicating the whole
-    // tokenize+shingle expression below the Generate (the t05 lesson)
-    val grams = corpus
+    val grams = gramsPlan(corpus, textCol, buckets)
+    val cc = grams.groupBy(col("ctx_b")).agg(count(lit(1)).as("cc"))
+    val cb = grams.groupBy(col("big_b")).agg(count(lit(1)).as("cb"))
+    scoreTail(corpus, grams, cc, cb, buckets)
+  }
+
+  /** The [[bigramSurprisal]] scoring plan for `corpus` under an
+    * ALREADY-FITTED model — LAZY, no corpus pass beyond the scoring
+    * read itself. The scored corpus need not be the fitted corpus
+    * (held-out batches score under the training distribution);
+    * buckets the fit never saw take c = 0 via the left joins —
+    * add-one smoothing handles them by construction
+    * (1/p = (0 + B) / (0 + 1)). Materialize the result before
+    * [[BigramModel.release]]. */
+  def bigramSurprisalWith(model: BigramModel, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val grams = gramsPlan(corpus, textCol, model.buckets)
+    scoreTail(corpus, grams, model.cc, model.cb, model.buckets)
+  }
+
+  /** hashed (doc_id, ctx_b, big_b) gram stream.
+    * explode_outer + post-Generate filter: a plain explode makes the
+    * optimizer infer a size(...)>0 PRE-filter duplicating the whole
+    * tokenize+shingle expression below the Generate (the t05
+    * lesson). */
+  private def gramsPlan(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
+    corpus
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id",
         s"explode_outer(${TextOps.shingles("t", 2)}) AS s")
@@ -58,13 +129,19 @@ object LanguageModel {
       .selectExpr("doc_id",
         s"${TextOps.strHash("substring_index(s, ' ', 1)")} % $buckets AS ctx_b",
         s"${TextOps.strHash("s")} % $buckets AS big_b")
-    val cc = grams.groupBy(col("ctx_b")).agg(count(lit(1)).as("cc"))
-    val cb = grams.groupBy(col("big_b")).agg(count(lit(1)).as("cb"))
+
+  /** the shared scoring tail: broadcast count joins (LEFT — unseen
+    * buckets count 0), IEEE-exact inverse-probability division,
+    * micro-quantize, doc-keyed exact sums, 0-fill for bigram-less
+    * docs. */
+  private def scoreTail(corpus: DataFrame, grams: DataFrame,
+      cc: DataFrame, cb: DataFrame, buckets: Int): DataFrame = {
     val perDoc = grams
-      .join(broadcast(cc), Seq("ctx_b"))
-      .join(broadcast(cb), Seq("big_b"))
+      .join(broadcast(cc), Seq("ctx_b"), "left")
+      .join(broadcast(cb), Seq("big_b"), "left")
       .selectExpr("doc_id",
-        s"cast(round(cast(cc + $buckets as double) / cast(cb + 1 as double) " +
+        s"cast(round(cast(coalesce(cc, cast(0 as bigint)) + $buckets as double) " +
+          "/ cast(coalesce(cb, cast(0 as bigint)) + 1 as double) " +
           "* 1000000) as bigint) AS inv_micro")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("inv_micro")).as("surprisal_micro"))

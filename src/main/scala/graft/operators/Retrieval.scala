@@ -42,16 +42,64 @@ import org.apache.spark.sql.functions._
   *    top-k: a per-query window (candidates per query are bounded by
   *    the query's posting lists, and queries parallelize across
   *    partitions).
-  *  - Pure plan builder — lazy, no action, no driver state.
+  *  - [[bm25TopK]] is a pure plan builder — lazy, no action, no
+  *    driver state. At index scale, fit the [[PostingsIndex]]
+  *    artifact ONCE ([[fitPostings]]: one corpus pass, checkpointed)
+  *    and run every query batch through [[bm25TopKWith]] — the
+  *    index build dwarfs any single query batch at 100 TB, exactly
+  *    the [[Dedup.fitMinhashSignatures]] / [[Bpe.fit]] fit-once
+  *    discipline.
   */
 object Retrieval {
 
-  /** Top-k BM25 retrieval. `corpus` needs (`doc_id`, textCol);
-    * `queries` needs (`q_id`, qTextCol). Query terms are the first
-    * `maxQueryTerms` DISTINCT tokens in lexicographic order —
-    * deterministic in both engines. Empty-token docs are excluded
-    * from the index (they can match nothing); ties in score break by
-    * ascending `doc_id`.
+  /** The fitted retrieval index — postings (`doc_id`, `dl`, `term`,
+    * `tf`), document frequencies (`term`, `df`), and corpus totals
+    * (`n`, `tt`), each lineage-truncated and materialized
+    * (localCheckpoint). Built by ONE corpus pass in [[fitPostings]];
+    * consumed lazily by any number of [[bm25TopKWith]] query batches.
+    * Caller owns the blocks: materialize (or
+    * [[Storage.checkpointed]]) every consumer result BEFORE
+    * [[release]], per the [[Storage]] ownership contract. */
+  final case class PostingsIndex private[graft] (
+      tf: DataFrame, dft: DataFrame, tot: DataFrame) {
+    /** free the index's checkpoint blocks; consumers must not run
+      * afterwards. */
+    def release(): Unit = Seq(tf, dft, tot).foreach(Storage.release)
+  }
+
+  /** Fit ONCE: build the postings/df/totals artifact with a single
+    * corpus pass. The postings table is the only corpus-sized job;
+    * `dft` and `tot` derive from the postings CHECKPOINT (O(postings)
+    * aggregations, no second corpus read — `tot` recovers the
+    * per-doc lengths from the (doc_id, dl) functional dependency).
+    * A failure anywhere releases the partially acquired checkpoints
+    * before rethrowing (the [[Graph.pageRank]] / StorageChaosSpec
+    * discipline). */
+  def fitPostings(corpus: DataFrame, textCol: String): PostingsIndex = {
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    try {
+      val tf = ckpt(tfPlan(corpus, textCol))
+      val dft = ckpt(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      val tot = ckpt(tf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("tt")))
+      PostingsIndex(tf, dft, tot)
+    } catch {
+      case t: Throwable =>
+        acquired.foreach(Storage.release)
+        throw t
+    }
+  }
+
+  /** Top-k BM25 retrieval, self-contained: builds the index plan
+    * inline (lazy, one logical corpus pass) and scores `queries`
+    * against it. `corpus` needs (`doc_id`, textCol); `queries` needs
+    * (`q_id`, qTextCol). Query terms are the first `maxQueryTerms`
+    * DISTINCT tokens in lexicographic order — deterministic in both
+    * engines. Empty-token docs are excluded from the index (they can
+    * match nothing); ties in score break by ascending `doc_id`.
     *
     * Returns (`q_id`, `rnk`, `doc_id`, `score_micro`, `n_terms_hit`).
     */
@@ -62,19 +110,91 @@ object Retrieval {
       qTextCol: String,
       k: Int,
       maxQueryTerms: Int): DataFrame = {
+    val tf = tfPlan(corpus, textCol)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = corpus
+      .selectExpr("doc_id", s"cast(size(${TextOps.tokens(textCol)}) as bigint) AS dl")
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+    scorePlan(tf, dft, tot, queries, qTextCol, k, maxQueryTerms)
+  }
+
+  /** The [[bm25TopK]] scoring plan over a fitted [[PostingsIndex]] —
+    * LAZY (no action, no corpus pass): every query batch reads the
+    * artifact's O(postings) checkpoint blocks instead of re-tokenizing
+    * the corpus. Materialize the result before
+    * [[PostingsIndex.release]]. */
+  def bm25TopKWith(
+      index: PostingsIndex,
+      queries: DataFrame,
+      qTextCol: String,
+      k: Int,
+      maxQueryTerms: Int): DataFrame =
+    scorePlan(index.tf, index.dft, index.tot, queries, qTextCol, k, maxQueryTerms)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009
+    * — public method) over any number of per-query rankings: each
+    * list contributes 1/(k0 + rank) for every (query, doc) it ranks,
+    * and documents re-rank by the summed contribution — the standard
+    * way to combine keyword ([[bm25TopK]]) and embedding
+    * ([[Similarity.cosineTopKFor]]) retrieval without score
+    * calibration (ranks are comparable; raw scores are not).
+    *
+    * Determinism contract: each contribution is the exact integer
+    * `1e6 div (k0 + rank)` — floor division of exactly-representable
+    * BIGINTs, identical in both engines — and per-(query, doc) totals
+    * are order-insensitive exact BIGINT sums. Ties break by ascending
+    * `doc_id`.
+    *
+    * 100 TB shape: the input rankings are top-k bounded (k rows per
+    * query per list), so the fusion is a union-all + ONE
+    * (q_id, doc_id)-keyed partially aggregated shuffle over
+    * O(queries · k · lists) rows + a per-query window — the corpus
+    * itself is never touched. Pure plan builder — lazy.
+    *
+    * Every input needs columns (`q_id`, `doc_id`, `rnk` starting at
+    * 1). Returns (`q_id`, `rnk`, `doc_id`, `rrf_micro`, `n_lists`).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
     require(k >= 1, s"k must be >= 1, got $k")
-    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1, got $maxQueryTerms")
-    val docs = corpus
+    val fused = rankings
+      .map(_.selectExpr("q_id", "doc_id",
+        s"cast(1000000 as bigint) div cast($k0 + rnk as bigint) AS contrib"))
+      .reduce(_ unionAll _)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    import org.apache.spark.sql.expressions.Window
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf_micro"),
+        col("n_lists"))
+  }
+
+  /** postings plan: (`doc_id`, `dl`, `term`, `tf`) — dl rides the
+    * grouping key (functionally dependent on doc_id) so no second
+    * join against a doc-length table is needed. */
+  private def tfPlan(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id", "t", "cast(size(t) as bigint) AS dl")
       .filter(col("dl") > 0)
-    // dl rides the grouping key (functionally dependent on doc_id) so
-    // no second join against the doc-length table is needed
-    val tf = docs.selectExpr("doc_id", "dl", "explode(t) AS term")
+      .selectExpr("doc_id", "dl", "explode(t) AS term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tot = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+
+  /** the shared scoring tail: vocabulary-pruning query⋈df join,
+    * postings join, broadcast totals, exact-rational core + Padé idf,
+    * micro-quantized per-(q, doc) sums, per-query top-k window. */
+  private def scorePlan(tf: DataFrame, dft: DataFrame, tot: DataFrame,
+      queries: DataFrame, qTextCol: String, k: Int,
+      maxQueryTerms: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1, got $maxQueryTerms")
     val qt = queries.selectExpr("q_id",
       s"explode(slice(array_sort(array_distinct(${TextOps.tokens(qTextCol)})), " +
         s"1, $maxQueryTerms)) AS term")

@@ -37,9 +37,17 @@ object Similarity {
 
   /** Brute-force exact top-k neighbors for each query vector
     * (queries = vec_id < nQueries), ranked by cosine desc. */
-  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    cosineTopKFor(emb, s"vec_id < $nQueries", k)
+
+  /** [[cosineTopK]] for an ARBITRARY query predicate over `vec_id`
+    * (the fused-retrieval entry point: pick the same query set the
+    * keyword side uses). Queries broadcast against the corpus —
+    * brute-force exact baseline by design; swap in [[ivfTopK]] /
+    * [[lshTopK]] at scale. */
+  def cosineTopKFor(emb: DataFrame, queryPredicate: String, k: Int): DataFrame = {
     val p = prepared(emb).select("vec_id", "v", "nrm")
-    val q = p.filter(col("vec_id") < nQueries)
+    val q = p.filter(expr(queryPredicate))
       .withColumnRenamed("vec_id", "q_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
     val scored = broadcast(q).join(p, col("vec_id") =!= col("q_id"))

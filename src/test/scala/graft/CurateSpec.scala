@@ -63,4 +63,48 @@ class CurateSpec extends AnyFunSuite {
     assert(m("curate_cap") == 6L, "domain cap dropped one doc from source a")
     assert(m("curate_gate") == 4L, "quartile gate kept 3 of 4 + 1 of 2")
   }
+
+  test("hashSplit: in-memory hash replay, threshold partition, full coverage") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val out = Curate.hashSplit(ids.toDF("doc_id"), "doc_id", "s1", 800, 100)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val P = 1000000007L
+    def poly(s: String, m: Long) = s.foldLeft(0L)((a, c) => (a * m + c.toLong) % P)
+    def bucket(id: Long) = {
+      val h60 = poly(s"s1:$id", 31) * 1073741824L + poly(s"s1:$id", 131) % 1073741824L
+      (((h60 % 2147483648L) * 2654435761L) % 2147483648L) % 1000L
+    }
+    ids.foreach { id =>
+      val b = bucket(id)
+      val expected = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(out(id) === ((b, expected)), s"id=$id")
+    }
+    assert(out.values.map(_._2).toSet === Set("train", "val", "test"),
+      "200 ids at 80/10/10 must hit all three splits")
+  }
+
+  test("hashSplit: assignment is growth-stable (subset assignments never move) and salt-sensitive") {
+    import spark.implicits._
+    val all = Curate.hashSplit((0L until 100L).toDF("doc_id"), "doc_id", "s1", 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Curate.hashSplit((0L until 50L).toDF("doc_id"), "doc_id", "s1", 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset === all.view.filterKeys(_ < 50L).toMap,
+      "an id's split must not depend on what else is in the corpus")
+    val otherSalt = Curate.hashSplit((0L until 100L).toDF("doc_id"), "doc_id", "s2", 800, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(otherSalt !== all, "a different salt must draw a different split")
+  }
+
+  test("hashSplit: guards and map-only plan") {
+    import spark.implicits._
+    val df = (0L until 10L).toDF("doc_id")
+    intercept[IllegalArgumentException](Curate.hashSplit(df, "doc_id", "s", 900, 200))
+    intercept[IllegalArgumentException](Curate.hashSplit(df, "doc_id", "it's", 800, 100))
+    val plan = Curate.hashSplit(df, "doc_id", "s1", 800, 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit must be a pure projection:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"hashSplit stays native/codegen:\n$plan")
+  }
 }

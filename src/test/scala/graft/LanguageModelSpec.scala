@@ -9,11 +9,18 @@ import graft.operators.LanguageModel
   * degenerate docs, and plan shape. */
 class LanguageModelSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // register the graft_* native expressions explicitly — relying on
+    // an earlier suite having registered them on the shared session
+    // made this spec order-dependent (failed under isolated testOnly)
+    graft.functions.CassFunctions.registerAll(s)
+    s
+  }
 
   private val P = 1000000007L
 
@@ -75,6 +82,31 @@ class LanguageModelSpec extends AnyFunSuite {
     val scores = run(corpus, 64)
     assert(scores(5L) === ((0L, 0L, 0L)))
     assert(scores(6L) === ((0L, 0L, 0L)))
+  }
+
+  test("model artifact: same-corpus scoring matches the self-contained path; held-out slices score under corpus-wide counts") {
+    import spark.implicits._
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val model = LanguageModel.fitBigramModel(corpus.toDF("doc_id", "text"), "text", 64)
+    // consumer 1: whole corpus — must equal bigramSurprisal exactly
+    val whole = LanguageModel.bigramSurprisalWith(
+        model, corpus.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // consumer 2: a held-out slice — counts stay CORPUS-wide, so the
+    // scores must match the whole-corpus run restricted to the slice
+    // (a refit on the slice would differ: doc 1's transitions also
+    // appear in docs 2/3)
+    val slice = corpus.filter(_._1 <= 2L)
+    val held = LanguageModel.bigramSurprisalWith(
+        model, slice.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    model.release()
+    assert(whole === reference(corpus, 64))
+    assert(held === whole.view.filterKeys(_ <= 2L).toMap)
+    assert(held !== reference(slice, 64),
+      "held-out scoring must use the fitted corpus counts, not a slice refit")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"model release leaked: $leaked")
   }
 
   test("guards and plan shape: count tables broadcast, no cartesian") {

@@ -352,6 +352,95 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p16.contains("CartesianProduct"), s"p16 must not plan a cartesian:\n$p16")
   }
 
+  test("round-9 part-4 shapes (c02 equi-only rank step, t19 pruned equi retrieval, t20 broadcast counts, p18 no cartesian)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sfDir)
+    // c02's per-round step through the package-private builder (the
+    // registered query's pageRank checkpoints eagerly, collapsing the
+    // interesting joins into LogicalRDDs): rank⋈edges must stay an
+    // equi-join, the O(1)-row dangling aggregate must BROADCAST back
+    val edges = spark.range(1, 200)
+      .selectExpr("id AS src", "(id * 7) % 211 AS dst", "1L AS w")
+    val ew = edges.join(
+      edges.groupBy(col("src")).agg(org.apache.spark.sql.functions.sum(col("w")).as("ow")),
+      Seq("src"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
+    val danglers = nodes.join(ew.select(col("src").as("id")), Seq("id"), "left_anti")
+    val c02 = finalPlan(operators.Graph.rankStep(
+      ew, ranks, nodes, danglers, 211L, 850000L, 150000L))
+    assert(!c02.contains("CartesianProduct"),
+      s"rank step must stay equi (the 1-row dangling frame broadcasts):\n$c02")
+    assert(c02.contains("BroadcastHashJoin") || c02.contains("BroadcastNestedLoopJoin"),
+      s"the dangling-mass aggregate must broadcast back:\n$c02")
+    assert(!c02.contains("ScalaUDF"), s"c02 arithmetic stays native:\n$c02")
+    // t19's lazy retrieval plan: query terms prune the vocabulary
+    // through equi-joins only; the 1-row totals broadcast
+    val t19 = finalPlan(operators.Retrieval.bm25TopK(
+      docs, "text",
+      docs.filter(col("doc_id") % 100 === 7).select(col("doc_id").as("q_id"), col("text")),
+      "text", 5, 6))
+    assert(!t19.contains("CartesianProduct"),
+      s"bm25 must never cross-join beyond the broadcast 1-row totals:\n$t19")
+    assert(t19.contains("BroadcastHashJoin") || t19.contains("BroadcastNestedLoopJoin"),
+      s"bm25 corpus totals must broadcast:\n$t19")
+    assert(!t19.contains("ScalaUDF"), s"t19 stays native/codegen:\n$t19")
+    // t20 at table scale: both O(B) count tables reach the exploded
+    // corpus as broadcasts; one doc-keyed shuffle afterwards
+    val t20 = finalPlan(operators.LanguageModel.bigramSurprisal(docs, "text", 4096))
+    assert(t20.contains("BroadcastHashJoin"),
+      s"t20 count tables must broadcast onto the gram stream:\n$t20")
+    assert(!t20.contains("CartesianProduct"), s"t20 must stay equi:\n$t20")
+    // p18 composed build: gate window + broadcast semi/anti + explode,
+    // never a cartesian or nested-loop join
+    val p18 = finalPlan(queries.Pipeline9.p18.run(spark, sfDir))
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
+      s"p18's decontamination joins must stay equi:\n$p18")
+    assert(!p18.contains("ScalaUDF"), s"p18 stays native/codegen:\n$p18")
+  }
+
+  test("round-10 artifact consumers (t21 bm25TopKWith, t22 bigramSurprisalWith) stay equi/broadcast over the checkpoints") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    // t21: the consumer plan reads the index checkpoint through
+    // equi-joins with the broadcast totals — fit, audit, release
+    val idx = operators.Retrieval.fitPostings(docs, "text")
+    try {
+      val t21 = finalPlan(operators.Retrieval.bm25TopKWith(
+        idx,
+        docs.filter(col("doc_id") % 100 === 13).select(col("doc_id").as("q_id"), col("text")),
+        "text", 5, 6))
+      assert(!t21.contains("CartesianProduct"),
+        s"artifact-served bm25 must stay equi:\n$t21")
+      assert(t21.contains("BroadcastHashJoin") || t21.contains("BroadcastNestedLoopJoin"),
+        s"artifact totals must broadcast:\n$t21")
+    } finally idx.release()
+    // t22: the held-out scoring pass joins the O(2B) model checkpoint
+    // as broadcasts — a shuffled join here would shuffle every gram
+    val model = operators.LanguageModel.fitBigramModel(docs, "text", 4096)
+    try {
+      val t22 = finalPlan(operators.LanguageModel.bigramSurprisalWith(
+        model, docs.filter(col("doc_id") % 5 === 0), "text"))
+      assert(t22.contains("BroadcastHashJoin"),
+        s"model count tables must broadcast onto the gram stream:\n$t22")
+      assert(!t22.contains("CartesianProduct"), s"t22 must stay equi:\n$t22")
+    } finally model.release()
+    // t23: the fusion tail is a bounded union + ONE partial-agg
+    // shuffle + window — never a cartesian (the embedding side's
+    // broadcast nested-loop is the documented brute baseline)
+    val t23 = finalPlan(queries.Pipeline10.t23.run(spark, sfDir))
+    assert(!t23.contains("CartesianProduct"),
+      s"rrf fusion must never plan a cartesian:\n$t23")
+    assert(!t23.contains("ScalaUDF"), s"t23 stays native/codegen:\n$t23")
+    // p19: pure projection + the final presentation sort only
+    val p19 = finalPlan(queries.Pipeline10.p19.run(spark, sfDir))
+    val p19Final = p19.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(p19Final).length <= 1,
+      s"p19 must not shuffle before the presentation sort:\n$p19")
+    assert(!p19.contains("ScalaUDF"), s"p19 stays native/codegen:\n$p19")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

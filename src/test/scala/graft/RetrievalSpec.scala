@@ -107,6 +107,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(Seq(31L -> "; ;; ,,"), 5, 6).isEmpty)
   }
 
+  test("postings artifact: bm25TopKWith matches the self-contained path; release returns storage to baseline") {
+    import spark.implicits._
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val qs = Seq(10L -> "quick brown fox", 11L -> "qubits bits", 12L -> "dog")
+    val idx = Retrieval.fitPostings(corpus.toDF("doc_id", "text"), "text")
+    // TWO consumers of ONE fit — different k/maxTerms, same index
+    val a = Retrieval.bm25TopKWith(idx, qs.toDF("q_id", "text"), "text", 5, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val b = Retrieval.bm25TopKWith(idx, qs.toDF("q_id", "text"), "text", 2, 1)
+      .collect()
+    idx.release()
+    assert(a.toSeq.sortBy(r => (r._1, r._2)) ===
+      run(qs, 5, 6).toSeq.sortBy(r => (r._1, r._2)),
+      "artifact-served scores must equal the self-contained plan's")
+    assert(b.nonEmpty && b.forall(_.getLong(1) <= 2))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"index release leaked: $leaked")
+  }
+
+  test("rrfFuse: exact integer contributions, cross-list sums, tie-breaks, top-k cap") {
+    import spark.implicits._
+    // doc 100 ranks 1st in A and 2nd in B; doc 200 ranks 2nd in A
+    // only; doc 300 ranks 1st in B only
+    val a = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((1L, 300L, 1L), (1L, 100L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val res = Retrieval.rrfFuse(Seq(a, b), k0 = 60, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def c(r: Long) = 1000000L / (60L + r)
+    assert(res.toSeq.sortBy(_._1) === Seq(
+      (1L, 100L, c(1) + c(2), 2L),  // both lists: 16393 + 16129
+      (2L, 300L, c(1), 1L),         // single list, rank 1: 16393
+      (3L, 200L, c(2), 1L)),        // single list, rank 2: 16129
+      s"got ${res.toSeq}")
+  }
+
+  test("rrfFuse: ties break by ascending doc_id; k caps output; guards reject bad args") {
+    import spark.implicits._
+    val a = Seq((1L, 5L, 1L), (1L, 3L, 1L)).toDF("q_id", "doc_id", "rnk")
+    val res = Retrieval.rrfFuse(Seq(a), 60, 1).collect()
+    assert(res.length === 1 && res.head.getLong(2) === 3L,
+      "equal contributions must keep the smaller doc_id first")
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, 60, 5))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), 0, 5))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), 60, 0))
+  }
+
   test("plan shape: equi-joins only besides the 1-row totals broadcast") {
     import spark.implicits._
     val df = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "text",
