@@ -69,9 +69,36 @@ object Bench {
         .selectExpr("sum(sh) AS s", "sum(n) AS m").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibPre = (1 to iters).map(_ => calibOnce()).min
-    val results = SparkEntry.registry.sortBy(_.name).map { q =>
-      val times = (1 to iters).map { _ =>
+    // converge the anchor BEFORE timing (VERDICT r9 #3): r9 measured
+    // pre=2.751s vs post=0.580s — the box is ~4.7x slower at sweep
+    // start, so a fixed warmup under-warms and whichever queries run
+    // first eat the cold window. Repeat the anchor until two
+    // consecutive runs agree within 10% (bounded at 12 attempts so a
+    // genuinely noisy box can't spin forever).
+    def calibConverged(): (Double, Int) = {
+      var prev = calibOnce()
+      var cur = calibOnce()
+      var n = 2
+      while (n < 12 && math.abs(cur - prev) / math.max(cur, prev) > 0.10) {
+        prev = cur; cur = calibOnce(); n += 1
+      }
+      (math.min(prev, cur), n)
+    }
+    val (calibPre, calibWarmRuns) = calibConverged()
+    System.err.println(f"[bench] calib converged after $calibWarmRuns runs: $calibPre%.3fs")
+    // per-rep SEEDED random query order (VERDICT r9 #3): with a fixed
+    // alphabetical order any residual drift inflates one alphabet
+    // range systematically (r9's c01 regression was exactly this).
+    // A different deterministic permutation per rep means no query
+    // sits in the same thermal/GC window every rep, so the per-query
+    // MIN over reps is order-debiased while the run stays replayable.
+    val reg = SparkEntry.registry.sortBy(_.name)
+    val timesByName =
+      scala.collection.mutable.Map.empty[String, Vector[(Double, Long)]]
+    val calibMids = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 1 to iters) {
+      val order = new scala.util.Random(0x9E3779B97F4A7C15L + rep).shuffle(reg)
+      for (q <- order) {
         val t0 = System.nanoTime()
         val n = try {
           val df = q.run(spark, sfDir)
@@ -79,19 +106,26 @@ object Bench {
           // (dedup/similarity operators materialize-and-release their
           // intermediates internally now; the RESULT blocks are the
           // caller's to release) so storage doesn't accumulate across
-          // the 90-query registry and evict/thrash later queries —
-          // release in a finally so a failing count() can't leak them
-          // for the rest of the run (clearCache() only clears
-          // CacheManager entries, never checkpoint blocks).
+          // the registry and evict/thrash later queries — release in
+          // a finally so a failing count() can't leak them for the
+          // rest of the run (clearCache() only clears CacheManager
+          // entries, never checkpoint blocks).
           // NOTE: since round 8 every iteration pays the full
           // signature recompute — operators no longer leave a warm
           // cache behind — so per-query min is the true cold-run cost.
           try df.count()
           finally graft.operators.Storage.release(df)
         } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        timesByName(q.name) = timesByName.getOrElse(q.name, Vector()) :+ ((dt, n))
       }
       spark.catalog.clearCache()
+      // interleaved anchor: one calibration point per rep bounds the
+      // drift WITHIN the sweep, not just at its ends
+      calibMids += calibOnce()
+    }
+    val results = reg.map { q =>
+      val times = timesByName(q.name)
       val best = times.map(_._1).min
       val med = times.map(_._1).sorted.apply(times.length / 2)
       System.err.println(
@@ -115,7 +149,8 @@ object Bench {
     val calibPost = (1 to iters).map(_ => calibOnce()).min
     val calib = math.min(calibPre, calibPost)
     System.err.println(
-      f"[bench] calib pre=$calibPre%.3fs post=$calibPost%.3fs min=$calib%.3fs")
+      f"[bench] calib pre=$calibPre%.3fs post=$calibPost%.3fs min=$calib%.3fs " +
+        s"mids=${calibMids.map(v => f"$v%.3f").mkString(",")}")
     val total = results.map(_._2).sum
     // full-fidelity per-query record (full names, min+median, rows,
     // iteration count) goes to a FILE — the stdout tail capture is
@@ -127,7 +162,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)}},"queries":$detail}\n"""
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)},"warm_runs":$calibWarmRuns,"mids":[${calibMids.map(r(_, 3)).mkString(",")}]},"queries":$detail}\n"""
         .getBytes("UTF-8"))
     // collisions fall back to the full name so the map is always 1:1
     // with the registry (see shortId)

@@ -278,7 +278,8 @@ object GraftSSTable {
       numFiles: Int = 1,
       compress: Boolean = false,
       chunkLength: Int = 65536,
-      codec: String = "LZ4Compressor"): Unit = {
+      codec: String = "LZ4Compressor",
+      writeIndex: Boolean = false): Unit = {
     val out = outDir
     val ver = version
     val ds = dataset
@@ -288,23 +289,53 @@ object GraftSSTable {
       spark.sessionState.newHadoopConf())
     val jobId = java.util.UUID.randomUUID().toString
     TaskCommit.preClean(hconf.value, out, (0 until numFiles).flatMap(i => Seq(
-      f"$ds-$ver-$i%010d-Data.db", f"$ds-$ver-$i%010d-CompressionInfo.db")))
+      f"$ds-$ver-$i%010d-Data.db", f"$ds-$ver-$i%010d-CompressionInfo.db",
+      f"$ds-$ver-$i%010d-Index.db")))
     rows.toDF("key", "deletedAt", "columns")
       .repartitionByRange(numFiles, col("key"))
       .sortWithinPartitions(col("key"))
       .as(org.apache.spark.sql.Encoders.product[CompactedRow])
       .rdd
       .mapPartitionsWithIndex { (idx, it) =>
-        // both files are written attempt-private and published by
+        // all files are written attempt-private and published by
         // rename at task commit; name order puts the CompressionInfo
-        // sidecar in place before its Data.db
+        // and Index sidecars in place before their Data.db
         TaskCommit.withTaskAttemptDir(hconf.value, out, jobId) { (fs, dir) =>
           val path = new org.apache.hadoop.fs.Path(dir, f"$ds-$ver-$idx%010d-Data.db")
           val raw = new java.io.BufferedOutputStream(fs.create(path, true))
           val v = SSTableVersion(ver)
           val cos = if (compress) Some(new CompressionOutputStream(raw, chunkLength, cdc)) else None
-          val os = new java.io.DataOutputStream(cos.getOrElse(raw))
-          it.foreach(row => SSTableWriter.writeRow(os, row, v))
+          // the Index.db sidecar records each row's offset in
+          // UNCOMPRESSED space (the scanner's IndexScanner contract —
+          // for compressed tables the split planner maps those to
+          // chunk boundaries), so the counter sits ABOVE the
+          // compressor on the plain byte stream
+          var uPos = 0L
+          val target: java.io.OutputStream = cos.getOrElse(raw)
+          val counted = new java.io.OutputStream {
+            override def write(b: Int): Unit = { target.write(b); uPos += 1 }
+            override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+              target.write(b, off, len); uPos += len
+            }
+            override def flush(): Unit = target.flush()
+            override def close(): Unit = target.close()
+          }
+          val os = new java.io.DataOutputStream(counted)
+          val ix = if (writeIndex) {
+            val ixPath = new org.apache.hadoop.fs.Path(dir, f"$ds-$ver-$idx%010d-Index.db")
+            Some(new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(ixPath, true))))
+          } else None
+          it.foreach { row =>
+            // entry layout mirrors IndexScanner exactly:
+            // [u16 keyLen][key][i64 dataOffset][i32 promotedLen = 0]
+            ix.foreach { i =>
+              i.writeShort(row.key.length); i.write(row.key)
+              i.writeLong(uPos); i.writeInt(0)
+            }
+            SSTableWriter.writeRow(os, row, v)
+          }
+          ix.foreach(_.close())
           cos.foreach { c =>
             val (dataLength, offsets) = c.finish()
             val ciPath = new org.apache.hadoop.fs.Path(dir,

@@ -12,7 +12,7 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
       Pipeline3.all ++ Pipeline4.all ++ Pipeline5.all ++ Pipeline6.all ++
       Pipeline7.all ++ Pipeline8.all ++ Pipeline9.all ++ Pipeline10.all ++
-      Seq(cassCompaction, cassCompactionTyped, cassDiff)
+      Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed)
 
   /** One shared per-JVM root for the synthetic sstable fixtures below.
     * The fixture bytes are deterministic, so re-writing them on every
@@ -142,6 +142,60 @@ object SparkEntry {
         ('6b31', 'same'), ('6b32', 'changed'), ('6b33', 'removed'),
         ('6b34', 'added')) AS t(key_hex, status)
       ORDER BY key_hex"""))
+
+  /** Compressed write→split→scan→compact round-trip AT BENCH SCALE
+    * (VERDICT r9 next #8): the S4 chunk-aligned compressed-split
+    * improvement (the reference's own wishlist, `README.md:40-41`) was
+    * previously proven byte-identical only on KB-scale fixtures; this
+    * line times it on a ~25 MB two-file LZ4 table written through the
+    * real compressed writer WITH Index.db sidecars, re-read with a
+    * 1 MiB blocksize so the planner must produce chunk-aligned
+    * compressed splits (`multi_split` pins > 1 partitions in the
+    * hash-compared result), compacted distributed, and aggregated.
+    * The oracle REGENERATES the corpus from `range()` and computes the
+    * same aggregates from first principles — so the driver hash proves
+    * the full write+split+decompress+decode+merge path loses nothing. */
+  val cassRoundtripCompressed: QueryDef = QueryDef(
+    "cass_roundtrip_compressed",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.sstable._
+      val nRows = 120000L
+      val dir = new java.io.File(fixtureRoot, "roundtrip-compressed").toString
+      implicit val enc: org.apache.spark.sql.Encoder[CompactedRow] =
+        org.apache.spark.sql.Encoders.product[CompactedRow]
+      val rows = s.range(0L, nRows, 1L, 8).as[Long].map { i =>
+        val cells = (0 until 4).map { j =>
+          CellOut(SSTableFormat.KindColumn, s"c$j".getBytes,
+            (s"v$j-$i" + "x" * ((i + j) % 17).toInt).getBytes,
+            1000L + j, None, None, None)
+        }
+        CompactedRow(f"k$i%07d".getBytes, Long.MinValue, cells)
+      }
+      GraftSSTable.writeSSTable(rows, dir, numFiles = 2, compress = true,
+        chunkLength = 16384, writeIndex = true)
+      val atoms = GraftSSTable.readAtoms(s, dir,
+        Map("blocksize" -> "1048576", "combine" -> "false"))
+      val nParts = atoms.rdd.getNumPartitions
+      GraftSSTable.compact(atoms)
+        .map { r =>
+          (new String(r.key, "UTF-8").drop(1).toLong,
+            r.columns.size.toLong,
+            r.columns.map(_.value.length.toLong).sum)
+        }
+        .toDF("k", "c", "vb")
+        .agg(count(lit(1)).as("rows_n"), sum("c").as("cells_n"),
+          sum("k").as("key_sum"), sum("vb").as("val_bytes"))
+        .withColumn("multi_split", lit(nParts > 1))
+    },
+    Some("""SELECT
+        CAST(120000 AS BIGINT) AS rows_n,
+        CAST(480000 AS BIGINT) AS cells_n,
+        CAST((SELECT sum(i) FROM range(0, 120000) t(i)) AS BIGINT) AS key_sum,
+        CAST((SELECT sum(2 + length(CAST(j AS VARCHAR)) + length(CAST(i AS VARCHAR)) + (i + j) % 17)
+              FROM range(0, 120000) t(i) CROSS JOIN range(0, 4) u(j)) AS BIGINT) AS val_bytes,
+        true AS multi_split"""))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

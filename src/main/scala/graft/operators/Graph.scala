@@ -38,10 +38,48 @@ import Storage.checkpointRdds
   *
   * Overflow bound: `rank_src * w` must stay inside Int64 —
   * rank_src <= V * 1e6 (total mass), so weights up to ~9e18/(V*1e6)
-  * are safe (w <= 9e6 even at V = 1e6 nodes); `require`d in
-  * [[pageRank]] via an O(1)-row max-weight aggregate before the loop.
+  * are safe (w <= 9e6 even at V = 1e6 nodes); `require`d in the shared
+  * prelude via an O(1)-row max-weight aggregate before the loop.
   */
 object Graph {
+
+  /** The materialized prelude shared by both PageRank variants —
+    * collapsed (VERDICT r9 next #7) to TWO checkpointed frames instead
+    * of six. (1) `ew` carries the per-source out-weight as a window
+    * aggregate over the edge frame itself — one shuffle on src, no
+    * separate outW frame and no edge⋈outW join. (2) the node universe
+    * and the dangling flag come from ONE aggregation: sources vote
+    * has_out=true, destinations vote false, max() per id —
+    * `nodes`/`danglers` are then filters over the same checkpoint, not
+    * frames of their own. Also enforces the Int64 overflow contract:
+    * any rank is at most the total mass V·1e6 (mass is conserved up to
+    * floor loss), so the per-edge product rank_src·w stays exact iff
+    * V·1e6·max(w) < 2^63 — one O(1)-row aggregate over the already
+    * checkpointed edge frame. */
+  private case class Prelude(ew: DataFrame, nodeFlags: DataFrame,
+      nodes: DataFrame, danglers: DataFrame, nNodes: Long)
+
+  private def prelude(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, ckpt: DataFrame => DataFrame): Prelude = {
+    val ew = ckpt(edges
+      .selectExpr(s"$srcCol AS src", s"$dstCol AS dst", s"cast($wCol as bigint) AS w")
+      .filter(col("w") > 0)
+      .withColumn("ow",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val nodeFlags = ckpt(
+      ew.select(col("src").as("id"), lit(true).as("has_out"))
+        .union(ew.select(col("dst").as("id"), lit(false).as("has_out")))
+        .groupBy(col("id")).agg(max(col("has_out")).as("has_out")))
+    val nNodes = nodeFlags.count()
+    require(nNodes > 0, "pageRank needs at least one positive-weight edge")
+    val maxW = ew.agg(max(col("w"))).head.getLong(0)
+    require(
+      BigInt(nNodes) * BigInt(1000000L) * BigInt(maxW) < BigInt(Long.MaxValue),
+      s"pageRank exact-integer contract: nNodes($nNodes) * 1e6 * maxWeight($maxW) " +
+        "must stay below 2^63; rescale weights first")
+    Prelude(ew, nodeFlags, nodeFlags.select(col("id")),
+      nodeFlags.filter(!col("has_out")).select(col("id")), nNodes)
+  }
 
   /** Weighted PageRank over a directed edge list. Returns
     * (`id`, `rank_micro`) for every node appearing as a source or
@@ -69,43 +107,17 @@ object Graph {
       val c = Storage.checkpointed(df); acquired += c; c
     }
     try {
-      val e = ckpt(edges
-        .selectExpr(s"$srcCol AS src", s"$dstCol AS dst", s"cast($wCol as bigint) AS w")
-        .filter(col("w") > 0))
-      val nodes = ckpt(e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
-        .distinct())
-      val nNodes = nodes.count()
-      require(nNodes > 0, "pageRank needs at least one positive-weight edge")
-      // the documented Int64 bound, enforced: any rank is at most the
-      // total mass V·1e6 (mass is conserved up to floor loss), so the
-      // per-edge product rank_src·w stays exact iff
-      // V·1e6·max(w) < 2^63. One O(1)-row aggregate over the already
-      // checkpointed edge frame — constant cost, corpus-independent.
-      val maxW = e.agg(max(col("w"))).head.getLong(0)
-      require(
-        BigInt(nNodes) * BigInt(1000000L) * BigInt(maxW) < BigInt(Long.MaxValue),
-        s"pageRank exact-integer contract: nNodes($nNodes) * 1e6 * maxWeight($maxW) " +
-          "must stay below 2^63; rescale weights first")
+      val p = prelude(edges, srcCol, dstCol, wCol, ckpt)
       val teleport = 1000000L - dampingMicro
-      // out-weight per source; nodes absent here are dangling
-      val outW = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
-      val ew = ckpt(e.join(outW, Seq("src"))) // (src, dst, w, ow)
-      // loop-invariant dangling node set (no out-edges), computed once
-      val danglers = ckpt(
-        nodes.join(outW.select(col("src").as("id")), Seq("id"), "left_anti"))
-      // e's blocks are no longer reachable once nodes/outW/ew/danglers
-      // are materialized above
-      Storage.release(e)
-      var ranks = ckpt(nodes.select(col("id"), lit(1000000L).as("rank_micro")))
+      var ranks = ckpt(p.nodes.select(col("id"), lit(1000000L).as("rank_micro")))
       var stale: Seq[RDD[_]] = checkpointRdds(ranks)
       var round = 0
       while (round < iterations) {
         // tracked too: a failure in a LATER round must release the
         // surviving previous-round blocks (re-releasing rounds already
         // freed via `stale` is a no-op)
-        val next = ckpt(
-          rankStep(ew, ranks, nodes, danglers, nNodes, dampingMicro, teleport))
+        val next = ckpt(rankStep(
+          p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
         stale.foreach(_.unpersist(blocking = false))
         stale = checkpointRdds(next)
         ranks = next
@@ -114,13 +126,132 @@ object Graph {
       // the result is materialized — the graph-side blocks are no
       // longer reachable from it and can be freed (the Cluster
       // discipline)
-      Seq(nodes, outW, ew, danglers).foreach(Storage.release)
+      Seq(p.nodeFlags, p.ew).foreach(Storage.release)
       ranks
     } catch {
       case t: Throwable =>
         acquired.foreach(Storage.release)
         throw t
     }
+  }
+
+  /** Convergence-tested PageRank (VERDICT r9 next #6): same
+    * exact-integer arithmetic as [[pageRank]], but the loop stops when
+    * `max |r_t − r_{t−1}|` over all nodes drops below `epsilonMicro`
+    * micro-units — for callers who don't know the graph's mixing time.
+    * `maxRounds` is the runaway valve (the
+    * [[Cluster.connectedComponents]] discipline): hitting it without
+    * converging throws rather than silently returning unconverged
+    * ranks.
+    *
+    * The convergence probe costs one extra equi-join of two V-row rank
+    * frames plus an O(1)-row max aggregate per round — same scale
+    * class as the rank step itself, and because both frames are
+    * checkpointed it never recomputes lineage. Once converged the
+    * result is bit-identical to [[pageRank]] run for the same number
+    * of rounds (pinned by GraphSpec): the rounds are the SAME
+    * computation; only the stopping rule differs.
+    *
+    * @return (ranks, roundsRun)
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      epsilonMicro: Long,
+      maxRounds: Int,
+      dampingMicro: Long = 850000L): (DataFrame, Int) = {
+    require(epsilonMicro >= 1L, s"epsilonMicro must be >= 1, got $epsilonMicro")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(dampingMicro >= 0L && dampingMicro <= 1000000L,
+      s"dampingMicro must be in [0, 1e6], got $dampingMicro")
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    try {
+      val p = prelude(edges, srcCol, dstCol, wCol, ckpt)
+      val teleport = 1000000L - dampingMicro
+      var ranks = ckpt(p.nodes.select(col("id"), lit(1000000L).as("rank_micro")))
+      var stale: Seq[RDD[_]] = checkpointRdds(ranks)
+      var round = 0
+      var delta = Long.MaxValue
+      while (delta >= epsilonMicro && round < maxRounds) {
+        val next = ckpt(rankStep(
+          p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
+        // max |Δ| probe: equi-join of two checkpointed V-row frames on
+        // id (every node appears in both — same node universe), one
+        // O(1)-row aggregate back to the driver's loop condition
+        delta = next.as("a").join(ranks.as("b"), Seq("id"))
+          .selectExpr("abs(a.rank_micro - b.rank_micro) AS d")
+          .agg(max(col("d"))).head.getLong(0)
+        stale.foreach(_.unpersist(blocking = false))
+        stale = checkpointRdds(next)
+        ranks = next
+        round += 1
+      }
+      require(delta < epsilonMicro,
+        s"pageRankConverged: no convergence to $epsilonMicro micro-units " +
+          s"within $maxRounds rounds (last delta = $delta)")
+      Seq(p.nodeFlags, p.ew).foreach(Storage.release)
+      (ranks, round)
+    } catch {
+      case t: Throwable =>
+        acquired.foreach(Storage.release)
+        throw t
+    }
+  }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * (edges may arrive directed/duplicated — they are canonicalized
+    * first). Classic degree-ordered edge orientation (Chiba–Nishizeki
+    * / the "compact-forward" counting scheme, public method): orient
+    * every undirected edge from the endpoint with the smaller
+    * (degree, id) to the larger, enumerate wedges only at each edge's
+    * LOWER endpoint, and close them against the oriented edge list.
+    *
+    * 100 TB shape: orientation bounds every vertex's out-degree by
+    * O(sqrt(E)) on any graph (a vertex with out-degree d has d
+    * neighbors of degree >= its own, so d <= sqrt(2E)), which bounds
+    * the wedge fan-out at O(E^1.5) total — the self-join on the raw
+    * adjacency that a naive count does is O(sum deg^2), unbounded
+    * under skew (one celebrity node = quadratic blowup). All three
+    * steps are shuffle equi-joins; no driver state, no collect.
+    *
+    * Returns (id, tri_n) for EVERY node of the graph, zero included
+    * (each triangle contributes 1 to each of its three corners). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .selectExpr(s"least($srcCol, $dstCol) AS a", s"greatest($srcCol, $dstCol) AS b")
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): strict total order, so every edge gets
+    // exactly one direction and every triangle exactly one apex
+    val dir = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .selectExpr(
+        "IF(da < db OR (da = db AND a < b), a, b) AS u",
+        "IF(da < db OR (da = db AND a < b), b, a) AS v",
+        "IF(da < db OR (da = db AND a < b), db, da) AS dv")
+    // wedges at the apex u, endpoints ordered by the SAME total order
+    // so the closing edge (v1 -> v2) is oriented and a single
+    // equi-join finds it
+    val wedges = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      .join(dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2")), Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tris = wedges
+      .join(dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+    val perNode = tris
+      .selectExpr("explode(array(x, y, z)) AS id")
+      .groupBy(col("id")).agg(count(lit(1)).as("tri_n"))
+    deg.select(col("id")).join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("tri_n"))
   }
 
   /** One damped iteration: exact-integer inflow + dangling

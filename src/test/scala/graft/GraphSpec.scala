@@ -108,6 +108,44 @@ class GraphSpec extends AnyFunSuite {
       "pageRank must not leak checkpoint blocks past release()")
   }
 
+  test("converged variant: identical ranks to the fixed-round form once converged") {
+    import spark.implicits._
+    val edges = ((1L to 15L).map(i => (i, (i * 3) % 15 + 1, i % 4 + 1)) ++
+      Seq((1L, 16L, 2L))).toDF("s", "d", "w") // 16 is dangling
+    val (conv, rounds) = Graph.pageRankConverged(
+      edges, "s", "d", "w", epsilonMicro = 100L, maxRounds = 60)
+    val convMap = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Storage.release(conv)
+    assert(rounds >= 1 && rounds <= 60)
+    // the rounds are the SAME computation; only the stopping rule
+    // differs — replaying the fixed form for the discovered round
+    // count must be bit-identical
+    val fixed = Graph.pageRank(edges, "s", "d", "w", iterations = rounds)
+    val fixedMap = fixed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Storage.release(fixed)
+    assert(convMap === fixedMap)
+    // and one more fixed round moves no rank by >= epsilon
+    val plus1 = Graph.pageRank(edges, "s", "d", "w", iterations = rounds + 1)
+    val plus1Map = plus1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Storage.release(plus1)
+    val maxDelta = convMap.map { case (k, v) => math.abs(plus1Map(k) - v) }.max
+    assert(maxDelta < 100L, s"claimed convergence but next-round delta is $maxDelta")
+  }
+
+  test("converged variant: the maxRounds valve throws instead of returning unconverged ranks") {
+    import spark.implicits._
+    // asymmetric (a uniform cycle would converge in one round): a
+    // chain 1→2→…→30 whose rank front takes many rounds to settle
+    val edges = ((1L until 30L).map(i => (i, i + 1, 1L))).toDF("s", "d", "w")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(edges, "s", "d", "w", epsilonMicro = 1L, maxRounds = 1))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "the valve fires after rounds of checkpointing — those blocks must be released")
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(edges, "s", "d", "w", epsilonMicro = 0L, maxRounds = 5))
+  }
+
   test("failure hygiene: a guard trip after partial checkpointing releases its blocks") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size
