@@ -140,6 +140,82 @@ object Dedup {
         col("shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
       .filter(col("containment") >= threshold)
 
+  /** Weighted (multiset) Jaccard pairs: J_w = Σ min(c1,c2) / Σ max(c1,c2)
+    * over per-doc TOKEN COUNTS — the repetition-aware similarity that
+    * set Jaccard flattens (a doc that repeats one paragraph 50 times
+    * has near-1 set overlap with one copy of the paragraph but low
+    * weighted overlap, and vice versa). Identity used:
+    * Σ max = T1 + T2 − Σ min, so only the shared-term min-sum and the
+    * two total token counts are needed — never a full outer join on
+    * the union vocabulary.
+    *
+    * Candidate pairs come from [[sharedShingleCounts]]'s audited
+    * capped machinery (same df-cap bound as [[ngramJaccardPairs]]);
+    * the min-sum pass is candidate⋈counts equi-joins bounded by
+    * candidates × per-doc vocabulary. EAGER ([[Storage.withCached]]);
+    * release the result via [[Storage.release]]. */
+  def weightedJaccardPairs(docs: DataFrame, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // two shared intermediates (the shingle sets feeding candidate
+    // generation, and the token-count table joined on BOTH pair
+    // sides), so the withCached lifecycle is hand-rolled for a pair
+    // of caches: cache → build → materialize → release both
+    val sets = shingleHashSets(docs, textCol, n)
+    val tc = docs
+      .selectExpr("doc_id", s"explode(${TextOps.tokens(textCol)}) AS term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    sets.cache(); tc.cache()
+    try Storage.checkpointed(weightedJaccardPairsFrom(sets, tc, threshold, maxDocFreq))
+    finally {
+      sets.unpersist(blocking = false); tc.unpersist(blocking = false)
+    }
+  }
+
+  /** the [[weightedJaccardPairs]] plan over already-available shingle
+    * sets + token counts (the lazy builder PlanAuditSpec audits
+    * pre-checkpoint). */
+  private[graft] def weightedJaccardPairsFrom(sets: DataFrame, tc: DataFrame,
+      threshold: Double, maxDocFreq: Int): DataFrame = {
+    val cand = sharedShingleCounts(sets, maxDocFreq).select(col("d1"), col("d2"))
+    val tot = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+    val minsum = cand
+      .join(tc.select(col("doc_id").as("d1"), col("term"), col("c").as("c1")), Seq("d1"))
+      .join(tc.select(col("doc_id").as("d2"), col("term"), col("c").as("c2")),
+        Seq("d2", "term"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(least(col("c1"), col("c2"))).as("minsum"))
+    minsum
+      .join(tot.select(col("doc_id").as("d1"), col("t").as("t1")), Seq("d1"))
+      .join(tot.select(col("doc_id").as("d2"), col("t").as("t2")), Seq("d2"))
+      .withColumn("wjaccard",
+        col("minsum").cast("double") /
+          (col("t1") + col("t2") - col("minsum")).cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("minsum"), col("t1"), col("t2"),
+        col("wjaccard"))
+  }
+
+  /** Per-doc n-gram novelty: the fraction of a doc's distinct shingles
+    * that appear NOWHERE else in the corpus (df = 1), in exact integer
+    * micro units — the inverse-duplication quality signal a curation
+    * pipeline thresholds on (a doc whose every shingle recurs
+    * elsewhere is boilerplate even if no single pair-dedup fires).
+    * 100 TB shape: one explode + one shingle-keyed partial-agg shuffle
+    * for df, one doc-keyed partial-agg back — linear, no pair
+    * generation at all. Docs with no shingles (< n tokens) are
+    * excluded (novelty is undefined). */
+  def noveltyScores(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val ex = shingleHashSets(docs, textCol, n)
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+    val df = ex.groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+    ex.join(df, Seq("sgl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .selectExpr("doc_id", "n_shingles", "n_unique",
+        "(n_unique * 1000000) div n_shingles AS novelty_micro")
+  }
+
   /** Prefix-filtered variant (ppjoin family), exact for Jaccard >= t:
     * with canonically sorted sets, a qualifying pair must share an
     * element within the first |X| - ceil(t*|X|) + 1 elements of BOTH

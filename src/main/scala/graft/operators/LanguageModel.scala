@@ -120,6 +120,58 @@ object LanguageModel {
     * optimizer infer a size(...)>0 PRE-filter duplicating the whole
     * tokenize+shingle expression below the Generate (the t05
     * lesson). */
+  /** Collocation mining: adjacent token pairs ranked by association
+    * LIFT — observed bigram count vs the count independence predicts,
+    * `lift_micro = floor(c_xy · T · 1e6 / (c_x · c_y))` with T = total
+    * tokens (PMI's argument scaled by the constant T_bigrams/T, which
+    * preserves the ranking; no log, so the score stays exact-integer
+    * and hash-comparable across engines). `minCount` suppresses the
+    * noise floor (a pair seen twice can have huge lift by luck);
+    * `topK` with a total ORDER BY (lift desc, x, y) makes the result
+    * deterministic.
+    *
+    * 100 TB shape: one corpus pass to bigram counts (partial-agg
+    * shuffle), unigram counts likewise, two equi-joins on the small
+    * post-minCount survivor set, one top-K sort of that survivor set.
+    * Overflow contract: `c_xy · T` and `lift · c_x · c_y` must stay in
+    * Int64 — require'd on the actual aggregates before scoring
+    * (max(c_xy) · T < 2^63; at larger T rescale via minCount or
+    * sampling first). */
+  def pmiCollocations(corpus: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = corpus.selectExpr(s"${TextOps.tokens(textCol)} AS t")
+      .filter(size(col("t")) >= 2)
+    val bi = Storage.checkpointed(toks
+      .selectExpr("explode(zip_with(slice(t, 1, size(t) - 1), " +
+        "slice(t, 2, size(t) - 1), (x, y) -> struct(x AS x, y AS y))) AS b")
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount))
+    try {
+      val uni = corpus.selectExpr(s"explode(${TextOps.tokens(textCol)}) AS w")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val t = uni.agg(sum(col("c"))).head.getLong(0)
+      val maxCxy = bi.agg(max(col("cxy"))).head.
+        // empty survivor set: nothing to score, nothing to overflow
+        getAs[Any](0) match { case null => 0L; case v: Long => v }
+      require(BigInt(maxCxy) * BigInt(t) * BigInt(1000000L) < BigInt(Long.MaxValue),
+        s"pmiCollocations exact-integer contract: max(cxy)($maxCxy) * T($t) * 1e6 " +
+          "must stay below 2^63; raise minCount or pre-sample")
+      // EAGER (the withCached lifecycle): materialize the top-K before
+      // releasing the bigram checkpoint it reads — the caller owns and
+      // releases the O(topK) result blocks
+      Storage.checkpointed(bi
+        .join(uni.select(col("w").as("x"), col("c").as("cx")), Seq("x"))
+        .join(uni.select(col("w").as("y"), col("c").as("cy")), Seq("y"))
+        .selectExpr("x", "y", "cxy", "cx", "cy",
+          s"(cxy * ${t}L * 1000000L) div (cx * cy) AS lift_micro")
+        .orderBy(col("lift_micro").desc, col("x"), col("y"))
+        .limit(topK))
+    } finally Storage.release(bi)
+  }
+
   private def gramsPlan(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
     corpus
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")

@@ -94,14 +94,20 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"tokenizer release leaked: $leaked")
   }
 
-  test("every round-8/9/10 registered query returns storage to baseline after release") {
+  test("weightedJaccardPairs releases both its shingle-set and token-count caches") {
+    checkHygiene("weightedJaccardPairs")(
+      Dedup.weightedJaccardPairs(docs, "text", 3, 0.1, maxDocFreq = 64))
+  }
+
+  test("every round-8/9/10/11 registered query returns storage to baseline after release") {
     // VERDICT r8 Next #6: the registry-level contract — run each
     // recent-round query the way the bench harness does (terminal
     // action, then Storage.release) and assert the executor's
     // persistent-RDD map is back to its pre-query baseline
     (graft.queries.Pipeline5.all ++ graft.queries.Pipeline6.all ++
       graft.queries.Pipeline7.all ++ graft.queries.Pipeline8.all ++
-      graft.queries.Pipeline9.all ++ graft.queries.Pipeline10.all).foreach { q =>
+      graft.queries.Pipeline9.all ++ graft.queries.Pipeline10.all ++
+      graft.queries.Pipeline11.all).foreach { q =>
       assert(spark.sharedState.cacheManager.isEmpty,
         s"${q.name}: CacheManager dirty before the call")
       val baseRdds = spark.sparkContext.getPersistentRDDs.keySet

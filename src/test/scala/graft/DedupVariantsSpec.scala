@@ -8,11 +8,17 @@ import graft.operators.Dedup
   * pairs as the full count-join (prefix filtering is exact). */
 class DedupVariantsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // explicit: the suite must pass standalone, not only after a suite
+    // that happens to register the graft_* functions first
+    graft.functions.CassFunctions.registerAll(s)
+    s
+  }
 
   test("prefix-filtered jaccard == full candidate jaccard") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -61,5 +67,52 @@ class DedupVariantsSpec extends AnyFunSuite {
     capped.foreach { case (k, (_, _, _, c)) =>
       assert(uncapped(k) == c, s"pair $k differs between capped and exact paths")
     }
+  }
+
+  test("weighted jaccard: hand-computed min-sum over token counts") {
+    import spark.implicits._
+    // shared 3-gram "x y z" makes (1,2) a candidate; token multisets
+    // {x,y,z,a,a,a} vs {x,y,z,b,b,b}: minsum 3, totals 6+6
+    // -> J_w = 3 / (12 - 3) = 1/3
+    val docs = Seq((1L, "x y z a a a"), (2L, "x y z b b b")).toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardPairs(docs, "text", 3, 0.3)
+      .select("d1", "d2", "minsum", "t1", "t2", "wjaccard").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 2L, 3L, 6L, 6L)))
+    assert(math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-12)
+    // the same pair falls below a 0.4 threshold
+    assert(Dedup.weightedJaccardPairs(docs, "text", 3, 0.4).collect().isEmpty)
+  }
+
+  test("weighted jaccard penalizes repetition that set containment cannot see") {
+    import spark.implicits._
+    // doc 2 is doc 1's only sentence repeated 5 times: SET containment
+    // is a perfect 1.0 ("verbatim duplicate"), but the token MULTISET
+    // overlap is only 5/25 — the repetition-inflation signal
+    val sent = "alpha beta gamma delta epsilon"
+    val docs = Seq((1L, sent), (2L, Seq.fill(5)(sent).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", 5, 0.9)
+      .select("containment").collect()
+    assert(cont.length == 1 && cont.head.getDouble(0) == 1.0,
+      "set containment must call this a perfect inclusion")
+    val wj = Dedup.weightedJaccardPairs(docs, "text", 5, 0.0)
+      .select("minsum", "t1", "t2", "wjaccard").collect().head
+    // minsum = 5 (one copy of each token), totals 5 and 25 -> 5/25
+    assert((wj.getLong(0), wj.getLong(1), wj.getLong(2)) == ((5L, 5L, 25L)))
+    assert(math.abs(wj.getDouble(3) - 0.2) < 1e-12)
+  }
+
+  test("novelty: unique-shingle fractions with < n-token docs excluded") {
+    import spark.implicits._
+    // d1/d2 share the shingle "a b c d e"; each also owns one unique
+    // shingle -> both 1/2 novel; d3 has < 5 tokens -> no score row
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e z"), (3L, "q r"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 1L, 500000L))))
   }
 }

@@ -146,6 +146,59 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRankConverged(edges, "s", "d", "w", epsilonMicro = 0L, maxRounds = 5))
   }
 
+  /** Brute-force a<b<c triangle reference. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)
+    val cnt = tris.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    nodes.map(n => n -> cnt.getOrElse(n, 0L)).toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.map(e => (e._1, e._2)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 (every node in 3), matching the brute-force reference") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val got = runTriangles(k4)
+    assert(got === refTriangles(k4))
+    assert(got.values.toSet === Set(3L))
+  }
+
+  test("triangles: star graph has none; directed dups/self-loops canonicalize away") {
+    val star = (2L to 10L).flatMap(s => Seq((1L, s), (s, 1L))) ++ Seq((3L, 3L))
+    val got = runTriangles(star)
+    assert(got === refTriangles(star))
+    assert(got.values.forall(_ == 0L), "a star has no triangles")
+  }
+
+  test("triangles: pseudo-random graph matches the brute-force reference") {
+    // deterministic LCG edge sample over 40 nodes — dense enough for
+    // hundreds of triangles, including high-degree skew
+    var x = 12345L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = (1 to 300).map(_ => (nxt() % 40 + 1, nxt() % 40 + 1))
+    assert(runTriangles(edges) === refTriangles(edges))
+  }
+
+  test("triangles: partition independence") {
+    import spark.implicits._
+    val edges = (1L to 60L).map(i => (i, (i * 13) % 60 + 1)) ++
+      (1L to 60L).map(i => (i, (i * 7) % 60 + 1))
+    val a = Graph.triangleCounts(edges.toDF("s", "d").repartition(1), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.triangleCounts(edges.toDF("s", "d").repartition(7), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("failure hygiene: a guard trip after partial checkpointing releases its blocks") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size

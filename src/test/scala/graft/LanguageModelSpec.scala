@@ -109,6 +109,40 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"model release leaked: $leaked")
   }
 
+  test("collocations: hand-computed lift, deterministic cut, empty survivor set") {
+    import spark.implicits._
+    // corpus "a b" / "a b" / "a c": bigrams (a,b):2 (a,c):1; tokens
+    // T = 6, counts a:3 b:2 c:1. minCount 2 keeps only (a,b):
+    // lift = 2 * 6 * 1e6 // (3 * 2) = 2_000_000
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = LanguageModel.pmiCollocations(corpus, "text", minCount = 2L, topK = 10)
+    val rows = got.collect()
+    graft.operators.Storage.release(got)
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq(("a", "b", 2L, 3L, 2L, 2000000L)))
+    // a minCount above every bigram count yields an empty result, not
+    // a crash in the overflow require (null max aggregate path)
+    val empty = LanguageModel.pmiCollocations(corpus, "text", minCount = 99L, topK = 10)
+    assert(empty.collect().isEmpty)
+    graft.operators.Storage.release(empty)
+    intercept[IllegalArgumentException](
+      LanguageModel.pmiCollocations(corpus, "text", minCount = 0L, topK = 10))
+    intercept[IllegalArgumentException](
+      LanguageModel.pmiCollocations(corpus, "text", minCount = 1L, topK = 0))
+  }
+
+  test("collocations: storage hygiene (bigram checkpoint released, result caller-owned)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val out = LanguageModel.pmiCollocations(corpus, "text", minCount = 1L, topK = 5)
+    assert(out.count() > 0)
+    graft.operators.Storage.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"pmiCollocations leaked: $leaked")
+  }
+
   test("guards and plan shape: count tables broadcast, no cartesian") {
     import spark.implicits._
     intercept[IllegalArgumentException](

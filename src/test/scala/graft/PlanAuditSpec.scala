@@ -441,6 +441,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p19.contains("ScalaUDF"), s"p19 stays native/codegen:\n$p19")
   }
 
+  test("round-10 shapes (c03 oriented triangles, d09 weighted jaccard, p21 novelty, t24 lift) stay equi, no cartesian") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = Tables.documents(spark, sfDir)
+    // c03: every step of the oriented enumeration is an equi-join —
+    // a cartesian (or nested-loop) here is exactly the unbounded
+    // wedge blow-up the orientation exists to prevent
+    val edges = spark.range(1, 500)
+      .selectExpr("id AS src", "(id * 13) % 499 AS dst")
+    val c03 = finalPlan(operators.Graph.triangleCounts(edges, "src", "dst"))
+    assert(!c03.contains("CartesianProduct") && !c03.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-join only:\n$c03")
+    assert(!c03.contains("ScalaUDF"), s"c03 stays native/codegen:\n$c03")
+    // d09 pre-checkpoint plan: capped candidate generation (single
+    // aggregation pass, no self equi-join explosion) + equi count
+    // joins only
+    val sets = operators.Dedup.shingleHashSets(docs, "text", 3)
+    val tc = docs
+      .selectExpr("doc_id", s"explode(${operators.TextOps.tokens("text")}) AS term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val d09 = finalPlan(operators.Dedup.weightedJaccardPairsFrom(sets, tc, 0.3, 64))
+    assert(!d09.contains("CartesianProduct"),
+      s"weighted jaccard must stay equi:\n$d09")
+    assert(d09.contains("collectcapped"),
+      s"d09 candidates must ride the capped-collect path at a finite cap:\n$d09")
+    // p21: linear — explode + two partial-agg shuffles + one shingle
+    // equi-join; nothing quadratic anywhere
+    val p21 = finalPlan(operators.Dedup.noveltyScores(docs, "text", 5))
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"novelty is linear, never a pair plan:\n$p21")
+    assert(!p21.contains("ScalaUDF"), s"p21 stays native/codegen:\n$p21")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
