@@ -58,6 +58,91 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR 1998, public method): from each query's `pool`-sized
+    * relevance candidates, greedily select `k` results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy, the diversification layer a retrieval stack
+    * puts after its top-k.
+    *
+    * Determinism contract: relevance and pairwise similarity are
+    * micro-quantized immediately (`round(cos·1e6)` — ONE
+    * correctly-rounded IEEE op each, the p16 discipline), and the MMR
+    * score stays an UNDIVIDED p12 integer
+    * `λ_micro·rel_micro − (1e6−λ_micro)·maxsim_micro` — scores can go
+    * negative, and Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, so the contract is: never divide. Ties break on
+    * n_id asc.
+    *
+    * 100 TB shape: candidates come from any top-k generator (brute
+    * baseline here; swap [[ivfTopK]] at scale), so every later frame
+    * is O(queries·pool) keyed by q_id — pairwise sims are a per-query
+    * pool self-join (pool², bounded by the pool parameter, never by
+    * the corpus), each selection round is one window + one equi-join.
+    * The driver holds only the loop counter. EAGER; release the
+    * result via [[Storage.release]]. */
+  def mmrRerank(emb: DataFrame, queryPredicate: String, pool: Int, k: Int,
+      lambdaMicro: Long): DataFrame = {
+    require(pool >= 1, s"pool must be >= 1, got $pool")
+    require(k >= 1 && k <= pool, s"k must be in [1, pool], got $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val cand = Storage.checkpointed(
+      cosineTopKFor(emb, queryPredicate, pool)
+        .selectExpr("q_id", "n_id", "cast(round(cos * 1000000) as bigint) AS rel_micro"))
+    var sims: DataFrame = null
+    try {
+      val ca = cand.select(col("q_id"), col("n_id").as("a"))
+        .join(p.select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an")),
+          Seq("a"))
+      val cb = cand.select(col("q_id"), col("n_id").as("b"))
+        .join(p.select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn")),
+          Seq("b"))
+      sims = Storage.checkpointed(
+        ca.join(cb, Seq("q_id")).filter(col("a") < col("b"))
+          .selectExpr("q_id", "a", "b",
+            s"cast(round((${cosExpr.format("av", "bv", "an", "bn")}) * 1000000) as bigint)" +
+              " AS sim_micro"))
+      val simsSym = sims.select(col("q_id"), col("a"), col("b"), col("sim_micro"))
+        .union(sims.select(col("q_id"), col("b").as("a"), col("a").as("b"),
+          col("sim_micro")))
+      val oneMinus = 1000000L - lambdaMicro
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_p12").desc, col("n_id").asc)
+      // round 1 is pure relevance (nothing selected yet, maxsim = 0)
+      var result = cand
+        .selectExpr("q_id", "n_id", "rel_micro", "0L AS ms_micro",
+          s"${lambdaMicro}L * rel_micro AS score_p12")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .selectExpr("q_id", "n_id", "rel_micro", "ms_micro", "score_p12", "1L AS rank")
+      var round = 2
+      while (round <= k) {
+        val selIds = result.select(col("q_id"), col("n_id").as("b"))
+        val rem = cand.join(result.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"), "left_anti")
+        val ms = simsSym.join(selIds, Seq("q_id", "b"))
+          .groupBy(col("q_id"), col("a"))
+          .agg(max(col("sim_micro")).as("ms_micro"))
+          .withColumnRenamed("a", "n_id")
+        val next = rem.join(ms, Seq("q_id", "n_id"))
+          .selectExpr("q_id", "n_id", "rel_micro", "ms_micro",
+            s"${lambdaMicro}L * rel_micro - ${oneMinus}L * ms_micro AS score_p12")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .selectExpr("q_id", "n_id", "rel_micro", "ms_micro", "score_p12",
+            s"${round}L AS rank")
+        result = result.unionByName(next)
+        round += 1
+      }
+      Storage.checkpointed(
+        result.select(col("q_id"), col("rank"), col("n_id"), col("rel_micro"),
+          col("ms_micro"), col("score_p12")))
+    } finally {
+      Storage.release(cand)
+      if (sims != null) Storage.release(sims)
+    }
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane p 0-based,
     * dim d 1-based): integer mix centered near 0. */
   val planeWeight: String =

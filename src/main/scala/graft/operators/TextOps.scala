@@ -155,4 +155,28 @@ object TextOps {
       .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
         "if(n_tokens = 0, 0, (n_types * 1000000) div n_tokens) AS ttr_micro",
         "if(n_types = 0, 0, (n_hapax * 1000000) div n_types) AS hapax_ratio_micro")
+
+  /** Flesch-style readability in exact integer micro units:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` with
+    * two engine-deterministic surrogates — sentences ≈ terminal
+    * punctuation RUNS (`[.!?]+`, floored at 1 so headline-style docs
+    * score rather than divide by zero) and syllables ≈ vowel GROUPS
+    * (`[aeiou]+` runs over the lowercased text; the standard
+    * no-dictionary approximation). Both ratio terms are non-negative
+    * floor divisions (Spark `div` == DuckDB `//` there); the final
+    * subtraction may go negative, which is safe — only division
+    * disagrees on negatives across engines. Map-only projection; docs
+    * with no tokens are excluded (readability undefined). */
+  def readability(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .selectExpr("doc_id",
+        s"cast(size(${tokens(textCol)}) as bigint) AS n_words",
+        s"greatest(1L, cast(size(regexp_extract_all($textCol, '[.!?]+', 0)) as bigint))" +
+          " AS n_sentences",
+        s"cast(size(regexp_extract_all(lower($textCol), '[aeiou]+', 0)) as bigint)" +
+          " AS n_vowel_groups")
+      .filter(col("n_words") > 0)
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_vowel_groups",
+        "206835000L - (1015000L * n_words) div n_sentences" +
+          " - (84600000L * n_vowel_groups) div n_words AS flesch_micro")
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Graph, LanguageModel}
+import graft.operators.{Dedup, Graph, LanguageModel, Similarity, TextOps}
 
 /** Round-10 additions: triangle counting over derived graphs
   * (degree-ordered, the second graph-analytics primitive after c02's
@@ -13,7 +13,7 @@ import graft.operators.{Dedup, Graph, LanguageModel}
   */
 object Pipeline11 {
 
-  def all: Seq[QueryDef] = Seq(c03, d09, p21, t24)
+  def all: Seq[QueryDef] = Seq(c03, d09, p21, t24, s18, t25)
 
   /** The inter-nation trade edge list shared with c02: an edge
     * cust_nation -> supp_nation per (customer, supplier) trade flow,
@@ -70,18 +70,22 @@ object Pipeline11 {
 
   /** Weighted (multiset) Jaccard pairs
     * ([[graft.operators.Dedup.weightedJaccardPairs]]): token-COUNT
-    * overlap >= 0.3 over candidates from the capped 3-gram machinery
-    * (df cap 64, d02's audited bound). Catches repetition asymmetry
-    * that set Jaccard flattens. The oracle replays candidate
-    * generation (cap == df prune), the shared-term min-sum, and the
-    * sum-max identity T1 + T2 - minsum. */
+    * overlap >= 0.4 over candidates from the capped 5-GRAM machinery
+    * (df cap 64, d02's audited bound). 5-gram candidates, not 3-gram:
+    * at sf0.1 the 3-gram candidate graph is ~1M pairs (every shared
+    * stock phrase), and the min-sum pass pays candidates × vocab —
+    * the longer shingle keeps candidate generation selective the way
+    * a production near-dup pass would (bench: 7.9 s -> well under
+    * half). Catches repetition asymmetry that set Jaccard flattens.
+    * The oracle replays candidate generation (cap == df prune), the
+    * shared-term min-sum, and the sum-max identity T1 + T2 - minsum. */
   val d09: QueryDef = QueryDef(
     "d09_weighted_jaccard",
-    (s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d), "text", 3, 0.3,
+    (s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d), "text", 5, 0.4,
         maxDocFreq = 64)
       .orderBy(col("d1"), col("d2")),
     Some(s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
-      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
+      sh AS (SELECT doc_id, ${DuckOps.shingles("t", 5)} AS s FROM toks),
       hsets AS (SELECT doc_id,
           list_distinct(list_transform(s, x -> ${DuckOps.strHash60("x")})) AS hs FROM sh),
       e AS (SELECT doc_id, unnest(hs) AS sgl FROM hsets),
@@ -101,7 +105,7 @@ object Pipeline11 {
       SELECT ms.d1, ms.d2, ms.minsum, t1.t AS t1, t2.t AS t2,
         CAST(ms.minsum AS DOUBLE) / CAST(t1.t + t2.t - ms.minsum AS DOUBLE) AS wjaccard
       FROM ms JOIN tot t1 ON ms.d1 = t1.doc_id JOIN tot t2 ON ms.d2 = t2.doc_id
-      WHERE CAST(ms.minsum AS DOUBLE) / CAST(t1.t + t2.t - ms.minsum AS DOUBLE) >= 0.3
+      WHERE CAST(ms.minsum AS DOUBLE) / CAST(t1.t + t2.t - ms.minsum AS DOUBLE) >= 0.4
       ORDER BY d1, d2"""))
 
   /** Per-doc 5-gram novelty ([[graft.operators.Dedup.noveltyScores]]):
@@ -125,6 +129,94 @@ object Pipeline11 {
       SELECT doc_id, n_shingles, n_unique,
         CAST((n_unique * 1000000) // n_shingles AS BIGINT) AS novelty_micro
       FROM agg ORDER BY doc_id"""))
+
+  /** MMR constants shared by the Spark call and the generated oracle
+    * CTEs (the c02 single-source-of-truth discipline). */
+  private val MmrLambda = 700000L
+  private val MmrOneMinus = 1000000L - MmrLambda
+
+  /** One MMR selection round as DuckDB CTEs — the exact-integer twin
+    * of [[graft.operators.Similarity.mmrRerank]]'s loop body: drop
+    * already-selected candidates, max similarity to the selected set,
+    * undivided p12 score, argmax with n_id tie-break. */
+  private def mmrStep(r: Int): String = {
+    val prev = s"sel${r - 1}"
+    s"""m$r AS (SELECT c.q_id, c.n_id, c.rel_micro, max(s.sim_micro) AS ms_micro
+             FROM cand c
+               ANTI JOIN $prev px ON c.q_id = px.q_id AND c.n_id = px.n_id
+               JOIN sims s ON s.q_id = c.q_id AND s.a = c.n_id
+               JOIN $prev pb ON pb.q_id = s.q_id AND pb.n_id = s.b
+             GROUP BY 1, 2, 3),
+      s$r AS (SELECT q_id, n_id, rel_micro, ms_micro,
+                $MmrLambda * rel_micro - $MmrOneMinus * ms_micro AS score_p12,
+                CAST($r AS BIGINT) AS rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY ($MmrLambda * rel_micro - $MmrOneMinus * ms_micro) DESC,
+                        n_id ASC) AS rn
+                    FROM m$r) WHERE rn = 1),
+      sel$r AS (SELECT q_id, n_id FROM $prev UNION ALL SELECT q_id, n_id FROM s$r)"""
+  }
+
+  /** MMR diversified re-rank
+    * ([[graft.operators.Similarity.mmrRerank]]): each query's brute
+    * top-10 cosine pool greedily re-ranked to 3 results trading
+    * relevance against redundancy (λ = 0.7). All scores are
+    * micro-quantized integers and the MMR score is an UNDIVIDED p12
+    * value (negative-safe: Spark div truncates where DuckDB floors,
+    * so the contract is never to divide); the oracle unrolls the
+    * greedy loop as generated CTEs. */
+  val s18: QueryDef = QueryDef(
+    "s18_mmr_rerank",
+    (s, d) => Similarity.mmrRerank(Tables.embeddings(s, d), "vec_id < 8",
+        pool = 10, k = 3, lambdaMicro = MmrLambda)
+      .orderBy(col("q_id"), col("rank")),
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      pq AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+             FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      cand AS (SELECT q_id, n_id, CAST(round(cos * 1000000) AS BIGINT) AS rel_micro
+               FROM (SELECT q_id, n_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+                     FROM pq) WHERE rk <= 10),
+      simp AS (SELECT ca.q_id, ca.n_id AS a, cb.n_id AS b,
+                 CAST(round((${DuckOps.dot("na.v", "nb.v")} /
+                   (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000) AS BIGINT) AS sim_micro
+               FROM cand ca
+                 JOIN cand cb ON cb.q_id = ca.q_id AND ca.n_id < cb.n_id
+                 JOIN n na ON na.vec_id = ca.n_id
+                 JOIN n nb ON nb.vec_id = cb.n_id),
+      sims AS (SELECT q_id, a, b, sim_micro FROM simp UNION ALL
+               SELECT q_id, b AS a, a AS b, sim_micro FROM simp),
+      s1 AS (SELECT q_id, n_id, rel_micro, CAST(0 AS BIGINT) AS ms_micro,
+               $MmrLambda * rel_micro AS score_p12, CAST(1 AS BIGINT) AS rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY ($MmrLambda * rel_micro) DESC, n_id ASC) AS rn
+                   FROM cand) WHERE rn = 1),
+      sel1 AS (SELECT q_id, n_id FROM s1),
+      ${(2 to 3).map(mmrStep).mkString(",\n      ")}
+      SELECT q_id, rank, n_id, rel_micro, ms_micro, score_p12
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      ORDER BY q_id, rank"""))
+
+  /** Flesch-style readability ([[graft.operators.TextOps.readability]]):
+    * map-only exact-integer scoring with engine-deterministic sentence
+    * (terminal-punctuation runs) and syllable (vowel-group) surrogates. */
+  val t25: QueryDef = QueryDef(
+    "t25_readability",
+    (s, d) => TextOps.readability(Tables.documents(s, d), "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH b AS (SELECT doc_id,
+               CAST(len(${DuckOps.tokens("text")}) AS BIGINT) AS n_words,
+               greatest(CAST(1 AS BIGINT),
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vowel_groups
+             FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+        CAST(206835000 - (1015000 * n_words) // n_sentences
+          - (84600000 * n_vowel_groups) // n_words AS BIGINT) AS flesch_micro
+      FROM b WHERE n_words > 0 ORDER BY doc_id"""))
 
   /** Collocation mining
     * ([[graft.operators.LanguageModel.pmiCollocations]]): top-100

@@ -471,6 +471,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
       s"novelty is linear, never a pair plan:\n$p21")
     assert(!p21.contains("ScalaUDF"), s"p21 stays native/codegen:\n$p21")
+    // t25: a pure map-side projection — no exchange at all before the
+    // registered query's presentation sort
+    val t25 = finalPlan(operators.TextOps.readability(docs, "text"))
+    assert(!t25.contains("Exchange"),
+      s"readability must be map-only (zero shuffles):\n$t25")
+    assert(!t25.contains("ScalaUDF"), s"t25 stays native/codegen:\n$t25")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Similarity
+import graft.operators.{Similarity, Storage}
 
 /** Similarity-operator invariants not expressible as DuckDB oracles:
   * k-means-update determinism under repartitioning (the exact-integer
@@ -300,5 +300,57 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
     assert(sd2(9L) && sd2(10L),
       "degenerate vectors must never be deduplicated away on NULL evidence")
+  }
+
+  test("mmrRerank: diversity demotes the redundant twin that pure relevance ranks second") {
+    import spark.implicits._
+    // query 0 = [1,0,0]. Candidates 1 and 2 are EXACT twins (rel 0.9,
+    // mutual sim 1.0 — their shared off-query component is invisible
+    // to relevance); 3 is slightly less relevant (0.85) but diverse
+    // (sim to the twins 0.765). Pure relevance ranks 1, 2, 3 (twin
+    // tie broken by n_id). MMR at lambda = 0.7:
+    // round 2 scores (micro): twin 0.7*900000 - 0.3*1000000 = 330000
+    // vs diverse 0.7*850000 - 0.3*765000 = 365500 -> picks 3, then 2.
+    val emb = Seq(
+      (0L, "q", Seq(1.0f, 0.0f, 0.0f)),
+      (1L, "a", Seq(0.9f, 0.43589f, 0.0f)),
+      (2L, "a", Seq(0.9f, 0.43589f, 0.0f)),
+      (3L, "b", Seq(0.85f, 0.0f, 0.52678f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.mmrRerank(emb, "vec_id < 1", pool = 3, k = 3, 700000L)
+    val rows = got.orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Storage.release(got)
+    assert(rows.toSeq == Seq((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L)),
+      s"expected MMR order 1, 3, 2 — got ${rows.toSeq}")
+  }
+
+  test("mmrRerank: degenerate settings collapse to pure relevance; guards fire") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, "q", Seq(1.0f, 0.0f)),
+      (1L, "a", Seq(0.9f, 0.1f)),
+      (2L, "a", Seq(0.8f, 0.3f)),
+      (3L, "b", Seq(0.1f, 0.9f))).toDF("vec_id", "label", "embedding")
+    // lambda = 1e6 ignores redundancy entirely -> brute top-k order
+    val mmr = Similarity.mmrRerank(emb, "vec_id < 1", pool = 3, k = 3, 1000000L)
+    val order = mmr.orderBy("q_id", "rank").collect().map(_.getLong(2)).toSeq
+    Storage.release(mmr)
+    val brute = Similarity.cosineTopK(emb, 1, 3)
+      .orderBy("q_id", "rk").collect().map(_.getLong(2)).toSeq
+    assert(order == brute, "lambda = 1 must reproduce the relevance ranking")
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(emb, "vec_id < 1", pool = 3, k = 4, 700000L))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(emb, "vec_id < 1", pool = 3, k = 2, 1000001L))
+  }
+
+  test("mmrRerank: storage hygiene (cand/sims released, result caller-owned)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Similarity.mmrRerank(emb, "vec_id < 4", pool = 5, k = 2, 700000L)
+    assert(out.count() > 0)
+    Storage.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    assert(leaked.isEmpty, s"mmrRerank leaked: $leaked")
   }
 }

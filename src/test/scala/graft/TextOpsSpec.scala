@@ -92,4 +92,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t == "<tag> \"q\" it's a b", s"got: '$t'")
     assert(nEnt == 6L)
   }
+
+  test("readability: hand-computed surrogate counts and flesch micro score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world."), // 2 words, 1 sentence run, vowel groups e/o/o = 3
+      (2L, "no punctuation here"), // sentence floor kicks in at 1
+      (3L, "!!!"), // zero words -> excluded
+      (4L, "Why?! Two runs... right?")) // ?! + ... + ? = 3 runs, 4 words
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.readability(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!got.contains(3L), "a wordless doc has no readability")
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 3L)
+    // 206835000 - 1015000*2/1 - 84600000*3/2 = 77905000
+    assert(got(1L)._4 == 206835000L - 2030000L - 126900000L)
+    assert(got(2L)._2 == 1L, "no terminal punctuation floors at one sentence")
+    // "Why?! Two runs... right?": words {why,two,runs,right},
+    // vowel groups why->none(y is not a vowel here), two->o, runs->u,
+    // right->i  = 3
+    assert(got(4L) == ((4L, 3L, 3L, 206835000L - (1015000L * 4 / 3) - (84600000L * 3 / 4))))
+  }
 }
