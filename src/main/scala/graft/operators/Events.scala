@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the batch `events` table — the
+  * funnel / cohort / operational layer that sits beside the streaming
+  * sessionization operators ([[graft.streaming.EventStreams]]): the
+  * questions a product team asks of the same event log the pipeline
+  * ingests.
+  *
+  * All operators are compositions of equi-joins and partial
+  * aggregations keyed by user or day — no driver-side state beyond
+  * the stage list, no windows over unbounded partitions, nothing
+  * quadratic. Timestamp arithmetic is exact integer microseconds
+  * (differences of timestamps are TZ-offset-free), so results
+  * hash-compare across engines.
+  */
+object Events {
+
+  /** Ordered conversion funnel: stage i counts users whose earliest
+    * qualifying stage-i event falls STRICTLY after their stage-(i−1)
+    * time (the classic "did the click happen after the view"
+    * semantics; an equal timestamp does not qualify). Returns one row
+    * per stage: (stage_idx from 1, stage, n_users).
+    *
+    * 100 TB shape: per stage ONE type-filtered scan + an equi-join on
+    * the shrinking per-user frontier + a user-keyed partial agg — the
+    * frontier frame is at most one row per user, and each stage's
+    * count is an O(1)-row aggregate. Stage count is the tiny driver
+    * constant (the list you pass), never data-dependent. */
+  def funnel(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate funnel stage in $stages")
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("uid"))
+      .agg(min(col(tsCol)).as("t"))
+    val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stageCount(i: Int, f: DataFrame): DataFrame =
+      f.agg(count(lit(1)).as("n_users"))
+        .selectExpr(s"${i + 1}L AS stage_idx", s"'${stages(i)}' AS stage", "n_users")
+    counts += stageCount(0, frontier)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      frontier = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("uid"), col(tsCol).as("ets"))
+        .join(frontier, Seq("uid"))
+        .filter(col("ets") > col("t"))
+        .groupBy(col("uid"))
+        .agg(min(col("ets")).as("t"))
+      counts += stageCount(i, frontier)
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** Day-grain retention cohorts: users grouped by their FIRST active
+    * day, counted on each later day-offset they were active
+    * (0 = the cohort day itself). Returns
+    * (cohort_day 'yyyy-MM-dd', day_offset, n_users) for offsets in
+    * [0, maxOffset]. One user-keyed agg for first days, one distinct
+    * over (user, day), one equi-join, one partial-agg shuffle. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val first = events.groupBy(col(userCol).as("uid"))
+      .agg(min(to_date(col(tsCol))).as("d0"))
+    val active = events
+      .select(col(userCol).as("uid"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    active.join(first, Seq("uid"))
+      .selectExpr("d0", "datediff(d, d0) AS day_offset")
+      .filter(col("day_offset").between(0, maxOffset))
+      .groupBy(col("d0"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .selectExpr("cast(d0 as string) AS cohort_day",
+        "cast(day_offset as bigint) AS day_offset", "n_users")
+  }
+
+  /** Typed extraction from a semi-structured JSON-ish props column via
+    * an engine-portable regex (`"key": <int>`), aggregated per event
+    * type: count, present-count, and exact integer sum/min/max of the
+    * extracted value. Map-only until one partial-agg shuffle. */
+  def propsKeyStats(events: DataFrame, typeCol: String, propsCol: String,
+      key: String): DataFrame =
+    events
+      // DataFrame-API regexp_extract: the pattern is a plain JVM
+      // string, bypassing SQL string-literal escaping entirely (the
+      // SQL-side equivalent needs '\\s' under Spark's escaped
+      // literals but '\s' in DuckDB's standard-SQL literals)
+      .select(col(typeCol),
+        regexp_extract(col(propsCol), "\"" + key + "\":\\s*(-?\\d+)", 1).as("kvs"))
+      // regexp_extract yields '' on no match, and under ANSI semantics
+      // a direct cast of '' throws — gate the cast like the oracle's
+      // TRY_CAST
+      .select(col(typeCol),
+        when(length(col("kvs")) === 0, lit(null))
+          .otherwise(col("kvs")).cast("long").as("kv"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("kv")).as("n_with_key"),
+        coalesce(sum(col("kv")), lit(0L)).as("k_sum"),
+        min(col("kv")).as("k_min"),
+        max(col("kv")).as("k_max"))
+
+  /** Daily operational share of one event type (e.g. errors) in exact
+    * micro units: per day, total events, matching events, and
+    * `matching · 1e6 div total`. One partial-agg shuffle. */
+  def dailyTypeShare(events: DataFrame, typeCol: String, tsCol: String,
+      matchType: String): DataFrame =
+    events
+      .selectExpr(s"cast(to_date($tsCol) as string) AS day",
+        s"if($typeCol = '$matchType', 1L, 0L) AS hit")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("hit")).as("n_match"))
+      .selectExpr("day", "n_events", "n_match",
+        "(n_match * 1000000) div n_events AS share_micro")
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Events
+
+/** Round-10 additions, part 2: batch event-stream analytics
+  * ([[graft.operators.Events]]) — ordered conversion funnels, day
+  * cohort retention, semi-structured props extraction, and daily
+  * operational shares over the same `events` log the streaming
+  * sessionization operators consume.
+  */
+object Pipeline12 {
+
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04)
+
+  /** view → click → purchase ordered funnel
+    * ([[graft.operators.Events.funnel]]): stage i counts users whose
+    * earliest stage-i event is STRICTLY after their stage-(i−1) time.
+    * The oracle chains the same min-after frontier as CTEs. */
+  val e01: QueryDef = QueryDef(
+    "e01_funnel",
+    (s, d) => Events.funnel(Tables.events(s, d), "event_type", "user_id", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("stage_idx")),
+    Some("""WITH s1 AS (SELECT user_id AS uid, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.uid AND e.ts > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.uid AND e.ts > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+          CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+      ORDER BY stage_idx"""))
+
+  /** Day-grain retention cohorts
+    * ([[graft.operators.Events.retentionCohorts]]), offsets 0–7:
+    * users bucketed by first active day, counted per later active
+    * day-offset. */
+  val e02: QueryDef = QueryDef(
+    "e02_retention",
+    (s, d) => Events.retentionCohorts(Tables.events(s, d), "user_id", "ts", 7)
+      .orderBy(col("cohort_day"), col("day_offset")),
+    Some("""WITH f AS (SELECT user_id AS uid, min(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS d FROM events),
+      j AS (SELECT d0, date_diff('day', d0, d) AS day_offset FROM a JOIN f USING (uid))
+      SELECT CAST(d0 AS VARCHAR) AS cohort_day,
+        CAST(day_offset AS BIGINT) AS day_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM j WHERE day_offset BETWEEN 0 AND 7
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Per-type integer stats of the `k` key extracted from the
+    * JSON-ish props column ([[graft.operators.Events.propsKeyStats]])
+    * via an engine-portable regex. */
+  val e03: QueryDef = QueryDef(
+    "e03_props_stats",
+    (s, d) => Events.propsKeyStats(Tables.events(s, d), "event_type", "props", "k")
+      .orderBy(col("event_type")),
+    Some("""WITH x AS (SELECT event_type,
+               TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS kv
+             FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(kv) AS BIGINT) AS n_with_key,
+        CAST(COALESCE(sum(kv), 0) AS BIGINT) AS k_sum,
+        min(kv) AS k_min, max(kv) AS k_max
+      FROM x GROUP BY 1 ORDER BY 1"""))
+
+  /** Daily error share in exact micro units
+    * ([[graft.operators.Events.dailyTypeShare]]). */
+  val e04: QueryDef = QueryDef(
+    "e04_daily_error_share",
+    (s, d) => Events.dailyTypeShare(Tables.events(s, d), "event_type", "ts", "error")
+      .orderBy(col("day")),
+    Some("""WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS hit FROM events)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(hit) AS BIGINT) AS n_match,
+        CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS share_micro
+      FROM d GROUP BY 1 ORDER BY 1"""))
+}

@@ -107,7 +107,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     (graft.queries.Pipeline5.all ++ graft.queries.Pipeline6.all ++
       graft.queries.Pipeline7.all ++ graft.queries.Pipeline8.all ++
       graft.queries.Pipeline9.all ++ graft.queries.Pipeline10.all ++
-      graft.queries.Pipeline11.all).foreach { q =>
+      graft.queries.Pipeline11.all ++ graft.queries.Pipeline12.all).foreach { q =>
       assert(spark.sharedState.cacheManager.isEmpty,
         s"${q.name}: CacheManager dirty before the call")
       val baseRdds = spark.sparkContext.getPersistentRDDs.keySet

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+
+/** Funnel ordering semantics (strict after, out-of-order events,
+  * repeat events), retention offset math, props extraction typing,
+  * and share arithmetic — all on hand-built fixtures. */
+class EventsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "tss")
+      .selectExpr("user_id", "event_type", "cast(tss as timestamp) AS ts")
+  }
+
+  private def runFunnel(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    Events.funnel(df, "event_type", "user_id", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  test("funnel: strictly-after ordering, out-of-order drops, repeats take the earliest") {
+    val df = ev(
+      // user 1: clean conversion
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "purchase", "2024-01-01 10:02:00"),
+      // user 2: click BEFORE the first view — no click stage
+      (2L, "click", "2024-01-02 09:00:00"),
+      (2L, "view", "2024-01-02 10:00:00"),
+      (2L, "purchase", "2024-01-02 11:00:00"),
+      // user 3: click at exactly the view timestamp — strict > rejects
+      (3L, "view", "2024-01-03 10:00:00"),
+      (3L, "click", "2024-01-03 10:00:00"),
+      // user 4: repeated views; the EARLIEST anchors the chain, so the
+      // click between the two views still counts
+      (4L, "view", "2024-01-04 08:00:00"),
+      (4L, "click", "2024-01-04 08:30:00"),
+      (4L, "view", "2024-01-04 09:00:00"),
+      // user 5: never viewed
+      (5L, "purchase", "2024-01-05 10:00:00"))
+    assert(runFunnel(df) === Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("funnel: guards on empty and duplicate stage lists") {
+    val df = ev((1L, "view", "2024-01-01 00:00:00"))
+    intercept[IllegalArgumentException](
+      Events.funnel(df, "event_type", "user_id", "ts", Seq.empty))
+    intercept[IllegalArgumentException](
+      Events.funnel(df, "event_type", "user_id", "ts", Seq("view", "view")))
+  }
+
+  test("retention: offsets measured from each user's own first day, window clipped") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 23:00:00"), // same day: one active day
+      (1L, "view", "2024-01-03 10:00:00"), // offset 2
+      (2L, "view", "2024-01-02 10:00:00"),
+      (2L, "view", "2024-01-03 10:00:00"), // offset 1
+      (2L, "view", "2024-01-20 10:00:00")) // offset 18: clipped at 7
+    val got = Events.retentionCohorts(df, "user_id", "ts", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("props extraction: missing keys go null, negatives parse, sums exact") {
+    import spark.implicits._
+    val df = Seq(
+      ("click", """{"k": 7}"""),
+      ("click", """{"k": -3}"""),
+      ("click", """{"other": 1}"""),
+      ("view", """{"k": 100}"""))
+      .toDF("event_type", "props")
+    val got = Events.propsKeyStats(df, "event_type", "props", "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("click") == ((3L, 2L, 4L, -3L, 7L)))
+    assert(got("view") == ((1L, 1L, 100L, 100L, 100L)))
+  }
+
+  test("daily share: exact micro division") {
+    val df = ev(
+      (1L, "error", "2024-01-01 01:00:00"),
+      (2L, "view", "2024-01-01 02:00:00"),
+      (3L, "view", "2024-01-01 03:00:00"),
+      (4L, "error", "2024-01-02 01:00:00"))
+    val got = Events.dailyTypeShare(df, "event_type", "ts", "error")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((3L, 1L, 333333L)),
+      "2024-01-02" -> ((1L, 1L, 1000000L))))
+  }
+}

@@ -477,6 +477,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!t25.contains("Exchange"),
       s"readability must be map-only (zero shuffles):\n$t25")
     assert(!t25.contains("ScalaUDF"), s"t25 stays native/codegen:\n$t25")
+    // e01/e02: funnel frontiers and cohort joins stay equi (the
+    // O(1)-row per-stage counts may broadcast; a cartesian would mean
+    // the stage condition fell out of the join)
+    val events = Tables.events(spark, sfDir)
+    val e01 = finalPlan(operators.Events.funnel(
+      events, "event_type", "user_id", "ts", Seq("view", "click", "purchase")))
+    assert(!e01.contains("CartesianProduct"),
+      s"funnel stages must join on user, never cross:\n$e01")
+    val e02 = finalPlan(operators.Events.retentionCohorts(events, "user_id", "ts", 7))
+    assert(!e02.contains("CartesianProduct") && !e02.contains("ScalaUDF"),
+      s"retention must stay equi/native:\n$e02")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
