@@ -93,17 +93,26 @@ object Similarity {
         .selectExpr("q_id", "n_id", "cast(round(cos * 1000000) as bigint) AS rel_micro"))
     var sims: DataFrame = null
     try {
-      val ca = cand.select(col("q_id"), col("n_id").as("a"))
-        .join(p.select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an")),
-          Seq("a"))
-      val cb = cand.select(col("q_id"), col("n_id").as("b"))
-        .join(p.select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn")),
-          Seq("b"))
-      sims = Storage.checkpointed(
-        ca.join(cb, Seq("q_id")).filter(col("a") < col("b"))
-          .selectExpr("q_id", "a", "b",
-            s"cast(round((${cosExpr.format("av", "bv", "an", "bn")}) * 1000000) as bigint)" +
-              " AS sim_micro"))
+      // ONE corpus scan for the pairwise-sim vectors: prune `p` to the
+      // distinct candidate ids first (a broadcast semi-join against an
+      // O(queries·pool) id set), then self-join the tiny pruned frame
+      // — the corpus is never scanned twice and the pool² blow-up
+      // happens on O(queries·pool) rows only
+      val pv = Storage.checkpointed(p.join(
+        broadcast(cand.select(col("n_id").as("vec_id")).distinct()), Seq("vec_id")))
+      try {
+        val ca = cand.select(col("q_id"), col("n_id").as("a"))
+          .join(pv.select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an")),
+            Seq("a"))
+        val cb = cand.select(col("q_id"), col("n_id").as("b"))
+          .join(pv.select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn")),
+            Seq("b"))
+        sims = Storage.checkpointed(
+          ca.join(cb, Seq("q_id")).filter(col("a") < col("b"))
+            .selectExpr("q_id", "a", "b",
+              s"cast(round((${cosExpr.format("av", "bv", "an", "bn")}) * 1000000) as bigint)" +
+                " AS sim_micro"))
+      } finally Storage.release(pv)
       val simsSym = sims.select(col("q_id"), col("a"), col("b"), col("sim_micro"))
         .union(sims.select(col("q_id"), col("b").as("a"), col("a").as("b"),
           col("sim_micro")))

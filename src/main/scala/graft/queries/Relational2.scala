@@ -10,7 +10,61 @@ import graft.Tables
   * extended inventory. Same determinism contract as [[Relational]]. */
 object Relational2 {
 
-  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+  def all: Seq[QueryDef] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q40)
+
+  /** SCD Type-2 dimension merge — the warehouse upsert-with-history
+    * primitive: an update batch lands on a current dimension snapshot;
+    * rows whose tracked attribute actually CHANGED are closed
+    * (valid_to = the batch date) and re-inserted as the new current
+    * version; no-op updates (same value) and untouched keys pass
+    * through. The update batch here is synthetic-but-deterministic:
+    * every 10th customer re-arrives, and every 20th re-arrives with
+    * its UNCHANGED segment (exercising the no-op path). 100 TB shape:
+    * one equi-join to classify, one anti-join for the untouched
+    * complement, unions — no windows over the whole dimension, no
+    * driver state; at scale the update batch side broadcasts. */
+  val q40: QueryDef = QueryDef(
+    "q40_scd2_merge",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val dim = Tables.customer(s, d).selectExpr(
+        "cast(c_custkey as bigint) AS k", "c_mktsegment AS seg",
+        "cast('2024-01-01' as date) AS valid_from",
+        "cast(null as date) AS valid_to")
+      val upd = Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+        .selectExpr("cast(c_custkey as bigint) AS k",
+          "if(c_custkey % 20 = 0, c_mktsegment, concat(c_mktsegment, '_V2')) AS nseg")
+      val changed = dim.join(upd, Seq("k")).filter(col("seg") =!= col("nseg"))
+      val closed = changed.selectExpr("k", "seg", "valid_from",
+        "cast('2024-06-01' as date) AS valid_to")
+      val fresh = changed.selectExpr("k", "nseg AS seg",
+        "cast('2024-06-01' as date) AS valid_from", "cast(null as date) AS valid_to")
+      val untouched = dim.join(changed.select("k"), Seq("k"), "left_anti")
+        .select("k", "seg", "valid_from", "valid_to")
+      untouched.unionByName(closed).unionByName(fresh)
+        .selectExpr("k", "seg", "cast(valid_from as string) AS valid_from",
+          "cast(valid_to as string) AS valid_to", "valid_to IS NULL AS is_current")
+        .orderBy(col("k"), col("valid_from"), col("seg"))
+    },
+    Some("""WITH dim AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             FROM customer),
+      upd AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                CASE WHEN c_custkey % 20 = 0 THEN c_mktsegment
+                     ELSE c_mktsegment || '_V2' END AS nseg
+              FROM customer WHERE c_custkey % 10 = 0),
+      changed AS (SELECT dim.k, dim.seg, dim.valid_from, upd.nseg
+                  FROM dim JOIN upd ON dim.k = upd.k WHERE dim.seg <> upd.nseg),
+      merged AS (
+        SELECT d.k, d.seg, d.valid_from, d.valid_to
+        FROM dim d ANTI JOIN changed c ON d.k = c.k
+        UNION ALL
+        SELECT k, seg, valid_from, DATE '2024-06-01' FROM changed
+        UNION ALL
+        SELECT k, nseg, DATE '2024-06-01', CAST(NULL AS DATE) FROM changed)
+      SELECT k, seg, CAST(valid_from AS VARCHAR) AS valid_from,
+        CAST(valid_to AS VARCHAR) AS valid_to, valid_to IS NULL AS is_current
+      FROM merged ORDER BY k, valid_from, seg"""))
 
   /** Sketch aggregates (HLL distinct, approx quantile). Raw estimates
     * are engine-specific, so the oracle-checkable contract is the
