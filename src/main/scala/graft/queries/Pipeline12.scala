@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Events
+import graft.operators.{Events, Profile}
 
 /** Round-10 additions, part 2: batch event-stream analytics
   * ([[graft.operators.Events]]) — ordered conversion funnels, day
@@ -12,7 +12,26 @@ import graft.operators.Events
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, q41)
+
+  /** Column profiling ([[graft.operators.Profile.profile]]) over five
+    * lineitem columns of engine-portable render types (int / string /
+    * date): row count, null count, EXACT distinct count, min/max
+    * strings — one single-column pruned scan + 1-row agg per member. */
+  val q41: QueryDef = QueryDef(
+    "q41_profile",
+    (s, d) => Profile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
+      .orderBy(col("column_name")),
+    Some(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      .map(c => s"""SELECT '$c' AS column_name,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(min($c) AS VARCHAR) AS min_val,
+          CAST(max($c) AS VARCHAR) AS max_val
+        FROM lineitem""")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")))
 
   /** view → click → purchase ordered funnel
     * ([[graft.operators.Events.funnel]]): stage i counts users whose

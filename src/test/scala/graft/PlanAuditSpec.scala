@@ -488,6 +488,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val e02 = finalPlan(operators.Events.retentionCohorts(events, "user_id", "ts", 7))
     assert(!e02.contains("CartesianProduct") && !e02.contains("ScalaUDF"),
       s"retention must stay equi/native:\n$e02")
+    // q41: every profile member must prune its parquet scan to the ONE
+    // column it aggregates — a member reading the full schema would
+    // multiply 100 TB scan volume by the column count
+    val q41 = finalPlan(operators.Profile.profile(
+      Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_returnflag")))
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(q41).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains(",")),
+      s"each profile member must read exactly one column, got $reads:\n$q41")
+    intercept[IllegalArgumentException](
+      operators.Profile.profile(Tables.lineitem(spark, sfDir), Seq.empty))
+    intercept[IllegalArgumentException](
+      operators.Profile.profile(Tables.lineitem(spark, sfDir), Seq("a", "a")))
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
