@@ -53,6 +53,37 @@ object Events {
     counts.reduce(_ unionByName _)
   }
 
+  /** Session-scoped funnel: like [[funnel]], but the whole stage
+    * chain must complete inside ONE gap-based session (the st01
+    * sessionization semantics — a new session starts after
+    * `gapMinutes` of user inactivity). Sessions are assigned by the
+    * classic gaps-and-islands recurrence (per-user lag + cumulative
+    * flag sum — ONE user-keyed window shuffle, spillable external
+    * sort), then the [[funnel]] frontier runs keyed by
+    * (user, session). Returns (stage_idx, stage, n_sessions).
+    *
+    * Equal-timestamp ties need no tie-break for CORRECTNESS here: a
+    * tied pair contributes lag-delta 0 < gap in either order, so both
+    * rows land in the same session whichever way the engine orders
+    * them. */
+  def sessionFunnel(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, stages: Seq[String], gapMinutes: Long): DataFrame = {
+    require(gapMinutes >= 1L, s"gapMinutes must be >= 1, got $gapMinutes")
+    val gapMs = gapMinutes * 60000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol))
+    val prev = lag(col("t_ms"), 1).over(w)
+    val keyed = events
+      .withColumn("t_ms", expr(s"unix_millis($tsCol)"))
+      .withColumn("ns",
+        when(prev.isNull || col("t_ms") - prev > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("skey", concat_ws("#", col(userCol), col("sid")))
+    funnel(keyed, typeCol, "skey", tsCol, stages)
+      .withColumnRenamed("n_users", "n_sessions")
+  }
+
   /** Day-grain retention cohorts: users grouped by their FIRST active
     * day, counted on each later day-offset they were active
     * (0 = the cohort day itself). Returns

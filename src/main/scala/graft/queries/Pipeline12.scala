@@ -12,7 +12,42 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, q41)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41)
+
+  /** Session-scoped funnel ([[graft.operators.Events.sessionFunnel]]):
+    * the e01 chain must complete within one 30-minute-gap session.
+    * The oracle composes the st01 gaps-and-islands CTE with the e01
+    * frontier chain keyed by (user, session). */
+  val e05: QueryDef = QueryDef(
+    "e05_session_funnel",
+    (s, d) => Events.sessionFunnel(Tables.events(s, d), "event_type", "user_id",
+        "ts", Seq("view", "click", "purchase"), gapMinutes = 30)
+      .orderBy(col("stage_idx")),
+    Some("""WITH e AS (SELECT user_id, event_type, ts, epoch_ms(ts) AS t FROM events),
+      flagged AS (SELECT user_id, event_type, ts, t,
+          CASE WHEN t - lag(t) OVER w > 1800000 OR lag(t) OVER w IS NULL
+               THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      numbered AS (SELECT user_id, event_type, ts,
+          sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      s1 AS (SELECT user_id, sid, min(ts) AS t FROM numbered
+             WHERE event_type = 'view' GROUP BY 1, 2),
+      s2 AS (SELECT n.user_id, n.sid, min(n.ts) AS t FROM numbered n
+             JOIN s1 ON n.user_id = s1.user_id AND n.sid = s1.sid AND n.ts > s1.t
+             WHERE n.event_type = 'click' GROUP BY 1, 2),
+      s3 AS (SELECT n.user_id, n.sid, min(n.ts) AS t FROM numbered n
+             JOIN s2 ON n.user_id = s2.user_id AND n.sid = s2.sid AND n.ts > s2.t
+             WHERE n.event_type = 'purchase' GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+          CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_sessions
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+      ORDER BY stage_idx"""))
 
   /** Column profiling ([[graft.operators.Profile.profile]]) over five
     * lineitem columns of engine-portable render types (int / string /

@@ -87,6 +87,62 @@ class EventsSpec extends AnyFunSuite {
     assert(got("view") == ((1L, 1L, 100L, 100L, 100L)))
   }
 
+  test("funnel: differential fuzz vs an in-memory reference on seeded random streams") {
+    val stages = Seq("view", "click", "purchase")
+    def reference(rows: Seq[(Long, String, Long)]): Map[String, Long] = {
+      // frontier recurrence, literally: t_0 = min ts of stage-0;
+      // t_i = min ts of stage-i events strictly after t_{i-1}
+      val byUser = rows.groupBy(_._1)
+      val perStage = Array.fill(stages.size)(0L)
+      byUser.values.foreach { evs =>
+        var prev = Option.empty[Long]
+        var alive = true
+        stages.zipWithIndex.foreach { case (st, i) =>
+          if (alive) {
+            val ts = evs.filter(e => e._2 == st && prev.forall(e._3 > _)).map(_._3)
+            if (ts.isEmpty) alive = false
+            else { perStage(i) += 1; prev = Some(ts.min) }
+          }
+        }
+      }
+      stages.zipWithIndex.map { case (st, i) => st -> perStage(i) }.toMap
+    }
+    val types = Vector("view", "click", "purchase", "error")
+    var x = 987654321L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    (1 to 3).foreach { round =>
+      val rows = (1 to 400).map { _ =>
+        (nxt() % 25, types((nxt() % types.size).toInt), 1700000000000L + nxt() % 86400000)
+      }
+      val df = {
+        import spark.implicits._
+        rows.toDF("user_id", "event_type", "ms")
+          .selectExpr("user_id", "event_type", "timestamp_millis(ms) AS ts")
+      }
+      assert(runFunnel(df) === reference(rows), s"fuzz round $round diverged")
+    }
+  }
+
+  test("session funnel: a stage reached only in a LATER session does not count") {
+    val df = ev(
+      // user 1: view + click inside one session
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:10:00"),
+      // user 2: click 60 min after the view — new session; the plain
+      // funnel counts it, the session funnel must not
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 11:00:00"),
+      // user 3: two complete view sessions -> stage-1 counts BOTH
+      (3L, "view", "2024-01-02 08:00:00"),
+      (3L, "view", "2024-01-02 12:00:00"))
+    val plain = runFunnel(df)
+    assert(plain("click") == 2L, "the plain funnel ignores session boundaries")
+    val got = Events.sessionFunnel(df, "event_type", "user_id", "ts",
+        Seq("view", "click", "purchase"), gapMinutes = 30)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("view" -> 4L, "click" -> 1L, "purchase" -> 0L))
+  }
+
   test("daily share: exact micro division") {
     val df = ev(
       (1L, "error", "2024-01-01 01:00:00"),
