@@ -193,6 +193,52 @@ object Multimodal {
     (out, acc)
   }
 
+  /** Per-record silence-trim summary (see [[trimSilence]]). */
+  final case class AudioTrim(media_id: Long, n_frames: Long, lead_silent: Long,
+      tail_silent: Long, kept_frames: Long)
+
+  /** Audio silence trimming over REAL WAV payloads: split each
+    * clip's PCM into `frameSamples`-sample frames (a trailing partial
+    * frame is ignored), call a frame silent when its mean |sample|
+    * (exact integer floor) is below `thresholdMeanAbs`, and report how
+    * many LEADING and TRAILING silent frames a trimmer would cut —
+    * interior silent frames are kept (trimming is lead/tail only, the
+    * standard preprocessing semantics). An entirely silent clip
+    * reports lead_silent = n_frames, tail_silent = 0, kept = 0.
+    *
+    * Map-only (one decode + one integer pass per record, bounded by
+    * clip length); exact integer arithmetic end to end, so the result
+    * hash-compares against an oracle that recomputes the frame
+    * profile analytically. */
+  def trimSilence(media: Dataset[MediaRecord], frameSamples: Int,
+      thresholdMeanAbs: Long): Dataset[AudioTrim] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    require(thresholdMeanAbs >= 0, s"thresholdMeanAbs must be >= 0, got $thresholdMeanAbs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val wav = MediaCodec.decodeWav(m.payload)
+      val nF = wav.samples.length / frameSamples
+      var firstLoud = -1
+      var lastLoud = -1
+      var f = 0
+      while (f < nF) {
+        var s = 0L
+        var j = f * frameSamples
+        val end = j + frameSamples
+        while (j < end) { s += math.abs(wav.samples(j).toInt); j += 1 }
+        if (s / frameSamples >= thresholdMeanAbs) {
+          if (firstLoud < 0) firstLoud = f
+          lastLoud = f
+        }
+        f += 1
+      }
+      if (firstLoud < 0) AudioTrim(m.media_id, nF, nF, 0, 0)
+      else AudioTrim(m.media_id, nF, firstLoud, nF - 1 - lastLoud,
+        lastLoud - firstLoud + 1)
+    }
+  }
+
   /** Video frame extraction: parse each Y4M payload and emit one row
     * per frame (generator shape) carrying the REAL luma plane. */
   def decodeVideoFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {

@@ -12,7 +12,49 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06)
+
+  /** Audio silence trimming ([[graft.operators.Multimodal.trimSilence]])
+    * over REAL WAV bytes built in-query: per doc_id the clip carries
+    * (id%5) silent lead frames, 4 body frames (silent too when
+    * id%7=0 — the all-silent path), and (id%3) silent tail frames,
+    * 16 samples each; body samples 20000+(id*37+j*13)%1000 are far
+    * above the mean-|sample| threshold 1000. The payload goes through
+    * the actual PCM16 encode → decode → frame-scan path; the oracle
+    * recomputes the frame profile analytically from the id formulas —
+    * a mismatch anywhere in the WAV codec or the trim scan breaks the
+    * hash. */
+  val m06: QueryDef = QueryDef(
+    "m06_silence_trim",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{MediaCodec, Multimodal}
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { i =>
+        val lead = (i % 5).toInt
+        val tail = (i % 3).toInt
+        val silentBody = i % 7 == 0
+        val samples = new Array[Short]((lead + 4 + tail) * 16)
+        if (!silentBody) {
+          var j = 0
+          while (j < 4 * 16) {
+            samples(lead * 16 + j) = (20000 + (i * 37 + j * 13) % 1000).toShort
+            j += 1
+          }
+        }
+        Multimodal.MediaRecord(i, "audio", "audio/vnd.wave", "synth",
+          MediaCodec.encodeWav(8000, samples))
+      }
+      Multimodal.trimSilence(media, frameSamples = 16, thresholdMeanAbs = 1000L)
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+        CAST((doc_id % 5) + 4 + (doc_id % 3) AS BIGINT) AS n_frames,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN (doc_id % 5) + 4 + (doc_id % 3)
+                  ELSE doc_id % 5 END AS BIGINT) AS lead_silent,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 3 END AS BIGINT) AS tail_silent,
+        CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 4 END AS BIGINT) AS kept_frames
+      FROM documents ORDER BY media_id"""))
 
   /** Session-scoped funnel ([[graft.operators.Events.sessionFunnel]]):
     * the e01 chain must complete within one 30-minute-gap session.

@@ -175,4 +175,31 @@ class MultimodalSpec extends AnyFunSuite {
     val want = (0L until w * h).map(j => (id * 17 + fidx * 11 + j * 5) % 256).sum
     assert(r.getLong(4) == want)
   }
+
+  test("trimSilence: interior silence kept, partial frame ignored, non-audio filtered") {
+    import spark.implicits._
+    def wav(id: Long, frames: Seq[Boolean], extraSamples: Int): Multimodal.MediaRecord = {
+      // frames: true = loud (constant 5000), false = silent; plus
+      // `extraSamples` trailing loud samples forming a PARTIAL frame
+      val s = frames.flatMap(l => Seq.fill(8)(if (l) 5000.toShort else 0.toShort)) ++
+        Seq.fill(extraSamples)(5000.toShort)
+      Multimodal.MediaRecord(id, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, s.toArray))
+    }
+    val media = Seq(
+      // silent, loud, SILENT-interior, loud, silent, silent
+      wav(1L, Seq(false, true, false, true, false, false), 0),
+      // all silent + a loud partial frame that must NOT count
+      wav(2L, Seq(false, false), 7),
+      Multimodal.MediaRecord(3L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(1, 1, Array[Byte](1, 2, 3)))).toDS()
+    val got = Multimodal.trimSilence(media, frameSamples = 8, thresholdMeanAbs = 100L)
+      .collect().map(t => t.media_id ->
+        ((t.n_frames, t.lead_silent, t.tail_silent, t.kept_frames))).toMap
+    assert(!got.contains(3L), "non-audio records are filtered, not decoded")
+    assert(got(1L) == ((6L, 1L, 2L, 3L)),
+      "interior silent frames stay inside the kept span")
+    assert(got(2L) == ((2L, 2L, 0L, 0L)),
+      "a trailing partial frame is ignored; all-silent reports lead = n")
+  }
 }
