@@ -12,7 +12,48 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26)
+
+  /** Per-DOCUMENT keyword extraction: top-3 terms by exact-integer
+    * tf·idf (t10's log-free idf, partitioned per doc instead of per
+    * source — the document-tagging face of the same machinery). The
+    * per-doc window partitions on the high-cardinality doc_id, so no
+    * partition holds more than one doc's vocabulary. */
+  val t26: QueryDef = QueryDef(
+    "t26_doc_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs.selectExpr("doc_id",
+        s"explode(${graft.operators.TextOps.tokens("text")}) AS token")
+      val dfTbl = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val tfTbl = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tfTbl.join(dfTbl, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .selectExpr("doc_id", "token", "tf", "df",
+          "tf * ((n_docs * 1000000) div df) AS score_micro")
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_micro").desc, col("token"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+          col("df"), col("score_micro"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(${DuckOps.tokens("text")}) AS token
+               FROM documents),
+      dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY token),
+      tfx AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, token, tf, df,
+               tf * ((n_docs * 1000000) // df) AS score_micro,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf * ((n_docs * 1000000) // df) DESC, token) AS rk
+             FROM tfx JOIN dfx USING (token), n)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_micro
+      FROM sc WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
   /** Audio silence trimming ([[graft.operators.Multimodal.trimSilence]])
     * over REAL WAV bytes built in-query: per doc_id the clip carries

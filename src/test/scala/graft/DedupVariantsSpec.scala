@@ -105,6 +105,44 @@ class DedupVariantsSpec extends AnyFunSuite {
     assert(math.abs(wj.getDouble(3) - 0.2) < 1e-12)
   }
 
+  test("weighted jaccard: differential fuzz vs a brute in-memory reference") {
+    import spark.implicits._
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def reference(docs: Seq[(Long, String)]): Map[(Long, Long), (Long, Double)] = {
+      val sh = docs.map { case (id, t) =>
+        id -> toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val tc = docs.map { case (id, t) =>
+        id -> toks(t).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      }.toMap
+      (for {
+        (a, _) <- docs; (b, _) <- docs
+        if a < b && sh(a).intersect(sh(b)).nonEmpty
+      } yield {
+        val minsum = tc(a).keySet.intersect(tc(b).keySet).toSeq
+          .map(k => math.min(tc(a)(k), tc(b)(k))).sum
+        val union = tc(a).values.sum + tc(b).values.sum - minsum
+        (a, b) -> ((minsum, minsum.toDouble / union.toDouble))
+      }).toMap.filter(_._2._1 > 0)
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    var x = 42424242L
+    def nxt(): Int = { x = (x * 48271) % 2147483647L; (x % 1000).toInt }
+    val docs = (1L to 18L).map(i =>
+      i -> (1 to 8 + nxt() % 10).map(_ => words(nxt() % words.size)).mkString(" "))
+    val got = Dedup.weightedJaccardPairs(docs.toDF("doc_id", "text"), "text", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(5))))
+      .toMap
+    val want = reference(docs)
+    assert(got.keySet === want.keySet, "candidate pair sets diverged")
+    got.foreach { case (k, (ms, wj)) =>
+      assert(ms == want(k)._1, s"minsum diverged on $k")
+      assert(math.abs(wj - want(k)._2) < 1e-12, s"wjaccard diverged on $k")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("novelty: unique-shingle fractions with < n-token docs excluded") {
     import spark.implicits._
     // d1/d2 share the shingle "a b c d e"; each also owns one unique
