@@ -12,7 +12,52 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26, s19)
+
+  /** Hard-negative mining for contrastive training: documents a
+    * KEYWORD retriever ranks highly (t19's exact BM25 top-5 config)
+    * but whose EMBEDDING similarity to the query stays below 0.1 —
+    * lexically confusable, semantically far, the classic hard-negative
+    * recipe. Composition: the audited BM25 plan + two equi-joins onto
+    * the prepared embedding frame + the micro-quantized cosine; cost
+    * is O(queries·k) beyond the retrieval itself. The oracle nests
+    * t19's full generated CTE chain as a derived table (single source
+    * of truth — any BM25 drift breaks both queries identically) and
+    * joins the embedding cosine the s01 way. */
+  val s19: QueryDef = QueryDef(
+    "s19_hard_negatives",
+    (s, d) => {
+      import graft.operators.{Retrieval, Similarity}
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("q_id"), col("text"))
+      val bm = Retrieval.bm25TopK(docs, "text", qs, "text", k = 5, maxQueryTerms = 6)
+      val p = Similarity.prepared(Tables.embeddings(s, d)).select("vec_id", "v", "nrm")
+      bm.join(p.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")), Seq("q_id"))
+        .join(p.select(col("vec_id").as("doc_id"), col("v").as("dv"),
+          col("nrm").as("dn")), Seq("doc_id"))
+        .selectExpr("q_id", "rnk", "doc_id", "score_micro",
+          s"cast(round((${Similarity.cosExpr.format("qv", "dv", "qn", "dn")}) * 1000000)" +
+            " as bigint) AS cos_micro")
+        .withColumn("hard_neg",
+          col("cos_micro") < 100000L && col("doc_id") =!= col("q_id"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH bm AS (SELECT q_id, rnk, doc_id, score_micro
+               FROM (${Pipeline9.t19.oracle.get}) AS t19),
+      ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+      nn AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM ev),
+      j AS (SELECT bm.q_id, bm.rnk, bm.doc_id, bm.score_micro,
+              CAST(round((CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+                ELSE ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) END)
+                * 1000000) AS BIGINT) AS cos_micro
+            FROM bm JOIN nn q ON bm.q_id = q.vec_id
+                    JOIN nn c ON bm.doc_id = c.vec_id)
+      SELECT q_id, rnk, doc_id, score_micro, cos_micro,
+        cos_micro < 100000 AND doc_id <> q_id AS hard_neg
+      FROM j ORDER BY q_id, rnk"""))
 
   /** Per-DOCUMENT keyword extraction: top-3 terms by exact-integer
     * tf·idf (t10's log-free idf, partitioned per doc instead of per
