@@ -12,7 +12,46 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26, s19)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26, s19, p22)
+
+  /** Composite data selection — the "pick the training set" step that
+    * STACKS three audited scoring operators: 5-gram novelty (p21),
+    * bigram-LM surprisal (t20, lower = more typical), and readability
+    * (t25), combined into one exact-integer selection score
+    * `2·novelty + clamp(flesch, 0, 1e6) − surprisal` with a total
+    * ORDER BY for a deterministic top-100 cut. Docs without shingles
+    * or words drop via the inner joins (undefined scores select
+    * nothing). The oracle NESTS the three generated oracle bodies as
+    * derived tables (the s19 single-source-of-truth idiom): drift in
+    * any component breaks both its own query and this one. */
+  val p22: QueryDef = QueryDef(
+    "p22_data_selection",
+    (s, d) => {
+      import graft.operators.{Dedup, LanguageModel, TextOps}
+      val docs = Tables.documents(s, d)
+      val nov = Dedup.noveltyScores(docs, "text", 5).select("doc_id", "novelty_micro")
+      val flu = LanguageModel.bigramSurprisal(docs, "text", 4096)
+        .select("doc_id", "mean_inv_micro")
+      val rd = TextOps.readability(docs, "text").select("doc_id", "flesch_micro")
+      nov.join(flu, Seq("doc_id")).join(rd, Seq("doc_id"))
+        .selectExpr("doc_id", "novelty_micro", "mean_inv_micro", "flesch_micro",
+          "2 * novelty_micro + greatest(0L, least(flesch_micro, 1000000L))" +
+            " - mean_inv_micro AS sel_score")
+        .orderBy(col("sel_score").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""WITH nov AS (SELECT doc_id, novelty_micro
+               FROM (${Pipeline11.p21.oracle.get}) AS p21),
+      flu AS (SELECT doc_id, mean_inv_micro
+              FROM (${Pipeline9.t20.oracle.get}) AS t20),
+      rd AS (SELECT doc_id, flesch_micro
+             FROM (${Pipeline11.t25.oracle.get}) AS t25),
+      j AS (SELECT nov.doc_id, novelty_micro, mean_inv_micro, flesch_micro,
+              CAST(2 * novelty_micro + greatest(0, least(flesch_micro, 1000000))
+                - mean_inv_micro AS BIGINT) AS sel_score
+            FROM nov JOIN flu USING (doc_id) JOIN rd USING (doc_id))
+      SELECT doc_id, novelty_micro, mean_inv_micro, flesch_micro, sel_score
+      FROM j ORDER BY sel_score DESC, doc_id LIMIT 100"""))
 
   /** Hard-negative mining for contrastive training: documents a
     * KEYWORD retriever ranks highly (t19's exact BM25 top-5 config)
