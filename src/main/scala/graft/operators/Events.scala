@@ -107,6 +107,56 @@ object Events {
         "cast(day_offset as bigint) AS day_offset", "n_users")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation: per user the
+    * days since last activity (vs the corpus's own max day), event
+    * count, and exact cent total, each scored 1–4 against the EXACT
+    * interpolated quartiles of the per-user distribution, composed
+    * into the classic 3-digit segment code (recency digit inverted so
+    * 4 = most recent).
+    *
+    * 100 TB shape: one user-keyed partial agg to O(users) rows, one
+    * 1-row quartile aggregate over that (exact `percentile` — the
+    * q33-proven cross-engine parity with DuckDB's quantile_cont),
+    * broadcast back for a map-side bucket compare. NO global ntile
+    * window — a rank-based quartile would collapse the whole user
+    * table into one sort partition; threshold comparison keeps the
+    * scoring embarrassingly parallel. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = events
+      .selectExpr(s"$userCol AS user_id", s"to_date($tsCol) AS d",
+        s"cast(round($valueCol * 100) as long) AS cents")
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary_cents"))
+    val maxD = events.agg(max(to_date(col(tsCol))).as("corpus_max_d"))
+    val aged = per.crossJoin(broadcast(maxD))
+      .selectExpr("user_id", "cast(datediff(corpus_max_d, last_d) as bigint) AS age_days",
+        "freq", "monetary_cents")
+    val qs = aged.agg(
+      expr("percentile(age_days, 0.25)").as("aq1"),
+      expr("percentile(age_days, 0.5)").as("aq2"),
+      expr("percentile(age_days, 0.75)").as("aq3"),
+      expr("percentile(freq, 0.25)").as("fq1"),
+      expr("percentile(freq, 0.5)").as("fq2"),
+      expr("percentile(freq, 0.75)").as("fq3"),
+      expr("percentile(monetary_cents, 0.25)").as("mq1"),
+      expr("percentile(monetary_cents, 0.5)").as("mq2"),
+      expr("percentile(monetary_cents, 0.75)").as("mq3"))
+    aged.crossJoin(broadcast(qs))
+      .selectExpr("user_id", "age_days", "freq", "monetary_cents",
+        "cast(4 - (if(age_days > aq1, 1, 0) + if(age_days > aq2, 1, 0) +" +
+          " if(age_days > aq3, 1, 0)) as bigint) AS r_score",
+        "cast(1 + (if(freq > fq1, 1, 0) + if(freq > fq2, 1, 0) +" +
+          " if(freq > fq3, 1, 0)) as bigint) AS f_score",
+        "cast(1 + (if(monetary_cents > mq1, 1, 0) + if(monetary_cents > mq2, 1, 0) +" +
+          " if(monetary_cents > mq3, 1, 0)) as bigint) AS m_score")
+      .selectExpr("user_id", "age_days", "freq", "monetary_cents",
+        "r_score", "f_score", "m_score",
+        "r_score * 100 + f_score * 10 + m_score AS segment")
+  }
+
   /** Typed extraction from a semi-structured JSON-ish props column via
     * an engine-portable regex (`"key": <int>`), aggregated per event
     * type: count, present-count, and exact integer sum/min/max of the

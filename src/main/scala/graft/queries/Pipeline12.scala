@@ -12,7 +12,47 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, q41, m06, t26, s19, p22)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, q41, m06, t26, s19, p22)
+
+  /** RFM segmentation ([[graft.operators.Events.rfmSegments]]):
+    * per-user recency/frequency/monetary quartile scores via broadcast
+    * EXACT-percentile thresholds (never a global ntile window — that
+    * would collapse the user table into one sort partition). */
+  val e06: QueryDef = QueryDef(
+    "e06_rfm_segments",
+    (s, d) => Events.rfmSegments(Tables.events(s, d), "user_id", "ts", "value")
+      .orderBy(col("user_id")),
+    Some("""WITH per AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+             FROM events GROUP BY 1),
+      mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_d FROM events),
+      aged AS (SELECT user_id,
+                 CAST(date_diff('day', last_d, corpus_max_d) AS BIGINT) AS age_days,
+                 freq, monetary_cents
+               FROM per, mx),
+      qs AS (SELECT quantile_cont(age_days, 0.25) AS aq1, quantile_cont(age_days, 0.5) AS aq2,
+               quantile_cont(age_days, 0.75) AS aq3,
+               quantile_cont(freq, 0.25) AS fq1, quantile_cont(freq, 0.5) AS fq2,
+               quantile_cont(freq, 0.75) AS fq3,
+               quantile_cont(monetary_cents, 0.25) AS mq1,
+               quantile_cont(monetary_cents, 0.5) AS mq2,
+               quantile_cont(monetary_cents, 0.75) AS mq3
+             FROM aged),
+      sc AS (SELECT user_id, age_days, freq, monetary_cents,
+               CAST(4 - (CASE WHEN age_days > aq1 THEN 1 ELSE 0 END +
+                         CASE WHEN age_days > aq2 THEN 1 ELSE 0 END +
+                         CASE WHEN age_days > aq3 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+               CAST(1 + (CASE WHEN freq > fq1 THEN 1 ELSE 0 END +
+                         CASE WHEN freq > fq2 THEN 1 ELSE 0 END +
+                         CASE WHEN freq > fq3 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+               CAST(1 + (CASE WHEN monetary_cents > mq1 THEN 1 ELSE 0 END +
+                         CASE WHEN monetary_cents > mq2 THEN 1 ELSE 0 END +
+                         CASE WHEN monetary_cents > mq3 THEN 1 ELSE 0 END) AS BIGINT) AS m_score
+             FROM aged, qs)
+      SELECT user_id, age_days, freq, monetary_cents, r_score, f_score, m_score,
+        r_score * 100 + f_score * 10 + m_score AS segment
+      FROM sc ORDER BY user_id"""))
 
   /** Composite data selection — the "pick the training set" step that
     * STACKS three audited scoring operators: 5-gram novelty (p21),

@@ -143,6 +143,32 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Map("view" -> 4L, "click" -> 1L, "purchase" -> 0L))
   }
 
+  test("rfm: quartile scores against hand-derived thresholds; recency digit inverted") {
+    import spark.implicits._
+    // four users, one event each on distinct days with distinct values
+    // -> per-user metrics 0/1/2/3 age days, freq all 1, cents
+    // 100/200/300/400. Interpolated quartiles of (0,1,2,3) are
+    // 0.75/1.5/2.25 -> ages 0,1,2,3 score 4,3,2,1 on recency (most
+    // recent = 4); freq all equal -> everyone scores 1 (nothing
+    // exceeds any threshold); cents quartiles 175/250/325 -> m scores
+    // 1,2,3,4.
+    val df = Seq(
+      (1L, "view", "2024-01-04 10:00:00", 1.00),
+      (2L, "view", "2024-01-03 10:00:00", 2.00),
+      (3L, "view", "2024-01-02 10:00:00", 3.00),
+      (4L, "view", "2024-01-01 10:00:00", 4.00))
+      .toDF("user_id", "event_type", "tss", "value")
+      .selectExpr("user_id", "event_type", "cast(tss as timestamp) AS ts", "value")
+    val got = Events.rfmSegments(df, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L, 1L, 411L)),
+      2L -> ((3L, 1L, 2L, 312L)),
+      3L -> ((2L, 1L, 3L, 213L)),
+      4L -> ((1L, 1L, 4L, 114L))))
+  }
+
   test("daily share: exact micro division") {
     val df = ev(
       (1L, "error", "2024-01-01 01:00:00"),

@@ -488,6 +488,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val e02 = finalPlan(operators.Events.retentionCohorts(events, "user_id", "ts", 7))
     assert(!e02.contains("CartesianProduct") && !e02.contains("ScalaUDF"),
       s"retention must stay equi/native:\n$e02")
+    // e05/e06: the session funnel adds exactly one user-keyed window
+    // shuffle before the funnel joins; RFM's quartile thresholds must
+    // BROADCAST (a shuffled join there would shuffle the whole user
+    // table against a 1-row frame)
+    val e05 = finalPlan(operators.Events.sessionFunnel(
+      events, "event_type", "user_id", "ts", Seq("view", "click"), 30))
+    assert(!e05.contains("CartesianProduct"),
+      s"session funnel must stay equi:\n$e05")
+    val e06 = finalPlan(operators.Events.rfmSegments(events, "user_id", "ts", "value"))
+    assert(e06.contains("BroadcastNestedLoopJoin") || e06.contains("BroadcastHashJoin"),
+      s"rfm thresholds must broadcast:\n$e06")
+    assert(!e06.contains("CartesianProduct"), s"rfm must not plan a cartesian:\n$e06")
+    // t26 rides t10's audited shape (per-doc partitioned window); the
+    // 1-row doc count must broadcast
+    val t26 = finalPlan(queries.Pipeline12.t26.run(spark, sfDir))
+    assert(!t26.contains("CartesianProduct"), s"t26 must stay equi/broadcast:\n$t26")
     // q41: every profile member must prune its parquet scan to the ONE
     // column it aggregates — a member reading the full schema would
     // multiply 100 TB scan volume by the column count
