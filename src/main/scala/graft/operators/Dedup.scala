@@ -195,6 +195,40 @@ object Dedup {
         col("wjaccard"))
   }
 
+  /** MinHash-LSH banding planner (driver-side pure math — standard
+    * S-curve analysis, Leskovec/Rajaraman/Ullman "Mining of Massive
+    * Datasets" ch. 3, public method): candidate probability for a pair
+    * at Jaccard s under b bands of r rows is `1 − (1 − s^r)^b`. Picks
+    * the (bands, rows) split of a signature budget `k = b·r` that
+    * catches pairs at `threshold` with at least `minRecall` while
+    * MINIMIZING the false-candidate probability at `noiseSim` (the
+    * similarity level the corpus's bulk sits at) — the tradeoff every
+    * LSH deployment hand-tunes. Throws if no split of the budget
+    * reaches the recall target (gives the caller the largest
+    * achievable recall in the message instead of silently
+    * under-recalling). */
+  def planLshBands(signatureSize: Int, threshold: Double, minRecall: Double,
+      noiseSim: Double): (Int, Int) = {
+    require(signatureSize >= 1, s"signatureSize must be >= 1, got $signatureSize")
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(minRecall > 0 && minRecall < 1, s"minRecall must be in (0,1), got $minRecall")
+    require(noiseSim >= 0 && noiseSim < threshold,
+      s"noiseSim must be in [0, threshold), got $noiseSim")
+    def pCandidate(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val splits = (1 to signatureSize)
+      .filter(signatureSize % _ == 0)
+      .map(r => (signatureSize / r, r)) // (bands, rows)
+    val viable = splits.filter { case (b, r) => pCandidate(threshold, b, r) >= minRecall }
+    if (viable.isEmpty) {
+      val best = splits.map { case (b, r) => pCandidate(threshold, b, r) }.max
+      throw new IllegalArgumentException(
+        f"no (bands, rows) split of $signatureSize reaches recall $minRecall%.3f at " +
+          f"threshold $threshold%.2f (best achievable: $best%.3f); grow the signature")
+    }
+    viable.minBy { case (b, r) => pCandidate(noiseSim, b, r) }
+  }
+
   /** Per-doc n-gram novelty: the fraction of a doc's distinct shingles
     * that appear NOWHERE else in the corpus (df = 1), in exact integer
     * micro units — the inverse-duplication quality signal a curation

@@ -143,6 +143,31 @@ class DedupVariantsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("lsh planner: S-curve math, noise minimization, unreachable-recall guard") {
+    def p(s: Double, b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    // the registered d03 config (16 hashes, 4x4) must be among what the
+    // planner would pick for a 0.5-threshold with lenient recall
+    val (b1, r1) = Dedup.planLshBands(16, threshold = 0.5, minRecall = 0.2,
+      noiseSim = 0.2)
+    assert(b1 * r1 == 16 && p(0.5, b1, r1) >= 0.2)
+    // every divisor split meeting recall must have >= the chosen noise
+    val noise1 = p(0.2, b1, r1)
+    (1 to 16).filter(16 % _ == 0).foreach { r =>
+      val b = 16 / r
+      if (p(0.5, b, r) >= 0.2) assert(p(0.2, b, r) >= noise1 - 1e-15)
+    }
+    // a tight recall target at high threshold forces more bands /
+    // fewer rows than a loose one
+    val (bLoose, rLoose) = Dedup.planLshBands(64, 0.8, 0.5, 0.3)
+    val (bTight, rTight) = Dedup.planLshBands(64, 0.8, 0.99, 0.3)
+    assert(p(0.8, bTight, rTight) >= 0.99 && p(0.8, bLoose, rLoose) >= 0.5)
+    assert(rTight <= rLoose, "tighter recall cannot need LONGER bands")
+    // unreachable recall throws with the best achievable in the message
+    val e = intercept[IllegalArgumentException](
+      Dedup.planLshBands(2, 0.1, 0.999, 0.01))
+    assert(e.getMessage.contains("best achievable"))
+  }
+
   test("novelty: unique-shingle fractions with < n-token docs excluded") {
     import spark.implicits._
     // d1/d2 share the shingle "a b c d e"; each also owns one unique
