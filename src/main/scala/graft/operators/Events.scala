@@ -53,6 +53,30 @@ object Events {
     counts.reduce(_ unionByName _)
   }
 
+  /** The [[funnel]] frontier with the stage-0 anchor time carried
+    * through: returns one row per user who completed EVERY stage —
+    * (uid, t0 = earliest stage-0 time, t = the completing stage's
+    * earliest qualifying time). Same per-stage equi-join shape; the
+    * anchor rides the frontier as a min-aggregated constant. */
+  def funnelCompletions(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate funnel stage in $stages")
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("uid"))
+      .agg(min(col(tsCol)).as("t"))
+      .withColumn("t0", col("t"))
+    stages.drop(1).foreach { st =>
+      frontier = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("uid"), col(tsCol).as("ets"))
+        .join(frontier, Seq("uid"))
+        .filter(col("ets") > col("t"))
+        .groupBy(col("uid"))
+        .agg(min(col("ets")).as("t"), min(col("t0")).as("t0"))
+    }
+    frontier.select(col("uid"), col("t0"), col("t"))
+  }
+
   /** Session-scoped funnel: like [[funnel]], but the whole stage
     * chain must complete inside ONE gap-based session (the st01
     * sessionization semantics — a new session starts after

@@ -12,7 +12,39 @@ import graft.operators.{Events, Profile}
   */
 object Pipeline12 {
 
-  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, q41, m06, t26, s19, p22)
+  def all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, q41, m06, t26, s19, p22)
+
+  /** Funnel completion latency
+    * ([[graft.operators.Events.funnelCompletions]]): for users who
+    * complete view → click → purchase, the first-view to
+    * first-qualifying-purchase latency in exact integer seconds,
+    * summarized as completer count, exact percentiles (the q33
+    * percentile↔quantile_cont parity), and min/max. */
+  val e07: QueryDef = QueryDef(
+    "e07_funnel_latency",
+    (s, d) => Events.funnelCompletions(Tables.events(s, d), "event_type", "user_id",
+        "ts", Seq("view", "click", "purchase"))
+      .selectExpr("(unix_micros(t) - unix_micros(t0)) div 1000000 AS lat_s")
+      .agg(count(lit(1)).as("n_completers"),
+        expr("percentile(lat_s, 0.5)").as("p50_s"),
+        expr("percentile(lat_s, 0.9)").as("p90_s"),
+        min(col("lat_s")).as("min_s"),
+        max(col("lat_s")).as("max_s")),
+    Some("""WITH s1 AS (SELECT user_id AS uid, min(ts) AS t, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id AS uid, min(e.ts) AS t, min(s1.t0) AS t0 FROM events e
+             JOIN s1 ON e.user_id = s1.uid AND e.ts > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id AS uid, min(e.ts) AS t, min(s2.t0) AS t0 FROM events e
+             JOIN s2 ON e.user_id = s2.uid AND e.ts > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1),
+      lat AS (SELECT epoch_us(t - t0) // 1000000 AS lat_s FROM s3)
+      SELECT CAST(count(*) AS BIGINT) AS n_completers,
+        quantile_cont(lat_s, 0.5) AS p50_s,
+        quantile_cont(lat_s, 0.9) AS p90_s,
+        CAST(min(lat_s) AS BIGINT) AS min_s,
+        CAST(max(lat_s) AS BIGINT) AS max_s
+      FROM lat"""))
 
   /** RFM segmentation ([[graft.operators.Events.rfmSegments]]):
     * per-user recency/frequency/monetary quartile scores via broadcast

@@ -120,6 +120,13 @@ class EventsSpec extends AnyFunSuite {
           .selectExpr("user_id", "event_type", "timestamp_millis(ms) AS ts")
       }
       assert(runFunnel(df) === reference(rows), s"fuzz round $round diverged")
+      // completions must agree with the final stage count, anchor at
+      // each completer's earliest stage-0 event, and end after it
+      val comp = Events.funnelCompletions(df, "event_type", "user_id", "ts", stages)
+        .collect()
+      assert(comp.length.toLong == reference(rows)(stages.last),
+        s"fuzz round $round: completions != last-stage count")
+      comp.foreach(r => assert(!r.getTimestamp(2).before(r.getTimestamp(1))))
     }
   }
 
