@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining over (basket, item) rows — the
+  * association-rule layer (support / confidence / lift, the classic
+  * Agrawal–Srikant measures, public method) and the co-purchase graph
+  * it induces (consumed by [[Graph.triangleCounts]] / [[Graph.kCore]]
+  * for community structure).
+  *
+  * Determinism contract: all three measures are exact BIGINT
+  * arithmetic in micro units. `support = n_ab·1e6 div N`,
+  * `confidence = n_ab·1e6 div n_a`, and lift is the floor-composed
+  * surrogate `(conf_ab_micro · N) div n_b` — two nested floor
+  * divisions instead of the textbook single rational, so every
+  * intermediate stays below `1e6·N` (safe for N < 9.2e12 baskets;
+  * `require`d) and both engines replay the identical op sequence.
+  *
+  * 100 TB shape: ONE distinct projection of the basket-item log, one
+  * basket-keyed self equi-join whose fan-out is bounded by the square
+  * of the basket size (baskets are small by nature; a degenerate
+  * mega-basket would surface in [[Profile]] first), one pair-keyed
+  * partial agg, and two item-keyed equi-joins against the O(catalog)
+  * item-count frame (broadcast when the catalog fits, AQE otherwise).
+  * The basket count is one O(1)-row aggregate. No driver state beyond
+  * that scalar.
+  */
+object Baskets {
+
+  /** Item pairs co-occurring in at least `minPairs` baskets, with
+    * exact-integer association measures. Pairs are emitted once in
+    * canonical order (`item_a < item_b`) with both rule directions'
+    * confidence. */
+  def assocPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long): DataFrame = {
+    require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
+    val items = baskets
+      .selectExpr(s"$basketCol AS bk", s"$itemCol AS it")
+      .distinct()
+    val nBaskets = items.agg(countDistinct(col("bk"))).head.getLong(0)
+    require(nBaskets >= 1L, "assocPairs needs at least one basket")
+    require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
+      s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
+        "below 2^63")
+    val cnt = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = items
+      .join(items.select(col("bk"), col("it").as("it2")), Seq("bk"))
+      .filter(col("it") < col("it2"))
+      .groupBy(col("it").as("item_a"), col("it2").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(cnt.select(col("it").as("item_a"), col("n_it").as("n_a")), Seq("item_a"))
+      .join(cnt.select(col("it").as("item_b"), col("n_it").as("n_b")), Seq("item_b"))
+      .selectExpr("item_a", "item_b", "n_ab", "n_a", "n_b",
+        s"(n_ab * 1000000) div ${nBaskets}L AS support_micro",
+        "(n_ab * 1000000) div n_a AS conf_ab_micro",
+        "(n_ab * 1000000) div n_b AS conf_ba_micro",
+        s"(((n_ab * 1000000) div n_a) * ${nBaskets}L) div n_b AS lift_micro")
+  }
+}

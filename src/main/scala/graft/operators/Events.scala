@@ -207,6 +207,80 @@ object Events {
         min(col("kv")).as("k_min"),
         max(col("kv")).as("k_max"))
 
+  /** First-order Markov transition matrix over each user's
+    * time-ordered event stream: for every observed (from_type,
+    * to_type) pair, the transition count, the from-type total, and the
+    * transition probability in exact integer micro units
+    * (`n · 1e6 div from_total` — BIGINT floor division, identical in
+    * both engines). Ties on the timestamp are broken by the unique
+    * `idCol`, so the sequence each user contributes is total-ordered
+    * and the result hashes deterministically.
+    *
+    * 100 TB shape: ONE user-keyed window shuffle over the event log
+    * (spillable external sort — the st01 sessionization shape), then a
+    * (from,to)-keyed partial agg down to at most T² rows. The
+    * from-type totals are a window over that tiny aggregated frame,
+    * never over the log. */
+  def transitionMatrix(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))))
+      .selectExpr("from_type", "to_type", "n", "from_total",
+        "(n * 1000000) div from_total AS p_micro")
+  }
+
+  /** Distribution drift between two time slices: the per-category
+    * chi-square contribution of each event type across the
+    * before/after split (the classic Pearson independence statistic —
+    * the drift alarm a training-data pipeline runs when a new crawl
+    * snapshot lands). Returns per type the two observed counts and
+    * `chi2_micro`, the type's summed (o−e)²∕e over both cells in micro
+    * units.
+    *
+    * Determinism: counts are exact BIGINTs; each cell's statistic is a
+    * FIXED chain of individually correctly-rounded IEEE-754 ops
+    * (rowTot·colTot exact below 2^53, one divide, one subtract, one
+    * multiply, one divide, one round) — identical bit patterns in any
+    * IEEE engine, so the micro-rounded BIGINT sum hash-matches. The
+    * order-sensitive step (summing the two cells) is over exact
+    * integers. One partial-agg shuffle to T·2 cells; the marginals are
+    * a broadcast O(T)-row frame. */
+  def typeDriftChi2(events: DataFrame, typeCol: String, tsCol: String,
+      splitTs: String): DataFrame = {
+    val cells = events
+      .selectExpr(s"$typeCol AS t",
+        s"if($tsCol < timestamp'$splitTs', 0L, 1L) AS half")
+      .groupBy(col("t"), col("half"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("t")).agg(sum(col("o")).as("row_tot"))
+    val colTot = cells.groupBy(col("half")).agg(sum(col("o")).as("col_tot"))
+    val grand = cells.agg(sum(col("o")).as("n_total"))
+    // full T×2 grid: a type absent from one half still owes that
+    // cell's (0−e)²∕e term
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("t", "half"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(grand))
+      // e = rowTot*colTot/N; contrib = round(1e6 * (o-e)^2/e) — each
+      // op correctly rounded, see scaladoc
+      .selectExpr("t", "half", "o",
+        "cast(round(((o - (row_tot * col_tot) / n_total) *" +
+          " (o - (row_tot * col_tot) / n_total)) /" +
+          " ((row_tot * col_tot) / n_total) * 1000000) as bigint) AS cell_micro")
+      .groupBy(col("t").as("event_type"))
+      .agg(sum(when(col("half") === 0L, col("o")).otherwise(0L)).as("n_before"),
+        sum(when(col("half") === 1L, col("o")).otherwise(0L)).as("n_after"),
+        sum(col("cell_micro")).as("chi2_micro"))
+  }
+
   /** Daily operational share of one event type (e.g. errors) in exact
     * micro units: per day, total events, matching events, and
     * `matching · 1e6 div total`. One partial-agg shuffle. */

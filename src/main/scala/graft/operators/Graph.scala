@@ -254,6 +254,93 @@ object Graph {
       .na.fill(0L, Seq("tri_n"))
   }
 
+  /** k-core membership: the maximal subgraph in which every node has
+    * degree >= k, found by iterative peeling (Matula & Beck 1983,
+    * public method). Edges may arrive directed/duplicated — they are
+    * canonicalized to distinct undirected pairs first. Returns
+    * (`(id, deg)` for every surviving node with its degree INSIDE the
+    * core, roundsRun).
+    *
+    * Peeling is monotone — a removed node can never re-qualify and an
+    * already-converged round is a no-op — so an oracle that unrolls
+    * any FIXED round count >= roundsRun replays the result exactly
+    * (the c04 contract; `maxRounds` doubles as that unroll bound).
+    *
+    * 100 TB shape: per round ONE explode + partial-agg degree count
+    * over the surviving edge list and two semi equi-joins of the edge
+    * list against the surviving node frame — no driver graph state;
+    * the driver holds one Long (the surviving-node count, strictly
+    * decreasing until fixpoint, so rounds <= V; `maxRounds` is the
+    * valve and hitting it un-converged throws). Per-round lineage
+    * truncation + stale-block release (the
+    * [[Cluster.connectedComponents]] discipline).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    try {
+      var und = ckpt(edges
+        .selectExpr(s"least($srcCol, $dstCol) AS a", s"greatest($srcCol, $dstCol) AS b")
+        .filter(col("a") =!= col("b"))
+        .distinct())
+      var staleUnd: Seq[RDD[_]] = checkpointRdds(und)
+      var staleKeep: Seq[RDD[_]] = Nil
+      var keep: DataFrame = null
+      var nPrev = -1L
+      var round = 0
+      var done = false
+      while (!done && round < maxRounds) {
+        val next = ckpt(kCoreDegrees(und, k))
+        val n = next.count()
+        round += 1
+        staleKeep.foreach(_.unpersist(blocking = false))
+        staleKeep = checkpointRdds(next)
+        keep = next
+        // n == nPrev: the previous semi-join removed nobody, so the
+        // degree frame just recomputed is the fixpoint. n == 0: empty
+        // core, trivially fixed.
+        if (n == nPrev || n == 0L) done = true
+        else {
+          val peeled = ckpt(kCorePeel(und, keep))
+          staleUnd.foreach(_.unpersist(blocking = false))
+          staleUnd = checkpointRdds(peeled)
+          und = peeled
+          nPrev = n
+        }
+      }
+      require(done, s"kCore: no fixpoint within $maxRounds rounds " +
+        s"(last surviving-node count = $nPrev)")
+      // the result frame is materialized; the edge-list blocks are no
+      // longer reachable from it
+      staleUnd.foreach(_.unpersist(blocking = false))
+      (keep, round)
+    } catch {
+      case t: Throwable =>
+        acquired.foreach(Storage.release)
+        throw t
+    }
+  }
+
+  /** One peel round's degree side: explode both endpoints, ONE
+    * partial-agg shuffle, filter. package-private so PlanAuditSpec can
+    * audit the un-checkpointed round shape (the [[rankStep]]
+    * convention). */
+  private[graft] def kCoreDegrees(und: DataFrame, k: Int): DataFrame =
+    und.selectExpr("explode(array(a, b)) AS id")
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+
+  /** One peel round's edge side: two semi equi-joins against the
+    * surviving node frame — never a cartesian. */
+  private[graft] def kCorePeel(und: DataFrame, keep: DataFrame): DataFrame =
+    und.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+
   /** One damped iteration: exact-integer inflow + dangling
     * redistribution + teleport. Kept separate so the arithmetic reads
     * like the oracle's unrolled CTE. package-private: PlanAuditSpec

@@ -188,4 +188,68 @@ class EventsSpec extends AnyFunSuite {
       "2024-01-01" -> ((3L, 1L, 333333L)),
       "2024-01-02" -> ((1L, 1L, 1000000L))))
   }
+
+  private def evId(rows: (Long, Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "tss")
+      .selectExpr("event_id", "user_id", "event_type", "cast(tss as timestamp) AS ts")
+  }
+
+  test("transition matrix: per-user ordering, cross-user isolation, exact micro probs") {
+    val df = evId(
+      // user 1: view -> click -> view
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "view", "2024-01-01 10:02:00"),
+      // user 2: view -> purchase (a lone trailing event emits nothing)
+      (4L, 2L, "view", "2024-01-02 09:00:00"),
+      (5L, 2L, "purchase", "2024-01-02 09:30:00"),
+      // user 3: single event — no transition at all
+      (6L, 3L, "view", "2024-01-03 08:00:00"))
+    val got = Events.transitionMatrix(df, "event_type", "user_id", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // from 'view': 2 transitions (v->c by user 1, v->p by user 2), so
+    // each carries p = 1e6 div 2; user 1's trailing view emits nothing
+    assert(got === Map(
+      ("view", "click") -> ((1L, 2L, 500000L)),
+      ("view", "purchase") -> ((1L, 2L, 500000L)),
+      ("click", "view") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("transition matrix: equal timestamps break by the unique id column") {
+    val df = evId(
+      (10L, 1L, "a", "2024-01-01 10:00:00"),
+      (11L, 1L, "b", "2024-01-01 10:00:00"), // same ts — id orders a before b
+      (12L, 1L, "c", "2024-01-01 10:01:00"))
+    val got = Events.transitionMatrix(df, "event_type", "user_id", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("b", "c")))
+  }
+
+  test("chi-square drift: hand-computed 2x2, including an absent cell") {
+    // before: 3 view, 1 error; after: 1 view, 3 error, 2 signup
+    // (signup has NO before-cell — its (0-e)^2/e term must still count)
+    val df = ev(
+      (1L, "view", "2024-01-01 01:00:00"),
+      (2L, "view", "2024-01-02 01:00:00"),
+      (3L, "view", "2024-01-03 01:00:00"),
+      (4L, "error", "2024-01-04 01:00:00"),
+      (5L, "view", "2024-01-20 01:00:00"),
+      (6L, "error", "2024-01-21 01:00:00"),
+      (7L, "error", "2024-01-22 01:00:00"),
+      (8L, "error", "2024-01-23 01:00:00"),
+      (9L, "signup", "2024-01-24 01:00:00"),
+      (10L, "signup", "2024-01-25 01:00:00"))
+    val got = Events.typeDriftChi2(df, "event_type", "ts", "2024-01-16 00:00:00")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // N=10, col totals: before 4, after 6
+    def cell(o: Long, rowTot: Long, colTot: Long): Long = {
+      val e = (rowTot * colTot).toDouble / 10.0
+      math.round((o - e) * (o - e) / e * 1e6)
+    }
+    assert(got("view") === ((3L, 1L, cell(3, 4, 4) + cell(1, 4, 6))))
+    assert(got("error") === ((1L, 3L, cell(1, 4, 4) + cell(3, 4, 6))))
+    assert(got("signup") === ((0L, 2L, cell(0, 2, 4) + cell(2, 2, 6))))
+  }
 }

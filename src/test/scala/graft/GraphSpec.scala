@@ -207,4 +207,92 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "the empty-graph guard fires AFTER e/nodes checkpoint — those blocks must be released")
   }
+
+  // ------------------------------------------------------------- k-core
+
+  /** In-memory twin of the peel: degrees over surviving undirected
+    * edges, drop deg < k, repeat to fixpoint. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var result = Map.empty[Long, Long]
+    var done = false
+    while (!done) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (id, xs) => id -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter { case (a, b) => keep(a) && keep(b) }
+      if (next.size == und.size) { done = true; result = deg.filter(_._2 >= k) }
+      else und = next
+    }
+    result
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 30, parts: Int = 4): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (core, rounds) = Graph.kCore(
+      edges.toDF("s", "d").repartition(parts), "s", "d", k, maxRounds)
+    val out = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Storage.release(core)
+    (out, rounds)
+  }
+
+  test("kCore: multi-round peel matches the reference (tail unravels one node per round)") {
+    // triangle core {1,2,3} + tail 3-4-5-6: at k=2 the tail peels from
+    // the free end inward, ONE node per round (each tail node keeps
+    // degree 2 until its outer neighbor goes)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val (got, rounds) = runKCore(edges, k = 2)
+    assert(got === refKCore(edges, 2))
+    assert(got.keySet === Set(1L, 2L, 3L) && got.values.forall(_ == 2L))
+    assert(rounds >= 4, "the tail must take one peeling round per node")
+  }
+
+  test("kCore: pseudo-random graph matches the reference at several k") {
+    var x = 98765L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = (1 to 240).map(_ => (nxt() % 30 + 1, nxt() % 30 + 1))
+    for (k <- Seq(2, 4, 8)) assert(runKCore(edges, k)._1 === refKCore(edges, k))
+  }
+
+  test("kCore: k above the max degree yields an empty core, cleanly") {
+    val (got, _) = runKCore(Seq((1L, 2L), (2L, 3L)), k = 5)
+    assert(got.isEmpty)
+  }
+
+  test("kCore: directed duplicates and self-loops canonicalize away") {
+    // (1,2) twice in both directions + self-loop: one undirected edge
+    val (got, _) = runKCore(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)), k = 1)
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("kCore: partition independence") {
+    var x = 555L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = (1 to 200).map(_ => (nxt() % 25 + 1, nxt() % 25 + 1))
+    assert(runKCore(edges, 4, parts = 1)._1 === runKCore(edges, 4, parts = 7)._1)
+  }
+
+  test("kCore: the maxRounds valve throws instead of returning a non-fixpoint") {
+    // the triangle+tail graph needs >= 4 rounds to settle at k=2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException](Graph.kCore(
+      edges.toDF("s", "d"), "s", "d", k = 2, maxRounds = 2))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "a valve trip must release every checkpoint block it acquired")
+  }
+
+  test("kCore: storage hygiene — release() returns executor storage to baseline") {
+    import spark.implicits._
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val (core, _) = Graph.kCore(
+      (1L to 20L).map(i => (i, i % 20 + 1)).toDF("s", "d"), "s", "d", 2, 10)
+    core.count()
+    Storage.release(core)
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "kCore must not leak checkpoint blocks past release()")
+  }
 }

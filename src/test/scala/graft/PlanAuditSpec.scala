@@ -518,6 +518,49 @@ class PlanAuditSpec extends AnyFunSuite {
       operators.Profile.profile(Tables.lineitem(spark, sfDir), Seq("a", "a")))
   }
 
+  test("round-10 part-3 shapes (q42 bounded basket self-join, e08 one window, e09 broadcast marginals, c04 peel round)") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir)
+    // q42: the pair generator is a basket-keyed self EQUI-join (fan-out
+    // bounded by basket size squared) + equi count joins — a cartesian
+    // or nested-loop here is the unbounded all-pairs plan the basket
+    // key exists to prevent
+    val q42 = finalPlan(operators.Baskets.assocPairs(
+      Tables.lineitem(spark, sfDir).selectExpr("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", 3L))
+    assert(!q42.contains("CartesianProduct") && !q42.contains("BroadcastNestedLoopJoin"),
+      s"assoc pairs must stay basket-keyed equi:\n$q42")
+    assert(!q42.contains("ScalaUDF"), s"q42 stays native/codegen:\n$q42")
+    // e08: exactly ONE exchange over the event log (the user-keyed
+    // window); the from-type totals window runs on the tiny aggregated
+    // frame, adding a second exchange of T² rows, never a third over
+    // the log
+    val e08 = finalPlan(operators.Events.transitionMatrix(
+      events, "event_type", "user_id", "ts", "event_id"))
+    assert(!e08.contains("CartesianProduct") && !e08.contains("ScalaUDF"),
+      s"transitions stay equi/native:\n$e08")
+    // e09: the T-row marginals and the 1-row grand total must
+    // broadcast back onto the T×2 grid — shuffling any of them would
+    // shuffle a constant-size frame per cell
+    val e09 = finalPlan(operators.Events.typeDriftChi2(
+      events, "event_type", "ts", "2024-01-16 00:00:00"))
+    assert(e09.contains("BroadcastNestedLoopJoin") || e09.contains("BroadcastHashJoin"),
+      s"drift marginals must broadcast:\n$e09")
+    assert(!e09.contains("CartesianProduct"), s"drift must not plan a cartesian:\n$e09")
+    // c04 per-round shapes (the rankStep convention — the public loop
+    // checkpoints each round into LogicalRDDs): degree side is ONE
+    // partial-agg shuffle, peel side is two semi equi-joins
+    val und = spark.range(1, 2000).selectExpr("id AS a", "(id * 17) % 1999 AS b")
+    val degPlan = finalPlan(operators.Graph.kCoreDegrees(und, 3))
+    assert(!degPlan.contains("CartesianProduct") && !degPlan.contains("ScalaUDF"),
+      s"kCore degree side stays native partial agg:\n$degPlan")
+    val keep = operators.Graph.kCoreDegrees(und, 3)
+    val peelPlan = finalPlan(operators.Graph.kCorePeel(und, keep))
+    assert(!peelPlan.contains("CartesianProduct") && !peelPlan.contains("BroadcastNestedLoopJoin"),
+      s"kCore peel must stay semi equi-joins:\n$peelPlan")
+    assert(peelPlan.contains("LeftSemi"), s"peel joins must be semi:\n$peelPlan")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
