@@ -333,6 +333,31 @@ object Dedup {
       minhashLshPairsFrom(_, k, bands, threshold))
   }
 
+  /** Exact edit-distance re-rank of an LSH candidate pair frame: join
+    * the texts back by id, compute Levenshtein distance over the first
+    * `prefixLen` chars (the cost valve — full-document O(n·m) DP on
+    * multi-KB docs is the quadratic the prefix bounds), keep pairs at
+    * `<= maxDist`. Levenshtein is exact integer and engine-portable
+    * (both Spark and the oracle implement the classic unit-cost DP),
+    * so the result hashes deterministically — no float similarity
+    * anywhere.
+    *
+    * 100 TB shape: candidates are already bounded by the LSH banding;
+    * this adds two id-keyed equi-joins against the corpus and a
+    * map-side O(prefixLen²) scorer — never an all-pairs plan. */
+  def editRerank(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, prefixLen: Int, maxDist: Long): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxDist >= 0L, s"maxDist must be >= 0, got $maxDist")
+    pairs.select(col("d1"), col("d2"))
+      .join(docs.selectExpr(s"$idCol AS d1",
+        s"substring($textCol, 1, $prefixLen) AS t1"), Seq("d1"))
+      .join(docs.selectExpr(s"$idCol AS d2",
+        s"substring($textCol, 1, $prefixLen) AS t2"), Seq("d2"))
+      .selectExpr("d1", "d2", "cast(levenshtein(t1, t2) as bigint) AS edit_d")
+      .filter(col("edit_d") <= maxDist)
+  }
+
   /** the [[minhashLshPairs]] plan over an already-available signature
     * frame — LAZY (no caching, no materialization): feed it the
     * [[fitMinhashSignatures]] artifact to share one signature pass

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Baskets, Events, Graph}
+import graft.operators.{Baskets, Dedup, Events, Graph}
 
 /** Round-10 additions, part 3: market-basket association rules
   * ([[graft.operators.Baskets]]), first-order Markov transitions and
@@ -14,7 +14,53 @@ import graft.operators.{Baskets, Events, Graph}
   */
 object Pipeline13 {
 
-  def all: Seq[QueryDef] = Seq(q42, e08, e09, c04)
+  def all: Seq[QueryDef] = Seq(q42, e08, e09, c04, d10, st03)
+
+  /** Exact edit-distance re-rank ([[graft.operators.Dedup.editRerank]])
+    * of the d03 MinHash-LSH candidates: Levenshtein over a 200-char
+    * prefix (the cost valve), keep <= 3 edits — integer-exact in both
+    * engines, so the near-dup verdict is hash-pinned with no float
+    * similarity. The oracle nests d03's generated CTE chain (single
+    * source of truth — banding drift breaks both queries). */
+  val d10: QueryDef = QueryDef(
+    "d10_edit_rerank",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.editRerank(docs, "doc_id", "text",
+          Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5),
+          prefixLen = 200, maxDist = 3L)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""${Pipeline.minhashCtes},
+      sel AS (SELECT d1, d2 FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5)
+      SELECT p.d1, p.d2,
+        CAST(levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) AS BIGINT) AS edit_d
+      FROM sel p
+        JOIN documents a ON p.d1 = a.doc_id
+        JOIN documents b ON p.d2 = b.doc_id
+      WHERE levenshtein(substring(a.text, 1, 200), substring(b.text, 1, 200)) <= 3
+      ORDER BY p.d1, p.d2"""))
+
+  /** Stream-static enrichment
+    * ([[graft.streaming.EventStreams.segmentRevenue]]): the event
+    * stream broadcast-joined to the customer segment dimension, exact
+    * cents per (1-day tumbling window, segment). Registered on the
+    * batch face; EventStreamsSpec proves the readStream face emits the
+    * identical rows through a real watermark + memory sink. */
+  val st03: QueryDef = QueryDef(
+    "st03_segment_revenue",
+    (s, d) => graft.streaming.EventStreams.segmentRevenue(
+        Tables.events(s, d),
+        Tables.customer(s, d).selectExpr("c_custkey AS user_id",
+          "c_mktsegment AS segment"))
+      .orderBy(col("win_start_ms"), col("segment")),
+    Some("""WITH e AS (SELECT ts, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+      j AS (SELECT date_trunc('day', e.ts) AS d, c.c_mktsegment AS segment, e.cents
+            FROM e JOIN customer c ON e.user_id = c.c_custkey)
+      SELECT epoch_ms(d) AS win_start_ms, segment,
+        CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Association rules over order baskets
     * ([[graft.operators.Baskets.assocPairs]]): part pairs co-bought in

@@ -55,6 +55,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("cents"))
 
+  /** Stream-static enrichment + daily revenue: join the event stream
+    * to a small user→segment dimension (BROADCAST — the static side
+    * of a stream-static join never shuffles the stream) and aggregate
+    * exact cents per (1-day tumbling event-time window, segment).
+    * The same plan runs on a batch frame (the st03 oracle face —
+    * `window('1 day')` aligns with the oracle's UTC
+    * `date_trunc('day')`) and on a readStream frame, where
+    * `watermark` (non-null) makes the aggregate append-mode
+    * compatible.
+    *
+    * 100 TB shape: map-side broadcast probe + ONE
+    * partially-aggregated (window, segment)-keyed shuffle; streaming
+    * state is O(open windows · segments). */
+  def segmentRevenue(events: DataFrame, dim: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = watermark.fold(events)(events.withWatermark("ts", _))
+    e.selectExpr("ts", "user_id", "cast(round(value * 100) as bigint) AS cents")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .selectExpr("unix_millis(window.start) AS win_start_ms", "segment",
+        "n_events", "cents")
+  }
+
   /** Sliding-window distinct-user approximation per type. */
   def slidingActiveUsers(events: DataFrame): DataFrame =
     events

@@ -178,4 +178,26 @@ class DedupVariantsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got === Map(1L -> ((2L, 1L, 500000L)), 2L -> ((2L, 1L, 500000L))))
   }
+
+  test("editRerank: exact Levenshtein over the prefix valve, threshold filter, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "abXdeYghij"),      // two substitutions inside the prefix
+      (3L, "abcdefghijZZZZZ"), // differs only PAST the 10-char prefix
+      (4L, "qqqqqqqqqq"))      // far: 10 substitutions
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")
+    val got = Dedup.editRerank(docs, "doc_id", "text", pairs, 10, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 0L))
+    // tightening the threshold drops the 2-edit pair
+    val tight = Dedup.editRerank(docs, "doc_id", "text", pairs, 10, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === Set((1L, 3L)))
+    intercept[IllegalArgumentException](
+      Dedup.editRerank(docs, "doc_id", "text", pairs, 0, 1L))
+    intercept[IllegalArgumentException](
+      Dedup.editRerank(docs, "doc_id", "text", pairs, 10, -1L))
+  }
 }

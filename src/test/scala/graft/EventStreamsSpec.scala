@@ -133,4 +133,32 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(bucketed == batch)
     } finally q.stop()
   }
+
+  test("stream-static segment revenue: stream (memory sink) == batch") {
+    val dim = Tables.customer(spark, sfDir)
+      .selectExpr("c_custkey AS user_id", "c_mktsegment AS segment")
+    val stream = EventStreams.readEventStream(spark, sfDir)
+    val q = EventStreams.segmentRevenue(stream, dim, watermark = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("seg_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM seg_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val batch = EventStreams.segmentRevenue(Tables.events(spark, sfDir), dim)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.nonEmpty, "stream emitted no closed windows")
+      // append mode withholds windows the final watermark hasn't
+      // passed — every emitted window must match batch cell-exactly
+      streamed.foreach { case (k, v) =>
+        assert(batch.get(k).contains(v), s"window $k diverged: $v vs ${batch.get(k)}")
+      }
+      // the watermark may withhold cells of the FINAL day only (one
+      // per segment) — every earlier window must have been emitted
+      val maxWin = batch.keys.map(_._1).max
+      val withheld = batch.keySet -- streamed.keySet
+      assert(withheld.forall(_._1 == maxWin),
+        s"watermark withheld non-final windows: ${withheld.filter(_._1 != maxWin)}")
+    } finally q.stop()
+  }
 }

@@ -559,6 +559,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!peelPlan.contains("CartesianProduct") && !peelPlan.contains("BroadcastNestedLoopJoin"),
       s"kCore peel must stay semi equi-joins:\n$peelPlan")
     assert(peelPlan.contains("LeftSemi"), s"peel joins must be semi:\n$peelPlan")
+    // d10: the re-rank adds two id-keyed equi-joins onto the audited
+    // LSH candidate plan — never an all-pairs scorer
+    val docs = Tables.documents(spark, sfDir)
+    val d10 = finalPlan(operators.Dedup.editRerank(docs, "doc_id", "text",
+      operators.Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5), 200, 3L))
+    assert(!d10.contains("CartesianProduct") && !d10.contains("BroadcastNestedLoopJoin"),
+      s"edit re-rank must stay id-keyed equi:\n$d10")
+    assert(!d10.contains("ScalaUDF"), s"levenshtein is the native expression:\n$d10")
+    // st03: the static dim must BROADCAST (the stream side never
+    // shuffles for the join); one partial-agg exchange after
+    val st03 = finalPlan(graft.streaming.EventStreams.segmentRevenue(
+      events, Tables.customer(spark, sfDir)
+        .selectExpr("c_custkey AS user_id", "c_mktsegment AS segment")))
+    assert(st03.contains("BroadcastHashJoin"),
+      s"stream-static dim must broadcast:\n$st03")
+    assert(!st03.contains("CartesianProduct"), s"st03 must stay equi:\n$st03")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
