@@ -281,6 +281,31 @@ object Events {
         sum(col("cell_micro")).as("chi2_micro"))
   }
 
+  /** Last-touch attribution: each conversion event (type ==
+    * `convType`) is credited to the user's most recent PRECEDING
+    * non-conversion event type ((ts, idCol)-ordered, strictly before
+    * the conversion row); conversions with no preceding touch drop.
+    * Returns per channel the conversion count and exact cent total.
+    *
+    * 100 TB shape: ONE user-keyed window shuffle (ignore-nulls `last`
+    * over an unbounded-preceding frame — computed in one running pass,
+    * no per-row rescan), then a channel-keyed partial agg to at most
+    * T rows. */
+  def lastTouchAttribution(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, idCol: String, valueCol: String, convType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("t"),
+        expr(s"cast(round($valueCol * 100) as long)").as("cents"))
+      .withColumn("touch",
+        last(when(col("t") =!= convType, col("t")), ignoreNulls = true).over(w))
+      .filter(col("t") === convType && col("touch").isNotNull)
+      .groupBy(col("touch").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("cents"))
+  }
+
   /** Daily operational share of one event type (e.g. errors) in exact
     * micro units: per day, total events, matching events, and
     * `matching · 1e6 div total`. One partial-agg shuffle. */

@@ -291,6 +291,45 @@ object Multimodal {
     frames.filter(fr => fr.frame_idx % everyN == 0)
   }
 
+  /** Scene-change (keyframe) detection over decoded video frames: per
+    * frame the EXACT sum of absolute luma differences vs the previous
+    * frame, the mean abs diff in micro units (`diff · 1e6 div pixels`),
+    * and the keyframe verdict — frame 0 of every video, or
+    * `mad_micro > threshMicro`. All integer arithmetic.
+    *
+    * 100 TB shape: consecutive frames pair by ONE
+    * (media_id, frame_idx)-keyed equi-join (frame f against f−1) —
+    * never a per-video sort or a whole-video group buffer; the pixel
+    * diff is a typed map over the joined pair (the codec layer's
+    * Dataset discipline), O(pixels) per row. */
+  def keyframes(frames: Dataset[MediaFrame], threshMicro: Long): DataFrame = {
+    require(threshMicro >= 0L, s"threshMicro must be >= 0, got $threshMicro")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val cur = frames
+      .map(f => (f.media_id, f.frame_idx, f.width.toLong * f.height, f.luma))
+      .toDF("media_id", "frame_idx", "np", "luma")
+    val prev = frames
+      .map(f => (f.media_id, f.frame_idx + 1, f.luma))
+      .toDF("media_id", "frame_idx", "prev_luma")
+    cur.join(prev, Seq("media_id", "frame_idx"), "left")
+      .as[(Long, Int, Long, Array[Byte], Array[Byte])]
+      .map { case (mid, f, np, luma, prevLuma) =>
+        val diff =
+          if (prevLuma == null) None
+          else {
+            var s = 0L
+            var i = 0
+            val n = math.min(luma.length, prevLuma.length)
+            while (i < n) { s += math.abs((luma(i) & 0xff) - (prevLuma(i) & 0xff)); i += 1 }
+            Some(s)
+          }
+        val mad = diff.map(d => d * 1000000L / np)
+        (mid, f.toLong, diff, mad, diff.isEmpty || mad.exists(_ > threshMicro))
+      }
+      .toDF("media_id", "frame_idx", "diff_sum", "mad_micro", "is_key")
+  }
+
   /** Reduce each frame's luma plane to its exact unsigned byte sum —
     * the hash-checkable channel statistic. Pure map, zero shuffle. */
   def frameSums(frames: Dataset[MediaFrame]): DataFrame = {

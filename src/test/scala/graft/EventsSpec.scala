@@ -227,6 +227,31 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Set(("a", "b"), ("b", "c")))
   }
 
+  test("last-touch attribution: most recent non-conversion wins; orphan conversions drop") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view, click, purchase(12.00) -> click credited
+      (1L, 1L, "view", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-01 10:05:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 10:10:00", 12.0),
+      // user 1 again: SECOND purchase with no new touch — the earlier
+      // click is still the last non-purchase event (purchases never
+      // credit each other)
+      (4L, 1L, "purchase", "2024-01-01 11:00:00", 5.0),
+      // user 2: purchase FIRST (no preceding touch -> dropped), then
+      // view, purchase -> view credited
+      (5L, 2L, "purchase", "2024-01-02 09:00:00", 99.0),
+      (6L, 2L, "view", "2024-01-02 09:10:00", 0.0),
+      (7L, 2L, "purchase", "2024-01-02 09:20:00", 3.5))
+      .toDF("event_id", "user_id", "event_type", "tss", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "cast(tss as timestamp) AS ts", "value")
+    val got = Events.lastTouchAttribution(df, "event_type", "user_id",
+        "ts", "event_id", "value", "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("click" -> ((2L, 1700L)), "view" -> ((1L, 350L))))
+  }
+
   test("chi-square drift: hand-computed 2x2, including an absent cell") {
     // before: 3 view, 1 error; after: 1 view, 3 error, 2 signup
     // (signup has NO before-cell — its (0-e)^2/e term must still count)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Incremental
+
+/** The algebraic-merge contract: merging per-slice rollup states must
+  * equal the single-pass rollup of the union, for ANY slicing —
+  * differential-fuzzed over random slicings, plus guards. */
+class IncrementalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def events(rows: (String, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("tss", "event_type", "value")
+      .selectExpr("cast(tss as timestamp) AS ts", "event_type", "value")
+  }
+
+  private def collectRollup(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("merge of slice states == single-pass rollup; random slicings (differential fuzz)") {
+    // deterministic pseudo-random event set over 5 days x 3 types
+    var x = 424242L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val all = (1 to 200).map { _ =>
+      (f"2024-01-${nxt() % 5 + 1}%02d 0${nxt() % 9}:00:00",
+        Seq("a", "b", "c")(nxt().toInt % 3),
+        (nxt() % 10000).toDouble / 100.0)
+    }
+    val full = collectRollup(Incremental.mergeStates(
+      Seq(Incremental.dailyTypeState(events(all: _*), "event_type", "ts", "value")),
+      Seq("day", "event_type")))
+    for (seed <- Seq(1, 2, 3)) {
+      // slice by hash of index into `seed + 1` groups, some possibly empty
+      val slices = all.zipWithIndex.groupBy { case (_, i) => (i * 31 + seed) % (seed + 1) }
+        .values.map(g => events(g.map(_._1): _*)).toSeq
+      val merged = collectRollup(Incremental.mergeStates(
+        slices.map(Incremental.dailyTypeState(_, "event_type", "ts", "value")),
+        Seq("day", "event_type")))
+      assert(merged === full, s"slicing seed $seed diverged from the single-pass rollup")
+    }
+  }
+
+  test("a state re-merged with an empty state is unchanged") {
+    val base = events(("2024-01-01 10:00:00", "a", 1.23), ("2024-01-01 11:00:00", "a", 4.56))
+    val st = Incremental.dailyTypeState(base, "event_type", "ts", "value")
+    val emptyState = Incremental.dailyTypeState(
+      base.filter("event_type = 'never'"), "event_type", "ts", "value")
+    val merged = collectRollup(Incremental.mergeStates(Seq(st, emptyState),
+      Seq("day", "event_type")))
+    assert(merged === collectRollup(
+      Incremental.mergeStates(Seq(st), Seq("day", "event_type"))))
+    assert(merged === Map(("2024-01-01", "a") -> ((2L, 579L, 123L, 456L))))
+  }
+
+  test("guards: empty state list, missing key, missing state column") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      Incremental.mergeStates(Seq.empty, Seq("day")))
+    val st = Incremental.dailyTypeState(
+      events(("2024-01-01 10:00:00", "a", 1.0)), "event_type", "ts", "value")
+    intercept[IllegalArgumentException](
+      Incremental.mergeStates(Seq(st), Seq.empty))
+    intercept[IllegalArgumentException](
+      Incremental.mergeStates(Seq(st.drop("max_cents")), Seq("day", "event_type")))
+  }
+}

@@ -202,4 +202,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 2L, 0L, 0L)),
       "a trailing partial frame is ignored; all-silent reports lead = n")
   }
+
+  test("keyframes: hand-built video — first frame keys, diff sums exact, threshold splits") {
+    import spark.implicits._
+    // 2x2 video, three frames: f0, f1 = f0 + small change (1 pixel by
+    // 4 => mad 1.0), f2 = inverted (mad large)
+    val f0 = Array[Byte](10, 20, 30, 40)
+    val f1 = Array[Byte](10, 20, 30, 44)
+    val f2 = Array[Byte](200.toByte, 210.toByte, 220.toByte, 230.toByte)
+    val vid = Multimodal.MediaRecord(7L, "video", "video/x-yuv4mpeg",
+      "t", MediaCodec.encodeY4m(2, 2, Array(f0, f1, f2)))
+    val single = Multimodal.MediaRecord(8L, "video", "video/x-yuv4mpeg",
+      "t", MediaCodec.encodeY4m(2, 2, Array(Array[Byte](5, 6, 7, 8))))
+    val frames = Multimodal.decodeVideoFrames(Seq(vid, single).toDS())
+    val got = Multimodal.keyframes(frames, threshMicro = 2000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    // f1: |44-40| = 4 over 4 px -> mad 1.0 (1000000) — below threshold
+    // f2: |200-10|+|210-20|+|220-30|+|230-44| = 190*3+186 = 756 -> mad 189.0
+    assert(got((7L, 0L)) === ((None, None, true)), "frame 0 is always a keyframe")
+    assert(got((7L, 1L)) === ((Some(4L), Some(1000000L), false)))
+    assert(got((7L, 2L)) === ((Some(756L), Some(189000000L), true)))
+    assert(got((8L, 0L)) === ((None, None, true)), "single-frame video keys its only frame")
+    intercept[IllegalArgumentException](Multimodal.keyframes(frames, -1L))
+  }
 }

@@ -577,6 +577,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!st03.contains("CartesianProduct"), s"st03 must stay equi:\n$st03")
   }
 
+  test("round-10 part-4 shapes (q43 state-row merge, e10 one window, m07 equi frame join)") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir)
+    // q43: the merge aggregates STATE rows (union of two partial-agg
+    // frames + one re-agg) — no join at all, so any join node means
+    // the merge took a wrong shape
+    val st = operators.Incremental.dailyTypeState(events, "event_type", "ts", "value")
+    val q43 = finalPlan(operators.Incremental.mergeStates(Seq(st, st),
+      Seq("day", "event_type")))
+    assert(!q43.contains("Join") && !q43.contains("CartesianProduct"),
+      s"state merge is union + re-agg, never a join:\n$q43")
+    assert(!q43.contains("ScalaUDF"), s"q43 stays native:\n$q43")
+    // e10: one user-keyed window (running ignore-nulls last) + one
+    // channel-keyed agg; no self-join per conversion
+    val e10 = finalPlan(operators.Events.lastTouchAttribution(
+      events, "event_type", "user_id", "ts", "event_id", "value", "purchase"))
+    assert(!e10.contains("Join") && !e10.contains("CartesianProduct"),
+      s"attribution must be one window pass, never a join:\n$e10")
+    // m07: consecutive frames pair by an equi-join on
+    // (media_id, frame_idx) — a cartesian would be the all-frame-pairs
+    // plan the key exists to prevent
+    val m07 = finalPlan(operators.Multimodal.keyframes(
+      operators.Multimodal.decodeVideoFrames(
+        operators.Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))), 21000000L))
+    assert(!m07.contains("CartesianProduct") && !m07.contains("BroadcastNestedLoopJoin"),
+      s"keyframe pairing must stay equi:\n$m07")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
