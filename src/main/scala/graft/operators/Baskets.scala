@@ -31,18 +31,34 @@ object Baskets {
   /** Item pairs co-occurring in at least `minPairs` baskets, with
     * exact-integer association measures. Pairs are emitted once in
     * canonical order (`item_a < item_b`) with both rule directions'
-    * confidence. */
+    * confidence.
+    *
+    * EAGER (the [[Storage.withCached]] contract): the distinct
+    * basket-item projection is scanned three ways (both self-join
+    * sides + item counts) — it is cached for the build and the result
+    * comes back materialized; call [[Storage.release]] after the
+    * terminal action. */
   def assocPairs(baskets: DataFrame, basketCol: String, itemCol: String,
       minPairs: Long): DataFrame = {
     require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
-    val items = baskets
+    val itemsRaw = baskets
       .selectExpr(s"$basketCol AS bk", s"$itemCol AS it")
       .distinct()
-    val nBaskets = items.agg(countDistinct(col("bk"))).head.getLong(0)
-    require(nBaskets >= 1L, "assocPairs needs at least one basket")
-    require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
-      s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
-        "below 2^63")
+    Storage.withCached(itemsRaw) { items =>
+      val nBaskets = items.agg(countDistinct(col("bk"))).head.getLong(0)
+      require(nBaskets >= 1L, "assocPairs needs at least one basket")
+      require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
+        s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
+          "below 2^63")
+      assocPairsFrom(items, nBaskets, minPairs)
+    }
+  }
+
+  /** the LAZY [[assocPairs]] plan over an already-available distinct
+    * (bk, it) frame — package-private so PlanAuditSpec can audit the
+    * un-checkpointed join shape (the rankStep convention). */
+  private[graft] def assocPairsFrom(items: DataFrame, nBaskets: Long,
+      minPairs: Long): DataFrame = {
     val cnt = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
     val pairs = items
       .join(items.select(col("bk"), col("it").as("it2")), Seq("bk"))

@@ -112,6 +112,65 @@ object Curate {
     *                      => 'test'
     * @return (`idCol`, `bucket`, `split`)
     */
+  /** Token-budget apportionment + deterministic selection: split a
+    * global token budget across sources by the largest-remainder
+    * (Hamilton) apportionment — EXACT integers, no float shares — then
+    * select each source's docs in salted-hash order greedily while the
+    * running token total stays within the source's quota (a selected
+    * set never exceeds its quota; a quota smaller than the source's
+    * first-ranked doc selects nothing from it).
+    *
+    * Quotas: `base_i = B·W_i div W`; the `B − Σ base_i` leftover
+    * tokens go one each to the sources with the largest remainders
+    * `B·W_i mod W` (ties broken by source name — a strict total
+    * order). `B · max(W_i)` must stay inside Int64 (require'd via one
+    * O(1)-row aggregate).
+    *
+    * 100 TB shape: one source-keyed partial agg to O(sources) rows;
+    * the apportionment windows run over that tiny frame; the quota
+    * table broadcasts back; selection is ONE source-keyed window
+    * (running sum in hash order, spillable external sort). The only
+    * driver scalar is the overflow-guard max.
+    *
+    * @return selected docs: (id, source, n_tokens, cum_tokens,
+    *         quota_tokens), one row per kept doc
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val toks = docs.selectExpr(s"$idCol AS id", s"$srcCol AS source",
+      s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+    val perSrc = toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+    val maxW = perSrc.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    require(BigInt(budgetTokens) * BigInt(math.max(maxW, 1L)) < BigInt(Long.MaxValue),
+      s"tokenBudgetSelect exact-integer contract: budget($budgetTokens) * " +
+        s"maxSourceTokens($maxW) must stay below 2^63; rescale the budget units")
+    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val byRem = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("source").asc)
+    val quotas = perSrc
+      .withColumn("w_tot", sum(col("w")).over(one))
+      .selectExpr("source", "w",
+        s"($budgetTokens * w) div w_tot AS base",
+        s"($budgetTokens * w) % w_tot AS rem")
+      .withColumn("leftover", lit(budgetTokens) - sum(col("base")).over(one))
+      .withColumn("rk", row_number().over(byRem))
+      .selectExpr("source",
+        "base + if(rk <= leftover, 1L, 0L) AS quota_tokens")
+    val sel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val h = graft.operators.TextOps.strHash60(
+      s"concat('$salt', ':', cast(id as string))")
+    toks.selectExpr("id", "source", "n_tokens", s"$h AS hkey")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(sel))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("cum_tokens") <= col("quota_tokens"))
+      .select(col("id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quota_tokens"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, salt: String,
       trainPerMille: Int, valPerMille: Int): DataFrame = {
     require(trainPerMille >= 0 && valPerMille >= 0 &&

@@ -233,16 +233,19 @@ object Pipeline {
       WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
 
-  /** shared DuckDB CTE chain computing the MinHash(16)-LSH(4-band)
-    * pair estimates (used by d03 and the d05 filter). */
-  private[queries] val minhashCtes: String =
+  /** shared DuckDB CTE chain computing MinHash(16)-LSH pair estimates
+    * for an arbitrary (bands, rowsPerBand) split — parameterized so
+    * the d11 planner-driven query generates its oracle from the SAME
+    * (b, r) the Spark call computes. */
+  private[queries] def minhashCtesFor(bands: Int, rows: Int): String =
     s"""WITH toks AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
       sh AS (SELECT doc_id, ${DuckOps.shingles("t", 3)} AS s FROM toks),
       hs AS (SELECT doc_id, list_distinct(
                list_transform(s, x -> ${DuckOps.strHash60("x")})) AS h FROM sh),
       sig AS (SELECT doc_id, ${DuckOps.minhashSig("h", 16)} AS sig FROM hs),
-      bands AS (SELECT doc_id, b, ${DuckOps.foldHash("sig[b * 4 + 1 : b * 4 + 4]")} AS bucket
-                FROM sig, unnest(range(0, 4)) AS t(b)),
+      bands AS (SELECT doc_id, b,
+                  ${DuckOps.foldHash(s"sig[b * $rows + 1 : b * $rows + $rows]")} AS bucket
+                FROM sig, unnest(range(0, $bands)) AS t(b)),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM bands a JOIN bands b
                ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -250,6 +253,9 @@ object Pipeline {
                 CAST(len(list_filter(range(1, 17),
                   i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS matches
               FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id)"""
+
+  /** the d03/d05 instance: MinHash(16)-LSH(4 bands × 4 rows). */
+  private[queries] val minhashCtes: String = minhashCtesFor(4, 4)
 
   /** MinHash(16)-LSH(4 bands) near-dup pairs, est. Jaccard >= 0.5. */
   val d03: QueryDef = QueryDef(

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Events, Incremental, Multimodal}
+import graft.operators.{Curate, Dedup, Events, Incremental, Multimodal}
 
 /** Round-10 additions, part 4: incremental rollup maintenance
   * ([[graft.operators.Incremental]]), last-touch conversion
@@ -12,7 +12,67 @@ import graft.operators.{Events, Incremental, Multimodal}
   */
 object Pipeline14 {
 
-  def all: Seq[QueryDef] = Seq(q43, e10, m07)
+  def all: Seq[QueryDef] = Seq(q43, e10, m07, d11, p24)
+
+  /** The planner-driven banding for d11: computed ONCE at class-load
+    * from the S-curve analysis ([[graft.operators.Dedup.planLshBands]])
+    * — recall >= 0.85 at Jaccard 0.5 with minimal noise pull-in at
+    * 0.2 — and threaded into BOTH the Spark call and the generated
+    * oracle, so the planner's (bands, rows) choice is itself under the
+    * hash gate. */
+  private val plannedSplit = Dedup.planLshBands(16, 0.5, 0.85, 0.2)
+  private val PlannedBands = plannedSplit._1
+  private val PlannedRows = plannedSplit._2
+
+  /** Planner-driven MinHash-LSH pairs: d03's generator re-banded by
+    * [[graft.operators.Dedup.planLshBands]] (8 bands × 2 rows here —
+    * higher recall than d03's fixed 4×4, more candidates, same
+    * signature pass). */
+  val d11: QueryDef = QueryDef(
+    "d11_planned_lsh_pairs",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16,
+        PlannedBands, 0.5)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""${Pipeline.minhashCtesFor(PlannedBands, PlannedRows)}
+      SELECT d1, d2, matches, CAST(matches AS DOUBLE) / 16 AS est_jaccard
+      FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5
+      ORDER BY d1, d2"""))
+
+  /** Token-budget corpus selection
+    * ([[graft.operators.Curate.tokenBudgetSelect]]): a 12k-token
+    * budget apportioned across the 20 sources by exact-integer
+    * largest-remainder (Hamilton) quotas, each source filled greedily
+    * in salted-hash order. The oracle replays the apportionment and
+    * the running-sum cut exactly. */
+  val p24: QueryDef = QueryDef(
+    "p24_token_budget",
+    (s, d) => Curate.tokenBudgetSelect(Tables.documents(s, d),
+        "doc_id", "source", "text", budgetTokens = 12000L, salt = "graft")
+      .orderBy(col("id")),
+    Some(s"""WITH toks AS (SELECT doc_id AS id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '[ ]+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+             FROM documents),
+      ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS w FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM ps),
+      qb AS (SELECT source, w, (12000 * w) // wt AS base, (12000 * w) % wt AS rem
+             FROM ps, tot),
+      lo AS (SELECT 12000 - CAST(sum(base) AS BIGINT) AS leftover FROM qb),
+      qr AS (SELECT source, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM qb),
+      qt AS (SELECT source,
+               CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo)
+                 THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens FROM qr),
+      rkd AS (SELECT id, source, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hkey, id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM (SELECT id, source, n_tokens,
+                ${DuckOps.strHash60("('graft:' || CAST(id AS VARCHAR))")} AS hkey
+              FROM toks))
+      SELECT r.id, r.source, r.n_tokens, r.cum_tokens, q.quota_tokens
+      FROM rkd r JOIN qt q ON r.source = q.source
+      WHERE r.cum_tokens <= q.quota_tokens
+      ORDER BY r.id"""))
 
   /** Incremental rollup maintenance: the (day, event_type) rollup is
     * built as TWO slice states (events before / after a mid-month

@@ -57,6 +57,13 @@ class CacheHygieneSpec extends AnyFunSuite {
       Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5))
   }
 
+  test("assocPairs releases its distinct basket-item cache") {
+    checkHygiene("assocPairs")(
+      graft.operators.Baskets.assocPairs(
+        Tables.lineitem(spark, sfDir).selectExpr("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minPairs = 1L))
+  }
+
   test("simhashPairs releases its simhash cache") {
     checkHygiene("simhashPairs")(Dedup.simhashPairs(docs, "text", 3))
   }

@@ -107,4 +107,75 @@ class CurateSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"hashSplit must be a pure projection:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"hashSplit stays native/codegen:\n$plan")
   }
+
+  private def budgetDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("tokenBudgetSelect: Hamilton quotas — floors, largest remainders, name tie-break") {
+    // srcA: 7 tokens, srcB: 3 tokens, budget 5 -> bases (3, 1),
+    // remainders tie at 5 -> the ONE leftover token goes to srcA by
+    // name order -> quotas (4, 1)
+    val docs = budgetDocs(
+      (1L, "srcA", "a b c d"), (2L, "srcA", "e f g"),
+      (3L, "srcB", "h i j"))
+    val got = Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", 5L, "s")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val quotas = got.values.map(v => v._1 -> v._4).toMap
+    assert(quotas.get("srcA").forall(_ == 4L))
+    assert(quotas.get("srcB").forall(_ == 1L))
+    // srcB's only doc is 3 tokens > quota 1 -> nothing selected there
+    assert(got.values.forall(_._1 == "srcA"))
+    // srcA quota 4 fits exactly one of its docs whichever ranks first
+    assert(got.size == 1 && got.values.head._3 <= 4L)
+  }
+
+  test("tokenBudgetSelect: differential vs an in-memory Hamilton + greedy reference") {
+    import spark.implicits._
+    // deterministic corpus: 40 docs over 4 sources, 1-9 tokens each
+    var x = 777L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val rows = (1L to 40L).map { id =>
+      (id, s"s${nxt() % 4}", (1L to nxt() % 9 + 1).map(i => s"w$i").mkString(" "))
+    }
+    val docs = budgetDocs(rows: _*)
+    for (budget <- Seq(0L, 17L, 60L, 100000L)) {
+      val got = Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", budget, "z")
+        .collect().map(r => r.getLong(0)).toSet
+      // reference: replay hkeys through the SAME hash expression, then
+      // pure-Scala Hamilton apportionment + greedy prefix
+      val toks = rows.map { case (id, src, text) =>
+        (id, src, text.split(" +").count(_.nonEmpty).toLong)
+      }
+      val hkeys = docs.selectExpr("doc_id",
+          graft.operators.TextOps.strHash60("concat('z', ':', cast(doc_id as string))") + " AS h")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bySrc = toks.groupBy(_._2)
+      val w = bySrc.view.mapValues(_.map(_._3).sum).toMap
+      val wTot = w.values.sum
+      val base = w.view.mapValues(v => budget * v / wTot).toMap
+      val rem = w.map { case (s, v) => s -> budget * v % wTot }
+      val leftover = budget - base.values.sum
+      val bump = rem.toSeq.sortBy { case (s, r) => (-r, s) }.take(leftover.toInt)
+        .map(_._1).toSet
+      val quota = base.map { case (s, b) => s -> (b + (if (bump(s)) 1L else 0L)) }
+      val want = bySrc.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, _) => (hkeys(id), id) }.takeWhile { case (_, _, n) =>
+          cum += n; cum <= quota(src)
+        }.map(_._1)
+      }.toSet
+      assert(got === want, s"budget $budget diverged from the reference")
+    }
+  }
+
+  test("tokenBudgetSelect: guards") {
+    val docs = budgetDocs((1L, "a", "x"))
+    intercept[IllegalArgumentException](
+      Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", -1L, "s"))
+    intercept[IllegalArgumentException](
+      Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", 1L, "it's"))
+  }
 }

@@ -200,4 +200,23 @@ class DedupVariantsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.editRerank(docs, "doc_id", "text", pairs, 10, -1L))
   }
+
+  test("planner-driven banding (d11): pinned split, and refined bands recall a superset") {
+    // the d11 configuration: recall >= 0.85 at J=0.5 over a 16-perm
+    // signature forces 2-row bands (4-row misses at 0.8999); pinned so
+    // a planner change shows up as a spec failure, not silent drift
+    assert(Dedup.planLshBands(16, 0.5, 0.85, 0.2) === ((8, 2)))
+    // refinement superset: every 4-row band match implies both 2-row
+    // halves match (the slices align), so the 8-band candidate set —
+    // and with the SAME est threshold, the surviving pair set —
+    // contains d03's
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(bands: Int) =
+      Dedup.minhashLshPairs(docs, "text", 3, 16, bands, 0.5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = pairs(4)
+    val p8 = pairs(8)
+    assert(p4.subsetOf(p8), s"refined banding lost pairs: ${p4 -- p8}")
+    assert(p4.nonEmpty)
+  }
 }

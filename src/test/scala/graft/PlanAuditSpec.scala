@@ -525,9 +525,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounded by basket size squared) + equi count joins — a cartesian
     // or nested-loop here is the unbounded all-pairs plan the basket
     // key exists to prevent
-    val q42 = finalPlan(operators.Baskets.assocPairs(
-      Tables.lineitem(spark, sfDir).selectExpr("l_orderkey", "l_partkey"),
-      "l_orderkey", "l_partkey", 3L))
+    val q42 = finalPlan(operators.Baskets.assocPairsFrom(
+      Tables.lineitem(spark, sfDir)
+        .selectExpr("l_orderkey AS bk", "l_partkey AS it").distinct(),
+      nBaskets = 1000L, minPairs = 3L))
     assert(!q42.contains("CartesianProduct") && !q42.contains("BroadcastNestedLoopJoin"),
       s"assoc pairs must stay basket-keyed equi:\n$q42")
     assert(!q42.contains("ScalaUDF"), s"q42 stays native/codegen:\n$q42")
@@ -603,6 +604,16 @@ class PlanAuditSpec extends AnyFunSuite {
         operators.Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))), 21000000L))
     assert(!m07.contains("CartesianProduct") && !m07.contains("BroadcastNestedLoopJoin"),
       s"keyframe pairing must stay equi:\n$m07")
+    // p24: the O(sources)-row quota table must BROADCAST back onto the
+    // doc frame (shuffling docs against a 20-row frame would be the
+    // anti-shape); the apportionment windows run over the tiny
+    // aggregated frame only
+    val p24 = finalPlan(operators.Curate.tokenBudgetSelect(
+      Tables.documents(spark, sfDir), "doc_id", "source", "text", 12000L, "graft"))
+    assert(p24.contains("BroadcastHashJoin"),
+      s"p24 quota table must broadcast:\n$p24")
+    assert(!p24.contains("CartesianProduct") && !p24.contains("ScalaUDF"),
+      s"p24 stays equi/native:\n$p24")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
