@@ -35,6 +35,41 @@ object Incremental {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
 
+  /** Incremental DISTINCT via mergeable sketches — the holistic
+    * aggregate the algebraic path above explicitly excludes: per-day
+    * HLL sketches of the user set (Spark's built-in DataSketches HLL,
+    * `hll_sketch_agg`) merged up to week grain with `hll_union_agg`,
+    * then audited IN THE SAME PLAN against the exact weekly distinct:
+    * the output carries (week, exact_users, within_bound) where
+    * `within_bound` checks the merged estimate against the exact count
+    * at ±5% (or ±1 absolutely) — the q37 sketch-invariant discipline:
+    * the hash gate pins the exact counts and the bound verdict, never
+    * the implementation-specific raw estimate.
+    *
+    * 100 TB shape: daily states are O(days) sketch rows (the frame a
+    * production pipeline would persist and roll forward); the weekly
+    * merge touches sketches only; the exact audit is the only pass
+    * over raw history and exists purely as the correctness gate. */
+  def sketchDistinctRollup(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .selectExpr(s"to_date($tsCol) AS d", s"$userCol AS u")
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(u)").as("sk"))
+    val weekly = daily
+      .selectExpr("cast(date_trunc('week', d) as date) AS week", "sk")
+      .groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = events
+      .selectExpr(s"cast(date_trunc('week', to_date($tsCol)) as date) AS week",
+        s"$userCol AS u")
+      .groupBy(col("week"))
+      .agg(countDistinct(col("u")).as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .selectExpr("cast(week as string) AS week", "exact_users",
+        "abs(est - exact_users) <= greatest(1L, cast(exact_users * 0.05 as bigint)) AS within_bound")
+  }
+
   /** Merge per-key partial states (each shaped like [[dailyTypeState]]'s
     * output) into the combined rollup: union + ONE re-aggregation with
     * the merge function of each algebraic aggregate. */

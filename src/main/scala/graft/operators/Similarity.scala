@@ -728,6 +728,48 @@ object Similarity {
         "if(maxabs = 0d, transform(v, x -> 0), " +
           "transform(v, x -> cast(round((x * 127d) / maxabs) as int))) AS q")
 
+  /** Signed random-projection sketch search (the ±1
+    * Johnson–Lindenstrauss scheme of Achlioptas 2003, public method)
+    * composed with the s08 int8 scalar quantization: each quantized
+    * vector projects to `dims` EXACT-INTEGER sketch coordinates
+    * `sk_j = Σ_d q_d · s(d, j)` under the deterministic sign matrix
+    * `s(d, j) = 1 − 2·((d·31 + j·17) mod 2)` — no floats anywhere in
+    * the sketch or its dot products, so the candidate ranking needs NO
+    * rounding contract at all. Returns each query's sketch-space top-k
+    * with the integer sketch dot and an `in_exact` recall audit
+    * against the exact cosine top-k computed in the same plan
+    * ([[cosineTopK]]).
+    *
+    * 100 TB shape: the sketch is a pure map-side projection (D → dims
+    * compression — the column a scale deployment would band/bucket
+    * like [[lshTopK]]); scoring broadcasts the Q-row query frame
+    * (the s01 brute-baseline shape, deliberately); the recall join is
+    * a (q_id, n_id) equi-join of two k-row-per-query frames. */
+  def randomProjectionTopK(emb: DataFrame, dims: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sk = quantizeInt8(emb).selectExpr("vec_id",
+      s"transform(sequence(0, ${dims - 1}), j -> " +
+        "aggregate(sequence(0, size(q) - 1), cast(0 as bigint), " +
+        "(a, d) -> a + q[d] * (1 - 2 * ((d * 31 + j * 17) % 2)))) AS sk")
+    val q = sk.filter(s"vec_id < $nQueries")
+      .selectExpr("vec_id AS q_id", "sk AS qsk")
+    val scored = broadcast(q).join(sk, col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        "aggregate(zip_with(qsk, sk, (x, y) -> x * y), cast(0 as bigint), " +
+          "(a, x) -> a + x) AS sk_dot")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sk_dot").desc, col("n_id").asc)
+    val top = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(true).as("in_exact"))
+    top.join(exact, Seq("q_id", "n_id"), "left")
+      .na.fill(false, Seq("in_exact"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"),
+        col("sk_dot"), col("in_exact"))
+  }
+
   /** Product quantization (Jegou et al., "Product Quantization for
     * Nearest Neighbor Search", PAMI 2011): split each vector into `m`
     * subvectors and code each against a per-subvector codebook by

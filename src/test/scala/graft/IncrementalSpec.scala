@@ -61,6 +61,24 @@ class IncrementalSpec extends AnyFunSuite {
     assert(merged === Map(("2024-01-01", "a") -> ((2L, 579L, 123L, 456L))))
   }
 
+  test("sketch rollup: exact weekly distinct pinned; estimate within bound on hand fixture") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: week 1 = Jan 1-7 (users 1,2,3 — user 2
+    // twice), week 2 = Jan 8-14 (users 2,3,4,5)
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-03 10:00:00"), (3L, "2024-01-07 23:00:00"),
+      (2L, "2024-01-08 00:00:00"), (3L, "2024-01-09 10:00:00"),
+      (4L, "2024-01-10 10:00:00"), (5L, "2024-01-14 10:00:00"))
+      .toDF("user_id", "tss")
+      .selectExpr("user_id", "cast(tss as timestamp) AS ts")
+    val got = Incremental.sketchDistinctRollup(ev, "user_id", "ts")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      "2024-01-01" -> ((3L, true)),
+      "2024-01-08" -> ((4L, true))))
+  }
+
   test("guards: empty state list, missing key, missing state column") {
     import spark.implicits._
     intercept[IllegalArgumentException](

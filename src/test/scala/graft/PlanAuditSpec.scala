@@ -614,6 +614,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"p24 quota table must broadcast:\n$p24")
     assert(!p24.contains("CartesianProduct") && !p24.contains("ScalaUDF"),
       s"p24 stays equi/native:\n$p24")
+    // s20: the sketch projection is map-side (one exchange for the
+    // top-k window + the audited s01 broadcast scoring); never a
+    // ScalaUDF — the sketch folds are native higher-order functions
+    val s20 = finalPlan(operators.Similarity.randomProjectionTopK(
+      Tables.embeddings(spark, sfDir), 16, 5, 5))
+    assert(!s20.contains("CartesianProduct") && !s20.contains("ScalaUDF"),
+      s"s20 stays native/equi:\n$s20")
+    // q44: the weekly merge aggregates SKETCH rows; the only pass over
+    // raw history is the in-plan exact audit — no cartesian anywhere
+    val q44 = finalPlan(operators.Incremental.sketchDistinctRollup(
+      events, "user_id", "ts"))
+    assert(!q44.contains("CartesianProduct") && !q44.contains("ScalaUDF"),
+      s"q44 stays native/equi:\n$q44")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {

@@ -353,4 +353,47 @@ class SimilaritySpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
     assert(leaked.isEmpty, s"mmrRerank leaked: $leaked")
   }
+
+  test("randomProjectionTopK: differential vs an in-memory sketch reference") {
+    import spark.implicits._
+    // small synthetic corpus: 20 vectors, 8 dims; vec 10 duplicates
+    // vec 0 (note: in UNNORMALIZED sketch space a longer aligned
+    // vector may legitimately outrank an exact duplicate — the
+    // reference ranking, not a rank-1 claim, is the contract)
+    def vec(id: Long): Array[Float] =
+      if (id == 10L) vec(0L)
+      else Array.tabulate(8)(i => (((id * 7 + i * 13) % 19).toFloat - 9) / 9f)
+    val emb = (0L until 20L).map(id => (id, vec(id), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.randomProjectionTopK(emb, dims = 6, nQueries = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // in-memory twin: same quantization, same sign matrix, same ties
+    def q8(v: Array[Float]): Array[Int] = {
+      val vd = v.map(_.toDouble)
+      val maxabs = vd.map(math.abs).foldLeft(0.0)(math.max)
+      // HALF_UP (away from zero), matching Spark/DuckDB round() —
+      // math.round would round -63.5 to -63, Spark to -64
+      if (maxabs == 0) vd.map(_ => 0)
+      else vd.map(x => BigDecimal(x * 127 / maxabs)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt)
+    }
+    def sketch(v: Array[Float]): Array[Long] = {
+      val q = q8(v)
+      Array.tabulate(6)(j =>
+        q.indices.map(d => q(d).toLong * (1 - 2 * ((d * 31 + j * 17) % 2))).sum)
+    }
+    val sks = (0L until 20L).map(id => id -> sketch(vec(id))).toMap
+    for (qid <- 0L until 2L) {
+      val want = (0L until 20L).filter(_ != qid)
+        .map(n => n -> sks(qid).zip(sks(n)).map { case (a, b) => a * b }.sum)
+        .sortBy { case (n, dot) => (-dot, n) }.take(4)
+      val gotQ = (1 to 4).map(rk => got((qid, rk.toLong)))
+      assert(gotQ.map(_._1) === want.map(_._1),
+        s"query $qid sketch ranking diverged")
+      assert(gotQ.map(_._2) === want.map(_._2), s"query $qid sketch dots diverged")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.randomProjectionTopK(emb, 0, 1, 1))
+  }
 }
