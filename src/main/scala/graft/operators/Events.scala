@@ -281,6 +281,74 @@ object Events {
         sum(col("cell_micro")).as("chi2_micro"))
   }
 
+  /** Top event-type n-gram paths: the most frequent length-`n`
+    * consecutive type sequences across all users' (ts, id)-ordered
+    * streams ([[transitionMatrix]] generalized from pairs to paths —
+    * the "what do users actually do" sequence-mining staple). Returns
+    * the top `topN` by (count desc, then the path lexicographically) —
+    * a strict total order, so the cut is deterministic.
+    *
+    * 100 TB shape: ONE user-keyed window shuffle evaluates all n−1
+    * leads together, then a path-keyed partial agg to at most T^n
+    * rows; the ranking window runs over that tiny frame. */
+  def typePaths(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, idCol: String, n: Int, topN: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val stepCols = (1 until n).map(i => s"t$i")
+    // all leads in ONE select so they share a single Window operator
+    // (chained withColumn risks splitting into several user-keyed
+    // shuffles — PlanAuditSpec pins exactly one)
+    val base = events.select(col(userCol), col(tsCol), col(idCol),
+      col(typeCol).as("t0"))
+    val df = base.select(col("t0") +:
+      (1 until n).map(i => lead(col("t0"), i).over(w).as(s"t$i")): _*)
+    val pathCols = "t0" +: stepCols
+    val counted = df.filter(col(s"t${n - 1}").isNotNull)
+      .groupBy(pathCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc +: pathCols.map(col(_).asc): _*)
+    counted.withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= topN)
+  }
+
+  /** Hourly calendar gap-fill: the complete (hour, type) spine from
+    * the corpus's own min to max hour, with zero-filled counts, the
+    * exact cent sum where data exists, and a carry-forward of the last
+    * known cent sum (running ignore-nulls `last`, leading gap stays
+    * NULL) — the time-series completion step before any trend model.
+    *
+    * 100 TB shape: the spine is generated (T types × H hours — tiny
+    * vs the log) from a broadcast 1-row min/max aggregate; counts are
+    * one partial-agg shuffle; the spine-to-counts join is an
+    * equi-join; the carry window partitions by type over H rows. */
+  def hourlyGapFill(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = events.agg(
+      expr(s"min(date_trunc('hour', $tsCol))").as("h0"),
+      expr(s"max(date_trunc('hour', $tsCol))").as("h1"))
+    val types = events.select(col(typeCol).as("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .selectExpr("event_type",
+        "explode(sequence(h0, h1, interval 1 hour)) AS h")
+    val agg = events
+      .selectExpr(s"date_trunc('hour', $tsCol) AS h", s"$typeCol AS event_type",
+        s"cast(round($valueCol * 100) as long) AS cents")
+      .groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("cents")).as("cents"))
+    val carryW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .withColumn("carry_cents", last(col("cents"), ignoreNulls = true).over(carryW))
+      .selectExpr("unix_millis(h) AS hour_ms", "event_type",
+        "coalesce(n_raw, 0L) AS n_events", "n_raw IS NOT NULL AS had_data",
+        "cents", "carry_cents")
+  }
+
   /** Last-touch attribution: each conversion event (type ==
     * `convType`) is credited to the user's most recent PRECEDING
     * non-conversion event type ((ts, idCol)-ordered, strictly before

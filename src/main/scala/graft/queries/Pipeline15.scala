@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Incremental, Similarity}
+import graft.operators.{Events, Incremental, Retrieval, Similarity, TextOps}
 
 /** Round-10 additions, part 5: sketch-based incremental distinct
   * (the holistic complement to q43's algebraic merge) and the
@@ -10,7 +10,97 @@ import graft.operators.{Incremental, Similarity}
   */
 object Pipeline15 {
 
-  def all: Seq[QueryDef] = Seq(q44, s20)
+  def all: Seq[QueryDef] = Seq(q44, s20, e11, q45, t27)
+
+  /** Top event-type trigram paths ([[graft.operators.Events.typePaths]]):
+    * the 20 most frequent length-3 consecutive type sequences across
+    * user streams, (count desc, path) total-ordered. */
+  val e11: QueryDef = QueryDef(
+    "e11_trigram_paths",
+    (s, d) => Events.typePaths(Tables.events(s, d),
+        "event_type", "user_id", "ts", "event_id", n = 3, topN = 20)
+      .orderBy(col("rk")),
+    Some("""WITH s AS (SELECT event_type AS t0,
+          lead(event_type, 1) OVER w AS t1,
+          lead(event_type, 2) OVER w AS t2
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3),
+      r AS (SELECT t0, t1, t2, n,
+              CAST(row_number() OVER (ORDER BY n DESC, t0, t1, t2) AS BIGINT) AS rk
+            FROM g)
+      SELECT t0, t1, t2, n, rk FROM r WHERE rk <= 20 ORDER BY rk"""))
+
+  /** Hourly calendar gap-fill ([[graft.operators.Events.hourlyGapFill]]):
+    * the complete (hour, type) spine with zero-filled counts and a
+    * carry-forward of the last known cent sum — leading gaps stay
+    * NULL in both engines. */
+  val q45: QueryDef = QueryDef(
+    "q45_gap_fill",
+    (s, d) => Events.hourlyGapFill(Tables.events(s, d),
+        "event_type", "ts", "value")
+      .orderBy(col("hour_ms"), col("event_type")),
+    Some("""WITH b AS (SELECT min(date_trunc('hour', ts)) AS h0,
+               max(date_trunc('hour', ts)) AS h1 FROM events),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      sp AS (SELECT ty.event_type,
+               unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+             FROM ty, b),
+      a AS (SELECT date_trunc('hour', ts) AS h, event_type,
+              CAST(count(*) AS BIGINT) AS n_raw,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+      j AS (SELECT sp.event_type, sp.h, a.n_raw, a.cents
+            FROM sp LEFT JOIN a ON sp.h = a.h AND sp.event_type = a.event_type)
+      SELECT epoch_ms(h) AS hour_ms, event_type,
+        CAST(COALESCE(n_raw, 0) AS BIGINT) AS n_events,
+        n_raw IS NOT NULL AS had_data, cents,
+        last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS carry_cents
+      FROM j ORDER BY hour_ms, event_type"""))
+
+  /** Keyword-in-context snippets for the t19 BM25 results: for each
+    * (query, hit) the first occurrence position of ANY of the query's
+    * terms (t19's exact term selection) in the hit text, and the
+    * 80-char window around it — deterministic integer positions and
+    * byte-exact substrings; the oracle NESTS t19's generated chain so
+    * retrieval drift breaks both queries identically. */
+  val t27: QueryDef = QueryDef(
+    "t27_snippets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("q_id"), col("text"))
+      val bm = Retrieval.bm25TopK(docs, "text", qs, "text", k = 5, maxQueryTerms = 6)
+        .select(col("q_id"), col("rnk"), col("doc_id"))
+      val qterms = docs.filter(col("doc_id") % 100 === 7)
+        .selectExpr("doc_id AS q_id",
+          s"explode(slice(array_sort(array_distinct(${TextOps.tokens("text")})), 1, 6)) AS term")
+      bm.join(docs.selectExpr("doc_id", "text AS dtext"), Seq("doc_id"))
+        .join(qterms, Seq("q_id"))
+        .selectExpr("q_id", "rnk", "doc_id", "dtext",
+          "cast(nullif(instr(lower(dtext), term), 0) as bigint) AS p")
+        .groupBy(col("q_id"), col("rnk"), col("doc_id"), col("dtext"))
+        .agg(min(col("p")).as("pos0"))
+        .selectExpr("q_id", "rnk", "doc_id", "coalesce(pos0, 1L) AS pos",
+          "substring(dtext, cast(greatest(1L, coalesce(pos0, 1L) - 30) as int), 80) AS snippet")
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH bm AS (SELECT q_id, rnk, doc_id
+               FROM (${Pipeline9.t19.oracle.get}) AS t19),
+      qt AS (SELECT doc_id AS q_id,
+               unnest(list_sort(list_distinct(${DuckOps.tokens("text")}))[1:6]) AS term
+             FROM documents WHERE doc_id % 100 = 7),
+      px AS (SELECT bm.q_id, bm.rnk, bm.doc_id,
+               min(nullif(strpos(lower(d.text), q.term), 0)) AS pos0
+             FROM bm JOIN documents d ON bm.doc_id = d.doc_id
+                     JOIN qt q ON bm.q_id = q.q_id
+             GROUP BY 1, 2, 3)
+      SELECT p.q_id, p.rnk, p.doc_id,
+        CAST(COALESCE(p.pos0, 1) AS BIGINT) AS pos,
+        substring(d.text, CAST(greatest(1, COALESCE(p.pos0, 1) - 30) AS INT), 80) AS snippet
+      FROM px p JOIN documents d ON p.doc_id = d.doc_id
+      ORDER BY p.q_id, p.rnk"""))
 
   /** Incremental distinct-users-per-week via mergeable HLL sketches
     * ([[graft.operators.Incremental.sketchDistinctRollup]]): daily

@@ -252,6 +252,59 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Map("click" -> ((2L, 1700L)), "view" -> ((1L, 350L))))
   }
 
+  test("typePaths: trigram counting, rank total-order, cross-user isolation, guards") {
+    val df = evId(
+      // user 1: a b c a b c -> trigrams abc, bca, cab, abc
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "b", "2024-01-01 10:01:00"),
+      (3L, 1L, "c", "2024-01-01 10:02:00"),
+      (4L, 1L, "a", "2024-01-01 10:03:00"),
+      (5L, 1L, "b", "2024-01-01 10:04:00"),
+      (6L, 1L, "c", "2024-01-01 10:05:00"),
+      // user 2: b c a -> bca (no cross-user chaining with user 1)
+      (7L, 2L, "b", "2024-01-02 10:00:00"),
+      (8L, 2L, "c", "2024-01-02 10:01:00"),
+      (9L, 2L, "a", "2024-01-02 10:02:00"))
+    val got = Events.typePaths(df, "event_type", "user_id", "ts", "event_id",
+        n = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // abc x2 ranks 1; bca x2 ranks 2 (count tie broken by path); cab x1
+    assert(got === Map(
+      ("a", "b", "c") -> ((2L, 1L)),
+      ("b", "c", "a") -> ((2L, 2L)),
+      ("c", "a", "b") -> ((1L, 3L))))
+    intercept[IllegalArgumentException](
+      Events.typePaths(df, "event_type", "user_id", "ts", "event_id", 1, 5))
+  }
+
+  test("hourlyGapFill: zero-filled gap hours, carry-forward, leading gap stays null") {
+    import spark.implicits._
+    val df = Seq(
+      // type x: data in hours 10 and 13 (gap at 11, 12)
+      (1L, "x", "2024-01-01 10:15:00", 1.0),
+      (2L, "x", "2024-01-01 10:45:00", 2.0),
+      (3L, "x", "2024-01-01 13:05:00", 4.0),
+      // type y: data only in hour 13 -> leading hours 10-12 all null
+      (4L, "y", "2024-01-01 13:30:00", 8.0))
+      .toDF("event_id", "event_type", "tss", "value")
+      .selectExpr("event_type", "cast(tss as timestamp) AS ts", "value")
+    val got = Events.hourlyGapFill(df, "event_type", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    val h10 = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli
+    def h(i: Int) = h10 + i * 3600000L
+    assert(got.size === 8, "spine must be 4 hours x 2 types")
+    assert(got((h(0), "x")) === ((2L, true, Some(300L), Some(300L))))
+    assert(got((h(1), "x")) === ((0L, false, None, Some(300L))), "gap carries forward")
+    assert(got((h(2), "x")) === ((0L, false, None, Some(300L))))
+    assert(got((h(3), "x")) === ((1L, true, Some(400L), Some(400L))))
+    assert(got((h(0), "y")) === ((0L, false, None, None)), "leading gap stays null")
+    assert(got((h(3), "y")) === ((1L, true, Some(800L), Some(800L))))
+  }
+
   test("chi-square drift: hand-computed 2x2, including an absent cell") {
     // before: 3 view, 1 error; after: 1 view, 3 error, 2 signup
     // (signup has NO before-cell — its (0-e)^2/e term must still count)

@@ -627,6 +627,25 @@ class PlanAuditSpec extends AnyFunSuite {
       events, "user_id", "ts"))
     assert(!q44.contains("CartesianProduct") && !q44.contains("ScalaUDF"),
       s"q44 stays native/equi:\n$q44")
+    // e11: ONE user-keyed window evaluates all leads together — n-1
+    // chained windows would be n-1 shuffles of the log
+    val e11 = finalPlan(operators.Events.typePaths(
+      events, "event_type", "user_id", "ts", "event_id", 3, 20))
+    // count only the final plan — the AQE explain repeats the tree
+    // under "== Initial Plan ==" and would double-count
+    val e11Final = e11.split("== Initial Plan ==")(0)
+    assert(e11Final.split("Exchange hashpartitioning\\(user_id").length - 1 <= 1,
+      s"typePaths must shuffle the log ONCE on user:\n$e11")
+    assert(!e11.contains("CartesianProduct") && !e11.contains("ScalaUDF"),
+      s"e11 stays equi/native:\n$e11")
+    // q45: the spine generates from a BROADCAST 1-row bounds frame and
+    // left-equi-joins the hourly aggregate — never a cartesian against
+    // the log
+    val q45 = finalPlan(operators.Events.hourlyGapFill(
+      events, "event_type", "ts", "value"))
+    assert(q45.contains("BroadcastNestedLoopJoin") || q45.contains("BroadcastHashJoin"),
+      s"q45 bounds must broadcast:\n$q45")
+    assert(!q45.contains("CartesianProduct"), s"q45 must not plan a cartesian:\n$q45")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
