@@ -315,6 +315,35 @@ object Events {
       .filter(col("rk") <= topN)
   }
 
+  /** Cumulative distinct users per (type, day) — the "count distinct
+    * over a running window" Spark does not support natively, expressed
+    * by the classic first-seen decomposition: a user counts on exactly
+    * the FIRST day they appear for a type, and the running sum of
+    * first-seen counts IS the running distinct count. Exact, no
+    * sketch.
+    *
+    * 100 TB shape: one (type, user)-keyed partial agg (first day), one
+    * (type, day) partial agg, one distinct over (type, day), an
+    * equi-join of two day-grain frames, and a running-sum window over
+    * O(types · days) rows — the event log is never windowed. */
+  def cumulativeDistinct(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String): DataFrame = {
+    val firstDay = events
+      .selectExpr(s"$typeCol AS t", s"$userCol AS u", s"to_date($tsCol) AS d")
+      .groupBy(col("t"), col("u")).agg(min(col("d")).as("d0"))
+      .groupBy(col("t"), col("d0").as("d")).agg(count(lit(1)).as("new_users"))
+    val activeDays = events
+      .selectExpr(s"$typeCol AS t", s"to_date($tsCol) AS d").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    activeDays.join(firstDay, Seq("t", "d"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .selectExpr("cast(d as string) AS day", "t AS event_type",
+        "new_users", "cum_users")
+  }
+
   /** Hourly calendar gap-fill: the complete (hour, type) spine from
     * the corpus's own min to max hour, with zero-filled counts, the
     * exact cent sum where data exists, and a carry-forward of the last

@@ -10,7 +10,75 @@ import graft.operators.{Events, Incremental, Retrieval, Similarity, TextOps}
   */
 object Pipeline15 {
 
-  def all: Seq[QueryDef] = Seq(q44, s20, e11, q45, t27)
+  def all: Seq[QueryDef] = Seq(q44, s20, e11, q45, t27, q46, d12)
+
+  /** Cumulative distinct users per (type, day)
+    * ([[graft.operators.Events.cumulativeDistinct]]): the running
+    * COUNT(DISTINCT) window Spark lacks natively, decomposed into
+    * first-seen counts + a running sum — exact, log never windowed. */
+  val q46: QueryDef = QueryDef(
+    "q46_cumulative_distinct",
+    (s, d) => Events.cumulativeDistinct(Tables.events(s, d),
+        "event_type", "user_id", "ts")
+      .orderBy(col("day"), col("event_type")),
+    Some("""WITH fu AS (SELECT event_type AS t, user_id AS u,
+               min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1, 2),
+      nd AS (SELECT t, d0 AS d, CAST(count(*) AS BIGINT) AS new_users
+             FROM fu GROUP BY 1, 2),
+      ds AS (SELECT DISTINCT event_type AS t, CAST(ts AS DATE) AS d FROM events)
+      SELECT CAST(ds.d AS VARCHAR) AS day, ds.t AS event_type,
+        CAST(COALESCE(nd.new_users, 0) AS BIGINT) AS new_users,
+        CAST(sum(COALESCE(nd.new_users, 0)) OVER (PARTITION BY ds.t ORDER BY ds.d
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM ds LEFT JOIN nd ON ds.t = nd.t AND ds.d = nd.d
+      ORDER BY day, event_type"""))
+
+  /** Best-of-cluster dedup: c01's near-dup clusters with a KEEP-BEST
+    * policy — the highest stopword-ratio doc per cluster survives
+    * (ties to the lower id), instead of d05's keep-first. The oracle
+    * nests c01's full recursive-CC chain as a derived table, so
+    * clustering drift breaks both queries identically. */
+  val d12: QueryDef = QueryDef(
+    "d12_cluster_keep_best",
+    (s, d) => {
+      import graft.operators.{Cluster, Dedup}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+        .select(col("d1"), col("d2"))
+      val labels = Cluster.connectedComponents(pairs, "d1", "d2")
+        .withColumnRenamed("id", "doc_id")
+      val scored = docs.selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
+        .selectExpr("doc_id", "cast(size(t) as bigint) AS n_tokens",
+          s"cast(${TextOps.stopHits("t", TextOps.StopEn)} as bigint) AS stop_hits")
+        .selectExpr("doc_id",
+          "if(n_tokens = 0, 0L, (stop_hits * 1000000) div n_tokens) AS score_micro")
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "cast(coalesce(lbl, doc_id) as bigint) AS cluster_id")
+        .join(scored, Seq("doc_id"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+        .selectExpr("doc_id", "cluster_id", "score_micro", "rk = 1 AS kept")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH cl AS (SELECT doc_id, cluster_id
+               FROM (${Pipeline3.c01.oracle.get}) AS c01),
+      tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(${DuckOps.stopHits("t", TextOps.StopEn)} AS BIGINT) AS stop_hits
+             FROM tk),
+      s2 AS (SELECT doc_id,
+               CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (stop_hits * 1000000) // n_tokens END AS score_micro
+             FROM sc),
+      r AS (SELECT cl.doc_id, cl.cluster_id, s2.score_micro,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY s2.score_micro DESC, cl.doc_id) AS rk
+            FROM cl JOIN s2 ON cl.doc_id = s2.doc_id)
+      SELECT doc_id, cluster_id, CAST(score_micro AS BIGINT) AS score_micro,
+        rk = 1 AS kept
+      FROM r ORDER BY doc_id"""))
 
   /** Top event-type trigram paths ([[graft.operators.Events.typePaths]]):
     * the 20 most frequent length-3 consecutive type sequences across

@@ -305,6 +305,23 @@ class EventsSpec extends AnyFunSuite {
     assert(got((h(3), "y")) === ((1L, true, Some(800L), Some(800L))))
   }
 
+  test("cumulativeDistinct: first-seen decomposition — rejoining users never recount") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"), // user 1 again: NOT new
+      (3L, "view", "2024-01-03 10:00:00"),
+      (1L, "click", "2024-01-03 10:00:00")) // same user, other type: new there
+    val got = Events.cumulativeDistinct(df, "event_type", "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("2024-01-01", "view") -> ((2L, 2L)),
+      ("2024-01-02", "view") -> ((0L, 2L)),
+      ("2024-01-03", "view") -> ((1L, 3L)),
+      ("2024-01-03", "click") -> ((1L, 1L))))
+  }
+
   test("chi-square drift: hand-computed 2x2, including an absent cell") {
     // before: 3 view, 1 error; after: 1 view, 3 error, 2 signup
     // (signup has NO before-cell — its (0-e)^2/e term must still count)

@@ -79,6 +79,34 @@ class IncrementalSpec extends AnyFunSuite {
       "2024-01-08" -> ((4L, true))))
   }
 
+  test("streaming face: per-micro-batch states merged via foreachBatch == batch rollup") {
+    // the production loop: each arriving micro-batch contributes ONE
+    // partial state; the standing rollup is the merge of all states —
+    // Structured Streaming picks the batch boundaries, so this is a
+    // REAL arbitrary-slicing instance of the merge contract
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.EventStreams.readEventStream(spark, sfDir)
+    val states = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        states += Incremental.dailyTypeState(batch, "event_type", "ts", "value").collect()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(states.nonEmpty && states.map(_.length).sum > 0, "no micro-batch states captured")
+    val schema = Incremental.dailyTypeState(
+      Tables.events(spark, sfDir), "event_type", "ts", "value").schema
+    val stateDfs = states.toSeq.map(rows =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema))
+    val merged = collectRollup(Incremental.mergeStates(stateDfs, Seq("day", "event_type")))
+    val batch = collectRollup(Incremental.mergeStates(
+      Seq(Incremental.dailyTypeState(Tables.events(spark, sfDir), "event_type", "ts", "value")),
+      Seq("day", "event_type")))
+    assert(merged === batch, "streaming state merge diverged from the batch rollup")
+  }
+
   test("guards: empty state list, missing key, missing state column") {
     import spark.implicits._
     intercept[IllegalArgumentException](

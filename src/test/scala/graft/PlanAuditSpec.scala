@@ -646,6 +646,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q45.contains("BroadcastNestedLoopJoin") || q45.contains("BroadcastHashJoin"),
       s"q45 bounds must broadcast:\n$q45")
     assert(!q45.contains("CartesianProduct"), s"q45 must not plan a cartesian:\n$q45")
+    // q46: the running-distinct window runs over the (type, day)
+    // frame, NEVER the event log — the log sees only partial aggs
+    val q46 = finalPlan(operators.Events.cumulativeDistinct(
+      events, "event_type", "user_id", "ts"))
+    val q46Final = q46.split("== Initial Plan ==")(0)
+    assert(!q46Final.contains("CartesianProduct") && !q46Final.contains("ScalaUDF"),
+      s"q46 stays equi/native:\n$q46")
+    assert(!q46Final.contains("windowspecdefinition(user_id"),
+      s"q46 must never window the raw log by user:\n$q46")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
