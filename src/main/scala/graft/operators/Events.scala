@@ -315,6 +315,47 @@ object Events {
       .filter(col("rk") <= topN)
   }
 
+  /** Per-day peak session concurrency — the classic interval-sweep
+    * (+1 at session start, −1 after session end, running sum, max),
+    * made partition-friendly: every session is SPLIT into per-day
+    * segments first, so the sweep window partitions by day instead of
+    * one global total order (the 100 TB shape — a single unpartitioned
+    * sweep would collapse the whole timeline into one sort partition).
+    * Midnight-spanning sessions contribute a full segment to each day
+    * they touch, so within-day concurrency is exact. Overlap is
+    * INCLUSIVE at endpoints: at equal timestamps starts order before
+    * ends (delta desc), so back-to-back touching sessions count as
+    * concurrent. Equal-delta ties need no further order — identical
+    * deltas commute, so the running-sum multiset (and its max) is
+    * deterministic.
+    *
+    * @param sessions (userCol, startMsCol, endMsCol) epoch-ms session
+    *                 intervals, start <= end
+    * @return (day 'yyyy-MM-dd', n_segments, peak_concurrent)
+    */
+  def peakConcurrency(sessions: DataFrame, userCol: String,
+      startMsCol: String, endMsCol: String): DataFrame = {
+    val segs = sessions
+      .selectExpr(s"$startMsCol AS s_ms", s"$endMsCol AS e_ms")
+      .selectExpr("s_ms", "e_ms",
+        "explode(sequence(to_date(timestamp_millis(s_ms)), " +
+          "to_date(timestamp_millis(e_ms)))) AS day")
+      .selectExpr("day",
+        "greatest(s_ms, unix_millis(to_timestamp(day))) AS seg_s",
+        "least(e_ms, unix_millis(to_timestamp(day)) + 86399999L) AS seg_e")
+    val deltas = segs.selectExpr("day", "seg_s AS t_ms", "1L AS delta")
+      .unionByName(segs.selectExpr("day", "seg_e AS t_ms", "-1L AS delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("t_ms").asc, col("delta").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_segments"),
+        max(col("running")).as("peak_concurrent"))
+      .selectExpr("cast(day as string) AS day", "n_segments", "peak_concurrent")
+  }
+
   /** Cumulative distinct users per (type, day) — the "count distinct
     * over a running window" Spark does not support natively, expressed
     * by the classic first-seen decomposition: a user counts on exactly

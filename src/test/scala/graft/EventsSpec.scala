@@ -305,6 +305,27 @@ class EventsSpec extends AnyFunSuite {
     assert(got((h(3), "y")) === ((1L, true, Some(800L), Some(800L))))
   }
 
+  test("peakConcurrency: inclusive endpoints, midnight split, per-day peaks") {
+    import spark.implicits._
+    def ms(s: String) = java.time.Instant.parse(s).toEpochMilli
+    val sessions = Seq(
+      // day 1: A 10-11, B 10:30-12, C starts EXACTLY when A ends
+      (1L, ms("2024-01-01T10:00:00Z"), ms("2024-01-01T11:00:00Z")),
+      (2L, ms("2024-01-01T10:30:00Z"), ms("2024-01-01T12:00:00Z")),
+      (3L, ms("2024-01-01T11:00:00Z"), ms("2024-01-01T11:30:00Z")),
+      // D spans midnight into day 2
+      (4L, ms("2024-01-01T23:00:00Z"), ms("2024-01-02T01:00:00Z")))
+      .toDF("user_id", "s_ms", "e_ms")
+    val got = Events.peakConcurrency(sessions, "user_id", "s_ms", "e_ms")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // day 1: 4 segments (A, B, C, D's first); at 11:00 the start of C
+    // sweeps before the end of A (inclusive overlap) -> peak 3
+    // day 2: D's second segment alone -> peak 1
+    assert(got === Map(
+      "2024-01-01" -> ((4L, 3L)),
+      "2024-01-02" -> ((1L, 1L))))
+  }
+
   test("cumulativeDistinct: first-seen decomposition — rejoining users never recount") {
     val df = ev(
       (1L, "view", "2024-01-01 10:00:00"),

@@ -655,6 +655,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q46 stays equi/native:\n$q46")
     assert(!q46Final.contains("windowspecdefinition(user_id"),
       s"q46 must never window the raw log by user:\n$q46")
+    // q47: map-only until ONE partial-agg shuffle; bit_xor is the
+    // commutative fingerprint (order/partitioning cannot change it)
+    val q47 = finalPlan(Tables.documents(spark, sfDir)
+      .selectExpr("source",
+        operators.TextOps.strHash60("concat_ws('|', cast(doc_id as string), text, lang)") + " AS h",
+        "n_chars")
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.expr("bit_xor(h)").as("xor_fingerprint")))
+    val q47Final = q47.split("== Initial Plan ==")(0)
+    assert(q47Final.split("Exchange").length - 1 <= 1,
+      s"q47 is one partial-agg shuffle:\n$q47")
+    assert(!q47Final.contains("ScalaUDF"), s"q47 stays native:\n$q47")
+    // e12: the sweep window partitions by DAY (a global unpartitioned
+    // sweep would collapse the timeline into one sort partition)
+    import spark.implicits._
+    val sess = Seq((1L, 0L, 3600000L), (2L, 1000L, 7200000L))
+      .toDF("user_id", "s_ms", "e_ms")
+    val e12 = finalPlan(operators.Events.peakConcurrency(sess, "user_id", "s_ms", "e_ms"))
+    val e12Final = e12.split("== Initial Plan ==")(0)
+    assert(e12Final.contains("windowspecdefinition(day"),
+      s"e12 sweep must partition by day:\n$e12")
+    assert(!e12Final.contains("windowspecdefinition()"),
+      s"e12 must not run an unpartitioned global window:\n$e12")
   }
 
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
