@@ -291,6 +291,44 @@ object Multimodal {
     frames.filter(fr => fr.frame_idx % everyN == 0)
   }
 
+  /** Perceptual image hash (the classic average-hash / aHash, public
+    * method) over the REAL PPM decode: integer luma
+    * `(299·R + 587·G + 114·B) div 1000` sampled on an 8×8
+    * nearest-neighbor grid (`sx = x·w div 8` — the m04 resize index
+    * arithmetic), thresholded STRICTLY above the floor mean, packed
+    * into two 32-bit halves (hash_hi/hash_lo — never a sign-bit-
+    * ambiguous single 64-bit shift). All integer arithmetic, so the
+    * oracle replays every sampled pixel.
+    *
+    * 100 TB shape: pure per-record map (decode + 64 samples), zero
+    * shuffle — the hash column is what an image-dedup pass would then
+    * group or band exactly like [[Dedup]]'s text hashes. */
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val img = MediaCodec.decodePpm(m.payload)
+      val luma = Array.tabulate(64) { b =>
+        val sx = (b % 8) * img.width / 8
+        val sy = (b / 8) * img.height / 8
+        val p = (sy * img.width + sx) * 3
+        (299 * (img.rgb(p) & 0xff) + 587 * (img.rgb(p + 1) & 0xff) +
+          114 * (img.rgb(p + 2) & 0xff)) / 1000
+      }
+      val mean = luma.sum / 64
+      var hi = 0L
+      var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (luma(b) > mean) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (m.media_id, img.width.toLong, img.height.toLong, mean.toLong, hi, lo)
+    }.toDF("media_id", "width", "height", "mean_luma", "hash_hi", "hash_lo")
+  }
+
   /** Scene-change (keyframe) detection over decoded video frames: per
     * frame the EXACT sum of absolute luma differences vs the previous
     * frame, the mean abs diff in micro units (`diff · 1e6 div pixels`),

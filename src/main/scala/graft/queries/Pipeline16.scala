@@ -10,7 +10,95 @@ import graft.operators.{Curate, Dedup, Events, TextOps}
   */
 object Pipeline16 {
 
-  def all: Seq[QueryDef] = Seq(d13, q47, e12)
+  def all: Seq[QueryDef] = Seq(d13, q47, e12, m08, q48)
+
+  /** Perceptual image hashing ([[graft.operators.Multimodal.imageAHash]])
+    * over the real PPM decode: 8×8 average-hash in two 32-bit halves,
+    * plus the same-hash group size (the image-dedup signal). The
+    * oracle replays every sampled pixel from the corpus's generator
+    * arithmetic (the m04 convention). */
+  val m08: QueryDef = QueryDef(
+    "m08_image_phash",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.Multimodal.imageAHash(
+          graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .withColumn("n_same_hash", count(lit(1)).over(
+          Window.partitionBy(col("hash_hi"), col("hash_lo"))).cast("long"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH im AS (SELECT doc_id AS mid FROM documents WHERE doc_id % 3 = 0),
+      dims AS (SELECT mid, CAST(4 + mid % 29 AS BIGINT) AS w,
+                 CAST(4 + mid % 23 AS BIGINT) AS h FROM im),
+      px AS (SELECT mid, w, h, b,
+               ((b % 8) * w) // 8 AS sx, ((b // 8) * h) // 8 AS sy
+             FROM dims, unnest(range(0, 64)) AS t(b)),
+      lum AS (SELECT mid, w, h, b,
+               (299 * ((mid * 31 + ((sy * w + sx) * 3 + 0) * 7) % 256) +
+                587 * ((mid * 31 + ((sy * w + sx) * 3 + 1) * 7) % 256) +
+                114 * ((mid * 31 + ((sy * w + sx) * 3 + 2) * 7) % 256)) // 1000 AS l
+             FROM px),
+      st AS (SELECT mid, w, h, CAST(sum(l) AS BIGINT) // 64 AS mean
+             FROM lum GROUP BY 1, 2, 3),
+      bits AS (SELECT l.mid, l.b, CASE WHEN l.l > s.mean THEN 1 ELSE 0 END AS bit
+               FROM lum l JOIN st s ON l.mid = s.mid),
+      hx AS (SELECT mid,
+               CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                 ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                 ELSE 0 END) AS BIGINT) AS hash_lo
+             FROM bits GROUP BY 1)
+      SELECT s.mid AS media_id, s.w AS width, s.h AS height,
+        CAST(s.mean AS BIGINT) AS mean_luma, hx.hash_hi, hx.hash_lo,
+        CAST(count(*) OVER (PARTITION BY hx.hash_hi, hx.hash_lo) AS BIGINT) AS n_same_hash
+      FROM st s JOIN hx ON s.mid = hx.mid
+      ORDER BY media_id"""))
+
+  /** Referential-integrity audit: one row per FK relation with child
+    * row counts and orphan counts (children whose parent key is
+    * missing) — anti-join counts, the load-time data-quality gate.
+    * Each relation is one left-anti equi-join + O(1)-row aggregates,
+    * unioned. */
+  val q48: QueryDef = QueryDef(
+    "q48_integrity_audit",
+    (s, d) => {
+      def rel(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val n = child.agg(count(lit(1)).as("n_child"))
+        val o = child.join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(o).selectExpr(s"'$name' AS relation", "n_child", "n_orphans")
+      }
+      rel("lineitem.partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey")
+        .unionByName(rel("lineitem.suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(rel("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionByName(rel("customer.nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+        .orderBy(col("relation"))
+    },
+    Some("""SELECT 'customer.nationkey->nation' AS relation,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders.custkey->customer',
+        (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ORDER BY relation"""))
 
   /** Train/test leakage detection: d03's near-dup pairs that CROSS
     * p19's deterministic hash-split boundary — the docs whose

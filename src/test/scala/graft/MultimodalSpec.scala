@@ -203,6 +203,27 @@ class MultimodalSpec extends AnyFunSuite {
       "a trailing partial frame is ignored; all-silent reports lead = n")
   }
 
+  test("imageAHash: hand-built half-bright image pins the bit pattern; duplicates share hashes") {
+    import spark.implicits._
+    // 8x8 image: top 4 rows black (luma 0), bottom 4 rows white
+    // (luma 255). mean = 127 -> exactly the bottom 32 bits set:
+    // hash_hi = 0xFFFFFFFF (bits 32-63), hash_lo = 0
+    val rgb = Array.tabulate(3 * 8 * 8) { i =>
+      val y = (i / 3) / 8
+      (if (y < 4) 0 else 255).toByte
+    }
+    val img = Multimodal.MediaRecord(3L, "image", "image/x-portable-pixmap",
+      "t", MediaCodec.encodePpm(8, 8, rgb))
+    val dup = img.copy(media_id = 6L)
+    val got = Multimodal.imageAHash(Seq(img, dup).toDS())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // mean = (32*0 + 32*255)/64 = 127; bright half = rows 4-7 = bits
+    // 32..63 -> hi has all 32 bits set (0xFFFFFFFF), lo none
+    assert(got(3L) === ((127L, 0xFFFFFFFFL, 0L)))
+    assert(got(6L) === got(3L), "identical pixels must hash identically")
+  }
+
   test("keyframes: hand-built video — first frame keys, diff sums exact, threshold splits") {
     import spark.implicits._
     // 2x2 video, three frames: f0, f1 = f0 + small change (1 pixel by
