@@ -315,6 +315,36 @@ object Events {
       .filter(col("rk") <= topN)
   }
 
+  /** Integer-exact daily anomaly flags: per (type, day), compare the
+    * day's count against the trailing-week window by PURE-INTEGER
+    * cross-multiplication — `n · trailing_days > 2 · trailing_n` is a
+    * spike (today more than 2× the trailing mean), `2 · n ·
+    * trailing_days < trailing_n` a dip — no float mean, no stddev
+    * (engine stddev implementations differ in op order, which can flip
+    * a micro-rounded boundary; cross-multiplied integers cannot).
+    * Days with under `minDays` of trailing history never flag.
+    *
+    * 100 TB shape: one partial-agg shuffle to (type, day) rows, then a
+    * type-partitioned 7-row window over that tiny frame. */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      minDays: Int = 3): DataFrame = {
+    require(minDays >= 1, s"minDays must be >= 1, got $minDays")
+    val daily = events
+      .selectExpr(s"$typeCol AS event_type", s"to_date($tsCol) AS d")
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_days", count(col("n")).over(w))
+      .selectExpr("cast(d as string) AS day", "event_type", "n",
+        "trailing_n", "trailing_days",
+        s"trailing_days >= $minDays AND n * trailing_days > 2 * trailing_n AS spike",
+        s"trailing_days >= $minDays AND 2 * n * trailing_days < trailing_n AS dip")
+  }
+
   /** Per-day peak session concurrency — the classic interval-sweep
     * (+1 at session start, −1 after session end, running sum, max),
     * made partition-friendly: every session is SPLIT into per-day

@@ -10,7 +10,60 @@ import graft.operators.{Curate, Dedup, Events, TextOps}
   */
 object Pipeline16 {
 
-  def all: Seq[QueryDef] = Seq(d13, q47, e12, m08, q48)
+  def all: Seq[QueryDef] = Seq(d13, q47, e12, m08, q48, e13, q49)
+
+  /** Integer-exact daily anomaly flags
+    * ([[graft.operators.Events.dailyAnomalies]]): spike/dip verdicts
+    * by pure-integer cross-multiplication against the trailing week —
+    * deliberately NO stddev (engine implementations differ in float op
+    * order; cross-multiplied integers cannot flip a boundary). */
+  val e13: QueryDef = QueryDef(
+    "e13_daily_anomaly",
+    (s, d) => Events.dailyAnomalies(Tables.events(s, d), "event_type", "ts")
+      .orderBy(col("day"), col("event_type")),
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      wn AS (SELECT event_type, d, n,
+               CAST(COALESCE(sum(n) OVER w, 0) AS BIGINT) AS trailing_n,
+               CAST(count(n) OVER w AS BIGINT) AS trailing_days
+             FROM daily
+             WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT CAST(d AS VARCHAR) AS day, event_type, n, trailing_n, trailing_days,
+        trailing_days >= 3 AND n * trailing_days > 2 * trailing_n AS spike,
+        trailing_days >= 3 AND 2 * n * trailing_days < trailing_n AS dip
+      FROM wn ORDER BY day, event_type"""))
+
+  /** Exact robust statistics per event type: the interpolated median
+    * of cent values and the median absolute deviation around it — two
+    * exact-percentile passes (the q33-proven percentile ↔
+    * quantile_cont parity), the medians broadcast back for the
+    * second. */
+  val q49: QueryDef = QueryDef(
+    "q49_mad",
+    (s, d) => {
+      val cents = Tables.events(s, d)
+        .selectExpr("event_type", "cast(round(value * 100) as long) AS c")
+      val med = cents.groupBy(col("event_type"))
+        .agg(expr("percentile(c, 0.5)").as("median_cents"),
+          count(lit(1)).as("n"))
+      cents.join(broadcast(med), Seq("event_type"))
+        .selectExpr("event_type", "n", "median_cents", "abs(c - median_cents) AS dev")
+        .groupBy(col("event_type"), col("n"), col("median_cents"))
+        .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+        .select(col("event_type"), col("n"), col("median_cents"), col("mad_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+      m AS (SELECT event_type, quantile_cont(c, 0.5) AS median_cents,
+              CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1)
+      SELECT c.event_type, m.n, m.median_cents,
+        quantile_cont(abs(c.c - m.median_cents), 0.5) AS mad_cents
+      FROM c JOIN m ON c.event_type = m.event_type
+      GROUP BY c.event_type, m.n, m.median_cents
+      ORDER BY c.event_type"""))
 
   /** Perceptual image hashing ([[graft.operators.Multimodal.imageAHash]])
     * over the real PPM decode: 8×8 average-hash in two 32-bit halves,

@@ -305,6 +305,23 @@ class EventsSpec extends AnyFunSuite {
     assert(got((h(3), "y")) === ((1L, true, Some(800L), Some(800L))))
   }
 
+  test("dailyAnomalies: integer cross-multiplied spike/dip; short history never flags") {
+    // type 'a': 1/day on Jan 1-4, then 9 on Jan 5 (spike: 9*4 > 2*4),
+    // then 0-event days don't exist as rows; Jan 6 back to 1 (no flag:
+    // trailing {1,1,1,1,9}=13, 1*5 < 2*13 and 2*1*5=10 < 13 -> DIP)
+    val rows = (1 to 4).map(i => (i.toLong, "a", f"2024-01-0$i%d 10:00:00")) ++
+      (100L to 108L).map(j => (j, "a", "2024-01-05 10:00:00")) :+
+      ((200L, "a", "2024-01-06 10:00:00"))
+    val df = ev(rows: _*)
+    val got = Events.dailyAnomalies(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got("2024-01-01") === ((1L, 0L, 0L, false, false)), "no history, no flag")
+    assert(got("2024-01-03") === ((1L, 2L, 2L, false, false)), "below minDays, no flag")
+    assert(got("2024-01-05") === ((9L, 4L, 4L, true, false)), "9*4 > 2*4 spikes")
+    assert(got("2024-01-06") === ((1L, 13L, 5L, false, true)), "2*1*5 < 13 dips")
+  }
+
   test("peakConcurrency: inclusive endpoints, midnight split, per-day peaks") {
     import spark.implicits._
     def ms(s: String) = java.time.Instant.parse(s).toEpochMilli
