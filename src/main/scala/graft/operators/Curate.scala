@@ -171,6 +171,49 @@ object Curate {
         col("cum_tokens"), col("quota_tokens"))
   }
 
+  /** Deterministic source rebalancing (fractional oversampling):
+    * every source is upsampled toward the LARGEST source's total token
+    * mass by the exact-integer factor `max_w · 1e6 div w_i` — the
+    * integer part replicates every doc, and the fractional part
+    * replicates exactly the docs whose salted mixed hash bucket
+    * (mod 1e6, the [[hashSplit]] mixing) falls below it, so the
+    * expected replication is the exact rational factor with NO
+    * randomness and stable doc-level assignment. Emits one row per
+    * (doc, copy_idx).
+    *
+    * 100 TB shape: one source-keyed partial agg to O(sources) rows
+    * (broadcast back), a map-side copies computation, and one
+    * bounded-fan-out explode (factor is bounded by max/min source
+    * mass — a degenerate near-empty source would surface in the
+    * require'd Int64 bound first). */
+  def rebalanceSources(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, salt: String): DataFrame = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val toks = docs.selectExpr(s"$idCol AS id", s"$srcCol AS source",
+      s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+    val perSrc = toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+    val maxW = perSrc.agg(coalesce(max(col("w")), lit(0L))).head.getLong(0)
+    require(BigInt(maxW) * BigInt(1000000L) < BigInt(Long.MaxValue),
+      s"rebalanceSources exact-integer contract: maxSourceTokens($maxW) * 1e6 " +
+        "must stay below 2^63")
+    require(perSrc.filter(col("w") <= 0L).isEmpty,
+      "rebalanceSources: every source needs positive token mass")
+    val factors = perSrc.selectExpr("source",
+      s"(${maxW}L * 1000000) div w AS factor_micro")
+    val h = graft.operators.TextOps.strHash60(
+      s"concat('$salt', ':', cast(id as string))")
+    toks
+      .selectExpr("id", "source", "n_tokens",
+        s"((($h % 2147483648L) * 2654435761L) % 2147483648L) % 1000000 AS bucket")
+      .join(broadcast(factors), Seq("source"))
+      .selectExpr("id", "source", "n_tokens",
+        "factor_micro div 1000000 + if(bucket < factor_micro % 1000000, 1L, 0L) AS copies")
+      .selectExpr("id", "source", "n_tokens", "copies",
+        "explode(sequence(0L, copies - 1)) AS copy_idx")
+      .select(col("id"), col("source"), col("n_tokens"), col("copies"),
+        col("copy_idx"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, salt: String,
       trainPerMille: Int, valPerMille: Int): DataFrame = {
     require(trainPerMille >= 0 && valPerMille >= 0 &&

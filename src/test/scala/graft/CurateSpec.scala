@@ -171,6 +171,38 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceSources: exact integer factor, fractional hash prefix, guards") {
+    // A: 10 tokens total, B: 5 -> B's factor is exactly 2.0 (every B
+    // doc twice); A is the max source (factor 1.0, one copy each)
+    val docs = budgetDocs(
+      (1L, "A", "a b c d e"), (2L, "A", "f g h i j"),
+      (3L, "B", "k l m"), (4L, "B", "n o"))
+    val got = Curate.rebalanceSources(docs, "doc_id", "source", "text", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(got === Set((1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L), (4L, 0L), (4L, 1L)))
+    // fractional factor: A=10, B=4 -> factor 2.5 -> every B doc gets 2
+    // or 3 copies, selected by the salted hash bucket (replayed here
+    // through the same expression)
+    val docs2 = budgetDocs(
+      (1L, "A", "a b c d e"), (2L, "A", "f g h i j"),
+      (3L, "B", "k l"), (4L, "B", "m n"))
+    val out2 = Curate.rebalanceSources(docs2, "doc_id", "source", "text", "s")
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = docs2.selectExpr("doc_id",
+        "(((" + graft.operators.TextOps.strHash60("concat('s', ':', cast(doc_id as string))") +
+          " % 2147483648L) * 2654435761L) % 2147483648L) % 1000000 AS b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(3L, 4L))
+      assert(out2(id) === (if (buckets(id) < 500000L) 3L else 2L),
+        s"doc $id fractional copy count must follow its hash bucket")
+    intercept[IllegalArgumentException](
+      Curate.rebalanceSources(docs, "doc_id", "source", "text", "it's"))
+    intercept[IllegalArgumentException](
+      Curate.rebalanceSources(budgetDocs((1L, "A", "x"), (2L, "B", "")),
+        "doc_id", "source", "text", "s"))
+  }
+
   test("tokenBudgetSelect: guards") {
     val docs = budgetDocs((1L, "a", "x"))
     intercept[IllegalArgumentException](
