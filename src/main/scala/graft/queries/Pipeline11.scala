@@ -18,7 +18,7 @@ object Pipeline11 {
   /** The inter-nation trade edge list shared with c02: an edge
     * cust_nation -> supp_nation per (customer, supplier) trade flow,
     * weighted by lineitem count. */
-  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -26,7 +26,7 @@ object Pipeline11 {
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
 
-  private val tradeEdgesSql =
+  private[queries] val tradeEdgesSql =
     """e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
              FROM lineitem l
                JOIN orders o ON l.l_orderkey = o.o_orderkey

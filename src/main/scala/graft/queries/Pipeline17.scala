@@ -9,7 +9,89 @@ import graft.operators.{Curate, Events}
   */
 object Pipeline17 {
 
-  def all: Seq[QueryDef] = Seq(p25, e14)
+  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05)
+
+  /** Ensemble near-dup pairs: the UNION of the lexical (d03
+    * MinHash-LSH) and semantic (s03 embedding-LSH) pair sets with
+    * per-signal provenance flags — the multi-signal dedup policy a
+    * production pass votes over (a pair found by both signals is the
+    * strongest dup evidence; lexical-only is boilerplate, semantic-
+    * only is paraphrase). Full outer equi-join of two audited pair
+    * generators; both oracle chains nested. */
+  val d14: QueryDef = QueryDef(
+    "d14_ensemble_pairs",
+    (s, d) => {
+      import graft.operators.{Dedup, Similarity}
+      val lex = Dedup.minhashLshPairs(Tables.documents(s, d), "text", 3, 16, 4, 0.5)
+        .select(col("d1"), col("d2"), lit(true).as("lexical"))
+      val sem = Similarity.nearDupPairs(Tables.embeddings(s, d), 0.45)
+        .select(col("d1"), col("d2"), lit(true).as("semantic"))
+      lex.join(sem, Seq("d1", "d2"), "full_outer")
+        .na.fill(false, Seq("lexical", "semantic"))
+        .select(col("d1"), col("d2"), col("lexical"), col("semantic"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH lx AS (SELECT d1, d2 FROM (${Pipeline.d03.oracle.get}) AS d03),
+      sm AS (SELECT d1, d2 FROM (${Pipeline.s03.oracle.get}) AS s03)
+      SELECT COALESCE(lx.d1, sm.d1) AS d1, COALESCE(lx.d2, sm.d2) AS d2,
+        lx.d1 IS NOT NULL AS lexical, sm.d1 IS NOT NULL AS semantic
+      FROM lx FULL OUTER JOIN sm ON lx.d1 = sm.d1 AND lx.d2 = sm.d2
+      ORDER BY d1, d2"""))
+
+  /** Whole-graph summary of the inter-nation trade graph: node/edge
+    * counts, max degree, mean degree and density in micro units, and
+    * the EXACT global clustering coefficient
+    * `3·triangles·1e6 div wedges` — every statistic integer (the
+    * per-node triangle counts from the audited degree-ordered
+    * enumeration sum to exactly 3·T). One row. */
+  val c05: QueryDef = QueryDef(
+    "c05_graph_summary",
+    (s, d) => {
+      import graft.operators.Graph
+      val edges = Pipeline11.tradeEdges(s, d)
+      val und = edges
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = und.selectExpr("explode(array(a, b)) AS id")
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("deg_sum"),
+        max(col("deg")).as("max_deg"),
+        sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+      val triSum = Graph.triangleCounts(edges, "src", "dst")
+        .agg(sum(col("tri_n")).as("tri3"))
+      degStats.crossJoin(broadcast(triSum))
+        .selectExpr("n_nodes", "deg_sum div 2 AS n_edges", "max_deg",
+          "wedges", "tri3")
+        .selectExpr("n_nodes", "n_edges", "max_deg",
+          "(n_edges * 2 * 1000000) div n_nodes AS mean_deg_micro",
+          "(n_edges * 2 * 1000000) div (n_nodes * (n_nodes - 1)) AS density_micro",
+          "wedges", "tri3 div 3 AS n_triangles",
+          "if(wedges = 0, 0L, (tri3 * 1000000) div wedges) AS clustering_micro")
+    },
+    Some(s"""WITH ${Pipeline11.tradeEdgesSql},
+      und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e WHERE src <> dst GROUP BY 1, 2),
+      dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+             FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) u
+             GROUP BY 1),
+      ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg) AS BIGINT) AS deg_sum,
+               CAST(max(deg) AS BIGINT) AS max_deg,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+             FROM dg),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      tc AS (SELECT CAST(3 * count(*) AS BIGINT) AS tri3 FROM tri)
+      SELECT n_nodes, deg_sum // 2 AS n_edges, max_deg,
+        ((deg_sum // 2) * 2 * 1000000) // n_nodes AS mean_deg_micro,
+        ((deg_sum // 2) * 2 * 1000000) // (n_nodes * (n_nodes - 1)) AS density_micro,
+        wedges, tri3 // 3 AS n_triangles,
+        CASE WHEN wedges = 0 THEN 0 ELSE (tri3 * 1000000) // wedges END AS clustering_micro
+      FROM ds, tc"""))
 
   /** Deterministic source rebalancing
     * ([[graft.operators.Curate.rebalanceSources]]): every source
