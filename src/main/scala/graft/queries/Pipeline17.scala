@@ -9,7 +9,57 @@ import graft.operators.{Curate, Events}
   */
 object Pipeline17 {
 
-  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05)
+  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05, q50)
+
+  /** SCD2 point-in-time lookup — the CONSUMER half of q40's
+    * slowly-changing dimension: every order joins the dimension
+    * version valid AT its order date (equi-join on the key plus the
+    * validity-interval predicate — per key at most two versions, so
+    * the interval filter rides a bounded equi-join, never a range
+    * scan) and revenue aggregates by the version-correct segment.
+    * Keys ≡ 0 (mod 10) switch to a `_V2` segment at 1998-01-01,
+    * so pre/post-1998 orders of the same customer land in different
+    * segments — the thing a naive current-value join gets wrong. */
+  val q50: QueryDef = QueryDef(
+    "q50_scd2_lookup",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .selectExpr("cast(c_custkey as bigint) AS k", "c_mktsegment AS seg")
+      val unchanged = base.filter("k % 10 != 0").selectExpr("k", "seg",
+        "cast('1995-01-01' as date) AS vf", "cast(null as date) AS vt")
+      val v1 = base.filter("k % 10 = 0").selectExpr("k", "seg",
+        "cast('1995-01-01' as date) AS vf", "cast('1998-01-01' as date) AS vt")
+      val v2 = base.filter("k % 10 = 0").selectExpr("k", "concat(seg, '_V2') AS seg",
+        "cast('1998-01-01' as date) AS vf", "cast(null as date) AS vt")
+      val dim = unchanged.unionByName(v1).unionByName(v2)
+      Tables.orders(s, d)
+        .selectExpr("o_custkey AS k", "to_date(o_orderdate) AS od",
+          "cast(round(o_totalprice * 100) as long) AS cents")
+        .join(dim, Seq("k"))
+        .filter(col("od") >= col("vf") && (col("vt").isNull || col("od") < col("vt")))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .orderBy(col("seg"))
+    },
+    Some("""WITH dim AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+          DATE '1995-01-01' AS vf, CAST(NULL AS DATE) AS vt
+        FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+          DATE '1995-01-01', DATE '1998-01-01'
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), c_mktsegment || '_V2',
+          DATE '1998-01-01', CAST(NULL AS DATE)
+        FROM customer WHERE c_custkey % 10 = 0),
+      o AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS od,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      SELECT dim.seg, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(o.cents) AS BIGINT) AS cents
+      FROM o JOIN dim ON o.k = dim.k
+        AND o.od >= dim.vf AND (dim.vt IS NULL OR o.od < dim.vt)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Ensemble near-dup pairs: the UNION of the lexical (d03
     * MinHash-LSH) and semantic (s03 embedding-LSH) pair sets with
