@@ -315,6 +315,33 @@ object Events {
       .filter(col("rk") <= topN)
   }
 
+  /** DAU/WAU stickiness: per day, the distinct daily actives, the
+    * distinct TRAILING-7-day actives, and their exact micro ratio —
+    * the classic engagement metric. The sliding distinct is computed
+    * by replicating each (user, day) activity row to the <= 7 days it
+    * can serve (a BOUNDED explode — never a window distinct, which
+    * Spark cannot do exactly, and never a per-day rescan), then one
+    * (day, user) distinct + partial agg.
+    *
+    * 100 TB shape: one (user, day) distinct of the log, a 7× bounded
+    * fan-out projection, one distinct + one partial-agg shuffle; all
+    * frames day-grain afterward. Days with no activity have no row
+    * (gap-fill composes via [[hourlyGapFill]]'s spine pattern). */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val dayUser = events
+      .selectExpr(s"to_date($tsCol) AS d", s"$userCol AS u")
+      .distinct()
+    val dau = dayUser.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .selectExpr("explode(sequence(d, date_add(d, 6))) AS d", "u")
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    // inner join: only days that themselves had activity report
+    dau.join(wau, Seq("d"))
+      .selectExpr("cast(d as string) AS day", "dau", "wau",
+        "(dau * 1000000) div wau AS stickiness_micro")
+  }
+
   /** Integer-exact daily anomaly flags: per (type, day), compare the
     * day's count against the trailing-week window by PURE-INTEGER
     * cross-multiplication — `n · trailing_days > 2 · trailing_n` is a

@@ -9,7 +9,81 @@ import graft.operators.{Curate, Events}
   */
 object Pipeline17 {
 
-  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05, q50)
+  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05, q50, e15, p26)
+
+  /** DAU/WAU stickiness ([[graft.operators.Events.stickiness]]):
+    * daily actives over trailing-7-day actives in exact micro units;
+    * the sliding distinct rides a BOUNDED 7× replication (never a
+    * window distinct or a per-day rescan). */
+  val e15: QueryDef = QueryDef(
+    "e15_stickiness",
+    (s, d) => Events.stickiness(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("day")),
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),
+      dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+      we AS (SELECT DISTINCT CAST(dd AS DATE) AS d, u FROM (
+              SELECT unnest(generate_series(CAST(d AS TIMESTAMP),
+                CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS dd, u
+              FROM du) t),
+      wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau FROM we GROUP BY 1)
+      SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+        (dau.dau * 1000000) // wau.wau AS stickiness_micro
+      FROM dau JOIN wau ON dau.d = wau.d ORDER BY day"""))
+
+  /** Curriculum phase assignment: docs bucketed into 4 difficulty
+    * phases by the EXACT readability quartiles (broadcast thresholds,
+    * the e06 discipline — never a global ntile sort), phase 1 the
+    * easiest; within each phase a deterministic salted-hash order
+    * gives the training sequence. Completes the prep story:
+    * select (p22/p24) → rebalance (p25) → order (p26). */
+  val p26: QueryDef = QueryDef(
+    "p26_curriculum",
+    (s, d) => {
+      import graft.operators.TextOps
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextOps.readability(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("flesch_micro"))
+      val qs = scored.agg(
+        expr("percentile(flesch_micro, 0.25)").as("q1"),
+        expr("percentile(flesch_micro, 0.5)").as("q2"),
+        expr("percentile(flesch_micro, 0.75)").as("q3"))
+      val h = TextOps.strHash60("concat('graft', ':', cast(doc_id as string))")
+      scored.crossJoin(broadcast(qs))
+        .selectExpr("doc_id", "flesch_micro",
+          "cast(4 - (if(flesch_micro > q1, 1, 0) + if(flesch_micro > q2, 1, 0) +" +
+            " if(flesch_micro > q3, 1, 0)) as bigint) AS phase",
+          s"$h AS hk")
+        .withColumn("phase_rank", row_number().over(
+          Window.partitionBy(col("phase")).orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("flesch_micro"), col("phase"), col("phase_rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (SELECT doc_id,
+               CAST(len(${DuckOps.tokens("text")}) AS BIGINT) AS n_words,
+               greatest(CAST(1 AS BIGINT),
+                 CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vowel_groups
+             FROM documents),
+      sc AS (SELECT doc_id,
+               CAST(206835000 - (1015000 * n_words) // n_sentences
+                 - (84600000 * n_vowel_groups) // n_words AS BIGINT) AS flesch_micro
+             FROM b WHERE n_words > 0),
+      qs AS (SELECT quantile_cont(flesch_micro, 0.25) AS q1,
+               quantile_cont(flesch_micro, 0.5) AS q2,
+               quantile_cont(flesch_micro, 0.75) AS q3 FROM sc),
+      ph AS (SELECT doc_id, flesch_micro,
+               CAST(4 - (CASE WHEN flesch_micro > q1 THEN 1 ELSE 0 END +
+                         CASE WHEN flesch_micro > q2 THEN 1 ELSE 0 END +
+                         CASE WHEN flesch_micro > q3 THEN 1 ELSE 0 END) AS BIGINT) AS phase
+             FROM sc, qs),
+      h AS (SELECT doc_id,
+              ${DuckOps.strHash60("('graft:' || CAST(doc_id AS VARCHAR))")} AS hk
+            FROM documents)
+      SELECT p.doc_id, p.flesch_micro, p.phase,
+        CAST(row_number() OVER (PARTITION BY p.phase
+          ORDER BY h.hk, p.doc_id) AS BIGINT) AS phase_rank
+      FROM ph p JOIN h ON p.doc_id = h.doc_id
+      ORDER BY p.doc_id"""))
 
   /** SCD2 point-in-time lookup — the CONSUMER half of q40's
     * slowly-changing dimension: every order joins the dimension

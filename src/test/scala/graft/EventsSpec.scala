@@ -305,6 +305,24 @@ class EventsSpec extends AnyFunSuite {
     assert(got((h(3), "y")) === ((1L, true, Some(800L), Some(800L))))
   }
 
+  test("stickiness: trailing-7-day distinct via bounded replication") {
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-05 10:00:00"),   // user 1 again inside the window
+      (3L, "view", "2024-01-05 11:00:00"),
+      (4L, "view", "2024-01-20 10:00:00"))   // far future: fresh window
+    val got = Events.stickiness(df, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Jan 1: dau 2, wau 2; Jan 5: dau 2 (users 1,3), wau = users seen
+    // in Dec30..Jan5 = {1,2,3} = 3 -> 666666; Jan 20: isolated
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L, 1000000L)),
+      "2024-01-05" -> ((2L, 3L, 666666L)),
+      "2024-01-20" -> ((1L, 1L, 1000000L))))
+  }
+
   test("dailyAnomalies: integer cross-multiplied spike/dip; short history never flags") {
     // type 'a': 1/day on Jan 1-4, then 9 on Jan 5 (spike: 9*4 > 2*4),
     // then 0-event days don't exist as rows; Jan 6 back to 1 (no flag:
