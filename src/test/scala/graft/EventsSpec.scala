@@ -378,6 +378,57 @@ class EventsSpec extends AnyFunSuite {
       ("2024-01-03", "click") -> ((1L, 1L))))
   }
 
+  test("typePaths(n=2) counts agree with transitionMatrix — cross-operator invariant") {
+    val df = evId(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "view", "2024-01-01 10:02:00"),
+      (4L, 2L, "view", "2024-01-02 09:00:00"),
+      (5L, 2L, "purchase", "2024-01-02 09:30:00"))
+    val paths = Events.typePaths(df, "event_type", "user_id", "ts", "event_id",
+        n = 2, topN = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val matrix = Events.transitionMatrix(df, "event_type", "user_id", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(paths === matrix, "bigram paths and the transition matrix count the same pairs")
+  }
+
+  test("peakConcurrency: differential fuzz vs an in-memory sweep (incl. midnight spans)") {
+    import spark.implicits._
+    var x = 31337L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
+    // 120 random sessions over ~5 days, lengths up to 30h (forcing
+    // multi-day segments)
+    val sessions = (1 to 120).map { i =>
+      val s = base + nxt() % (5L * 86400000L)
+      (i.toLong, s, s + nxt() % (30L * 3600000L))
+    }
+    val got = Events.peakConcurrency(sessions.toDF("user_id", "s_ms", "e_ms"),
+        "user_id", "s_ms", "e_ms")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // in-memory twin: same day segmentation + inclusive sweep
+    val segs = sessions.flatMap { case (_, s, e) =>
+      val d0 = s / 86400000L
+      val d1 = e / 86400000L
+      (d0 to d1).map { d =>
+        val dayStart = d * 86400000L
+        (d, math.max(s, dayStart), math.min(e, dayStart + 86399999L))
+      }
+    }
+    val want = segs.groupBy(_._1).map { case (d, ss) =>
+      val deltas = ss.flatMap { case (_, a, b) => Seq((a, 1L), (b, -1L)) }
+        .sortBy { case (t, delta) => (t, -delta) }
+      var run = 0L
+      var peak = 0L
+      deltas.foreach { case (_, dl) => run += dl; peak = math.max(peak, run) }
+      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+        .format(java.time.LocalDate.ofEpochDay(d)) ->
+        ((ss.size.toLong, peak))
+    }
+    assert(got === want, "distributed sweep diverged from the in-memory reference")
+  }
+
   test("chi-square drift: hand-computed 2x2, including an absent cell") {
     // before: 3 view, 1 error; after: 1 view, 3 error, 2 signup
     // (signup has NO before-cell — its (0-e)^2/e term must still count)

@@ -682,6 +682,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"e12 must not run an unpartitioned global window:\n$e12")
   }
 
+  test("round-10 part-5 shapes (q49 broadcast medians, q50 bounded dim join, e15 bounded fanout, e13/c05 tiny-frame windows)") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir)
+    // q49: the 5-row median frame must broadcast back onto the log
+    val q49 = finalPlan(queries.Pipeline16.q49.run(spark, sfDir))
+    assert(q49.contains("BroadcastHashJoin"), s"q49 medians must broadcast:\n$q49")
+    assert(!q49.contains("CartesianProduct"), s"q49 stays equi:\n$q49")
+    // q50: the point-in-time lookup is an EQUI join on the key with
+    // the interval as a post-join filter — a range-only join here
+    // would nested-loop the fact table
+    val q50 = finalPlan(queries.Pipeline17.q50.run(spark, sfDir))
+    assert(!q50.contains("CartesianProduct") && !q50.contains("BroadcastNestedLoopJoin"),
+      s"q50 must join on the key, never range-scan:\n$q50")
+    // e15: the sliding distinct is a bounded explode + distinct +
+    // partial agg — no window over the log, no cartesian
+    val e15 = finalPlan(operators.Events.stickiness(events, "user_id", "ts"))
+    val e15Final = e15.split("== Initial Plan ==")(0)
+    assert(!e15Final.contains("windowspecdefinition"),
+      s"e15 must not window at all (bounded replication instead):\n$e15")
+    assert(!e15Final.contains("CartesianProduct"), s"e15 stays equi:\n$e15")
+    // e13: the trailing window runs over the (type, day) aggregate,
+    // never the event log
+    val e13 = finalPlan(operators.Events.dailyAnomalies(events, "event_type", "ts"))
+    val e13Final = e13.split("== Initial Plan ==")(0)
+    assert(!e13Final.contains("windowspecdefinition(user_id"),
+      s"e13 windows day-grain frames only:\n$e13")
+    // d14: the ensemble is a full-outer EQUI join of two audited
+    // generators
+    val d14 = finalPlan(queries.Pipeline17.d14.run(spark, sfDir))
+    assert(!d14.contains("CartesianProduct"), s"d14 stays equi:\n$d14")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
