@@ -77,6 +77,39 @@ object Events {
     frontier.select(col("uid"), col("t0"), col("t"))
   }
 
+  /** [[funnel]] broken down by a small user dimension: each stage's
+    * surviving frontier joins the BROADCAST (uid, segment) dim and
+    * counts per segment — (stage_idx, stage, segment, n_users). Same
+    * per-stage equi-join shape as [[funnel]]; the extra cost per stage
+    * is one broadcast probe + a segment-keyed partial agg over the
+    * one-row-per-user frontier. */
+  def funnelBy(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, stages: Seq[String], dim: DataFrame): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate funnel stage in $stages")
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("uid"))
+      .agg(min(col(tsCol)).as("t"))
+    def stageCounts(i: Int, f: DataFrame): DataFrame =
+      f.join(broadcast(dim), Seq("uid"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .selectExpr(s"${i + 1}L AS stage_idx", s"'${stages(i)}' AS stage",
+          "segment", "n_users")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    counts += stageCounts(0, frontier)
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      frontier = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("uid"), col(tsCol).as("ets"))
+        .join(frontier, Seq("uid"))
+        .filter(col("ets") > col("t"))
+        .groupBy(col("uid"))
+        .agg(min(col("ets")).as("t"))
+      counts += stageCounts(i, frontier)
+    }
+    counts.reduce(_ unionByName _)
+  }
+
   /** Session-scoped funnel: like [[funnel]], but the whole stage
     * chain must complete inside ONE gap-based session (the st01
     * sessionization semantics — a new session starts after

@@ -9,7 +9,78 @@ import graft.operators.{Curate, Events}
   */
 object Pipeline17 {
 
-  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05, q50, e15, p26)
+  def all: Seq[QueryDef] = Seq(p25, e14, d14, c05, q50, e15, p26, e16, p27)
+
+  /** Segment-dimensioned funnel ([[graft.operators.Events.funnelBy]]):
+    * e01's conversion funnel broken down by the broadcast customer
+    * segment dimension — per (stage, segment) survivor counts. */
+  val e16: QueryDef = QueryDef(
+    "e16_funnel_by_segment",
+    (s, d) => Events.funnelBy(Tables.events(s, d), "event_type", "user_id",
+        "ts", Seq("view", "click", "purchase"),
+        Tables.customer(s, d).selectExpr("cast(c_custkey as bigint) AS uid",
+          "c_mktsegment AS segment"))
+      .orderBy(col("stage_idx"), col("segment")),
+    Some("""WITH s1 AS (SELECT user_id AS uid, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.uid AND e.ts > s1.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id AS uid, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.uid AND e.ts > s2.t
+             WHERE e.event_type = 'purchase' GROUP BY 1),
+      seg AS (SELECT CAST(c_custkey AS BIGINT) AS uid, c_mktsegment AS segment
+              FROM customer)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, g.segment,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM s1 JOIN seg g ON s1.uid = g.uid GROUP BY 3
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', g.segment, CAST(count(*) AS BIGINT)
+        FROM s2 JOIN seg g ON s2.uid = g.uid GROUP BY 3
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', g.segment, CAST(count(*) AS BIGINT)
+        FROM s3 JOIN seg g ON s3.uid = g.uid GROUP BY 3)
+      ORDER BY stage_idx, segment"""))
+
+  /** Effective-token accounting: per source the raw token mass, the
+    * mass surviving d05's keep-first near-dup filter, and the dedup
+    * loss share in micro units — "how much of this source is actually
+    * novel training signal". The oracle nests the minhash chain. */
+  val p27: QueryDef = QueryDef(
+    "p27_effective_tokens",
+    (s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("lost", lit(true))
+      docs.selectExpr("doc_id", "source",
+          "cast(size(filter(split(text, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("raw_tokens"),
+          sum(when(col("lost").isNull, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .selectExpr("source", "raw_tokens", "kept_tokens",
+          "((raw_tokens - kept_tokens) * 1000000) div raw_tokens AS lost_share_micro")
+        .orderBy(col("source"))
+    },
+    Some(s"""${Pipeline.minhashCtes},
+      sel AS (SELECT d1, d2 FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5),
+      losers AS (SELECT DISTINCT d2 AS doc_id FROM sel),
+      tk AS (SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '[ ]+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+             FROM documents)
+      SELECT tk.source, CAST(sum(tk.n_tokens) AS BIGINT) AS raw_tokens,
+        CAST(sum(CASE WHEN l.doc_id IS NULL THEN tk.n_tokens ELSE 0 END) AS BIGINT)
+          AS kept_tokens,
+        ((CAST(sum(tk.n_tokens) AS BIGINT)
+          - CAST(sum(CASE WHEN l.doc_id IS NULL THEN tk.n_tokens ELSE 0 END) AS BIGINT))
+          * 1000000)
+          // CAST(sum(tk.n_tokens) AS BIGINT) AS lost_share_micro
+      FROM tk LEFT JOIN losers l ON tk.doc_id = l.doc_id
+      GROUP BY 1 ORDER BY 1"""))
 
   /** DAU/WAU stickiness ([[graft.operators.Events.stickiness]]):
     * daily actives over trailing-7-day actives in exact micro units;

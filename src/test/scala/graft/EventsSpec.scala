@@ -378,6 +378,27 @@ class EventsSpec extends AnyFunSuite {
       ("2024-01-03", "click") -> ((1L, 1L))))
   }
 
+  test("funnelBy: per-segment counts sum to the plain funnel's stage counts") {
+    import spark.implicits._
+    val df = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (2L, "view", "2024-01-02 10:00:00"),
+      (3L, "view", "2024-01-03 10:00:00"),
+      (3L, "click", "2024-01-03 10:30:00"))
+    val dim = Seq((1L, "gold"), (2L, "gold"), (3L, "silver")).toDF("uid", "segment")
+    val by = Events.funnelBy(df, "event_type", "user_id", "ts",
+        Seq("view", "click"), dim)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3)).toMap
+    assert(by === Map(
+      (1L, "gold") -> 2L, (1L, "silver") -> 1L,
+      (2L, "gold") -> 1L, (2L, "silver") -> 1L))
+    // the marginal over segments is the plain funnel
+    val plain = runFunnel(df.filter("event_type in ('view','click')"))
+    assert(by.filter(_._1._1 == 1L).values.sum === plain("view"))
+    assert(by.filter(_._1._1 == 2L).values.sum === plain("click"))
+  }
+
   test("typePaths(n=2) counts agree with transitionMatrix — cross-operator invariant") {
     val df = evId(
       (1L, 1L, "view", "2024-01-01 10:00:00"),
