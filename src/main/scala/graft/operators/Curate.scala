@@ -214,6 +214,35 @@ object Curate {
         col("copy_idx"))
   }
 
+  /** Corpus concentration summary: per-source whitespace-token mass
+    * folded to ONE row — source count, total tokens, the largest
+    * source's share, the Herfindahl–Hirschman index (Σ share²) and
+    * its inverse ("effective number of sources"), all in exact micro
+    * units (shares floor-quantized to micro BEFORE squaring, so both
+    * engines square the same integers). The one-number answer to "is
+    * this training mix dominated by one crawl?".
+    *
+    * 100 TB shape: one source-keyed partial agg to S rows, then a
+    * single-row broadcast total and an S-row final fold — nothing
+    * after the first agg scales with the corpus. */
+  def sourceConcentration(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val per = docs
+      .selectExpr(s"$srcCol AS source",
+        s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+    val tot = per.agg(sum(col("w")).as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("n_sources", "total", "(w * 1000000) div total AS share_micro")
+      .groupBy(col("n_sources"), col("total"))
+      .agg(max(col("share_micro")).as("max_share_micro"),
+        sum(expr("share_micro * share_micro")).as("hhi_raw"))
+      .selectExpr("n_sources", "total AS total_tokens", "max_share_micro",
+        "hhi_raw div 1000000 AS hhi_micro",
+        "if(hhi_raw div 1000000 = 0, 0L, " +
+          "1000000000000 div (hhi_raw div 1000000)) AS effective_sources_micro")
+  }
+
   def hashSplit(df: DataFrame, idCol: String, salt: String,
       trainPerMille: Int, valPerMille: Int): DataFrame = {
     require(trainPerMille >= 0 && valPerMille >= 0 &&

@@ -534,6 +534,42 @@ object Events {
       .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("cents"))
   }
 
+  /** Cohort lifetime-value curves: users cohorted by the ISO week
+    * (Monday-start) of their first purchase; per (cohort,
+    * weeks-since-first-purchase) the active purchaser count, exact
+    * cent revenue, running cumulative cents, and cumulative cents per
+    * cohort member — the LTV curve a growth team reads. Age is pure
+    * integer day arithmetic (`datediff div 7`), never an interval
+    * divide, so it hash-compares across engines.
+    *
+    * 100 TB shape: one user-keyed partial agg for the first-purchase
+    * frame, one equi-join back (the first frame is ≤1 row/user —
+    * broadcastable at dimension scale), one (cohort, age)-keyed
+    * partial agg, then a window over the TINY (cohorts × ages) grid
+    * — never over raw events. */
+  def cohortLtv(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, valueCol: String, purchaseType: String): DataFrame = {
+    val p = events.filter(col(typeCol) === purchaseType)
+      .select(col(userCol).as("uid"), to_date(col(tsCol)).as("od"),
+        expr(s"cast(round($valueCol * 100) as long)").as("cents"))
+    val first = p.groupBy(col("uid")).agg(min(col("od")).as("cd"))
+    val cohortSize = first
+      .selectExpr("cast(trunc(cd, 'week') as string) AS cohort_wk")
+      .groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_users"))
+    val grid = p.join(first, Seq("uid"))
+      .selectExpr("cast(trunc(cd, 'week') as string) AS cohort_wk",
+        "cast(datediff(od, cd) div 7 as bigint) AS age_wk",
+        "uid", "cents")
+      .groupBy(col("cohort_wk"), col("age_wk"))
+      .agg(countDistinct(col("uid")).as("n_active"), sum(col("cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+    grid.join(broadcast(cohortSize), Seq("cohort_wk"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .selectExpr("cohort_wk", "age_wk", "cohort_users", "n_active", "cents",
+        "cum_cents", "cum_cents div cohort_users AS ltv_cents_per_user")
+  }
+
   /** Daily operational share of one event type (e.g. errors) in exact
     * micro units: per day, total events, matching events, and
     * `matching · 1e6 div total`. One partial-agg shuffle. */

@@ -58,6 +58,35 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos"))
   }
 
+  /** k-NN majority-vote classification — label propagation for weak
+    * supervision: each query point (selected by `queryPredicate`)
+    * takes the modal label of its k exact-cosine nearest neighbors
+    * (ties: smaller label wins), reported against its own label so
+    * the result doubles as a leave-one-out accuracy audit. Candidate
+    * generation is [[cosineTopKFor]] verbatim (swap [[ivfTopK]] at
+    * scale); the vote is a (q_id, label) partial agg over q·k rows
+    * plus a window over ≤ |labels| rows per query.
+    *
+    * 100 TB shape: the only corpus-sized frame is the label join,
+    * an equi-join of the corpus against the BROADCAST q·k top-k
+    * frame — everything downstream is O(queries). */
+  def knnClassify(emb: DataFrame, queryPredicate: String, k: Int): DataFrame = {
+    val labels = emb.selectExpr("vec_id", "cast(label as long) AS label")
+    val top = cosineTopKFor(emb, queryPredicate, k)
+      .select(col("q_id"), col("n_id"))
+    val votes = labels.withColumnRenamed("vec_id", "n_id")
+      .join(broadcast(top), Seq("n_id"))
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumnRenamed("label", "pred_label")
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "actual"), Seq("q_id"))
+      .selectExpr("q_id", "pred_label", "n_votes", "actual",
+        "(pred_label = actual) AS correct")
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
     * SIGIR 1998, public method): from each query's `pool`-sized
     * relevance candidates, greedily select `k` results maximizing

@@ -210,4 +210,23 @@ class CurateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", 1L, "it's"))
   }
+
+  test("sourceConcentration: micro shares, HHI, and effective source count are exact") {
+    import spark.implicits._
+    // source a: 10 tokens, source b: 30 tokens -> shares 25% / 75%
+    val docs = Seq(
+      (1L, "a", Seq.fill(4)("w").mkString(" ")),
+      (2L, "a", Seq.fill(6)("w").mkString(" ")),
+      (3L, "b", Seq.fill(30)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Curate.sourceConcentration(docs, "source", "text").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2L)        // n_sources
+    assert(r(0).getLong(1) === 40L)       // total_tokens
+    assert(r(0).getLong(2) === 750000L)   // max share 75%
+    // HHI = 0.25^2 + 0.75^2 = 0.625 -> 625000 micro
+    assert(r(0).getLong(3) === 625000L)
+    // effective sources = 1/HHI = 1.6 -> 1600000 micro
+    assert(r(0).getLong(4) === 1600000L)
+  }
 }

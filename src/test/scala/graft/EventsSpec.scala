@@ -475,4 +475,30 @@ class EventsSpec extends AnyFunSuite {
     assert(got("error") === ((1L, 3L, cell(1, 4, 4) + cell(3, 4, 6))))
     assert(got("signup") === ((0L, 2L, cell(0, 2, 4) + cell(2, 2, 6))))
   }
+
+  test("cohortLtv: Monday-week cohorts, day-diff age, cumulative cents, per-member floor") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: first purchase Wed 2024-01-10 -> cohort Mon 2024-01-08;
+      // later purchases 8 and 15 days on -> ages 1 and 2
+      (1L, "view", "2023-12-01 09:00:00", 99.99), // pre-purchase noise: no cohort effect
+      (1L, "purchase", "2024-01-10 09:00:00", 10.00),
+      (1L, "purchase", "2024-01-18 09:00:00", 5.00),
+      (1L, "purchase", "2024-01-25 09:00:00", 2.50),
+      // u2: same cohort week, single purchase
+      (2L, "purchase", "2024-01-12 09:00:00", 20.00),
+      // u3: next cohort week
+      (3L, "purchase", "2024-01-16 09:00:00", 1.00))
+      .toDF("user_id", "event_type", "tss", "value")
+      .selectExpr("user_id", "event_type", "cast(tss as timestamp) AS ts", "value")
+    val got = Events.cohortLtv(df, "event_type", "user_id", "ts", "value", "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (cohort_users, n_active, cents, cum_cents, ltv_cents_per_user)
+    assert(got(("2024-01-08", 0L)) === ((2L, 2L, 3000L, 3000L, 1500L)))
+    assert(got(("2024-01-08", 1L)) === ((2L, 1L, 500L, 3500L, 1750L)))
+    assert(got(("2024-01-08", 2L)) === ((2L, 1L, 250L, 3750L, 1875L)))
+    assert(got(("2024-01-15", 0L)) === ((1L, 1L, 100L, 100L, 100L)))
+    assert(got.size === 4)
+  }
 }

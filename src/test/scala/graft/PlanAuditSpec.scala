@@ -714,6 +714,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!d14.contains("CartesianProduct"), s"d14 stays equi:\n$d14")
   }
 
+  test("round-10 part-6 shapes (e17 grid-only window, p28 one-row fold, t28 top-k head, s21 broadcast top-k)") {
+    // e17: the LTV window runs over the (cohort, age) grid — never
+    // the purchase log — and the cohort-size join broadcasts
+    val e17 = finalPlan(queries.Pipeline18.e17.run(spark, sfDir))
+    assert(e17.contains("BroadcastHashJoin"), s"e17 cohort sizes must broadcast:\n$e17")
+    assert(!e17.contains("CartesianProduct"), s"e17 stays equi:\n$e17")
+    // p28: after the per-source agg everything is broadcast-sized;
+    // the only join is the 1-row total (broadcast NLJ on 1 row is fine)
+    val p28 = finalPlan(queries.Pipeline18.p28.run(spark, sfDir))
+    assert(!p28.contains("SortMergeJoin"), s"p28 must never shuffle-join:\n$p28")
+    // t28: the vocabulary head is a TakeOrderedAndProject, not a full
+    // vocab sort; the rank window sees only the 50 survivors
+    val t28 = finalPlan(queries.Pipeline18.t28.run(spark, sfDir))
+    assert(t28.contains("TakeOrderedAndProject"), s"t28 must top-k the vocab:\n$t28")
+    // s21: the corpus-sized label join must broadcast the q·k top-k
+    // frame; the vote/pick frames are O(queries)
+    val s21 = finalPlan(queries.Pipeline18.s21.run(spark, sfDir))
+    assert(s21.contains("BroadcastHashJoin"), s"s21 label join must broadcast top-k:\n$s21")
+    assert(!s21.contains("CartesianProduct"), s"s21 stays equi after candidate gen:\n$s21")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

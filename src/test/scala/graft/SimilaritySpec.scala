@@ -396,4 +396,25 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.randomProjectionTopK(emb, 0, 1, 1))
   }
+
+  test("knnClassify: majority vote over the k nearest, count ties break to the smaller label") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1),       // query; its own label makes correct=true
+      (1L, Array(1f, 0.01f), 1),
+      (2L, Array(1f, 0.02f), 2),
+      (3L, Array(1f, 0.03f), 2),
+      (4L, Array(1f, 0.04f), 1),
+      (5L, Array(-1f, 0f), 3))      // far away: must not be in the top-4
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(emb, "vec_id = 0", 4).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    // neighbors 1..4 vote {1:2, 2:2} — tie, smaller label wins
+    assert(r.getLong(0) === 0L)      // q_id
+    assert(r.getLong(1) === 1L)      // pred_label
+    assert(r.getLong(2) === 2L)      // n_votes
+    assert(r.getLong(3) === 1L)      // actual
+    assert(r.getBoolean(4))          // correct
+  }
 }
