@@ -79,6 +79,21 @@ object EventStreams {
         "n_events", "cents")
   }
 
+  /** Batch face of [[slidingActiveUsers]] with EXACT distincts: each
+    * event lands in exactly two 10-minute windows sliding by 5 (epoch
+    * aligned, Spark's `window()` semantics), counted with a real
+    * `count(distinct)` the DuckDB oracle can pin cell-exactly — the
+    * streaming face keeps the mergeable HLL sketch, this face is the
+    * backfill/audit run of the same grid. One (window)-keyed
+    * partial-agg shuffle; the window explode is a bounded 2×. */
+  def slidingActiveUsersExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .selectExpr("unix_millis(window.start) AS win_start_ms",
+        "n_users", "n_events")
+
   /** Sliding-window distinct-user approximation per type. */
   def slidingActiveUsers(events: DataFrame): DataFrame =
     events

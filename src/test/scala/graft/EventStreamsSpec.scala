@@ -36,6 +36,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingActiveUsersExact: every event lands in exactly its two epoch-aligned windows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:07:00"), // windows 00:00 and 00:05
+      (1L, "2024-01-01 00:08:00"), // same user, same windows: distinct=1
+      (2L, "2024-01-01 00:09:59"), // windows 00:00 and 00:05
+      (3L, "2024-01-01 00:10:00")) // windows 00:05 and 00:10 (boundary: start-inclusive)
+      .toDF("user_id", "tss")
+      .selectExpr("user_id", "cast(tss as timestamp) AS ts")
+    val got = EventStreams.slidingActiveUsersExact(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    assert(got(base) === ((2L, 3L)))            // u1(x2), u2
+    assert(got(base + 300000L) === ((3L, 4L)))  // all three users
+    assert(got(base + 600000L) === ((1L, 1L)))  // u3 only
+    assert(got.size === 3)
+    // total window memberships = 2 x events (the bounded 2x explode)
+    assert(got.values.map(_._2).sum === 8L)
+  }
+
   test("sessionize: bounded and total cents conservation") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir).as[EventStreams.Event]

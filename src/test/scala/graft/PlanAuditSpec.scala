@@ -735,6 +735,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s21.contains("CartesianProduct"), s"s21 stays equi after candidate gen:\n$s21")
   }
 
+  test("round-10 part-7 shapes (q51 generator unpivot, e18 broadcast threshold, s22 grid windows, st04 one agg chain)") {
+    // q51: stack() is a zero-shuffle generator over the 3-row agg —
+    // one exchange for the groupBy, nothing else
+    val q51 = finalPlan(queries.Pipeline19.q51.run(spark, sfDir))
+    assert(q51.contains("Generate"), s"q51 must unpivot via a generator:\n$q51")
+    assert(!q51.contains("CartesianProduct"), s"q51 stays join-free:\n$q51")
+    // e18: the 1-row threshold broadcasts back; never a shuffle join
+    val e18 = finalPlan(queries.Pipeline19.e18.run(spark, sfDir))
+    assert(!e18.contains("SortMergeJoin"), s"e18 threshold must broadcast:\n$e18")
+    // s22: after the assignment projection everything is equi/grid
+    val s22 = finalPlan(queries.Pipeline19.s22.run(spark, sfDir))
+    assert(!s22.contains("CartesianProduct"), s"s22 stays equi:\n$s22")
+    // st04: the sliding grid is ONE window-keyed aggregate chain (the
+    // 2x membership explode + count-distinct expand), no join at all
+    val st04 = finalPlan(queries.Pipeline19.st04.run(spark, sfDir))
+    assert(!st04.contains("Join"), s"st04 must be join-free:\n$st04")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
