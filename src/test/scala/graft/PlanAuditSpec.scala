@@ -753,6 +753,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!st04.contains("Join"), s"st04 must be join-free:\n$st04")
   }
 
+  test("round-10 part-8 shapes (c06 agg-only fold, t29 bucket-grid join, q52 partitioned windows, e19 join-free)") {
+    // c06: the histogram inherits c01's equi-only pair/CC machinery;
+    // the size fold adds aggs, never a join between big sides
+    val c06 = finalPlan(queries.Pipeline20.c06.run(spark, sfDir))
+    assert(!c06.contains("CartesianProduct"), s"c06 stays equi:\n$c06")
+    // t29: the only join is between two bucket-grid aggregates
+    val t29 = finalPlan(queries.Pipeline20.t29.run(spark, sfDir))
+    assert(!t29.contains("CartesianProduct"), s"t29 stays equi:\n$t29")
+    // q52: the rank windows partition by priority — the plan must not
+    // be join-shaped at all
+    val q52 = finalPlan(queries.Pipeline20.q52.run(spark, sfDir))
+    assert(!q52.contains("Join"), s"q52 is windows over one scan:\n$q52")
+    // e19: two partial aggs, nothing else
+    val e19 = finalPlan(queries.Pipeline20.e19.run(spark, sfDir))
+    assert(!e19.contains("Join") && !e19.contains("windowspecdefinition"),
+      s"e19 is a pure agg chain:\n$e19")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
