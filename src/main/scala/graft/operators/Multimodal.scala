@@ -239,6 +239,42 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameEnergy(media_id: Long, frame_idx: Long,
+      energy: Long, mean_abs: Long)
+
+  /** Per-frame audio loudness over REAL WAV payloads: split each
+    * clip's PCM into `frameSamples`-sample frames (trailing partial
+    * frame ignored, the [[trimSilence]] framing) and emit one row per
+    * frame with the exact integer energy (`Σ s² div n`) and mean
+    * absolute amplitude (`Σ |s| div n`) — the loudness profile a
+    * speech/music pipeline gates and windows on. Generator shape:
+    * one decode + one integer pass per record, output rows bounded by
+    * clip length; everything hash-compares against an analytic
+    * oracle. */
+  def frameEnergies(media: Dataset[MediaRecord],
+      frameSamples: Int): Dataset[AudioFrameEnergy] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      val wav = MediaCodec.decodeWav(m.payload)
+      val nF = wav.samples.length / frameSamples
+      (0 until nF).map { f =>
+        var sq = 0L
+        var ab = 0L
+        var j = f * frameSamples
+        val end = j + frameSamples
+        while (j < end) {
+          val v = wav.samples(j).toLong
+          sq += v * v
+          ab += math.abs(v)
+          j += 1
+        }
+        AudioFrameEnergy(m.media_id, f.toLong, sq / frameSamples, ab / frameSamples)
+      }
+    }
+  }
+
   /** Video frame extraction: parse each Y4M payload and emit one row
     * per frame (generator shape) carrying the REAL luma plane. */
   def decodeVideoFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {

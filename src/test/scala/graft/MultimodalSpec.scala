@@ -203,6 +203,28 @@ class MultimodalSpec extends AnyFunSuite {
       "a trailing partial frame is ignored; all-silent reports lead = n")
   }
 
+  test("frameEnergies: exact integer energy/mean-abs, partial frame ignored, non-audio filtered") {
+    import spark.implicits._
+    // frame 0: constant +100 -> energy 10000, mean_abs 100
+    // frame 1: alternating +-200 -> energy 40000, mean_abs 200
+    // 3 trailing samples: partial frame, must not emit
+    val samples = (Seq.fill(4)(100.toShort) ++
+      Seq.tabulate(4)(j => (if (j % 2 == 0) 200 else -200).toShort) ++
+      Seq.fill(3)(999.toShort)).toArray
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, samples)),
+      Multimodal.MediaRecord(2L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(1, 1, Array[Byte](1, 2, 3)))).toDS()
+    val got = Multimodal.frameEnergies(media, frameSamples = 4)
+      .collect().map(f => (f.media_id, f.frame_idx) -> ((f.energy, f.mean_abs))).toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L)),
+      "partial frames and non-audio records emit nothing")
+    assert(got((1L, 0L)) == ((10000L, 100L)))
+    assert(got((1L, 1L)) == ((40000L, 200L)))
+    intercept[IllegalArgumentException](Multimodal.frameEnergies(media, 0))
+  }
+
   test("imageAHash: hand-built half-bright image pins the bit pattern; duplicates share hashes") {
     import spark.implicits._
     // 8x8 image: top 4 rows black (luma 0), bottom 4 rows white

@@ -771,6 +771,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"e19 is a pure agg chain:\n$e19")
   }
 
+  test("round-10 part-9 shapes (m09 decode generator, e20 one window, s23 equi sweep) + s23 recall monotone in probes") {
+    // m09: decode + frame explode is generator-shaped — no join
+    val m09 = finalPlan(queries.Pipeline21.m09.run(spark, sfDir))
+    assert(!m09.contains("Join"), s"m09 must be a map/generate pass:\n$m09")
+    // e20: exactly one user-keyed window (the lag), then partial aggs
+    val e20 = finalPlan(queries.Pipeline21.e20.run(spark, sfDir))
+    assert(!e20.contains("Join"), s"e20 must not join:\n$e20")
+    // s23: three IVF branches, all equi-join shaped
+    val df = queries.Pipeline21.s23.run(spark, sfDir)
+    val s23 = finalPlan(df)
+    assert(!s23.contains("CartesianProduct"), s"s23 stays equi:\n$s23")
+    // recall must be monotone non-decreasing in probes (more probed
+    // lists can only add candidates)
+    val recalls = df.collect().map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)
+    assert(recalls.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(recalls.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall not monotone: ${recalls.toSeq}")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
