@@ -790,6 +790,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"recall not monotone: ${recalls.toSeq}")
   }
 
+  test("round-10 part-10 shapes (p29 agg over packed, d15 one candidate gen, e21 tiny-frame window) + d15 sweep monotone") {
+    // p29: aggregation over the packed frame — no joins added
+    val p29 = finalPlan(queries.Pipeline22.p29.run(spark, sfDir))
+    assert(!p29.contains("CartesianProduct"), s"p29 stays equi:\n$p29")
+    // d15: ONE banded candidate generation, sweep by conditional agg —
+    // no extra scan per threshold, no cartesian
+    val d15df = queries.Pipeline22.d15.run(spark, sfDir)
+    val d15 = finalPlan(d15df)
+    assert(!d15.contains("CartesianProduct"), s"d15 stays equi:\n$d15")
+    // loosening the threshold can only ADD pairs: counts monotone
+    // non-increasing in the threshold
+    val sweep = d15df.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(sweep.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      s"sweep not monotone: ${sweep.toSeq}")
+    // e21: the reverse-cumulative window runs over the day histogram,
+    // and the only join is the broadcast 1-row total
+    val e21 = finalPlan(queries.Pipeline22.e21.run(spark, sfDir))
+    assert(!e21.contains("SortMergeJoin"), s"e21 total must broadcast:\n$e21")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
