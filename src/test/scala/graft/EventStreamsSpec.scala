@@ -56,6 +56,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === 8L)
   }
 
+  test("slidingActiveUsersExact: differential fuzz vs in-memory window membership") {
+    var x = 1122334455L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    (1 to 3).foreach { round =>
+      val rows = (1 to 500).map(_ => (nxt() % 40, 1700000000000L + nxt() % 7200000L))
+      val expected = rows
+        .flatMap { case (u, ms) =>
+          val w1 = (ms / 300000L) * 300000L
+          Seq((w1, u), (w1 - 300000L, u))
+        }
+        .groupBy(_._1)
+        .map { case (w, m) => w -> ((m.map(_._2).distinct.size.toLong, m.size.toLong)) }
+      val df = {
+        import spark.implicits._
+        rows.toDF("user_id", "ms").selectExpr("user_id", "timestamp_millis(ms) AS ts")
+      }
+      val got = EventStreams.slidingActiveUsersExact(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expected, s"fuzz round $round diverged")
+    }
+  }
+
   test("sessionize: bounded and total cents conservation") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir).as[EventStreams.Event]

@@ -501,4 +501,49 @@ class EventsSpec extends AnyFunSuite {
     assert(got(("2024-01-15", 0L)) === ((1L, 1L, 100L, 100L, 100L)))
     assert(got.size === 4)
   }
+
+  test("cohortLtv: differential fuzz vs an in-memory reference on seeded random streams") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    def reference(rows: Seq[(Long, String, Long, Double)])
+        : Map[(String, Long), (Long, Long, Long, Long, Long)] = {
+      val p = rows.filter(_._2 == "purchase")
+        .map(r => (r._1, LocalDate.ofEpochDay(r._3 / 86400000L), math.round(r._4 * 100)))
+      val firstByUser = p.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+      def wk(d: LocalDate): String =
+        d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)).toString
+      val cohortUsers = firstByUser.values.groupBy(wk).map { case (c, ds) => c -> ds.size.toLong }
+      val grid = p.groupBy { case (u, od, _) =>
+        (wk(firstByUser(u)), ChronoUnit.DAYS.between(firstByUser(u), od) / 7)
+      }.map { case (k, es) =>
+        k -> ((es.map(_._1).distinct.size.toLong, es.map(_._3).sum))
+      }
+      grid.keys.groupBy(_._1).flatMap { case (c, ks) =>
+        var cum = 0L
+        ks.toSeq.sortBy(_._2).map { k =>
+          val (nAct, cents) = grid(k)
+          cum += cents
+          k -> ((cohortUsers(c), nAct, cents, cum, cum / cohortUsers(c)))
+        }
+      }
+    }
+    var x = 24681357L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    val types = Vector("purchase", "view", "purchase", "error")
+    (1 to 3).foreach { round =>
+      val rows = (1 to 300).map { _ =>
+        (nxt() % 20, types((nxt() % types.size).toInt),
+          1700000000000L + nxt() % (45L * 86400000L), (nxt() % 10000) / 100.0)
+      }
+      val df = {
+        import spark.implicits._
+        rows.toDF("user_id", "event_type", "ms", "value")
+          .selectExpr("user_id", "event_type", "timestamp_millis(ms) AS ts", "value")
+      }
+      val got = Events.cohortLtv(df, "event_type", "user_id", "ts", "value", "purchase")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got === reference(rows), s"fuzz round $round diverged")
+    }
+  }
 }

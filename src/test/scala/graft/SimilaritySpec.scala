@@ -397,6 +397,43 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.randomProjectionTopK(emb, 0, 1, 1))
   }
 
+  test("knnClassify: differential fuzz vs a brute-force in-memory reference") {
+    var x = 5566778899L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    val dim = 8
+    (1 to 2).foreach { round =>
+      val vecs = (0L until 60L).map { id =>
+        (id, Array.fill(dim)(((nxt() % 2001L) - 1000L) / 1000.0f), (nxt() % 4L).toInt)
+      }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val expected = vecs.filter(_._1 % 5 == 0).map { case (q, qv, ql) =>
+        val top = vecs.filter(_._1 != q)
+          .map { case (n, nv, nl) => (n, nl, cos(qv, nv)) }
+          .sortBy { case (n, _, c) => (-c, n) }.take(3)
+        val votes = top.groupBy(_._2).map { case (l, g) => (l.toLong, g.size.toLong) }
+        val (pred, nV) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        q -> ((pred, nV, ql.toLong, pred == ql.toLong))
+      }.toMap
+      val df = {
+        import spark.implicits._
+        vecs.toDF("vec_id", "embedding", "label")
+      }
+      val got = Similarity.knnClassify(df, "vec_id % 5 = 0", 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(got === expected, s"fuzz round $round diverged")
+    }
+  }
+
   test("knnClassify: majority vote over the k nearest, count ties break to the smaller label") {
     import spark.implicits._
     val emb = Seq(
