@@ -810,6 +810,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!e21.contains("SortMergeJoin"), s"e21 total must broadcast:\n$e21")
   }
 
+  test("round-10 part-11 shapes (q53 day-grid window, e22 grid window, s24 top-k audit)") {
+    // q53: the moving median windows the ≤31-row day grid, no joins
+    val q53 = finalPlan(queries.Pipeline23.q53.run(spark, sfDir))
+    assert(!q53.contains("Join"), s"q53 is a grid window:\n$q53")
+    // e22: adoption windows partition by type over the (type, day)
+    // grid; no joins
+    val e22 = finalPlan(queries.Pipeline23.e22.run(spark, sfDir))
+    assert(!e22.contains("Join"), s"e22 is aggs + a grid window:\n$e22")
+    // s24: map-only error math + TakeOrdered — no join, no shuffle
+    // beyond the top-k
+    val s24 = finalPlan(queries.Pipeline23.s24.run(spark, sfDir))
+    assert(s24.contains("TakeOrderedAndProject"), s"s24 must top-k:\n$s24")
+    assert(!s24.contains("Join"), s"s24 stays map-only:\n$s24")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
