@@ -825,6 +825,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s24.contains("Join"), s"s24 stays map-only:\n$s24")
   }
 
+  test("round-10 part-12 shapes (q54 broadcast null-safe join, st05 broadcast input counts, e23 grid window)") {
+    // q54: the tiny dim broadcasts; a null-safe equi-join must not
+    // degrade to a nested loop
+    val q54 = finalPlan(queries.Pipeline24.q54.run(spark, sfDir))
+    assert(q54.contains("BroadcastHashJoin"), s"q54 dim must broadcast:\n$q54")
+    assert(!q54.contains("BroadcastNestedLoopJoin"),
+      s"q54 null-safe equality must stay hash-joinable:\n$q54")
+    // st05: the per-type input-count frame broadcasts back
+    val st05 = finalPlan(queries.Pipeline24.st05.run(spark, sfDir))
+    assert(!st05.contains("SortMergeJoin"), s"st05 counts must broadcast:\n$st05")
+    assert(!st05.contains("CartesianProduct"))
+    // e23: share window over the (type, dow) grid only
+    val e23 = finalPlan(queries.Pipeline24.e23.run(spark, sfDir))
+    assert(!e23.contains("Join"), s"e23 is aggs + a grid window:\n$e23")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
