@@ -841,6 +841,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!e23.contains("Join"), s"e23 is aggs + a grid window:\n$e23")
   }
 
+  test("round-10 part-13 shapes (p30 broadcast arithmetic, c07 best-frame self-join, q55 broadcast bounds) + p30 sums to budget") {
+    // p30: everything after the per-source agg is broadcast-sized;
+    // quotas must sum EXACTLY to the 100k budget
+    val p30df = queries.Pipeline25.p30.run(spark, sfDir)
+    val p30 = finalPlan(p30df)
+    assert(!p30.contains("SortMergeJoin"), s"p30 stays broadcast:\n$p30")
+    assert(p30df.collect().map(_.getLong(4)).sum == 100000L,
+      "largest-remainder quotas must sum to the budget exactly")
+    // c07: adjacency windows + an equi self-join of the best frame
+    val c07 = finalPlan(queries.Pipeline25.c07.run(spark, sfDir))
+    assert(!c07.contains("CartesianProduct"), s"c07 stays equi:\n$c07")
+    // q55: the 1-row min/max bounds broadcast back onto the scan
+    val q55 = finalPlan(queries.Pipeline25.q55.run(spark, sfDir))
+    assert(!q55.contains("SortMergeJoin"), s"q55 bounds must broadcast:\n$q55")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
