@@ -292,6 +292,28 @@ object Dedup {
     docs.selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
 
+  /** LSH banding health diagnostic: per band the bucket count, the
+    * banded doc count, the fattest bucket, and the candidate-pair
+    * mass `Σ sz·(sz−1)/2` — the numbers that say whether a band
+    * degenerated into one mega-bucket (quadratic candidates) before
+    * a pair join is attempted. Two partial aggs over the banded
+    * frame; nothing joins. */
+  def lshBandStats(docs: DataFrame, textCol: String, n: Int, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands $bands must divide k $k")
+    minhashSignatures(docs, textCol, n, k)
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band, ${TextOps.foldHash(s"slice(sig, b * $r + 1, $r)")} AS bucket))) AS bb")
+      .selectExpr("cast(bb.band as bigint) AS band", "bb.bucket AS bucket")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+  }
+
   /** Fit-once MinHash signature ARTIFACT: the (doc_id, sig) frame
     * materialized ONCE (lineage-truncated checkpoint) for any number
     * of downstream consumers — pair generation

@@ -857,6 +857,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q55.contains("SortMergeJoin"), s"q55 bounds must broadcast:\n$q55")
   }
 
+  test("round-10 part-14 shapes (e24 one island window, d16 agg-only bands, q56 generator) + d16 pair-mass consistency") {
+    // e24: one user-keyed window chain; the top-20 is a TakeOrdered
+    val e24 = finalPlan(queries.Pipeline26.e24.run(spark, sfDir))
+    assert(!e24.contains("Join"), s"e24 must not join:\n$e24")
+    assert(e24.contains("TakeOrderedAndProject"), s"e24 must top-k:\n$e24")
+    // d16: banded frame -> two partial aggs, no joins at all
+    val d16df = queries.Pipeline26.d16.run(spark, sfDir)
+    val d16 = finalPlan(d16df)
+    assert(!d16.contains("Join"), s"d16 is agg-only:\n$d16")
+    // the reported candidate mass must bound the ACTUAL distinct pair
+    // count of the matching generator (bands can only dedup down)
+    val mass = d16df.collect().map(_.getLong(4)).sum
+    val pairs = operators.Dedup.minhashLshPairs(
+      Tables.documents(spark, sfDir), "text", 3, 16, 4, 0.0).count()
+    assert(pairs <= mass, s"distinct pairs $pairs exceed band mass $mass")
+    // q56: posexplode is a generator, no shuffle before the order-by
+    val q56 = finalPlan(queries.Pipeline26.q56.run(spark, sfDir))
+    assert(q56.contains("Generate"), s"q56 must generate:\n$q56")
+    assert(!q56.contains("Join"), s"q56 stays map-only:\n$q56")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
