@@ -878,6 +878,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q56.contains("Join"), s"q56 stays map-only:\n$q56")
   }
 
+  test("round-10 part-15 shapes (t30 grid folds, q57 multiset ops, s25 dim-grid join)") {
+    // t30: after the T-row confusion matrix everything is grid joins
+    val t30 = finalPlan(queries.Pipeline27.t30.run(spark, sfDir))
+    assert(!t30.contains("CartesianProduct"), s"t30 stays equi:\n$t30")
+    // q57: intersectAll/exceptAll compile to aggregate+generate
+    // multiset forms or joins — never a cartesian
+    val q57 = finalPlan(queries.Pipeline27.q57.run(spark, sfDir))
+    assert(!q57.contains("CartesianProduct"), s"q57 stays equi:\n$q57")
+    // s25: the (centroid, dim) grid equi-join — no cartesian
+    val s25df = queries.Pipeline27.s25.run(spark, sfDir)
+    val s25 = finalPlan(s25df)
+    assert(!s25.contains("CartesianProduct"), s"s25 stays equi:\n$s25")
+    // drift is non-negative and finite by construction
+    assert(s25df.collect().forall(_.getLong(2) >= 0L))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
