@@ -54,6 +54,43 @@ object Joins {
       .drop("__ord", "__is_left", "__rord")
   }
 
+  /** FORWARD as-of join — the mirror of [[asOf]]: each left row picks
+    * the EARLIEST right order value at or after its own
+    * (`rightOrder >= leftOrder`, inclusive at equality like the
+    * backward join's `<=`). Same union+window shape: one key-
+    * partitioned sort, `min` over the [current, unbounded following]
+    * frame, left rows at a shared timestamp sorted BEFORE right rows
+    * so the tie is visible to the frame. NULL when no later right
+    * row exists. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftOrder: String,
+      rightOrder: String): DataFrame = {
+    val leftTagged = left.withColumn("__ord", col(leftOrder))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rord", lit(null).cast(right.schema(rightOrder).dataType))
+    val rightTagged = right.select(
+      (keyCols.map(col) :+
+        col(rightOrder).as("__ord") :+
+        lit(0).as("__is_left") :+
+        col(rightOrder).as("__rord")): _*)
+    val leftCols = leftTagged.columns
+    val rightAligned = leftCols.foldLeft(rightTagged) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(leftTagged.schema(c).dataType))
+    }.select(leftCols.map(col): _*)
+    val unioned = leftTagged.union(rightAligned)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ord").asc, col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(s"asof_$rightOrder", min(col("__rord")).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__ord", "__is_left", "__rord")
+  }
+
   /** Interval (range) join with NO equi-key: every (point, interval)
     * pair with `start <= point < end`. Column sets of the two inputs
     * must be disjoint; `pointCol`/`startCol`/`endCol` are integral

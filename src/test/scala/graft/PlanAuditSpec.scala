@@ -894,6 +894,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s25df.collect().forall(_.getLong(2) >= 0L))
   }
 
+  test("round-10 part-16 shapes (q58 union+window asof, t31 inverted-index pairs, m10 agg over decode)") {
+    // q58: the forward as-of is the union+window shape — NO join
+    // operator in the plan at all
+    val q58 = finalPlan(queries.Pipeline28.q58.run(spark, sfDir))
+    assert(!q58.contains("Join"), s"q58 must be union+window, not a join:\n$q58")
+    // t31: candidates meet through the shared-shingle equi-join
+    val t31 = finalPlan(queries.Pipeline28.t31.run(spark, sfDir))
+    assert(!t31.contains("CartesianProduct"), s"t31 stays equi:\n$t31")
+    // m10: decode generator + m07's equi frame join + one media agg —
+    // never a cartesian
+    val m10 = finalPlan(queries.Pipeline28.m10.run(spark, sfDir))
+    assert(!m10.contains("CartesianProduct") && !m10.contains("BroadcastNestedLoopJoin"),
+      s"m10 frame join stays equi:\n$m10")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

@@ -89,6 +89,22 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfForward: earliest at-or-after, inclusive tie, null when none follows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 95L), (2L, 5L))
+      .toDF("k", "lt")
+    val right = Seq((1L, 10L), (1L, 30L), (1L, 90L), (3L, 1L))
+      .toDF("k", "rt")
+    val got = Joins.asOfForward(left, right, Seq("k"), "lt", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got((1L, 10L)) === 10L, "a right row AT the left time qualifies (inclusive)")
+    assert(got((1L, 20L)) === 30L, "otherwise the earliest later right row wins")
+    assert(got((1L, 95L)) === -1L, "no later right row -> null")
+    assert(got((2L, 5L)) === -1L, "keys with no right rows -> null")
+    assert(got.size === 4)
+  }
+
   test("a pathologically long interval fails fast with a diagnosable error, not an OOM") {
     import spark.implicits._
     val pts = Seq(1L).toDF("pm")
