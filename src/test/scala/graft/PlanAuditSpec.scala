@@ -909,6 +909,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"m10 frame join stays equi:\n$m10")
   }
 
+  test("round-10 part-17 shapes (q59 cube expand, p31 broadcast total, e27 grid windows)") {
+    // q59: CUBE compiles to Expand + one agg — no join
+    val q59 = finalPlan(queries.Pipeline29.q59.run(spark, sfDir))
+    assert(q59.contains("Expand"), s"q59 must cube via Expand:\n$q59")
+    assert(!q59.contains("Join"), s"q59 stays join-free:\n$q59")
+    // p31: the 1-row total broadcasts back onto the 32-row shard grid
+    val p31df = queries.Pipeline29.p31.run(spark, sfDir)
+    val p31 = finalPlan(p31df)
+    assert(!p31.contains("SortMergeJoin"), s"p31 total must broadcast:\n$p31")
+    // balance indices average to ~1e6 by construction: their sum is
+    // within one floor-unit-per-shard of 32e6
+    val bsum = p31df.collect().map(_.getLong(3)).sum
+    assert(bsum > 32000000L - 32 && bsum <= 32000000L,
+      s"balance indices must sum to ~32e6, got $bsum")
+    // e27: both windows run over the (week, type) grid
+    val e27 = finalPlan(queries.Pipeline29.e27.run(spark, sfDir))
+    assert(!e27.contains("Join"), s"e27 is aggs + grid windows:\n$e27")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
