@@ -928,6 +928,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!e27.contains("Join"), s"e27 is aggs + grid windows:\n$e27")
   }
 
+  test("round-10 part-18 shapes (t32 fingerprint equi-join, e28 union+window, p32 one-row fold)") {
+    // t32: boundary pairs meet through the 60-bit hash equi-join
+    val t32 = finalPlan(queries.Pipeline30.t32.run(spark, sfDir))
+    assert(!t32.contains("CartesianProduct") && !t32.contains("BroadcastNestedLoopJoin"),
+      s"t32 boundaries must hash-join:\n$t32")
+    // e28: the forward as-of keeps the union+window shape — the only
+    // acceptable plan has no join operator before the day agg
+    val e28 = finalPlan(queries.Pipeline30.e28.run(spark, sfDir))
+    assert(!e28.contains("Join"), s"e28 must be union+window:\n$e28")
+    // p32: one scan, one global agg, no joins/windows
+    val p32 = finalPlan(queries.Pipeline30.p32.run(spark, sfDir))
+    assert(!p32.contains("Join") && !p32.contains("windowspecdefinition"),
+      s"p32 is a single fold:\n$p32")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
