@@ -943,6 +943,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"p32 is a single fold:\n$p32")
   }
 
+  test("round-10 part-19 shapes (p33 grid window, t33 broadcast top-10, q60 partitioned dense_rank)") {
+    // p33: the split/source audit windows the stratification grid
+    val p33 = finalPlan(queries.Pipeline31.p33.run(spark, sfDir))
+    assert(!p33.contains("CartesianProduct"), s"p33 stays equi:\n$p33")
+    // t33: the global top-10 and the per-source mass both broadcast
+    val t33 = finalPlan(queries.Pipeline31.t33.run(spark, sfDir))
+    assert(t33.contains("BroadcastHashJoin"), s"t33 must broadcast the top set:\n$t33")
+    assert(!t33.contains("CartesianProduct"))
+    // q60: dense_rank windows partition by priority; no join
+    val q60 = finalPlan(queries.Pipeline31.q60.run(spark, sfDir))
+    assert(!q60.contains("Join"), s"q60 is one partitioned window:\n$q60")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
