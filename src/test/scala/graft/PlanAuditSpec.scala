@@ -956,6 +956,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q60.contains("Join"), s"q60 is one partitioned window:\n$q60")
   }
 
+  test("round-10 part-20 shapes (c08 bounded middle-node join, d17 fingerprint semi, m11 decode fold)") {
+    // c08: the two-hop expansion fans out through the middle-node
+    // equi-join, never a cartesian
+    val c08 = finalPlan(queries.Pipeline32.c08.run(spark, sfDir))
+    assert(!c08.contains("CartesianProduct"), s"c08 stays equi:\n$c08")
+    // d17: old-corpus fingerprints meet the new batch via hash join;
+    // the 1-row cutoff broadcasts
+    val d17 = finalPlan(queries.Pipeline32.d17.run(spark, sfDir))
+    assert(!d17.contains("SortMergeJoin") || d17.contains("BroadcastHashJoin"),
+      s"d17 must broadcast the cutoff and hash-join fingerprints:\n$d17")
+    assert(!d17.contains("CartesianProduct"))
+    // m11: one decode pass + a kind-keyed agg
+    val m11 = finalPlan(queries.Pipeline32.m11.run(spark, sfDir))
+    assert(!m11.contains("Join"), s"m11 stays agg-only:\n$m11")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
