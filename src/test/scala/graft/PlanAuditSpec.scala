@@ -972,6 +972,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!m11.contains("Join"), s"m11 stays agg-only:\n$m11")
   }
 
+  test("round-10 part-21 shapes (e29 one lag window, s26 agg-only codes, q61 join-free buckets)") {
+    // e29: one user-keyed lag over the distinct (user, week) grid
+    val e29 = finalPlan(queries.Pipeline33.e29.run(spark, sfDir))
+    assert(!e29.contains("Join"), s"e29 must not join:\n$e29")
+    // s26: the code histogram is aggs over the PQ assignment chain
+    val s26df = queries.Pipeline33.s26.run(spark, sfDir)
+    assert(!finalPlan(s26df).contains("CartesianProduct"))
+    // every subspace must account for every vector exactly once
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(s26df.collect().forall(_.getLong(2) == nVecs),
+      "each PQ subspace must assign every vector exactly once")
+    // q61: buckets are pure projection + agg
+    val q61 = finalPlan(queries.Pipeline33.q61.run(spark, sfDir))
+    assert(!q61.contains("Join") && !q61.contains("windowspecdefinition"),
+      s"q61 is a projection + agg:\n$q61")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
