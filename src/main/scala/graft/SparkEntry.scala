@@ -17,7 +17,7 @@ object SparkEntry {
       Pipeline19.all ++ Pipeline20.all ++ Pipeline21.all ++ Pipeline22.all ++
       Pipeline23.all ++ Pipeline24.all ++ Pipeline25.all ++ Pipeline26.all ++
       Pipeline27.all ++ Pipeline28.all ++ Pipeline29.all ++ Pipeline30.all ++
-      Pipeline31.all ++ Pipeline32.all ++ Pipeline33.all ++
+      Pipeline31.all ++ Pipeline32.all ++ Pipeline33.all ++ Pipeline34.all ++
       Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed)
 
   /** One shared per-JVM root for the synthetic sstable fixtures below.

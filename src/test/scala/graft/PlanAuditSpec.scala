@@ -989,6 +989,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q61 is a projection + agg:\n$q61")
   }
 
+  test("round-10 part-22 shapes (q62 broadcast thresholds, p34 bounded 3x explode, e30 grid window)") {
+    // q62: the 1-row winsor thresholds broadcast back onto the scan
+    val q62 = finalPlan(queries.Pipeline34.q62.run(spark, sfDir))
+    assert(!q62.contains("SortMergeJoin"), s"q62 thresholds must broadcast:\n$q62")
+    // p34: bounded 3x replicate explode + aggs — no joins
+    val p34df = queries.Pipeline34.p34.run(spark, sfDir)
+    assert(!finalPlan(p34df).contains("Join"), s"p34 must not join")
+    // each replicate admits ~63%: sanity band 40..90% of the corpus
+    val nDocs = Tables.documents(spark, sfDir).count()
+    p34df.collect().foreach { r =>
+      assert(r.getLong(1) > nDocs * 2 / 5 && r.getLong(1) < nDocs * 9 / 10,
+        s"replicate ${r.getLong(0)} admitted ${r.getLong(1)} of $nDocs")
+    }
+    // e30: the share window runs over the (type, hour) grid
+    val e30 = finalPlan(queries.Pipeline34.e30.run(spark, sfDir))
+    assert(!e30.contains("Join"), s"e30 is aggs + a grid window:\n$e30")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
