@@ -211,6 +211,32 @@ class CurateSpec extends AnyFunSuite {
       Curate.tokenBudgetSelect(docs, "doc_id", "source", "text", 1L, "it's"))
   }
 
+  test("sourceConcentration: differential fuzz vs an in-memory reference (seeded)") {
+    import spark.implicits._
+    var x = 424242L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    (1 to 3).foreach { round =>
+      val docs = (1 to 120).map { i =>
+        (i.toLong, s"s${nxt() % 6}", Seq.fill((nxt() % 40 + 1).toInt)("w").mkString(" "))
+      }
+      val w = docs.groupBy(_._2).map { case (src, ds) =>
+        src -> ds.map(_._3.split(" ").length.toLong).sum
+      }
+      val total = w.values.sum
+      val shares = w.values.map(_ * 1000000L / total)
+      val hhiRaw = shares.map(s => s * s).sum
+      val hhi = hhiRaw / 1000000L
+      val r = Curate.sourceConcentration(docs.toDF("doc_id", "source", "text"),
+        "source", "text").collect()(0)
+      assert(r.getLong(0) === w.size.toLong, s"round $round n_sources")
+      assert(r.getLong(1) === total, s"round $round total")
+      assert(r.getLong(2) === shares.max, s"round $round max share")
+      assert(r.getLong(3) === hhi, s"round $round hhi")
+      assert(r.getLong(4) === (if (hhi == 0) 0L else 1000000000000L / hhi),
+        s"round $round effective sources")
+    }
+  }
+
   test("sourceConcentration: micro shares, HHI, and effective source count are exact") {
     import spark.implicits._
     // source a: 10 tokens, source b: 30 tokens -> shares 25% / 75%

@@ -225,6 +225,36 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.frameEnergies(media, 0))
   }
 
+  test("frameEnergies and trimSilence agree on which frames are silent (cross-operator fuzz)") {
+    import spark.implicits._
+    var x = 777555333L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
+    val thresh = 500L
+    val media = (1L to 20L).map { id =>
+      val n = (nxt() % 12 + 2).toInt * 8
+      val samples = Array.tabulate[Short](n)(_ =>
+        (if (nxt() % 3 == 0) 0 else (nxt() % 4000 - 2000)).toShort)
+      Multimodal.MediaRecord(id, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, samples))
+    }.toDS()
+    val energies = Multimodal.frameEnergies(media, 8).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.mean_abs).toMap
+    val trims = Multimodal.trimSilence(media, 8, thresh).collect()
+    trims.foreach { t =>
+      val frames = (0L until t.n_frames).map(f => energies((t.media_id, f)))
+      // leading silent prefix must be below the threshold...
+      (0L until t.lead_silent).foreach(f =>
+        assert(frames(f.toInt) < thresh, s"media ${t.media_id} frame $f"))
+      // ...and the first kept frame (if any) must be loud
+      if (t.kept_frames > 0 && t.lead_silent < t.n_frames)
+        assert(frames(t.lead_silent.toInt) >= thresh)
+      // trailing silent suffix below threshold
+      (t.n_frames - t.tail_silent until t.n_frames).foreach(f =>
+        assert(frames(f.toInt) < thresh))
+    }
+    assert(trims.nonEmpty && energies.nonEmpty)
+  }
+
   test("imageAHash: hand-built half-bright image pins the bit pattern; duplicates share hashes") {
     import spark.implicits._
     // 8x8 image: top 4 rows black (luma 0), bottom 4 rows white
