@@ -1007,6 +1007,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!e30.contains("Join"), s"e30 is aggs + a grid window:\n$e30")
   }
 
+  test("round-10 part-23 shapes (d19 equi over CC, s27 one-row fold, t35 map-only)") {
+    val d19 = finalPlan(queries.Pipeline35.d19.run(spark, sfDir))
+    assert(!d19.contains("CartesianProduct"), s"d19 stays equi:\n$d19")
+    val s27 = finalPlan(queries.Pipeline35.s27.run(spark, sfDir))
+    assert(!s27.contains("Join"), s"s27 is one fold:\n$s27")
+    val t35 = finalPlan(queries.Pipeline35.t35.run(spark, sfDir))
+    assert(!t35.contains("Join") && !t35.contains("windowspecdefinition"),
+      s"t35 is map-only:\n$t35")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
