@@ -22,6 +22,24 @@ class RegistrySpec extends AnyFunSuite {
       s"colliding short ids: ${ids.diff(ids.distinct).distinct}")
   }
 
+  test("every Pipeline object on the classpath is wired into the registry") {
+    // a Pipeline file whose `all` is not concatenated into
+    // SparkEntry.registry would silently drop its queries from the
+    // round's scorecard — enumerate the compiled Pipeline objects
+    // reflectively and demand full containment
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val missing = (2 to 99).flatMap { i =>
+      try {
+        val clazz = Class.forName(s"graft.queries.Pipeline$i$$")
+        val obj = clazz.getField("MODULE$").get(null)
+        val all = clazz.getMethod("all").invoke(obj)
+          .asInstanceOf[Seq[queries.QueryDef]]
+        all.map(_.name).filterNot(registered)
+      } catch { case _: ClassNotFoundException => Nil }
+    }
+    assert(missing.isEmpty, s"Pipeline queries not registered: $missing")
+  }
+
   test("every registered query carries a DuckDB oracle") {
     val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty,
