@@ -232,8 +232,15 @@ object Curate {
         s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
       .groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
     val tot = per.agg(sum(col("w")).as("total"), count(lit(1)).as("n_sources"))
+    // decimal(38,0) intermediate: `w * 1e6` overflows Int64 once one
+    // source holds >~9.2e12 tokens — exactly the 100 TB shape. Spark
+    // (non-ANSI) would wrap silently while the DuckDB oracle raises;
+    // the 128-bit product (mirrored by HUGEINT in the oracle) keeps
+    // both engines exact at any corpus size below 1e32 tokens.
     per.crossJoin(broadcast(tot))
-      .selectExpr("n_sources", "total", "(w * 1000000) div total AS share_micro")
+      .selectExpr("n_sources", "total",
+        "cast((cast(w as decimal(38,0)) * 1000000) div total as bigint)" +
+          " AS share_micro")
       .groupBy(col("n_sources"), col("total"))
       .agg(max(col("share_micro")).as("max_share_micro"),
         sum(expr("share_micro * share_micro")).as("hhi_raw"))

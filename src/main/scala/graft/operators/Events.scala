@@ -540,7 +540,11 @@ object Events {
     * cent revenue, running cumulative cents, and cumulative cents per
     * cohort member — the LTV curve a growth team reads. Age is pure
     * integer day arithmetic (`datediff div 7`), never an interval
-    * divide, so it hash-compares across engines.
+    * divide, so it hash-compares across engines. The per-member
+    * division is well-defined for NEGATIVE cumulative cents too
+    * (refund-dominated cohorts): Spark's `div` and DuckDB's `//`
+    * both truncate toward zero (verified: (-7)//2 = -3 in DuckDB),
+    * pinned by the negative-value differential fuzz in EventsSpec.
     *
     * 100 TB shape: one user-keyed partial agg for the first-purchase
     * frame, one equi-join back (the first frame is ≤1 row/user —

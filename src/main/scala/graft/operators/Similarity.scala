@@ -67,15 +67,21 @@ object Similarity {
     * scale); the vote is a (q_id, label) partial agg over q·k rows
     * plus a window over ≤ |labels| rows per query.
     *
-    * 100 TB shape: the only corpus-sized frame is the label join,
-    * an equi-join of the corpus against the BROADCAST q·k top-k
-    * frame — everything downstream is O(queries). */
+    * 100 TB shape: the only corpus-sized frame is the label join, an
+    * equi-join of the corpus against the q·k top-k frame — everything
+    * downstream is O(queries). The top-k side carries NO broadcast
+    * hint: when `queryPredicate` selects a constant fraction of the
+    * corpus (s21 takes every 7th vector) q·k scales WITH the corpus
+    * and a forced driver broadcast would OOM at 100 TB — AQE picks
+    * broadcast from the measured shuffle size when the frame is
+    * actually small, and falls back to a shuffled join when it
+    * isn't. */
   def knnClassify(emb: DataFrame, queryPredicate: String, k: Int): DataFrame = {
     val labels = emb.selectExpr("vec_id", "cast(label as long) AS label")
     val top = cosineTopKFor(emb, queryPredicate, k)
       .select(col("q_id"), col("n_id"))
     val votes = labels.withColumnRenamed("vec_id", "n_id")
-      .join(broadcast(top), Seq("n_id"))
+      .join(top, Seq("n_id"))
       .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n_votes"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("n_votes").desc, col("label").asc)

@@ -56,7 +56,9 @@ object Pipeline18 {
               FROM toks GROUP BY 1),
       tot AS (SELECT CAST(sum(w) AS BIGINT) AS total,
                 CAST(count(*) AS BIGINT) AS n_sources FROM per),
-      sh AS (SELECT n_sources, total, (w * 1000000) // total AS share_micro
+      sh AS (SELECT n_sources, total,
+               CAST((CAST(w AS HUGEINT) * 1000000) // total AS BIGINT)
+                 AS share_micro
              FROM per, tot)
       SELECT n_sources, total AS total_tokens,
         CAST(max(share_micro) AS BIGINT) AS max_share_micro,

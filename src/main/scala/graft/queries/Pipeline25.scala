@@ -27,10 +27,15 @@ object Pipeline25 {
           "cast(size(filter(split(text, '[ ]+'), x -> x != '')) as bigint) AS n")
         .groupBy(col("source")).agg(sum(col("n")).as("w"))
       val tot = per.agg(sum(col("w")).as("wsum"))
+      // decimal(38,0) product: `w * 1e5` wraps Int64 past ~9.2e13
+      // tokens per source (the oracle's HUGEINT raises instead) —
+      // 128-bit intermediates keep both engines exact at 100 TB
       val base = per.crossJoin(broadcast(tot))
         .selectExpr("source", "w",
-          "(w * 100000) div wsum AS base_quota",
-          "(w * 100000) % wsum AS rem_num")
+          "cast((cast(w as decimal(38,0)) * 100000) div wsum as bigint)" +
+            " AS base_quota",
+          "cast((cast(w as decimal(38,0)) * 100000) % wsum as bigint)" +
+            " AS rem_num")
       val slack = base.agg((lit(100000L) - sum(col("base_quota"))).as("r"))
       base.crossJoin(broadcast(slack))
         .withColumn("rn", row_number().over(
@@ -45,8 +50,11 @@ object Pipeline25 {
                  x -> x <> '')) AS BIGINT)) AS BIGINT) AS w
              FROM documents GROUP BY 1),
       tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM per),
-      base AS (SELECT source, w, (w * 100000) // wsum AS base_quota,
-                 (w * 100000) % wsum AS rem_num
+      base AS (SELECT source, w,
+                 CAST((CAST(w AS HUGEINT) * 100000) // wsum AS BIGINT)
+                   AS base_quota,
+                 CAST((CAST(w AS HUGEINT) * 100000) % wsum AS BIGINT)
+                   AS rem_num
                FROM per, tot),
       slack AS (SELECT 100000 - CAST(sum(base_quota) AS BIGINT) AS r FROM base),
       rk AS (SELECT source, w, base_quota, rem_num,

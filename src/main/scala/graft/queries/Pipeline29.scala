@@ -49,9 +49,13 @@ object Pipeline29 {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       val tot = sh.agg(sum(col("tokens")).as("total"))
+      // decimal(38,0) product: `tokens · 32 · 1e6` wraps Int64 past
+      // ~2.9e11 tokens per shard (the oracle's HUGEINT raises
+      // instead) — 128-bit intermediates keep both engines exact
       sh.crossJoin(broadcast(tot))
         .selectExpr("shard", "n_docs", "tokens",
-          "(tokens * 32 * 1000000) div total AS balance_micro")
+          "cast((cast(tokens as decimal(38,0)) * 32 * 1000000) div total" +
+            " as bigint) AS balance_micro")
         .orderBy(col("shard"))
     },
     Some(s"""WITH sh AS (SELECT
@@ -64,7 +68,8 @@ object Pipeline29 {
             FROM sh GROUP BY 1),
       tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM g)
       SELECT g.shard, g.n_docs, g.tokens,
-        (g.tokens * 32 * 1000000) // tot.total AS balance_micro
+        CAST((CAST(g.tokens AS HUGEINT) * 32 * 1000000) // tot.total
+          AS BIGINT) AS balance_micro
       FROM g, tot ORDER BY g.shard"""))
 
   /** Week-over-week share shift: each event type's weekly share of

@@ -531,9 +531,16 @@ class EventsSpec extends AnyFunSuite {
     def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 2; x }
     val types = Vector("purchase", "view", "purchase", "error")
     (1 to 3).foreach { round =>
+      // values skew NEGATIVE (refunds) so cumulative cents cross zero:
+      // the per-member division must agree across Spark `div`, DuckDB
+      // `//`, and Java `/` — all three truncate toward zero (DuckDB
+      // verified by hand: (-7) // 2 = -3), so refund-dominated cohorts
+      // hash-compare too (ADVICE r10 hypothesized a floor/truncate
+      // divergence here; this fuzz pins that there is none)
       val rows = (1 to 300).map { _ =>
         (nxt() % 20, types((nxt() % types.size).toInt),
-          1700000000000L + nxt() % (45L * 86400000L), (nxt() % 10000) / 100.0)
+          1700000000000L + nxt() % (45L * 86400000L),
+          (nxt() % 10000 - 6000) / 100.0)
       }
       val df = {
         import spark.implicits._

@@ -728,8 +728,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // vocab sort; the rank window sees only the 50 survivors
     val t28 = finalPlan(queries.Pipeline18.t28.run(spark, sfDir))
     assert(t28.contains("TakeOrderedAndProject"), s"t28 must top-k the vocab:\n$t28")
-    // s21: the corpus-sized label join must broadcast the q·k top-k
-    // frame; the vote/pick frames are O(queries)
+    // s21: the q·k top-k frame carries NO forced broadcast hint (it
+    // scales with the corpus when the predicate selects a constant
+    // fraction — a hint would OOM the driver at 100 TB); AQE still
+    // picks a runtime broadcast here because the frame measures small
     val s21 = finalPlan(queries.Pipeline18.s21.run(spark, sfDir))
     assert(s21.contains("BroadcastHashJoin"), s"s21 label join must broadcast top-k:\n$s21")
     assert(!s21.contains("CartesianProduct"), s"s21 stays equi after candidate gen:\n$s21")

@@ -28,14 +28,23 @@ class RegistrySpec extends AnyFunSuite {
     // round's scorecard — enumerate the compiled Pipeline objects
     // reflectively and demand full containment
     val registered = SparkEntry.registry.map(_.name).toSet
-    val missing = (2 to 99).flatMap { i =>
+    // the unnumbered objects are enumerated EXPLICITLY (ADVICE r10):
+    // the numeric probe alone would let a query in Pipeline/Relational*
+    // be silently dropped from the scorecard
+    val unnumbered = Seq("Pipeline", "Relational", "Relational2")
+    val names = unnumbered ++ (2 to 99).map(i => s"Pipeline$i")
+    val missing = names.flatMap { n =>
       try {
-        val clazz = Class.forName(s"graft.queries.Pipeline$i$$")
+        val clazz = Class.forName(s"graft.queries.$n$$")
         val obj = clazz.getField("MODULE$").get(null)
         val all = clazz.getMethod("all").invoke(obj)
           .asInstanceOf[Seq[queries.QueryDef]]
         all.map(_.name).filterNot(registered)
-      } catch { case _: ClassNotFoundException => Nil }
+      } catch {
+        case _: ClassNotFoundException =>
+          assert(!unnumbered.contains(n), s"expected object graft.queries.$n")
+          Nil
+      }
     }
     assert(missing.isEmpty, s"Pipeline queries not registered: $missing")
   }
