@@ -178,6 +178,63 @@ object Retrieval {
   /** postings plan: (`doc_id`, `dl`, `term`, `tf`) — dl rides the
     * grouping key (functionally dependent on doc_id) so no second
     * join against a doc-length table is needed. */
+  /** Sparse TF-IDF top-pair similarity with a document-frequency
+    * ceiling — the bounded-fan-out fix for the shared-shingle
+    * inverted-index pair join (VERDICT r10 #2). Per document the
+    * `topPerDoc` highest-weight 3-shingles (weight =
+    * `tf · (n_docs·1e3 div df)`, the t10 integer idf in MILLI units
+    * so pairwise products stay inside Int64), candidate pairs meet
+    * through the shared-shingle equi-join, scored by the exact
+    * integer dot of shared weights. Top `k` pairs.
+    *
+    * The ceiling is the standard prefix-filtering discipline
+    * (Chaudhuri et al., ICDE 2006, public method): shingles with
+    * `df > dfCap` are dropped BEFORE the per-doc selection, so
+    * (a) every surviving inverted-index posting list has at most
+    * `dfCap` entries — the pair join fans out to at most
+    * `topPerDoc · dfCap` candidates per document REGARDLESS of how
+    * many documents share a boilerplate header, where the uncapped
+    * join is quadratic in the docs sharing one hot shingle — and
+    * (b) boilerplate-heavy documents still contribute `topPerDoc`
+    * INFORMATIVE shingles instead of wasting their slots on
+    * near-zero-idf mass. Hot shingles carry no discriminative
+    * signal, so the cap changes scores only for pairs whose
+    * similarity was boilerplate, not content.
+    *
+    * 100 TB shape: one tokenize pass, one (doc, shingle) partial
+    * agg, one shingle-keyed df agg, the capped per-doc top-k window,
+    * then the pair equi-join bounded by `topPerDoc · dfCap` per doc
+    * and a pair-keyed partial agg into a global top-k head. */
+  def tfidfTopPairs(docs: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int, dfCap: Long, k: Int): DataFrame = {
+    require(topPerDoc >= 1, s"topPerDoc must be >= 1, got $topPerDoc")
+    require(dfCap >= 2, s"dfCap must be >= 2 (pairs need df 2), got $dfCap")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.selectExpr(s"$idCol AS doc_id", s"$textCol AS text")
+    val tok = base
+      .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
+      .selectExpr("doc_id", s"explode(${TextOps.shingles("t", 3)}) AS g")
+    val tf = tok.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val top = tf.join(dft, Seq("g")).crossJoin(broadcast(nDocs))
+      .selectExpr("doc_id", "g", "tf * ((n_docs * 1000) div df) AS w")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("w").desc, col("g"))).cast("long"))
+      .filter(col("rk") <= topPerDoc).select(col("doc_id"), col("g"), col("w"))
+    val pairs = top.as("a").join(top.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS d1", "b.doc_id AS d2", "a.w * b.w AS ww")
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("ww")).as("score"), count(lit(1)).as("n_shared"))
+      .orderBy(col("score").desc, col("d1"), col("d2")).limit(k)
+    pairs.withColumn("rk", row_number().over(Window.orderBy(
+        col("score").desc, col("d1"), col("d2"))).cast("long"))
+      .select(col("rk"), col("d1"), col("d2"), col("n_shared"), col("score"))
+      .orderBy(col("rk"))
+  }
+
   private def tfPlan(corpus: DataFrame, textCol: String): DataFrame =
     corpus
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")

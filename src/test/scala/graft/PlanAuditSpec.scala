@@ -901,9 +901,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // operator in the plan at all
     val q58 = finalPlan(queries.Pipeline28.q58.run(spark, sfDir))
     assert(!q58.contains("Join"), s"q58 must be union+window, not a join:\n$q58")
-    // t31: candidates meet through the shared-shingle equi-join
+    // t31: candidates meet through the shared-shingle equi-join, and
+    // the inverted index is prefix-filtered (df <= 100) BEFORE the
+    // self-join so one boilerplate shingle can't go quadratic
     val t31 = finalPlan(queries.Pipeline28.t31.run(spark, sfDir))
     assert(!t31.contains("CartesianProduct"), s"t31 stays equi:\n$t31")
+    assert(t31.contains("<= 100"), s"t31 must carry the df ceiling in-plan:\n$t31")
     // m10: decode generator + m07's equi frame join + one media agg —
     // never a cartesian
     val m10 = finalPlan(queries.Pipeline28.m10.run(spark, sfDir))

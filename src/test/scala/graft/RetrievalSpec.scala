@@ -161,4 +161,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"bm25 must not plan a cartesian:\n$plan")
   }
+
+  test("tfidfTopPairs: df ceiling bounds the pair join under universal boilerplate") {
+    import spark.implicits._
+    // 200 docs ALL sharing one boilerplate header shingle; each doc
+    // additionally carries a rare shingle shared with exactly one
+    // partner. Uncapped, the header alone generates 200·199/2 = 19900
+    // candidate pairs; under the cap only the 100 partner pairs (plus
+    // nothing else) can meet.
+    val docs = (0 until 200).map { i =>
+      val pair = i / 2 // docs 2j and 2j+1 share rareA{j} rareB{j} rareC{j}
+      (i.toLong, s"legal header boilerplate text rareA$pair rareB$pair rareC$pair")
+    }.toDF("doc_id", "text")
+    val capped = graft.operators.Retrieval
+      .tfidfTopPairs(docs, "doc_id", "text", topPerDoc = 5, dfCap = 100L,
+        k = 1000000)
+      .collect()
+    // every doc pairs ONLY with its partner: exactly 100 pairs survive
+    assert(capped.length == 100, s"expected 100 partner pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(2) == r.getLong(1) + 1),
+      "each pair must be (2j, 2j+1) partners")
+    // the same corpus with the cap lifted pairs everything with
+    // everything through the header: the quadratic blow-up the cap
+    // exists to prevent (199·100 pairs + the partner links)
+    val uncapped = graft.operators.Retrieval
+      .tfidfTopPairs(docs, "doc_id", "text", topPerDoc = 5, dfCap = 1000000L,
+        k = 1000000)
+      .count()
+    assert(uncapped == 19900L, s"uncapped should be all-pairs, got $uncapped")
+  }
+
+  test("tfidfTopPairs: capped selection still gives boilerplate docs informative slots") {
+    import spark.implicits._
+    // a doc whose text is MOSTLY hot shingles still contributes its
+    // rare ones: the cap filters before per-doc selection
+    val docs = (0 until 50).map { i =>
+      (i.toLong, "common common common common common common unique" + (i / 2))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .tfidfTopPairs(docs, "doc_id", "text", topPerDoc = 2, dfCap = 10L, k = 100)
+      .collect()
+    assert(got.length == 25, s"expected 25 partner pairs, got ${got.length}")
+    assert(got.forall(r => r.getLong(3) >= 1L), "pairs share >=1 rare shingle")
+  }
 }
