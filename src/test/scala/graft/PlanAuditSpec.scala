@@ -504,14 +504,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row doc count must broadcast
     val t26 = finalPlan(queries.Pipeline12.t26.run(spark, sfDir))
     assert(!t26.contains("CartesianProduct"), s"t26 must stay equi/broadcast:\n$t26")
-    // q41: every profile member must prune its parquet scan to the ONE
-    // column it aggregates — a member reading the full schema would
-    // multiply 100 TB scan volume by the column count
+    // q41: the profiler is ONE wide aggregation over ONE scan that
+    // reads exactly the profiled columns (VERDICT r10 #4 — the
+    // previous scan-per-column shape multiplied 100 TB scan volume by
+    // the column count); the per-column distincts ride a single
+    // Expand of the scanned batch, never a re-read
     val q41 = finalPlan(operators.Profile.profile(
       Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_returnflag")))
-    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(q41).map(_.group(1)).toSeq
-    assert(reads.nonEmpty && reads.forall(r => !r.contains(",")),
-      s"each profile member must read exactly one column, got $reads:\n$q41")
+    // the AdaptiveSparkPlan string prints the scan once per section
+    // (Final + Initial) — distinct ReadSchemas is the scan-shape
+    // discriminator: the old per-column shape had C DIFFERENT
+    // single-column schemas, the single-pass shape exactly one
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(q41).map(_.group(1)).toSet
+    assert(reads.size == 1,
+      s"profile must scan the table ONCE, got schemas $reads:\n$q41")
+    assert(reads.head.split(",").length == 2 &&
+      reads.head.contains("l_orderkey") && reads.head.contains("l_returnflag"),
+      s"the one scan must read exactly the profiled columns, got ${reads.head}:\n$q41")
+    assert(q41.contains("Expand"), s"per-column distincts ride one Expand:\n$q41")
     intercept[IllegalArgumentException](
       operators.Profile.profile(Tables.lineitem(spark, sfDir), Seq.empty))
     intercept[IllegalArgumentException](
