@@ -129,31 +129,42 @@ object Pipeline12 {
     * KEYWORD retriever ranks highly (t19's exact BM25 top-5 config)
     * but whose EMBEDDING similarity to the query stays below 0.1 —
     * lexically confusable, semantically far, the classic hard-negative
-    * recipe. Composition: the audited BM25 plan + two equi-joins onto
-    * the prepared embedding frame + the micro-quantized cosine; cost
-    * is O(queries·k) beyond the retrieval itself. The oracle nests
-    * t19's full generated CTE chain as a derived table (single source
-    * of truth — any BM25 drift breaks both queries identically) and
-    * joins the embedding cosine the s01 way. */
+    * recipe. Composition: the retrieval runs over the FITTED postings
+    * artifact ([[graft.operators.Retrieval.fitPostings]] →
+    * `bm25TopKWith` — VERDICT r10 #6: artifact reuse ACROSS operator
+    * families; the scoring plan reads the O(postings) checkpoint
+    * blocks instead of re-tokenizing the corpus) + two equi-joins
+    * onto the prepared embedding frame + the micro-quantized cosine;
+    * cost is O(queries·k) beyond the index build. Lifecycle: the
+    * result is eagerly checkpointed BEFORE the artifact is released
+    * (the t21/t16 discipline, machine-checked in CacheHygieneSpec's
+    * registry sweep). The oracle nests t19's full generated CTE chain
+    * as a derived table (single source of truth — any BM25 drift
+    * breaks both queries identically) and joins the embedding cosine
+    * the s01 way. */
   val s19: QueryDef = QueryDef(
     "s19_hard_negatives",
     (s, d) => {
-      import graft.operators.{Retrieval, Similarity}
+      import graft.operators.{Retrieval, Similarity, Storage}
       val docs = Tables.documents(s, d)
       val qs = docs.filter(col("doc_id") % 100 === 7)
         .select(col("doc_id").as("q_id"), col("text"))
-      val bm = Retrieval.bm25TopK(docs, "text", qs, "text", k = 5, maxQueryTerms = 6)
-      val p = Similarity.prepared(Tables.embeddings(s, d)).select("vec_id", "v", "nrm")
-      bm.join(p.select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn")), Seq("q_id"))
-        .join(p.select(col("vec_id").as("doc_id"), col("v").as("dv"),
-          col("nrm").as("dn")), Seq("doc_id"))
-        .selectExpr("q_id", "rnk", "doc_id", "score_micro",
-          s"cast(round((${Similarity.cosExpr.format("qv", "dv", "qn", "dn")}) * 1000000)" +
-            " as bigint) AS cos_micro")
-        .withColumn("hard_neg",
-          col("cos_micro") < 100000L && col("doc_id") =!= col("q_id"))
-        .orderBy(col("q_id"), col("rnk"))
+      val idx = Retrieval.fitPostings(docs, "text")
+      try {
+        val bm = Retrieval.bm25TopKWith(idx, qs, "text", k = 5, maxQueryTerms = 6)
+        val p = Similarity.prepared(Tables.embeddings(s, d)).select("vec_id", "v", "nrm")
+        Storage.checkpointed(
+          bm.join(p.select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qn")), Seq("q_id"))
+            .join(p.select(col("vec_id").as("doc_id"), col("v").as("dv"),
+              col("nrm").as("dn")), Seq("doc_id"))
+            .selectExpr("q_id", "rnk", "doc_id", "score_micro",
+              s"cast(round((${Similarity.cosExpr.format("qv", "dv", "qn", "dn")}) * 1000000)" +
+                " as bigint) AS cos_micro")
+            .withColumn("hard_neg",
+              col("cos_micro") < 100000L && col("doc_id") =!= col("q_id"))
+            .orderBy(col("q_id"), col("rnk")))
+      } finally idx.release()
     },
     Some(s"""WITH bm AS (SELECT q_id, rnk, doc_id, score_micro
                FROM (${Pipeline9.t19.oracle.get}) AS t19),
