@@ -574,6 +574,85 @@ object Events {
         "cum_cents", "cum_cents div cohort_users AS ltv_cents_per_user")
   }
 
+  /** Session-length histogram — batch sessionization by inactivity
+    * gap: per user the events sorted by (ts, event id), a new session
+    * starts when the gap from the previous event exceeds
+    * `gapSeconds` (exact integer microseconds on BOTH sides of the
+    * comparison — `unix_micros` here, `epoch_us` in the oracle — so
+    * sub-second timestamps bucket identically), sessions counted by
+    * their event count into (n_events → n_sessions) rows with the
+    * micro share of all sessions. The "how long are visits" answer
+    * that sits beside the streaming sessionizers.
+    *
+    * 100 TB shape: ONE user-partitioned sort-window pass assigns
+    * session ids (lag + running sum — no self-join), one
+    * (user, session) partial agg, then the histogram agg over
+    * session rows and a 1-row broadcast total. Nothing is ever keyed
+    * on less than the user, so skew is bounded by the busiest user's
+    * event count — the same bound the sessionization window already
+    * requires. */
+  def sessionLengthHistogram(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("uid")).orderBy(col("ts"), col("eid"))
+    val sess = events
+      .select(col(userCol).as("uid"), col(tsCol).as("ts"), col(idCol).as("eid"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .selectExpr("uid", "ts", "eid",
+        "if(prev IS NULL OR unix_micros(ts) - unix_micros(prev) > " +
+          s"${gapSeconds * 1000000L}, 1L, 0L) AS new_sess")
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("uid"), col("sess_id")).agg(count(lit(1)).as("n_events"))
+    val h = sess.groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+    val tot = h.agg(sum(col("n_sessions")).as("total"))
+    h.crossJoin(broadcast(tot))
+      .selectExpr("n_events", "n_sessions",
+        "cast((cast(n_sessions as decimal(38,0)) * 1000000) div total" +
+          " as bigint) AS share_micro")
+      .orderBy(col("n_events"))
+  }
+
+  /** Event-type co-occurrence with lift: the (user, day) grain is the
+    * unit of observation; for each unordered type pair the number of
+    * grains containing BOTH types, each type's own grain count, and
+    * the exact-integer lift
+    * `n_both · n_grains · 1e6 div (n_a · n_b)` (1e6 = independence;
+    * above = the types travel together). The feature-affinity matrix
+    * a product team reads, and a drift check for event taxonomies.
+    *
+    * 100 TB shape: one distinct (user, day, type) shuffle, then a
+    * grain-keyed self equi-join whose fan-out is bounded by the TYPE
+    * VOCABULARY squared per grain (taxonomies are tens of types, not
+    * data-sized), two tiny per-type joins, one 1-row broadcast total.
+    * Lift numerator and denominator are 128-bit (decimal(38) here,
+    * HUGEINT in the oracle) — `n_a · n_b` alone wraps Int64 once both
+    * types pass ~3e9 grains. */
+  def typeCooccurrence(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String): DataFrame = {
+    val g = events.selectExpr(s"$userCol AS uid",
+        s"cast(to_date($tsCol) as string) AS day", s"$typeCol AS et")
+      .distinct()
+    val per = g.groupBy(col("et")).agg(count(lit(1)).as("n_type"))
+    val tot = g.select(col("uid"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_grains"))
+    g.as("a").join(g.as("b"),
+        col("a.uid") === col("b.uid") && col("a.day") === col("b.day") &&
+          col("a.et") < col("b.et"))
+      .selectExpr("a.et AS type_a", "b.et AS type_b")
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+      .join(per.select(col("et").as("type_a"), col("n_type").as("n_a")),
+        Seq("type_a"))
+      .join(per.select(col("et").as("type_b"), col("n_type").as("n_b")),
+        Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("type_a", "type_b", "n_a", "n_b", "n_both",
+        "cast((cast(n_both as decimal(38,0)) * n_grains * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint) AS lift_micro")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Daily operational share of one event type (e.g. errors) in exact
     * micro units: per day, total events, matching events, and
     * `matching · 1e6 div total`. One partial-agg shuffle. */

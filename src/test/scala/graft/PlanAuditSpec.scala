@@ -1032,6 +1032,52 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t35 is map-only:\n$t35")
   }
 
+  test("round-11 part-1 shapes (d18/p20 fp equi-joins, p23 broadcast bench, t34 one agg, e25 one window pass, e26 bounded grain self-join)") {
+    // d18/p20: fingerprint frame equi-joins back onto the docs — no
+    // cartesian; the only NLJ is the 1-row broadcast total
+    val d18 = finalPlan(queries.Pipeline36.d18.run(spark, sfDir))
+    assert(!d18.contains("CartesianProduct"), s"d18 stays equi:\n$d18")
+    val p20 = finalPlan(queries.Pipeline36.p20.run(spark, sfDir))
+    assert(!p20.contains("CartesianProduct"), s"p20 stays equi:\n$p20")
+    // p23: the benchmark shingle set must broadcast (t05's shape) so
+    // the corpus side is a map-side hash join
+    val p23 = finalPlan(queries.Pipeline36.p23.run(spark, sfDir))
+    assert(p23.contains("BroadcastHashJoin"), s"p23 bench set must broadcast:\n$p23")
+    assert(!p23.contains("CartesianProduct"), s"p23 stays equi:\n$p23")
+    // t34: tokenize + one length-keyed agg + 1-row broadcast total —
+    // never a shuffle join
+    val t34 = finalPlan(queries.Pipeline36.t34.run(spark, sfDir))
+    assert(!t34.contains("SortMergeJoin") && !t34.contains("CartesianProduct"),
+      s"t34 must not shuffle-join:\n$t34")
+    // e25: ONE user-partitioned window pass assigns sessions (lag +
+    // running sum) — no self-join anywhere
+    val e25 = finalPlan(queries.Pipeline36.e25.run(spark, sfDir))
+    assert(!e25.contains("SortMergeJoin") && !e25.contains("CartesianProduct"),
+      s"e25 sessionizes via windows, never a join:\n$e25")
+    assert(e25.contains("windowspecdefinition"), s"e25 needs its session window:\n$e25")
+    // e26: the grain self-join is an EQUI join on (uid, day); fan-out
+    // bounded by the type vocabulary squared
+    val e26 = finalPlan(queries.Pipeline36.e26.run(spark, sfDir))
+    assert(!e26.contains("CartesianProduct"), s"e26 stays equi:\n$e26")
+    // algebraic invariants at sf0.001: e25 session events fold back to
+    // the event count; e26 co-occurrence never exceeds either marginal
+    val evN = Tables.events(spark, sfDir).count()
+    val e25Rows = queries.Pipeline36.e25.run(spark, sfDir).collect()
+    assert(e25Rows.map(r => r.getLong(0) * r.getLong(1)).sum == evN,
+      "session histogram must partition every event exactly once")
+    val e26Rows = queries.Pipeline36.e26.run(spark, sfDir).collect()
+    assert(e26Rows.forall(r => r.getLong(4) <= math.min(r.getLong(2), r.getLong(3))),
+      "n_both must be bounded by both marginals")
+    // d18/p20 consistency: per-source duplicate docs and the token
+    // masses must reconcile with the global fingerprint frame
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nFps = operators.Dedup.exactGroups(
+      Tables.documents(spark, sfDir), "text").count()
+    val d18Rows = queries.Pipeline36.d18.run(spark, sfDir).collect()
+    assert(d18Rows.map(_.getLong(2)).sum == nDocs - nFps,
+      "per-source dupes must sum to docs - distinct fingerprints")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
