@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Baskets, Events, Graph, Incremental, Storage}
+
+/** Differential fuzzes for the round-10 analytics tail (VERDICT r10
+  * Next #3): the Spark plan and the DuckDB oracle share an author, so
+  * each high-logic-density operator is additionally replayed against
+  * an INDEPENDENT in-memory Scala reference on seeded random inputs —
+  * a third implementation that would have to share the same bug to
+  * let a divergence through. Seeds are fixed (replayable); inputs
+  * deliberately include the awkward cases (timestamp ties, types
+  * missing from one half, day-spanning sessions, duplicate basket
+  * rows, self-loops / duplicate edges).
+  */
+class AnalyticsDifferentialSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var seed = 0x5DEECE66DL
+  private def nxt(): Long = {
+    seed = (seed * 6364136223846793005L + 1442695040888963407L) >>> 2; seed
+  }
+
+  test("transitionMatrix: differential fuzz vs in-memory pair counting (with ts ties)") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase", "error")
+    (1 to 3).foreach { _ =>
+      // ms collides often so the (ts, event_id) tiebreak is exercised
+      val rows = (1 to 400).map { i =>
+        (nxt() % 25, 1700000000000L + (nxt() % 50) * 1000L, i.toLong,
+          types((nxt() % types.size).toInt))
+      }
+      val df = rows.toDF("user_id", "ms", "event_id", "event_type")
+        .selectExpr("user_id", "timestamp_millis(ms) AS ts", "event_id",
+          "event_type")
+      val got = Events.transitionMatrix(df, "event_type", "user_id", "ts",
+          "event_id")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val pairs = rows.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.toSeq
+      val n = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val fromTot = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val want = n.map { case ((a, b), c) =>
+        (a, b) -> ((c, fromTot(a), c * 1000000L / fromTot(a)))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("typeDriftChi2: differential fuzz vs in-memory Pearson cells (types missing from one half)") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase", "error", "rare_only_late")
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 300).map { _ =>
+        val t = types((nxt() % types.size).toInt)
+        // the rare type only ever lands AFTER the split: its before
+        // cell is an o=0 (0-e)^2/e term
+        val ms =
+          if (t == "rare_only_late")
+            1705363200000L + nxt() % (10L * 86400000L)
+          else 1704067200000L + nxt() % (25L * 86400000L)
+        (t, ms)
+      }
+      val df = rows.toDF("event_type", "ms")
+        .selectExpr("event_type", "timestamp_millis(ms) AS ts")
+      val got = Events.typeDriftChi2(df, "event_type", "ts",
+          "2024-01-16 00:00:00")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val split = 1705363200000L // 2024-01-16T00:00:00Z
+      val cells = rows.groupBy(r => (r._1, if (r._2 < split) 0 else 1))
+        .map { case (k, v) => k -> v.size.toLong }
+      val rowTot = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val colTot = rows.groupBy(r => if (r._2 < split) 0 else 1)
+        .map { case (k, v) => k -> v.size.toLong }
+      val nTot = rows.size.toLong
+      val want = rowTot.keys.map { t =>
+        val contribs = Seq(0, 1).map { h =>
+          val o = cells.getOrElse((t, h), 0L).toDouble
+          // the EXACT op chain of the operator/oracle: bigint product,
+          // one divide, subtract, multiply, divide, scale, round
+          val e = (rowTot(t) * colTot(h)).toDouble / nTot.toDouble
+          math.round((o - e) * (o - e) / e * 1000000.0)
+        }
+        t -> ((cells.getOrElse((t, 0), 0L), cells.getOrElse((t, 1), 0L),
+          contribs.sum))
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("peakConcurrency: differential fuzz vs in-memory sweep line (day-spanning sessions)") {
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val sessions = (1 to 120).map { _ =>
+        val s = 1704067200000L + nxt() % (3L * 86400000L)
+        (nxt() % 40, s, s + nxt() % (2L * 86400000L)) // up to 2-day spans
+      }
+      val df = sessions.toDF("uid", "s_ms", "e_ms")
+      val got = Events.peakConcurrency(df, "uid", "s_ms", "e_ms")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // reference: clip each session to its days, then a per-day sweep
+      // with +1 sorting before -1 at equal timestamps
+      val segs = sessions.flatMap { case (_, s, e) =>
+        val d0 = s / 86400000L
+        val d1 = e / 86400000L
+        (d0 to d1).map { d =>
+          val dayStart = d * 86400000L
+          (d, math.max(s, dayStart), math.min(e, dayStart + 86399999L))
+        }
+      }
+      val want = segs.groupBy(_._1).map { case (d, ss) =>
+        val deltas = ss.flatMap(s => Seq((s._2, 1L), (s._3, -1L)))
+          .sortBy { case (t, delta) => (t, -delta) }
+        var run = 0L; var peak = 0L
+        deltas.foreach { case (_, delta) =>
+          run += delta; if (run > peak) peak = run
+        }
+        java.time.LocalDate.ofEpochDay(d).toString -> ((ss.size.toLong, peak))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("dailyTypeState: random slice boundaries merge to the one-shot rollup (associativity)") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase")
+    val rows = (1 to 500).map { _ =>
+      (types((nxt() % types.size).toInt),
+        1704067200000L + nxt() % (20L * 86400000L),
+        (nxt() % 20000 - 5000) / 100.0)
+    }
+    def mk(rs: Seq[(String, Long, Double)]) =
+      rs.toDF("event_type", "ms", "value")
+        .selectExpr("event_type", "timestamp_millis(ms) AS ts", "value")
+    val oneShot = Incremental.dailyTypeState(mk(rows), "event_type", "ts",
+        "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (1 to 3).foreach { _ =>
+      // random 3-way slicing: same multiset of rows, arbitrary cuts
+      val tagged = rows.map(r => (nxt() % 3, r))
+      val states = (0 to 2).map(i =>
+        Incremental.dailyTypeState(mk(tagged.filter(_._1 == i).map(_._2)),
+          "event_type", "ts", "value"))
+      val merged = Incremental.mergeStates(states, Seq("day", "event_type"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(merged == oneShot,
+        "a rollup of slice rollups must equal the rollup of the union")
+    }
+  }
+
+  test("assocPairs: differential fuzz vs brute pair enumeration (duplicate basket rows)") {
+    import spark.implicits._
+    val items = Vector("a", "b", "c", "d", "e", "f")
+    (1 to 3).foreach { _ =>
+      // duplicated (basket, item) rows exercise the distinct front
+      val rows = (1 to 400).map { _ =>
+        (nxt() % 60, items((nxt() % items.size).toInt))
+      }
+      val df = rows.toDF("bk", "it")
+      val got = Baskets.assocPairs(df, "bk", "it", minPairs = 1L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+      val distinctRows = rows.distinct
+      val nBaskets = distinctRows.map(_._1).distinct.size.toLong
+      val perBasket = distinctRows.groupBy(_._1).values
+      val nIt = distinctRows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val nAb = perBasket.flatMap { b =>
+        val its = b.map(_._2).sorted
+        for (i <- its.indices; j <- (i + 1) until its.size) yield (its(i), its(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val want = nAb.map { case ((a, b), c) =>
+        val (na, nb) = (nIt(a), nIt(b))
+        (a, b) -> ((c, na, nb, c * 1000000L / nBaskets, c * 1000000L / na,
+          c * 1000000L / nb, (c * 1000000L / na) * nBaskets / nb))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("kCore: differential fuzz vs an in-memory peeler (self-loops, duplicate and reversed edges)") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val edges = (1 to 150).map(_ => (nxt() % 30, nxt() % 30))
+      val df = edges.toDF("src", "dst")
+      val (coreDf, rounds) = Graph.kCore(df, "src", "dst", k = 3, maxRounds = 60)
+      val got =
+        try coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally Storage.release(coreDf)
+      assert(rounds >= 1 && rounds <= 60)
+      // in-memory peel to fixpoint on the canonical undirected graph
+      var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val keep = deg.filter(_._2 >= 3L).keySet
+        val next = und.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != und.size
+        und = next
+      }
+      val deg = und.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == deg, s"round $round: core mismatch")
+      // membership invariant: every surviving node has in-core degree >= k
+      assert(deg.values.forall(_ >= 3L))
+    }
+  }
+}
