@@ -1,0 +1,130 @@
+package graft
+
+/** Measured scale-up harness (VERDICT r10 Next #1): runs the
+  * heaviest registered queries at the base scale AND at a
+  * [[graft.tools.ScaleUp]]-synthesized `factor`× slice, and records
+  * each query's empirical scaling exponent
+  * `log(t_scaled / t_base) / log(factor)` in `BENCH_SCALE.json`.
+  * An exponent ≈ 1 is linear; window/sort-bound plans may run
+  * slightly above 1 (n log n); anything well above ~1.3 is a
+  * super-linear plan the PlanAudit shape checks could not catch —
+  * exactly the fan-out-under-skew class (t31/d09/q42) the scaled
+  * slice's boilerplate and duplicate docs are designed to provoke.
+  *
+  * Methodology notes:
+  *  - base and scaled timings for the SAME query run back to back
+  *    inside each rep, so box drift cancels out of the ratio;
+  *  - per-query MIN over reps (the Bench.scala steady-state
+  *    convention), calibration anchor converged before timing;
+  *  - small-t caveat: sub-second base times carry fixed scheduler /
+  *    JIT overhead that deflates the exponent — exponents are
+  *    evidence against super-linearity, not precise complexity fits.
+  *
+  * Usage (env): SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_DIR (default /root/repo/scaledata/x10),
+  * SPARK_GRAFT_SCALE_FACTOR (default 10), SPARK_GRAFT_SCALE_N
+  * (default 2), SPARK_GRAFT_SCALE_OUT (default BENCH_SCALE.json).
+  */
+object BenchScale {
+
+  /** The top-20 heaviest registry lines by BENCH_r10 per-query min.
+    * cass_roundtrip_compressed (rank 15) is excluded — it benchmarks
+    * a self-generated fixed-size sstable fixture, so an input-dir
+    * scale factor cannot reach it. */
+  val Top20: Seq[String] = Seq(
+    "q42_assoc_rules", "c04_kcore", "d02_ngram_jaccard_pairs",
+    "t21_bm25_artifact", "d08_containment_pairs", "c02_pagerank",
+    "t31_tfidf_pairs", "t27_snippets", "t23_hybrid_rrf",
+    "t16_bpe_artifact", "s19_hard_negatives", "t19_bm25_topk",
+    "d09_weighted_jaccard", "p22_data_selection", "s18_mmr_rerank",
+    "p13_pack_subwords", "p14_dsir_selection", "t14_bpe_vocab",
+    "c06_component_histogram", "t22_lm_artifact")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/scaledata/x10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bench-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val qdefs = Top20.map(n => byName.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown query $n")))
+
+    // converge the calibration anchor before timing (Bench.scala's
+    // r9-#3 discipline) so the first queries don't eat the cold window
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("sh"),
+          org.apache.spark.sql.functions.count("*").as("n"))
+        .selectExpr("sum(sh) AS s", "sum(n) AS m").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var prev = calibOnce(); var cur = calibOnce(); var warm = 2
+    while (warm < 12 && math.abs(cur - prev) / math.max(cur, prev) > 0.10) {
+      prev = cur; cur = calibOnce(); warm += 1
+    }
+    val calibPre = math.min(prev, cur)
+    System.err.println(f"[scale] calib converged after $warm runs: $calibPre%.3fs")
+
+    def timeOne(q: graft.queries.QueryDef, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = {
+        val df = q.run(spark, dir)
+        try df.count()
+        finally graft.operators.Storage.release(df)
+      }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val tBase = scala.collection.mutable.Map.empty[String, Double]
+    val tScaled = scala.collection.mutable.Map.empty[String, Double]
+    val rowsB = scala.collection.mutable.Map.empty[String, Long]
+    val rowsS = scala.collection.mutable.Map.empty[String, Long]
+    for (rep <- 1 to iters) {
+      val order = new scala.util.Random(0xA5F1520BL + rep).shuffle(qdefs)
+      for (q <- order) {
+        // base and scaled back to back: drift cancels out of the ratio
+        val (tb, nb) = timeOne(q, base)
+        val (ts, ns) = timeOne(q, scaled)
+        spark.catalog.clearCache()
+        tBase(q.name) = math.min(tb, tBase.getOrElse(q.name, Double.MaxValue))
+        tScaled(q.name) = math.min(ts, tScaled.getOrElse(q.name, Double.MaxValue))
+        rowsB(q.name) = nb; rowsS(q.name) = ns
+        System.err.println(f"[scale] rep $rep ${q.name}%-26s base=$tb%7.2fs " +
+          f"scaled=$ts%7.2fs rows=$nb%d/$ns%d")
+      }
+    }
+    val calibPost = calibOnce()
+
+    def r(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val lines = qdefs.map { q =>
+      val (tb, ts) = (tBase(q.name), tScaled(q.name))
+      val expo = math.log(ts / tb) / math.log(factor.toDouble)
+      System.err.println(f"[scale] ${q.name}%-26s base=$tb%6.2fs " +
+        f"scaled=$ts%6.2fs exponent=$expo%5.2f")
+      s""""${q.name}":{"t_base":${r(tb)},"t_scaled":${r(ts)},""" +
+        s""""exponent":${r(expo)},"rows_base":${rowsB(q.name)},""" +
+        s""""rows_scaled":${rowsS(q.name)}}"""
+    }
+    val json = s"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +
+      s""""n":$iters,"calib":{"pre":${r(calibPre)},"post":${r(calibPost)}},""" +
+      s""""queries":${lines.mkString("{", ",", "}")}}\n"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

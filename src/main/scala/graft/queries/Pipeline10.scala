@@ -30,7 +30,7 @@ object Pipeline10 {
     * the t19 scoring tail, parameterized on the batch selector. */
   private def bm25BatchCtes(m: Int): String =
     s"""qt$m AS (SELECT doc_id AS q_id, unnest(list_sort(list_distinct(t))[1:6]) AS term
-             FROM d WHERE doc_id % 100 = $m),
+             FROM d WHERE doc_id % 100 = $m AND doc_id < 5000),
       rc$m AS (SELECT qt.q_id, tf.doc_id,
                CAST(2 * tot.n - 2 * dft.df + 1 AS DOUBLE) / CAST(2 * dft.df + 1 AS DOUBLE) AS r,
                CAST(22 * tf.tf * tot.tt AS DOUBLE) /
@@ -69,7 +69,7 @@ object Pipeline10 {
       try {
         def batch(m: Int) = Retrieval.bm25TopKWith(
           idx,
-          docs.filter(col("doc_id") % 100 === m)
+          docs.filter(col("doc_id") % 100 === m && col("doc_id") < 5000)
             .select(col("doc_id").as("q_id"), col("text")),
           "text", k = 5, maxQueryTerms = 6)
           .withColumn("batch", lit(m.toLong))
@@ -162,11 +162,12 @@ object Pipeline10 {
     "t23_hybrid_rrf",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val qs = docs.filter(col("doc_id") % 100 === 7)
+      val qs = docs.filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
         .select(col("doc_id").as("q_id"), col("text"))
       val bm = Retrieval.bm25TopK(docs, "text", qs, "text", k = 10, maxQueryTerms = 6)
         .select(col("q_id"), col("doc_id"), col("rnk"))
-      val cos = Similarity.cosineTopKFor(Tables.embeddings(s, d), "vec_id % 100 = 7", 10)
+      val cos = Similarity.cosineTopKFor(Tables.embeddings(s, d),
+        "vec_id % 100 = 7 AND vec_id < 2000", 10)
         .select(col("q_id"), col("n_id").as("doc_id"), col("rk").as("rnk"))
       Retrieval.rrfFuse(Seq(bm, cos), k0 = 60, k = 5)
         .orderBy(col("q_id"), col("rnk"))
@@ -178,7 +179,8 @@ object Pipeline10 {
       cn AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM ce),
       cp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
                ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
-             FROM cn q JOIN cn c ON q.vec_id % 100 = 7 AND c.vec_id <> q.vec_id),
+             FROM cn q JOIN cn c ON q.vec_id % 100 = 7 AND q.vec_id < 2000
+               AND c.vec_id <> q.vec_id),
       ck AS (SELECT q_id, n_id,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
              FROM cp),

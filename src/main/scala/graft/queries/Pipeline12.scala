@@ -147,7 +147,7 @@ object Pipeline12 {
     (s, d) => {
       import graft.operators.{Retrieval, Similarity, Storage}
       val docs = Tables.documents(s, d)
-      val qs = docs.filter(col("doc_id") % 100 === 7)
+      val qs = docs.filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
         .select(col("doc_id").as("q_id"), col("text"))
       val idx = Retrieval.fitPostings(docs, "text")
       try {

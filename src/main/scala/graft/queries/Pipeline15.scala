@@ -137,11 +137,11 @@ object Pipeline15 {
     "t27_snippets",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val qs = docs.filter(col("doc_id") % 100 === 7)
+      val qs = docs.filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
         .select(col("doc_id").as("q_id"), col("text"))
       val bm = Retrieval.bm25TopK(docs, "text", qs, "text", k = 5, maxQueryTerms = 6)
         .select(col("q_id"), col("rnk"), col("doc_id"))
-      val qterms = docs.filter(col("doc_id") % 100 === 7)
+      val qterms = docs.filter(col("doc_id") % 100 === 7 && col("doc_id") < 5000)
         .selectExpr("doc_id AS q_id",
           s"explode(slice(array_sort(array_distinct(${TextOps.tokens("text")})), 1, 6)) AS term")
       bm.join(docs.selectExpr("doc_id", "text AS dtext"), Seq("doc_id"))
@@ -158,7 +158,7 @@ object Pipeline15 {
                FROM (${Pipeline9.t19.oracle.get}) AS t19),
       qt AS (SELECT doc_id AS q_id,
                unnest(list_sort(list_distinct(${DuckOps.tokens("text")}))[1:6]) AS term
-             FROM documents WHERE doc_id % 100 = 7),
+             FROM documents WHERE doc_id % 100 = 7 AND doc_id < 5000),
       px AS (SELECT bm.q_id, bm.rnk, bm.doc_id,
                min(nullif(strpos(lower(d.text), q.term), 0)) AS pos0
              FROM bm JOIN documents d ON bm.doc_id = d.doc_id
