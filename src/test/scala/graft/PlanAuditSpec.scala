@@ -1078,6 +1078,38 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-source dupes must sum to docs - distinct fingerprints")
   }
 
+  test("round-11 part-2 shapes (d20 join-free fold, t36 top-k head, q63 bounded pair join)") {
+    // d20: shingle-df agg + cap explode + fold — never a join
+    val d20 = finalPlan(queries.Pipeline37.d20.run(spark, sfDir))
+    assert(!d20.contains("SortMergeJoin") && !d20.contains("CartesianProduct"),
+      s"d20 is a join-free fold:\n$d20")
+    // t36: the vocabulary head is a TakeOrderedAndProject, not a full
+    // vocab sort; totals ride 1-row broadcasts
+    val t36 = finalPlan(queries.Pipeline37.t36.run(spark, sfDir))
+    assert(t36.contains("TakeOrderedAndProject"), s"t36 must top-k the vocab:\n$t36")
+    assert(!t36.contains("SortMergeJoin"), s"t36 joins only 1-row totals:\n$t36")
+    // q63: q42's bounded basket-keyed pair equi-join + a top-50 head
+    val q63 = finalPlan(queries.Pipeline37.q63.run(spark, sfDir))
+    assert(!q63.contains("CartesianProduct"), s"q63 stays equi:\n$q63")
+    assert(q63.contains("TakeOrderedAndProject"), s"q63 must top-k by support:\n$q63")
+    // algebraic invariants at sf0.001
+    val d20Rows = queries.Pipeline37.d20.run(spark, sfDir).collect()
+    assert(d20Rows.map(_.getLong(1)).distinct.size == 1,
+      "n_shingles must not depend on the cap")
+    assert(d20Rows.map(_.getLong(3)).distinct.size == 1,
+      "postings mass must not depend on the cap")
+    assert(d20Rows.sortBy(_.getLong(0)).map(_.getLong(2)).sliding(2).forall(
+      p => p.length < 2 || p(0) >= p(1)), "hot count must fall as the cap rises")
+    d20Rows.foreach(r => assert(r.getLong(4) <= r.getLong(3),
+      "hot postings bounded by total"))
+    val t36Rows = queries.Pipeline37.t36.run(spark, sfDir).collect()
+    assert(t36Rows.map(_.getLong(4)).sum <= 1000000L,
+      "top-30 occurrence shares cannot exceed the whole")
+    val q63Rows = queries.Pipeline37.q63.run(spark, sfDir).collect()
+    assert(q63Rows.map(_.getLong(4)).sliding(2).forall(
+      p => p.length < 2 || p(0) >= p(1)), "support must be non-increasing in rank")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
