@@ -57,7 +57,13 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
-    val qdefs = Top20.map(n => byName.getOrElse(n,
+    // SPARK_GRAFT_SCALE_QUERIES overrides the Top20 (comma-separated)
+    // — used for the 100× decade where a subset keeps the sweep
+    // tractable
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Top20)
+    val qdefs = names.map(n => byName.getOrElse(n,
       throw new IllegalArgumentException(s"unknown query $n")))
 
     // converge the calibration anchor before timing (Bench.scala's
