@@ -365,6 +365,55 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "mean_luma", "hash_hi", "hash_lo")
   }
 
+  /** Banded near-duplicate pairs over 64-bit perceptual hashes (the
+    * [[imageAHash]] output): the hash splits into four 16-bit bands,
+    * candidates meet through a (band index, band value) equi-join,
+    * and every candidate is verified by the EXACT Hamming distance
+    * (`bit_count(xor)` on both 32-bit halves) and carries the
+    * `is_neardup` verdict (hamming <= `maxHamming`) — callers filter
+    * on the verdict; the full candidate table is the dedup evidence.
+    * Pigeonhole guarantee:
+    * any pair within `maxHamming <= 3` differs in at most 3 bits, so
+    * at least one of the 4 bands is untouched and the pair is
+    * ALWAYS a candidate — banding here is exact-recall, not
+    * probabilistic. The image-dedup face of the d03 signature
+    * discipline.
+    *
+    * 100 TB shape: one band explode (4 rows per image), a band-keyed
+    * self equi-join (fan-out bounded per band bucket by how many
+    * images share 16 exact bits — the d03 bucket argument), a
+    * distinct pair projection, and an O(1)-per-row Hamming verify.
+    * No N² anywhere; hash tables this narrow broadcast or bucket
+    * cleanly. */
+  def aHashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the 4-band pigeonhole guarantee holds only for maxHamming <= 3, " +
+        s"got $maxHamming")
+    val bands = hashes
+      .selectExpr("media_id", "hash_hi", "hash_lo",
+        "explode(array(" +
+          "named_struct('bi', 0L, 'bv', hash_lo % 65536L), " +
+          "named_struct('bi', 1L, 'bv', hash_lo div 65536L), " +
+          "named_struct('bi', 2L, 'bv', hash_hi % 65536L), " +
+          "named_struct('bi', 3L, 'bv', hash_hi div 65536L))) AS band")
+      .selectExpr("media_id", "hash_hi", "hash_lo",
+        "band.bi AS bi", "band.bv AS bv")
+    import org.apache.spark.sql.functions.col
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .selectExpr("a.media_id AS m1", "b.media_id AS m2",
+        "a.hash_hi AS h1_hi", "a.hash_lo AS h1_lo",
+        "b.hash_hi AS h2_hi", "b.hash_lo AS h2_lo")
+      .distinct()
+      .selectExpr("m1", "m2",
+        "cast(bit_count(h1_hi ^ h2_hi) + bit_count(h1_lo ^ h2_lo) as bigint)" +
+          " AS hamming")
+      .selectExpr("m1", "m2", "hamming",
+        s"hamming <= $maxHamming AS is_neardup")
+      .orderBy(col("m1"), col("m2"))
+  }
+
   /** Scene-change (keyframe) detection over decoded video frames: per
     * frame the EXACT sum of absolute luma differences vs the previous
     * frame, the mean abs diff in micro units (`diff · 1e6 div pixels`),

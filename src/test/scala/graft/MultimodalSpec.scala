@@ -276,6 +276,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L) === got(3L), "identical pixels must hash identically")
   }
 
+  test("aHashNearDupPairs: pigeonhole recall — <=3-bit pairs always candidates; all-band damage escapes") {
+    import spark.implicits._
+    // hand-built 64-bit hashes as (hi, lo) 32-bit halves:
+    //   id 1: base            id 2: 1 bit off (lo bit 0)
+    //   id 3: 3 bits off (lo bits 0,1 + hi bit 0)
+    //   id 4: 4 bits off, ONE PER BAND (lo bits 0,16 + hi bits 0,16)
+    //         -> no shared band, must not even be a candidate vs id 1
+    //   id 5: 4 bits off, all in one band (lo bits 0-3)
+    //         -> candidate vs id 1 (3 bands intact) but is_neardup=false
+    val base = 0x0F0F0F0FL
+    val hashes = Seq(
+      (1L, base, base),
+      (2L, base, base ^ 1L),
+      (3L, base ^ 1L, base ^ 3L),
+      (4L, base ^ 0x10001L, base ^ 0x10001L),
+      (5L, base, base ^ 0xFL))
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val got = Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got((1L, 2L)) == ((1L, true)), "1-bit pair flagged")
+    assert(got((1L, 3L)) == ((3L, true)), "3-bit pair flagged (pigeonhole floor)")
+    assert(!got.contains((1L, 4L)),
+      "per-band damage destroys every band: not even a candidate")
+    assert(got((1L, 5L)) == ((4L, false)),
+      "single-band damage stays a candidate but fails the verdict")
+    intercept[IllegalArgumentException](
+      Multimodal.aHashNearDupPairs(hashes, maxHamming = 4))
+  }
+
   test("keyframes: hand-built video — first frame keys, diff sums exact, threshold splits") {
     import spark.implicits._
     // 2x2 video, three frames: f0, f1 = f0 + small change (1 pixel by

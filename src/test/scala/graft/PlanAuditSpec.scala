@@ -1110,6 +1110,30 @@ class PlanAuditSpec extends AnyFunSuite {
       p => p.length < 2 || p(0) >= p(1)), "support must be non-increasing in rank")
   }
 
+  test("round-11 part-3 shapes (m12 band equi-join, d21 fp-bounded truth join, q64 grid window)") {
+    // m12: candidates meet through the (band, value) equi-join —
+    // never a cartesian over images
+    val m12 = finalPlan(queries.Pipeline38.m12.run(spark, sfDir))
+    assert(!m12.contains("CartesianProduct"), s"m12 stays equi:\n$m12")
+    // d21: truth pairs via the fingerprint self equi-join; the LSH
+    // probe is an equi-join; one-row fold
+    val d21 = finalPlan(queries.Pipeline38.d21.run(spark, sfDir))
+    assert(!d21.contains("CartesianProduct"), s"d21 stays equi:\n$d21")
+    // q64: one (flag, month) partial agg + a window over the tiny grid
+    val q64 = finalPlan(queries.Pipeline38.q64.run(spark, sfDir))
+    assert(!q64.contains("CartesianProduct"), s"q64 stays equi:\n$q64")
+    // algebraic invariants at sf0.001: the d21 recall contract holds
+    // (identical text ⇒ caught), and every m12 flagged pair is within
+    // the pigeonhole floor
+    val d21Row = queries.Pipeline38.d21.run(spark, sfDir).collect().head
+    assert(d21Row.getLong(2) == d21Row.getLong(1),
+      "every eligible exact-dup pair must be caught by LSH")
+    assert(d21Row.getLong(3) == 1000000L, "recall_micro must pin at 1e6")
+    val m12Rows = queries.Pipeline38.m12.run(spark, sfDir).collect()
+    assert(m12Rows.forall(r => r.getBoolean(3) == (r.getLong(2) <= 3L)),
+      "is_neardup must equal hamming <= 3")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
