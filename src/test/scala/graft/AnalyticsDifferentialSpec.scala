@@ -197,6 +197,116 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: differential fuzz vs in-memory strictly-after frontier recursion") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 400).map { _ =>
+        (nxt() % 30, types((nxt() % types.size).toInt),
+          1700000000000L + (nxt() % 80) * 997L) // frequent equal-ts ties
+      }
+      val df = rows.toDF("user_id", "event_type", "ms")
+        .selectExpr("user_id", "event_type", "timestamp_millis(ms) AS ts")
+      val got = Events.funnel(df, "event_type", "user_id", "ts", stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: per user, earliest stage-i event STRICTLY after the
+      // stage-(i-1) frontier time
+      var frontier: Map[Long, Long] = rows.filter(_._2 == stages.head)
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+      val want = scala.collection.mutable.Map(1L -> frontier.size.toLong)
+      stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+        frontier = frontier.flatMap { case (u, t) =>
+          val cand = rows.filter(r => r._1 == u && r._2 == st && r._3 > t)
+          if (cand.isEmpty) None else Some(u -> cand.map(_._3).min)
+        }
+        want((i + 1).toLong) = frontier.size.toLong
+      }
+      assert(got == want.toMap)
+    }
+  }
+
+  test("retentionCohorts: differential fuzz vs in-memory first-day offsets") {
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 400).map { _ =>
+        (nxt() % 25, 1700000000000L + nxt() % (12L * 86400000L))
+      }
+      val df = rows.toDF("user_id", "ms")
+        .selectExpr("user_id", "timestamp_millis(ms) AS ts")
+      val got = Events.retentionCohorts(df, "user_id", "ts", maxOffset = 7)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byUser = rows.groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2 / 86400000L).distinct.sorted }
+      val want = byUser.toSeq.flatMap { case (_, days) =>
+        val d0 = days.head
+        days.map(d => (java.time.LocalDate.ofEpochDay(d0).toString, d - d0))
+      }.filter(_._2 <= 7)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+    }
+  }
+
+  test("typePaths: differential fuzz vs in-memory n-gram mining with lexicographic tie-break") {
+    import spark.implicits._
+    val types = Vector("a", "b", "c")
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 300).map { i =>
+        (nxt() % 15, 1700000000000L + (nxt() % 40) * 1000L, i.toLong,
+          types((nxt() % types.size).toInt))
+      }
+      val df = rows.toDF("user_id", "ms", "event_id", "event_type")
+        .selectExpr("user_id", "timestamp_millis(ms) AS ts", "event_id",
+          "event_type")
+      val got = Events.typePaths(df, "event_type", "user_id", "ts", "event_id",
+          n = 3, topN = 5)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      val paths = rows.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+          .filter(_.size == 3).map(s => (s(0), s(1), s(2)))
+      }.toSeq
+      val counted = paths.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }.toSeq
+      val want = counted
+        .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(5).zipWithIndex
+        .map { case ((p, n), i) => p -> ((n, (i + 1).toLong)) }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("cumulativeDistinct: differential fuzz vs brute running distinct per (type, day)") {
+    import spark.implicits._
+    val types = Vector("view", "click")
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 300).map { _ =>
+        (types((nxt() % types.size).toInt), nxt() % 20,
+          1700000000000L + nxt() % (10L * 86400000L))
+      }
+      val df = rows.toDF("event_type", "user_id", "ms")
+        .selectExpr("event_type", "user_id", "timestamp_millis(ms) AS ts")
+      val got = Events.cumulativeDistinct(df, "event_type", "user_id", "ts")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // brute reference: for each ACTIVE (type, day), distinct users
+      // seen that day and distinct users seen up to and including it
+      val want = rows.groupBy(_._1).flatMap { case (t, es) =>
+        val byDay = es.groupBy(e => e._3 / 86400000L)
+        byDay.keys.toSeq.sorted.map { d =>
+          val newU = byDay(d).map(_._2).distinct
+            .count(u => !es.exists(e => e._3 / 86400000L < d && e._2 == u))
+          val cum = es.filter(_._3 / 86400000L <= d).map(_._2).distinct.size
+          (java.time.LocalDate.ofEpochDay(d).toString, t) ->
+            ((newU.toLong, cum.toLong))
+        }
+      }
+      assert(got == want)
+    }
+  }
+
   test("kCore: differential fuzz vs an in-memory peeler (self-loops, duplicate and reversed edges)") {
     import spark.implicits._
     (1 to 3).foreach { round =>
