@@ -1134,6 +1134,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "is_neardup must equal hamming <= 3")
   }
 
+  test("round-11 part-5 shapes (s28 broadcast query frames, bounded overlap join)") {
+    // s28: both rankings broadcast the pinned query frame; the
+    // overlap is an equi-join of two k-row-per-query frames
+    val s28 = finalPlan(queries.Pipeline40.s28.run(spark, sfDir))
+    assert(s28.contains("BroadcastNestedLoopJoin") || s28.contains("BroadcastHashJoin"),
+      s"s28 must broadcast the query frames:\n$s28")
+    assert(!s28.contains("CartesianProduct"), s"s28 never goes cartesian:\n$s28")
+    // invariant: overlap is bounded by k and the micro share is exact
+    val rows = queries.Pipeline40.s28.run(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 10L))
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 1000000L / 10L))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
