@@ -96,4 +96,39 @@ object Decontaminate {
     pr.select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"))
       .join(broadcast(confirmed), Seq("doc_id"), "left_anti")
   }
+
+  /** Per-eval-document contamination audit (the GPT-3 appendix-C /
+    * PaLM "n-gram overlap with training data" measurement, inverted
+    * to the eval side): for every document of `evalDocs`, the share
+    * of its DISTINCT n-token shingles that also occur anywhere in
+    * `trainDocs`, plus a verdict at `thresholdMicro`. Where
+    * [[cleanDocs]] scrubs the corpus, this scores the BENCHMARK —
+    * the number a lab reads before trusting an eval score.
+    *
+    * 100 TB shape: the eval set is a bounded input (hundreds of
+    * tasks), so its exploded distinct shingles broadcast; the train
+    * corpus streams map-side through `(distinct shingle)` partial
+    * aggregation and ONE broadcast equi-join — the corpus is never
+    * shuffled by doc and never collected. Docs with < n tokens have
+    * zero shingles and score 0 by definition.
+    *
+    * Returns `doc_id, n_ngrams, n_hit, overlap_micro, contaminated`
+    * (one row per eval doc, ordered). */
+  def ngramOverlapAudit(evalDocs: DataFrame, trainDocs: DataFrame,
+      textCol: String, n: Int, thresholdMicro: Long): DataFrame = {
+    val ev = Dedup.shingleHashSets(evalDocs, textCol, n)
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+    val trainSgl = Dedup.shingleHashSets(trainDocs, textCol, n)
+      .selectExpr("explode(hs) AS sgl").distinct()
+    val hits = trainSgl.join(broadcast(ev), Seq("sgl"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    Dedup.shingleHashSets(evalDocs, textCol, n)
+      .selectExpr("doc_id", "cast(n_shingles as bigint) AS n_ngrams")
+      .join(hits, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_ngrams", "coalesce(n_hit, 0L) AS n_hit")
+      .selectExpr("doc_id", "n_ngrams", "n_hit",
+        "if(n_ngrams = 0, 0L, cast((cast(n_hit as decimal(38,0)) * 1000000) div n_ngrams as bigint)) AS overlap_micro")
+      .withColumn("contaminated", col("overlap_micro") >= lit(thresholdMicro))
+      .orderBy(col("doc_id"))
+  }
 }

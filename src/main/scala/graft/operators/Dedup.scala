@@ -502,4 +502,49 @@ object Dedup {
       .selectExpr("d1", "d2", "cast(bit_count(sh1 ^ sh2) as bigint) AS hamming")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Paragraph-granularity duplication accounting (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * audit, arXiv:2107.06499, at fixed segment width): each doc is
+    * cut into NON-overlapping `width`-token segments (the tail
+    * shorter than `width` is ignored — a pinned, replayable rule), a
+    * segment instance is *duplicated* when the same token run occurs
+    * in at least one OTHER document, and the per-source report is the
+    * corpus-curation number: what fraction of a source's training
+    * segments is boilerplate shared across documents.
+    *
+    * 100 TB shape: tokens are hashed once (map-only), segment keys
+    * are 8-byte rolling folds of the hash slices — never segment
+    * text — so the only shuffles are a (seg_hash, doc_id)-distinct
+    * partial agg, the seg-level doc-frequency agg, and one equi-join
+    * back onto instances; all key-bucketed, no self-join, no
+    * collect. Segment doc-frequency is capped by dup-group size and
+    * every group key is a long.
+    *
+    * Returns one row per source:
+    * `source, n_docs_segmented, n_segments, n_dup_segments,
+    * dup_micro` (micro-share of duplicated instances). */
+  def segmentDupStats(docs: DataFrame, textCol: String, width: Int): DataFrame = {
+    require(width >= 1, s"segment width must be >= 1, got $width")
+    val toks = TextOps.tokens(textCol)
+    val th = TextOps.hashAll("t")
+    val seg = TextOps.foldHash(s"slice(th, (i - 1) * $width + 1, $width)")
+    val inst = docs
+      .selectExpr("doc_id", "source", s"$toks AS t")
+      .where(s"size(t) >= $width") // Spark sequence(1,0) is DESCENDING — guard it out
+      .selectExpr("doc_id", "source", s"$th AS th")
+      .selectExpr("doc_id", "source",
+        s"explode(transform(sequence(1, size(th) div $width), i -> $seg)) AS seg")
+    val docFreq = inst.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("seg_docs"))
+    inst.join(docFreq, Seq("seg"))
+      .selectExpr("source", "doc_id", "cast(seg_docs >= 2 as bigint) AS is_dup")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_segmented"),
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dup_segments"))
+      .selectExpr("source", "n_docs_segmented", "n_segments", "n_dup_segments",
+        "cast((cast(n_dup_segments as decimal(38,0)) * 1000000) div n_segments as bigint) AS dup_micro")
+      .orderBy(col("source"))
+  }
 }

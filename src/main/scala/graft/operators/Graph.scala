@@ -363,4 +363,41 @@ object Graph {
       .selectExpr("id",
         s"${teleport}L + ($dampingMicro * (inflow + dshare)) div 1000000 AS rank_micro")
   }
+
+  /** Bipartite one-mode projection with Jaccard weights: from a
+    * left–right relation (user–item, user–event_type, doc–term),
+    * project onto the right side — for every right-value pair, the
+    * number of left nodes touching BOTH, each side's left-degree,
+    * and the Jaccard micro-share |A∩B| / |A∪B|. The co-occurrence /
+    * "customers who did X also did Y" primitive.
+    *
+    * 100 TB shape: one (left,right)-distinct partial agg, then a
+    * left-keyed self equi-join whose fan-out per left node is
+    * deg²/2 where deg <= |right catalog| — catalog-sized (event
+    * types, product categories), not corpus-sized. For power-law
+    * right catalogs (free-text terms) cap left-degree upstream (the
+    * [[Dedup]] maxDocFreq idiom) before projecting; `maxLeftDegree`
+    * enforces exactly that: left nodes touching more than the cap
+    * are EXCLUDED from pair generation AND from per-right degrees
+    * (a pinned, oracle-replayable rule), bounding the join fan-out.
+    *
+    * Returns `t1, t2, n_both, n_t1, n_t2, jaccard_micro`
+    * (t1 < t2, ordered). */
+  def bipartiteCooccurrence(rel: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Int = Int.MaxValue): DataFrame = {
+    val d0 = rel.select(col(leftCol).as("u"), col(rightCol).as("t")).distinct()
+    val deg = d0.groupBy(col("u")).agg(count(lit(1)).as("ldeg"))
+    val d = d0.join(deg.where(col("ldeg") <= maxLeftDegree), Seq("u"), "left_semi")
+    val per = d.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = d.as("a")
+      .join(d.as("b"), col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(per.select(col("t").as("t1"), col("n_t").as("n_t1")), Seq("t1"))
+      .join(per.select(col("t").as("t2"), col("n_t").as("n_t2")), Seq("t2"))
+      .selectExpr("t1", "t2", "n_both", "n_t1", "n_t2",
+        "cast((cast(n_both as decimal(38,0)) * 1000000) div (n_t1 + n_t2 - n_both) as bigint) AS jaccard_micro")
+      .orderBy(col("t1"), col("t2"))
+  }
 }

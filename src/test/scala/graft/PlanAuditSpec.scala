@@ -1147,6 +1147,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 1000000L / 10L))
   }
 
+  test("round-11 part-6 shapes (d22 seg-hash equi-join, t37 broadcast eval side, c09 bounded projection)") {
+    // d22: segment keys are longs met through one doc-frequency
+    // equi-join — no self-join, no cartesian
+    val d22 = finalPlan(queries.Pipeline41.d22.run(spark, sfDir))
+    assert(!d22.contains("CartesianProduct"), s"d22 stays equi:\n$d22")
+    // t37: the bounded eval set broadcasts; the train corpus is
+    // never shuffled through a sort-merge join
+    val t37 = finalPlan(queries.Pipeline41.t37.run(spark, sfDir))
+    assert(t37.contains("BroadcastHashJoin"), s"t37 must broadcast the eval side:\n$t37")
+    assert(!t37.contains("CartesianProduct"), s"t37 stays equi:\n$t37")
+    // c09: one (user,type)-distinct agg + the user-keyed self
+    // equi-join — catalog-bounded fan-out, never cartesian
+    val c09 = finalPlan(queries.Pipeline41.c09.run(spark, sfDir))
+    assert(!c09.contains("CartesianProduct"), s"c09 stays equi:\n$c09")
+    // algebraic invariants at sf0.001
+    val d22Rows = queries.Pipeline41.d22.run(spark, sfDir).collect()
+    assert(d22Rows.nonEmpty)
+    d22Rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "dup segments bounded by segments")
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2),
+        "dup_micro must recompute from the counts")
+    }
+    val t37Rows = queries.Pipeline41.t37.run(spark, sfDir).collect()
+    assert(t37Rows.length == 50, "one row per pinned eval doc")
+    t37Rows.foreach { r =>
+      assert(r.getLong(0) < 50L)
+      assert(r.getLong(2) <= r.getLong(1), "hits bounded by the doc's n-grams")
+      assert(r.getBoolean(4) == (r.getLong(3) >= 500000L),
+        "verdict must equal the threshold compare")
+    }
+    val c09Rows = queries.Pipeline41.c09.run(spark, sfDir).collect()
+    assert(c09Rows.nonEmpty)
+    c09Rows.foreach { r =>
+      val (both, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both <= math.min(n1, n2), "intersection bounded by each side")
+      assert(r.getLong(5) == both * 1000000L / (n1 + n2 - both),
+        "jaccard_micro must recompute from the counts")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
