@@ -547,4 +547,49 @@ object Dedup {
         "cast((cast(n_dup_segments as decimal(38,0)) * 1000000) div n_segments as bigint) AS dup_micro")
       .orderBy(col("source"))
   }
+
+  /** Token savings under exact segment dedup — the "how much smaller
+    * does this source get if we keep ONE copy of every repeated
+    * `width`-token run" planning number ([[segmentDupStats]] tells
+    * you dup MASS; this prices the CUT). The keeper of each segment
+    * group is pinned (smallest (doc_id, position) — a total order
+    * both engines replay); every other instance is redundant and its
+    * `width` tokens count as savings against the source holding it.
+    *
+    * 100 TB shape: same keys as [[segmentDupStats]] — one
+    * (seg → min packed position) partial agg, one equi-join back,
+    * plus a map-only per-source token total; positions pack into one
+    * BIGINT (doc_id · 2^20 + idx, idx < 2^20 — a corpus doc is
+    * capped far below a million segments by the oversize-row guards).
+    *
+    * Returns one row per source: `source, n_tokens, n_segments,
+    * n_redundant_segments, effective_tokens, savings_micro`. */
+  def segmentDedupSavings(docs: DataFrame, textCol: String, width: Int): DataFrame = {
+    require(width >= 1, s"segment width must be >= 1, got $width")
+    val toks = TextOps.tokens(textCol)
+    val th = TextOps.hashAll("t")
+    val seg = TextOps.foldHash(s"slice(th, (i - 1) * $width + 1, $width)")
+    val inst = docs
+      .selectExpr("doc_id", "source", s"$toks AS t")
+      .where(s"size(t) >= $width") // Spark sequence(1,0) is DESCENDING — guard it out
+      .selectExpr("doc_id", "source", s"$th AS th")
+      .selectExpr("doc_id", "source",
+        s"posexplode(transform(sequence(1, size(th) div $width), i -> $seg)) AS (idx, seg)")
+      .selectExpr("doc_id", "source", "idx", "seg",
+        "doc_id * 1048576 + idx AS packed")
+    val keeper = inst.groupBy(col("seg")).agg(min(col("packed")).as("keep_packed"))
+    val red = inst.join(keeper, Seq("seg"))
+      .selectExpr("source", "cast(packed != keep_packed as bigint) AS is_red")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+        coalesce(sum(col("is_red")), lit(0L)).as("n_redundant_segments"))
+    val tok = docs.selectExpr("source", s"cast(size($toks) as bigint) AS nt")
+      .groupBy(col("source")).agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+    tok.join(red, Seq("source"), "left")
+      .na.fill(0L, Seq("n_segments", "n_redundant_segments"))
+      .selectExpr("source", "n_tokens", "n_segments", "n_redundant_segments",
+        s"n_tokens - n_redundant_segments * $width AS effective_tokens",
+        s"cast((cast(n_redundant_segments as decimal(38,0)) * $width * 1000000) div n_tokens as bigint) AS savings_micro")
+      .orderBy(col("source"))
+  }
 }

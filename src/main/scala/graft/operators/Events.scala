@@ -665,4 +665,34 @@ object Events {
       .agg(count(lit(1)).as("n_events"), sum(col("hit")).as("n_match"))
       .selectExpr("day", "n_events", "n_match",
         "(n_match * 1000000) div n_events AS share_micro")
+
+  /** Per-entity peak burst rate — the rate-limiting / abuse-detection
+    * primitive: each user's MAXIMUM event count inside any trailing
+    * `windowMicros` interval (an exact RANGE-frame window, event-time
+    * anchored at each event — the standard exact formulation of
+    * "max requests per 10 minutes"), reported as a pinned-bucket
+    * histogram over users (1, 2, 3, 4, 5–9 → 5, >= 10 → 10).
+    *
+    * 100 TB shape: ONE shuffle by user + an in-partition sort; the
+    * RANGE frame is streaming state bounded by the window's event
+    * count, and the histogram is a partial agg over user maxima. A
+    * pathological single user concentrates one partition — the same
+    * skew class q32's salting demo handles; here per-user event
+    * counts are rate-bounded by definition of the metric.
+    *
+    * Returns `bucket, n_users` (ordered). */
+  def peakUserBurst(events: DataFrame, userCol: String, tsCol: String,
+      windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowMicros >= 1, s"window must be positive, got $windowMicros")
+    val w = Window.partitionBy(col("u")).orderBy(col("tus"))
+      .rangeBetween(-(windowMicros - 1), 0)
+    events.selectExpr(s"$userCol AS u", s"unix_micros($tsCol) AS tus")
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("u")).agg(max(col("c")).as("mb"))
+      .selectExpr(
+        "cast(case when mb >= 10 then 10 when mb >= 5 then 5 else mb end as bigint) AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -932,4 +932,44 @@ object Similarity {
       out.result()
     }.toDF("d1", "d2", "cos")
   }
+
+  /** Embedding-space anisotropy audit (Ethayarajh 2019, arXiv:
+    * 1909.00512 — contextual embedding spaces are narrow cones): in
+    * an isotropic space the expected cosine between UNRELATED
+    * vectors is ~0; a large positive mean says every similarity
+    * threshold in the pipeline (SemDeDup taus, near-dup cosines,
+    * ANN scores) is measuring the cone, not semantics. The unrelated
+    * pairing is pinned and deterministic — vec_id `i` pairs with
+    * `i + floor(N/2)` — so both engines score identical pairs with
+    * no RNG; per-pair cosines quantize to micro ints (single IEEE
+    * chain + one round, the Pipeline12 idiom), then all stats are
+    * exact-integer folds.
+    *
+    * 100 TB shape: one 1-row max aggregate broadcast back, one
+    * shifted-key equi-join (never a cartesian, never a sample
+    * collect), one 1-row fold. Degenerate zero-norm vectors yield
+    * NULL cosines and are excluded (counted) rather than crashing.
+    *
+    * Returns 1 row: `n_pairs, n_scored, mean_cos_micro, n_negative,
+    * min_cos_micro, max_cos_micro`. */
+  def anisotropyAudit(emb: DataFrame): DataFrame = {
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val half = p.agg(expr("(max(vec_id) + 1) div 2").as("half"))
+    val b = p.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    p.crossJoin(broadcast(half))
+      .filter(col("vec_id") < col("half"))
+      .join(b, (col("vec_id") + col("half")) === col("b_id"))
+      .selectExpr(
+        s"cast(round((${cosExpr.format("v", "bv", "nrm", "bn")}) * 1000000) as bigint) AS cm")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(col("cm")).as("n_scored"),
+        coalesce(sum(col("cm")), lit(0L)).as("s"),
+        coalesce(sum(expr("cast(cm < 0 as bigint)")), lit(0L)).as("n_negative"),
+        min(col("cm")).as("min_cos_micro"),
+        max(col("cm")).as("max_cos_micro"))
+      .selectExpr("n_pairs", "n_scored",
+        "if(n_scored = 0, 0L, s div n_scored) AS mean_cos_micro",
+        "n_negative", "min_cos_micro", "max_cos_micro")
+  }
 }

@@ -1187,6 +1187,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-7 shapes (s29 shifted equi pairing, p35 seg-keyed join, e31 one user shuffle)") {
+    // s29: the 1-row half frame broadcasts; the pinned pairing is a
+    // shifted-key equi-join — never an N^2 sample
+    val s29 = finalPlan(queries.Pipeline42.s29.run(spark, sfDir))
+    assert(!s29.contains("CartesianProduct"), s"s29 stays equi:\n$s29")
+    assert(s29.contains("BroadcastHashJoin") || s29.contains("BroadcastNestedLoopJoin"),
+      s"s29 must broadcast the 1-row half frame:\n$s29")
+    // p35: same long segment keys as d22 — one keeper agg + one
+    // equi-join back, no self-join
+    val p35 = finalPlan(queries.Pipeline42.p35.run(spark, sfDir))
+    assert(!p35.contains("CartesianProduct"), s"p35 stays equi:\n$p35")
+    // e31: one shuffle by user + in-partition sort; the histogram is
+    // a partial agg over user maxima
+    val e31 = finalPlan(queries.Pipeline42.e31.run(spark, sfDir))
+    assert(!e31.contains("CartesianProduct") && !e31.contains("SortMergeJoin"),
+      s"e31 is join-free:\n$e31")
+    // algebraic invariants at sf0.001
+    val s29Row = queries.Pipeline42.s29.run(spark, sfDir).collect().head
+    assert(s29Row.getLong(0) == s29Row.getLong(1), "no degenerate vectors in testdata")
+    assert(s29Row.getLong(4) <= s29Row.getLong(2) && s29Row.getLong(2) <= s29Row.getLong(5),
+      "mean bounded by min/max")
+    assert(s29Row.getLong(3) <= s29Row.getLong(1), "negatives bounded by scored")
+    val p35Rows = queries.Pipeline42.p35.run(spark, sfDir).collect()
+    p35Rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "redundant bounded by segments")
+      assert(r.getLong(4) == r.getLong(1) - 8L * r.getLong(3), "effective recomputes")
+      assert(r.getLong(5) == r.getLong(3) * 8L * 1000000L / r.getLong(1),
+        "savings_micro recomputes")
+    }
+    // d22 and p35 count the SAME segment instances per source
+    val d22Seg = queries.Pipeline41.d22.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    p35Rows.foreach(r => assert(d22Seg(r.getString(0)) == r.getLong(2),
+      s"segment universes must agree for ${r.getString(0)}"))
+    val e31Rows = queries.Pipeline42.e31.run(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(e31Rows.map(_.getLong(1)).sum == users, "every user lands in one bucket")
+    assert(e31Rows.forall(r => Set(1L, 2L, 3L, 4L, 5L, 10L).contains(r.getLong(0))),
+      "buckets are pinned")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
