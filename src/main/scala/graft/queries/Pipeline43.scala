@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Bpe
+
+/** Round-11 additions, part 8: the streaming engine's APPEND-mode
+  * watermark finalization under the gate, the relational pivot
+  * matrix, and tokenizer fertility through the trained BPE artifact.
+  */
+object Pipeline43 {
+
+  def all: Seq[QueryDef] = Seq(st07, q65, t38)
+
+  /** One shared per-JVM root for st07's stream files (the st06 /
+    * SparkEntry.fixtureRoot idiom — bench reruns must not leak a
+    * temp dir per invocation). Removed on JVM exit. */
+  private lazy val stRoot: java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st07").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(): Unit
+      }
+      del(dir)
+    }))
+    dir
+  }
+
+  /** Streaming APPEND-mode watermark finalization, end to end
+    * through the real micro-batch engine: st06 gated complete-mode
+    * state; this gates the harder semantics — event-time watermark
+    * advancement, window FINALIZATION (a window is emitted exactly
+    * once, when the watermark passes its end), and cross-batch state
+    * carried between two file-source micro-batches split at a pinned
+    * day boundary (no late data by construction, so finalized
+    * windows hold their full-data contents). The engine's no-data
+    * flush batch after the last file advances the watermark to
+    * max(ts) - 1s, so the sink holds every daily window that closed
+    * strictly before the stream's end — which is exactly what the
+    * DuckDB oracle computes from the batch table: days whose window
+    * end <= max(ts) - 1s. The LAST day never finalizes (its window
+    * outlives the watermark) — that open tail is the defining
+    * semantics of append mode, pinned here cross-engine.
+    *
+    * 100 TB shape: identical to st06's state argument — O(days ×
+    * types) state regardless of volume, and append mode (unlike
+    * complete) emits each window once and forgets it: the production
+    * output mode for unbounded retention. */
+  val st07: QueryDef = QueryDef(
+    "st07_append_watermark",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .selectExpr("ts", "event_type", "cast(round(value * 100) as long) AS cents")
+      val root = new java.io.File(stRoot, "st07")
+      val streamDir = new java.io.File(root, "stream")
+      def writeSlice(df: org.apache.spark.sql.DataFrame, name: String,
+          modTime: Long): Unit = {
+        val tmp = new java.io.File(root, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        streamDir.mkdirs()
+        val dst = new java.io.File(streamDir, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(modTime): Unit
+      }
+      // pinned clean split: batch1 = days < Jan 16, batch2 = the rest
+      // (mod times order the file-source's oldest-first pickup; the
+      // RESULT depends only on event times, not file times)
+      val base = System.currentTimeMillis()
+      writeSlice(ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        "batch1", base - 60000L)
+      writeSlice(ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "batch2", base)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val tbl = "st07_append_sink"
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(tbl).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(tbl)
+        .selectExpr("cast(to_date(window.start) as string) AS day",
+          "event_type", "n", "cents")
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 SECOND AS w FROM events),
+      e AS (SELECT CAST(ts AS DATE) AS d, event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      SELECT CAST(d AS VARCHAR) AS day, event_type,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM e, wm WHERE CAST(d AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Relational PIVOT: the order count matrix status × priority —
+    * `groupBy.pivot` with the priority domain PINNED (never inferred:
+    * inference is a extra distinct scan AND makes the output schema
+    * data-dependent — at 100 TB the domain is a catalog, not a
+    * discovery). Absent combinations are exact zeros on both sides. */
+  val q65: QueryDef = QueryDef(
+    "q65_pivot_matrix",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+        CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+        CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+        CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+        CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+        CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Tokenizer fertility per source through the TRAINED tokenizer
+    * ([[graft.operators.Bpe.encodeDocs]] under t13's merge table):
+    * subwords-per-word and chars-per-subword — the two numbers that
+    * price a tokenizer against a corpus slice (high fertility =
+    * expensive tokens; the per-source split shows domain mismatch).
+    * The encode is the t15-proven pure map; this adds one partial
+    * agg by source. The oracle replays the full train+apply chain
+    * (the shared Pipeline5 CTEs) and aggregates identically. */
+  val t38: QueryDef = QueryDef(
+    "t38_tokenizer_fertility",
+    (s, d) => {
+      import graft.operators.TextOps
+      Bpe.encodeDocs(Tables.documents(s, d), "text", Pipeline5.BpeSteps)
+        .selectExpr("source",
+          s"cast(size(${TextOps.tokens("text")}) as bigint) AS nw",
+          "cast(size(subwords) as bigint) AS ns",
+          "aggregate(subwords, cast(0 as bigint), (a, x) -> a + length(x)) AS nc")
+        .groupBy(col("source"))
+        .agg(coalesce(sum(col("nw")), lit(0L)).as("n_words"),
+          coalesce(sum(col("ns")), lit(0L)).as("n_subwords"),
+          coalesce(sum(col("nc")), lit(0L)).as("n_chars"))
+        .selectExpr("source", "n_words", "n_subwords",
+          "cast((cast(n_subwords as decimal(38,0)) * 1000000) div n_words as bigint) AS fertility_micro",
+          "cast((cast(n_chars as decimal(38,0)) * 1000000) div n_subwords as bigint) AS chars_per_subword_micro")
+        .orderBy(col("source"))
+    },
+    Some {
+      val steps = (1 to Pipeline5.BpeSteps)
+        .map(k => Pipeline5.bpeStepSql(k, last = k == Pipeline5.BpeSteps)).mkString
+      val applies = (1 to Pipeline5.BpeSteps)
+        .map(k => Pipeline5.bpeApplySql(s"x$k", s"x${k - 1}", k)).mkString
+      s"""${Pipeline5.bpePrefixSql}$steps,
+      t0 AS (SELECT doc_id, ${DuckOps.tokens("text")} AS tl FROM documents),
+      x0 AS (SELECT doc_id, i,
+               list_transform(range(1, length(tl[i]) + 1), q -> substr(tl[i], q, 1)) AS syms
+             FROM t0, unnest(range(1, len(tl) + 1)) AS u(i))$applies,
+      enc AS (SELECT doc_id, flatten(list(syms ORDER BY i)) AS sub
+              FROM x${Pipeline5.BpeSteps} GROUP BY doc_id),
+      agg AS (SELECT d.source,
+          CAST(sum(coalesce(len(t.tl), 0)) AS BIGINT) AS n_words,
+          CAST(sum(coalesce(len(e.sub), 0)) AS BIGINT) AS n_subwords,
+          CAST(sum(coalesce(list_sum(list_transform(e.sub, s -> length(s))), 0)) AS BIGINT) AS n_chars
+        FROM documents d
+          LEFT JOIN t0 t ON d.doc_id = t.doc_id
+          LEFT JOIN enc e ON d.doc_id = e.doc_id
+        GROUP BY 1)
+      SELECT source, n_words, n_subwords,
+        CAST((CAST(n_subwords AS HUGEINT) * 1000000) // n_words AS BIGINT)
+          AS fertility_micro,
+        CAST((CAST(n_chars AS HUGEINT) * 1000000) // n_subwords AS BIGINT)
+          AS chars_per_subword_micro
+      FROM agg ORDER BY source"""
+    })
+}

@@ -1228,6 +1228,45 @@ class PlanAuditSpec extends AnyFunSuite {
       "buckets are pinned")
   }
 
+  test("round-11 part-8 shapes (st07 append finalization == batch replay, q65 single agg, t38 map-only encode + one agg)") {
+    import org.apache.spark.sql.functions.{col, expr, lit, max => smax}
+    // st07: the engine's append-mode sink must equal the batch
+    // replay of the finalization rule (window end <= max(ts) - 1s)
+    val sink = queries.Pipeline43.st07.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("cast(to_date(ts) as string) AS day", "event_type",
+        "cast(round(value * 100) as long) AS cents", "ts")
+    val wm = ev.agg(smax(col("ts"))).collect().head.getTimestamp(0).getTime - 1000L
+    val expected = ev
+      .filter(expr(s"unix_millis(cast(to_date(ts) as timestamp)) + 86400000 <= $wm"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(expr("count(1) AS n"), expr("sum(cents) AS cents"))
+      .orderBy(col("day"), col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sink.toSeq == expected.toSeq,
+      "append-mode finalization must equal the batch replay")
+    assert(sink.nonEmpty && !sink.map(_._1).contains(
+      ev.agg(smax(col("day"))).collect().head.getString(0)),
+      "the last open day must never be emitted by append mode")
+    // q65: one hash agg over one scan, no join at all
+    val q65 = finalPlan(queries.Pipeline43.q65.run(spark, sfDir))
+    assert(!q65.contains("Join") && !q65.contains("CartesianProduct"),
+      s"q65 is a single-pass pivot agg:\n$q65")
+    val q65Rows = queries.Pipeline43.q65.run(spark, sfDir).collect()
+    val total = q65Rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == Tables.orders(spark, sfDir).count(),
+      "pivot cells must partition the orders table")
+    // t38: the encode is a pure map (no join); one partial agg by source
+    val t38 = finalPlan(queries.Pipeline43.t38.run(spark, sfDir))
+    assert(!t38.contains("Join"), s"t38 is map + one agg:\n$t38")
+    queries.Pipeline43.t38.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) >= 1000000L, "every word yields >= 1 subword")
+      assert(r.getLong(4) >= 1000000L, "every subword holds >= 1 char")
+      assert(r.getLong(2) >= r.getLong(1), "subword count >= word count")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
