@@ -102,4 +102,36 @@ object Cluster {
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds")
   }
+
+  /** INCREMENTAL component maintenance: merge a NEW edge slice into
+    * standing labels without re-clustering the corpus. The standing
+    * graph is CONTRACTED to its labels (each old vertex is replaced
+    * by its component's min-id representative — exact, since a label
+    * is itself a vertex id), the new edges run [[connectedComponents]]
+    * over that contracted graph (whose size is O(touched components
+    * + new vertices), not O(corpus)), and standing labels redirect
+    * through the sub-result. Result is IDENTICAL to a full recompute
+    * over old ∪ new edges: min-over-reachable-set distributes over
+    * the contraction because every contracted node carries its
+    * component's minimum.
+    *
+    * 100 TB shape: the whole point — the corpus-sized label table is
+    * touched by exactly two equi-joins (endpoint contraction +
+    * redirect); the iterative loop runs only on the new-slice
+    * subgraph. Returns (`id`, `lbl`) covering old vertices and every
+    * vertex of `newEdges`. */
+  def mergeComponents(baseLabels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxRounds: Int = 30): DataFrame = {
+    val e = newEdges.selectExpr(s"$srcCol AS a", s"$dstCol AS b")
+    val contracted = e
+      .join(baseLabels.selectExpr("id AS a", "lbl AS la"), Seq("a"), "left")
+      .join(baseLabels.selectExpr("id AS b", "lbl AS lb"), Seq("b"), "left")
+      .selectExpr("coalesce(la, a) AS a", "coalesce(lb, b) AS b")
+    val sub = connectedComponents(contracted, "a", "b", maxRounds)
+    val redirected = baseLabels
+      .join(sub.selectExpr("id AS lbl", "lbl AS sub_lbl"), Seq("lbl"), "left")
+      .selectExpr("id", "coalesce(sub_lbl, lbl) AS lbl")
+    val fresh = sub.join(baseLabels.select(col("id")), Seq("id"), "left_anti")
+    redirected.unionByName(fresh)
+  }
 }

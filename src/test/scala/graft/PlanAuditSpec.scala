@@ -1267,6 +1267,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-9 shapes (c10 incremental == full CC, d23 band-bounded calibration, q66 decorrelated)") {
+    import org.apache.spark.sql.functions.col
+    // c10: the incremental merge must equal a FULL recompute over
+    // all pairs (the trust condition for nightly ingest clustering)
+    val inc = queries.Pipeline44.c10.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = operators.Dedup.minhashLshPairs(docs, "text", 3, 16, 4, 0.5)
+      .select(col("d1"), col("d2"))
+    val full = operators.Cluster.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select(col("doc_id")).collect().map(_.getLong(0)).foreach { id =>
+      assert(inc(id) == full.getOrElse(id, id),
+        s"doc $id: incremental=${inc(id)} full=${full.getOrElse(id, id)}")
+    }
+    // d23: candidates come from band buckets — never cartesian
+    val d23 = finalPlan(queries.Pipeline44.d23.run(spark, sfDir))
+    assert(!d23.contains("CartesianProduct"), s"d23 stays band-bounded:\n$d23")
+    queries.Pipeline44.d23.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 16L, "matches in 0..16")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L, "mean is a micro share")
+      assert(r.getLong(3) <= r.getLong(1), "exceedance bounded by pairs")
+    }
+    // q66: Catalyst must DECORRELATE both scalar subqueries — no
+    // per-row nested-loop artifact in the executed plan
+    val q66 = finalPlan(queries.Pipeline44.q66.run(spark, sfDir))
+    assert(!q66.contains("CartesianProduct") && !q66.contains("BroadcastNestedLoopJoin"),
+      s"q66 must run as aggregate + equi-joins:\n$q66")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
