@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Baskets, Events, Graph, Incremental, Storage}
+import graft.operators.{Baskets, Dedup, Events, Graph, Incremental, Storage}
 
 /** Differential fuzzes for the round-10 analytics tail (VERDICT r10
   * Next #3): the Spark plan and the DuckDB oracle share an author, so
@@ -334,6 +334,133 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       assert(got == deg, s"round $round: core mismatch")
       // membership invariant: every surviving node has in-core degree >= k
       assert(deg.values.forall(_ >= 3L))
+    }
+  }
+
+  test("mergeComponents: differential fuzz vs in-memory union-find over random edge splits") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val edges = (1 to 120).map(_ => (nxt() % 40, nxt() % 40))
+        .filter { case (a, b) => a != b }
+      // random split point: everything before it is the standing
+      // graph, the tail is the "nightly" slice (arbitrary mix of
+      // old-old, old-new and new-new edges — the operator must not
+      // care which)
+      val cutIdx = (nxt() % edges.size).toInt.max(1)
+      val (oldE, newE) = edges.splitAt(cutIdx)
+      val base = operators.Cluster.connectedComponents(
+        oldE.toDF("a", "b"), "a", "b")
+      val merged = operators.Cluster.mergeComponents(
+          base, newE.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find over ALL edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = ids.map(i => i -> find(i)).toMap
+      assert(merged == want, s"round $round: incremental != union-find")
+    }
+  }
+
+  test("peakUserBurst: differential fuzz vs in-memory sliding count (heavy ts ties)") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val w = 10000000L // 10 s
+      val rows = (1 to 300).map { _ =>
+        (nxt() % 12, 1700000000000000L + (nxt() % 40) * 3000000L)
+      }
+      val df = rows.toDF("user_id", "us")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts")
+      val got = Events.peakUserBurst(df, "user_id", "ts", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).values.map { es =>
+        val ts = es.map(_._2).sorted
+        val mb = ts.map(t => ts.count(u => u >= t - (w - 1) && u <= t).toLong).max
+        if (mb >= 10L) 10L else if (mb >= 5L) 5L else mb
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"round $round: burst histogram mismatch")
+    }
+  }
+
+  test("bipartiteCooccurrence: differential fuzz vs in-memory set intersection (dup rows, degree cap)") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val rows = (1 to 250).map(_ =>
+        (nxt() % 20, s"t${(nxt() % 8).toInt}"))
+      val got = Graph.bipartiteCooccurrence(
+          rows.toDF("u", "t"), "u", "t", maxLeftDegree = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val d = rows.distinct
+      val kept = d.groupBy(_._1).filter(_._2.size <= 3)
+      val byT = kept.values.flatten.groupBy(_._2)
+        .map { case (t, v) => t -> v.map(_._1).toSet }
+      val want = (for {
+        (t1, s1) <- byT; (t2, s2) <- byT if t1 < t2
+        both = (s1 & s2).size.toLong if both > 0
+      } yield (t1, t2) -> ((both, s1.size.toLong, s2.size.toLong,
+        both * 1000000L / (s1.size + s2.size - both)))).toMap
+      assert(got == want, s"round $round: projection mismatch")
+    }
+  }
+
+  test("segmentDupStats + segmentDedupSavings: differential fuzz vs in-memory segmenting (short docs, within-doc repeats)") {
+    import spark.implicits._
+    graft.functions.CassFunctions.registerAll(spark) // in-memory frames skip Tables.load
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    (1 to 3).foreach { round =>
+      val w = 4
+      val docs = (0 until 60).map { i =>
+        val len = (nxt() % 19).toInt // 0..18 tokens: tails + sub-width docs
+        (i.toLong, (1 to len).map(_ => vocab((nxt() % 4).toInt)).mkString(" "),
+          s"s${(nxt() % 3).toInt}")
+      }
+      val df = docs.toDF("doc_id", "text", "source")
+      // in-memory instance table: (doc, source, idx, segment token-seq)
+      val inst = docs.flatMap { case (id, text, src) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        (0 until t.length / w).map(i =>
+          (id, src, i.toLong, t.slice(i * w, i * w + w).toSeq))
+      }
+      val segDocs = inst.groupBy(_._4).map { case (k, v) =>
+        k -> v.map(_._1).toSet.size
+      }
+      val wantDup = inst.groupBy(_._2).map { case (src, v) =>
+        val dup = v.count(e => segDocs(e._4) >= 2).toLong
+        src -> ((v.map(_._1).toSet.size.toLong, v.size.toLong, dup,
+          dup * 1000000L / v.size))
+      }
+      val gotDup = Dedup.segmentDupStats(df, "text", w).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(gotDup == wantDup, s"round $round: dup-mass mismatch")
+      val keeper = inst.groupBy(_._4).map { case (k, v) =>
+        k -> v.map(e => (e._1, e._3)).min
+      }
+      val redBySrc = inst.groupBy(_._2).map { case (src, v) =>
+        src -> ((v.size.toLong,
+          v.count(e => keeper(e._4) != ((e._1, e._3))).toLong))
+      }
+      val tokBySrc = docs.groupBy(_._3).map { case (src, v) =>
+        src -> v.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      }
+      val wantSav = tokBySrc.map { case (src, nt) =>
+        val (nseg, nred) = redBySrc.getOrElse(src, (0L, 0L))
+        src -> ((nt, nseg, nred, nt - nred * w,
+          if (nt == 0) 0L else nred * w * 1000000L / nt))
+      }
+      val gotSav = Dedup.segmentDedupSavings(df, "text", w).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(gotSav == wantSav, s"round $round: savings mismatch")
     }
   }
 }
