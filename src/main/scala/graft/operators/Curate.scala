@@ -265,4 +265,35 @@ object Curate {
           s"when bucket < ${trainPerMille + valPerMille} then 'val' " +
           "else 'test' end AS split")
   }
+
+  /** Deterministic stratified Bernoulli sampling + realized-rate
+    * audit: each row's fate is a pure function of (salt, id) — the
+    * [[hashSplit]] salted-hash bucket against a PER-STRATUM
+    * per-mille rate — so the sample is reproducible run-to-run,
+    * join-stable across tables sharing the id, and needs no RNG
+    * state anywhere. This is the 100 TB sampling primitive: a
+    * map-only filter whose audit (this frame) is one partial agg.
+    * Returns per stratum: `stratum, n_rows, target_permille,
+    * n_sampled, realized_micro` (ordered). */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String, rates: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    require((rates.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000),
+      "per-mille rates must be in [0, 1000]")
+    require(rates.keys.forall(!_.contains("'")), "stratum keys must not contain quotes")
+    val h = TextOps.strHash60(s"concat('$salt', ':', cast($idCol as string))")
+    val rate = rates.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"when $stratumCol = '$k' then ${v}L" }
+      .mkString("case ", " ", s" else ${defaultPerMille}L end")
+    df.selectExpr(s"$stratumCol AS stratum", s"$rate AS target_permille",
+        s"((($h % 2147483648L) * 2654435761L) % 2147483648L) % 1000 AS bucket")
+      .selectExpr("stratum", "target_permille",
+        "cast(bucket < target_permille as bigint) AS sampled")
+      .groupBy(col("stratum"), col("target_permille"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("sampled")), lit(0L)).as("n_sampled"))
+      .selectExpr("stratum", "n_rows", "target_permille", "n_sampled",
+        "cast((cast(n_sampled as decimal(38,0)) * 1000000) div n_rows as bigint) AS realized_micro")
+      .orderBy(col("stratum"))
+  }
 }

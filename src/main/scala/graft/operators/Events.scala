@@ -681,6 +681,38 @@ object Events {
     * counts are rate-bounded by definition of the metric.
     *
     * Returns `bucket, n_users` (ordered). */
+  /** Conversion latency distribution: per user, first `fromType`
+    * event → first `toType` event STRICTLY after it; reported as one
+    * row of exact-integer stats — converter count, mean seconds
+    * (exact BIGINT division), and micro-quantized exact quartiles
+    * (`percentile` over BIGINT seconds ↔ DuckDB `quantile_cont`, the
+    * q33-proven parity; the interpolated value is an exact rational
+    * of integers, one IEEE chain, so the micro rounding matches).
+    *
+    * 100 TB shape: two type-filtered partial aggs + one user-keyed
+    * equi-join + a 1-row fold — never a per-event window. */
+  def timeToConvert(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val v = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("vts"))
+    val lat = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("u"), col(tsCol).as("ts"))
+      .join(v, Seq("u"))
+      .filter(col("ts") > col("vts"))
+      .groupBy(col("u"), col("vts")).agg(min(col("ts")).as("pts"))
+      .selectExpr("(unix_micros(pts) - unix_micros(vts)) div 1000000 AS lat_s")
+    lat.agg(count(lit(1)).as("n_converters"),
+        coalesce(sum(col("lat_s")), lit(0L)).as("s"),
+        expr("percentile(lat_s, 0.25)").as("q1"),
+        expr("percentile(lat_s, 0.5)").as("q2"),
+        expr("percentile(lat_s, 0.75)").as("q3"))
+      .selectExpr("n_converters",
+        "if(n_converters = 0, 0L, s div n_converters) AS mean_s",
+        "cast(round(q1 * 1000000) as bigint) AS p25_s_micro",
+        "cast(round(q2 * 1000000) as bigint) AS p50_s_micro",
+        "cast(round(q3 * 1000000) as bigint) AS p75_s_micro")
+  }
+
   def peakUserBurst(events: DataFrame, userCol: String, tsCol: String,
       windowMicros: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

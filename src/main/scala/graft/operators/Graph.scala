@@ -400,4 +400,41 @@ object Graph {
         "cast((cast(n_both as decimal(38,0)) * 1000000) div (n_t1 + n_t2 - n_both) as bigint) AS jaccard_micro")
       .orderBy(col("t1"), col("t2"))
   }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over
+    * the SYMMETRIC directed edge set (each undirected edge counted
+    * both ways, making x and y exchangeable so Σx = Σy and one
+    * variance serves both). Positive = hubs link hubs (dup graphs
+    * from template boilerplate look like this); negative = hub-leaf
+    * star structure. Every moment is an exact BIGINT sum and the
+    * final ratio is exact integer micro division — no float
+    * accumulation anywhere, so the number hash-matches cross-engine.
+    * A regular graph has zero degree variance; its assortativity is
+    * pinned to 0 (the correlation is undefined, not negative).
+    *
+    * 100 TB shape: one degree agg, two id-keyed equi-joins to tag
+    * endpoints, one 1-row fold. Returns 1 row:
+    * `n_directed_edges, sum_deg, sum_deg_sq, sum_xy,
+    * assortativity_micro`. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.selectExpr(s"$srcCol AS a", s"$dstCol AS b")
+      .union(edges.selectExpr(s"$dstCol AS a", s"$srcCol AS b"))
+      .distinct()
+      .filter(col("a") =!= col("b"))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("y")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sx2"),
+        sum(expr("x * y")).as("sxy"))
+      .selectExpr("m AS n_directed_edges", "sx AS sum_deg", "sx2 AS sum_deg_sq",
+        "sxy AS sum_xy",
+        "if(cast(m as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx = 0, 0L, " +
+          "cast(((cast(m as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx) * 1000000) " +
+          "div (cast(m as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx) as bigint)) " +
+          "AS assortativity_micro")
+  }
 }

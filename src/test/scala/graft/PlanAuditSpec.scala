@@ -1297,6 +1297,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q66 must run as aggregate + equi-joins:\n$q66")
   }
 
+  test("round-11 part-10 shapes (c11 exact-moment fold, e32 two-filter join, p36 map-only sample audit)") {
+    // c11: band-bounded candidates + degree equi-joins + 1-row fold
+    val c11 = finalPlan(queries.Pipeline45.c11.run(spark, sfDir))
+    assert(!c11.contains("CartesianProduct"), s"c11 stays equi:\n$c11")
+    val c11Row = queries.Pipeline45.c11.run(spark, sfDir).collect().head
+    assert(math.abs(c11Row.getLong(4)) <= 1000000L,
+      "assortativity is a correlation: |r| <= 1")
+    assert(c11Row.getLong(2) >= c11Row.getLong(1), "sum d^2 >= sum d for d >= 1")
+    // e32: two type-filtered aggs + one user equi-join — no window
+    val e32 = finalPlan(queries.Pipeline45.e32.run(spark, sfDir))
+    assert(!e32.contains("CartesianProduct") && !e32.contains("Window"),
+      s"e32 needs no per-event window:\n$e32")
+    val e32Row = queries.Pipeline45.e32.run(spark, sfDir).collect().head
+    assert(e32Row.getLong(0) > 0L, "testdata has converters")
+    assert(e32Row.getLong(2) <= e32Row.getLong(3) &&
+      e32Row.getLong(3) <= e32Row.getLong(4), "quartiles are ordered")
+    // p36: the sample fate is a pure projection — zero joins; audit
+    // is one partial agg
+    val p36 = finalPlan(queries.Pipeline45.p36.run(spark, sfDir))
+    assert(!p36.contains("Join"), s"p36 is map + one agg:\n$p36")
+    val p36Rows = queries.Pipeline45.p36.run(spark, sfDir).collect()
+    p36Rows.foreach { r =>
+      assert(r.getLong(2) == (if (r.getString(0) == "en") 500L else 250L),
+        "per-stratum targets are pinned")
+      assert(r.getLong(3) <= r.getLong(1), "sampled bounded by rows")
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(1),
+        "realized_micro recomputes")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
