@@ -713,6 +713,31 @@ object Events {
         "cast(round(q3 * 1000000) as bigint) AS p75_s_micro")
   }
 
+  /** Daily-active-users OLS trend: distinct users per day, then the
+    * exact least-squares slope over (day index, dau) — every moment
+    * an exact BIGINT sum, the slope one integer micro division
+    * (users/day growth in micro units). The "is this corpus/product
+    * growing" number with zero float accumulation. A single-day
+    * window has zero x-variance; slope pins to 0. One distinct agg +
+    * one tiny fold. Returns 1 row:
+    * `n_days, sum_x, sum_y, sum_xy, sum_x2, slope_micro_per_day`. */
+  def dailyActiveTrend(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val daily = events.selectExpr(s"to_date($tsCol) AS day", s"$userCol AS u")
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .selectExpr("cast(datediff(day, d0) as bigint) AS x", "dau AS y")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(expr("x * y")).as("sum_xy"), sum(expr("x * x")).as("sum_x2"))
+      .selectExpr("n_days", "sum_x", "sum_y", "sum_xy", "sum_x2",
+        "if(cast(n_days as decimal(38,0)) * sum_x2 - cast(sum_x as decimal(38,0)) * sum_x = 0, 0L, " +
+          "cast(((cast(n_days as decimal(38,0)) * sum_xy - cast(sum_x as decimal(38,0)) * sum_y) * 1000000) " +
+          "div (cast(n_days as decimal(38,0)) * sum_x2 - cast(sum_x as decimal(38,0)) * sum_x) as bigint)) " +
+          "AS slope_micro_per_day")
+  }
+
   def peakUserBurst(events: DataFrame, userCol: String, tsCol: String,
       windowMicros: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

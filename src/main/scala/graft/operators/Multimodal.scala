@@ -242,6 +242,35 @@ object Multimodal {
   final case class AudioFrameEnergy(media_id: Long, frame_idx: Long,
       energy: Long, mean_abs: Long)
 
+  final case class AudioClipAudit(media_id: Long, n_samples: Long,
+      n_clipped: Long, clip_micro: Long, dc_offset: Long)
+
+  /** Clipping / DC-offset audit over REAL WAV payloads — the two
+    * recording-quality defects an audio-ingest pipeline gates on:
+    * samples at-or-beyond the clip threshold (rail hits from
+    * over-gain) and a non-zero mean (DC bias that wastes headroom
+    * and breaks energy thresholds). One decode + one integer pass
+    * per record, exact integer outputs (`div` truncation matches the
+    * oracle's `//` — toward zero on both engines, which matters for
+    * the signed dc_offset). Map-only; never shuffles. */
+  def clippingAudit(media: Dataset[MediaRecord], clipThreshold: Int): Dataset[AudioClipAudit] = {
+    require(clipThreshold >= 1, s"clipThreshold must be >= 1, got $clipThreshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val wav = MediaCodec.decodeWav(m.payload)
+      var n = 0L; var clip = 0L; var s = 0L
+      wav.samples.foreach { x =>
+        val v = x.toInt
+        n += 1; s += v
+        if (math.abs(v) >= clipThreshold) clip += 1
+      }
+      AudioClipAudit(m.media_id, n, clip,
+        if (n == 0) 0L else clip * 1000000L / n,
+        if (n == 0) 0L else s / n)
+    }
+  }
+
   /** Per-frame audio loudness over REAL WAV payloads: split each
     * clip's PCM into `frameSamples`-sample frames (trailing partial
     * frame ignored, the [[trimSilence]] framing) and emit one row per

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
 
 /** SQL expression builders for the text-pipeline operators (tokenize,
   * shingle, hash, minhash, simhash). Everything is exact integer
@@ -179,4 +179,45 @@ object TextOps {
       .selectExpr("doc_id", "n_words", "n_sentences", "n_vowel_groups",
         "206835000L - (1015000L * n_words) div n_sentences" +
           " - (84600000L * n_vowel_groups) div n_words AS flesch_micro")
+
+  /** Per-source domain drift as EXACT total-variation distance
+    * between each source's unigram distribution and the corpus
+    * distribution: TV = Σ_t |c_st·N − c_t·n_s| / (2·n_s·N), summed
+    * as exact integers with ONE final division — no logs, no float
+    * accumulation (KL needs ln, whose last-ulp behavior differs
+    * across engines; TV is the divergence that stays rational). The
+    * domain-shift detector a mixture designer reads next to DSIR
+    * weights.
+    *
+    * 100 TB shape: two partial-agg passes over exploded tokens, then
+    * a (source × vocab) grid — absent terms MUST contribute their
+    * corpus mass, so the grid is the metric's intrinsic cost; vocab
+    * here is catalog-sized, and a web-scale vocab would be capped
+    * upstream (the t36 head profile). All products ride
+    * decimal(38,0).
+    *
+    * Returns `source, n_terms_in_source, n_tokens_source, tv_micro`
+    * (ordered). */
+  def sourceDriftTv(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val tok = docs.selectExpr(s"$srcCol AS source",
+        s"explode(${tokens(textCol)}) AS term")
+    val cst = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"),
+      count(lit(1)).as("n_terms_in_source"))
+    val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val bigN = ct.agg(sum(col("c_t")).as("n_total"))
+    val grid = ns.crossJoin(ct) // sources × vocab — the metric's support
+      .join(cst, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c_st"))
+      .crossJoin(broadcast(bigN))
+    grid
+      .selectExpr("source", "n_terms_in_source", "n_s",
+        "abs(cast(c_st as decimal(38,0)) * n_total - cast(c_t as decimal(38,0)) * n_s) AS num",
+        "cast(n_s as decimal(38,0)) * n_total AS den")
+      .groupBy(col("source"), col("n_terms_in_source"), col("n_s"), col("den"))
+      .agg(sum(col("num")).as("num"))
+      .selectExpr("source", "n_terms_in_source", "n_s AS n_tokens_source",
+        "cast((num * 1000000) div (2 * den) as bigint) AS tv_micro")
+      .orderBy(col("source"))
+  }
 }

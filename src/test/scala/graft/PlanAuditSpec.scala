@@ -1327,6 +1327,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-11 shapes (t39 bounded grid, e33 tiny fold, m13 map-only decode)") {
+    // t39: the (source × vocab) grid is the metric's intrinsic
+    // support — both sides are catalog-sized partial-agg outputs,
+    // never the corpus; the corpus is touched by exploded partial
+    // aggs only
+    val t39Rows = queries.Pipeline46.t39.run(spark, sfDir).collect()
+    t39Rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L,
+        "TV distance is a micro share in [0, 1]")
+    }
+    // e33: slope must recompute exactly from the exact moments
+    val e33Row = queries.Pipeline46.e33.run(spark, sfDir).collect().head
+    val (n, sx, sy, sxy, sx2) = (e33Row.getLong(0), e33Row.getLong(1),
+      e33Row.getLong(2), e33Row.getLong(3), e33Row.getLong(4))
+    val den = BigInt(n) * sx2 - BigInt(sx) * sx
+    val want = if (den == 0) 0L
+      else ((BigInt(n) * sxy - BigInt(sx) * sy) * 1000000 / den).toLong
+    assert(e33Row.getLong(5) == want, "slope_micro recomputes from moments")
+    // m13: pure mapPartitions decode — no shuffle, no join
+    val m13 = finalPlan(queries.Pipeline46.m13.run(spark, sfDir))
+    assert(!m13.contains("Join") && !m13.contains("HashAggregate"),
+      s"m13 is a map-only decode pass:\n$m13")
+    val m13Rows = queries.Pipeline46.m13.run(spark, sfDir).collect()
+    assert(m13Rows.exists(_.getLong(2) > 0L), "the generator drives real clipping")
+    m13Rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "clipped bounded by samples")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1),
+        "clip_micro recomputes")
+      assert(math.abs(r.getLong(4)) <= 32767L, "dc offset bounded by the rails")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
