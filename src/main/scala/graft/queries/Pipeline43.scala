@@ -12,10 +12,11 @@ object Pipeline43 {
 
   def all: Seq[QueryDef] = Seq(st07, q65, t38)
 
-  /** One shared per-JVM root for st07's stream files (the st06 /
-    * SparkEntry.fixtureRoot idiom — bench reruns must not leak a
-    * temp dir per invocation). Removed on JVM exit. */
-  private lazy val stRoot: java.io.File = {
+  /** One shared per-JVM root for streaming-query file fixtures
+    * (st07/st08 — the st06 / SparkEntry.fixtureRoot idiom: bench
+    * reruns must not leak a temp dir per invocation). Removed on JVM
+    * exit. */
+  private[queries] lazy val streamRoot: java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("graft_st07").toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
@@ -28,14 +29,71 @@ object Pipeline43 {
     dir
   }
 
+  /** Write `df` as ONE parquet file named `<name>.parquet` under
+    * `streamDir` with a controlled mod time (the file-stream source
+    * picks files up oldest-first — mod times order the micro-batches;
+    * the RESULT depends only on event times, never file times). */
+  private[queries] def writeSlice(root: java.io.File, streamDir: java.io.File,
+      df: org.apache.spark.sql.DataFrame, name: String, modTime: Long): Unit = {
+    val tmp = new java.io.File(root, s"tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    streamDir.mkdirs()
+    val dst = new java.io.File(streamDir, s"$name.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(modTime): Unit
+  }
+
+  private[queries] def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** One STOPPED-AND-RESUMED run of the append-mode daily rollup
+    * over whatever files `streamDir` currently holds: start from
+    * `ckpt` (watermark and window state restored from the commit
+    * log — the memory sink refuses recovery, so the sink is the
+    * StreamingCompactionSpec idempotent per-batch-directory parquet
+    * recipe), drain, stop. Calling it once per file drop guarantees
+    * each drop is its own micro-batch — the watermark advance
+    * between drops is the semantics under test (a single
+    * `processAllAvailable` over a multi-file directory fuses the
+    * files into one batch, where nothing is ever late). Batch ids
+    * continue across the resume, so every finalized window lands in
+    * exactly one `batch=N` directory under `sinkDir`. */
+  private[queries] def runAppendDaily(s: org.apache.spark.sql.SparkSession,
+      streamDir: java.io.File, ckpt: java.io.File, sinkDir: java.io.File,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val agg = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .selectExpr("cast(to_date(window.start) as string) AS day",
+        "event_type", "n", "cents")
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        df.write.mode("overwrite").parquet(s"$sinkDir/batch=$id"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming APPEND-mode watermark finalization, end to end
     * through the real micro-batch engine: st06 gated complete-mode
     * state; this gates the harder semantics — event-time watermark
     * advancement, window FINALIZATION (a window is emitted exactly
-    * once, when the watermark passes its end), and cross-batch state
-    * carried between two file-source micro-batches split at a pinned
-    * day boundary (no late data by construction, so finalized
-    * windows hold their full-data contents). The engine's no-data
+    * once, when the watermark passes its end), and state + watermark
+    * carried across a STOP-AND-RESUME between two file drops split
+    * at a pinned day boundary — each drop drains in its own run from
+    * the shared checkpoint, guaranteeing the separation (one run
+    * over both files can fuse them into a single micro-batch where
+    * nothing is ever late; no late data here by construction, so
+    * finalized windows hold their full-data contents). The engine's no-data
     * flush batch after the last file advances the watermark to
     * max(ts) - 1s, so the sink holds every daily window that closed
     * strictly before the stream's end — which is exactly what the
@@ -53,41 +111,25 @@ object Pipeline43 {
     (s, d) => {
       val ev = Tables.events(s, d)
         .selectExpr("ts", "event_type", "cast(round(value * 100) as long) AS cents")
-      val root = new java.io.File(stRoot, "st07")
+      val root = new java.io.File(streamRoot, "st07")
       val streamDir = new java.io.File(root, "stream")
-      def writeSlice(df: org.apache.spark.sql.DataFrame, name: String,
-          modTime: Long): Unit = {
-        val tmp = new java.io.File(root, s"tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $tmp"))
-        streamDir.mkdirs()
-        val dst = new java.io.File(streamDir, s"$name.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(modTime): Unit
-      }
-      // pinned clean split: batch1 = days < Jan 16, batch2 = the rest
-      // (mod times order the file-source's oldest-first pickup; the
-      // RESULT depends only on event times, not file times)
+      val ckpt = new java.io.File(root, "ckpt")
+      val sink = new java.io.File(root, "sink")
+      deleteRec(streamDir); deleteRec(ckpt); deleteRec(sink) // fresh per invocation
+      // pinned clean split: drop 1 = days < Jan 16, drop 2 = the
+      // rest; each drop is drained by its OWN stopped-and-resumed
+      // run, so the watermark provably advances between them
       val base = System.currentTimeMillis()
-      writeSlice(ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+      writeSlice(root, streamDir,
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
         "batch1", base - 60000L)
-      writeSlice(ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+      runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
+      writeSlice(root, streamDir,
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
         "batch2", base)
-      val agg = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
-        .withWatermark("ts", "1 second")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      val tbl = "st07_append_sink"
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(tbl).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(tbl)
-        .selectExpr("cast(to_date(window.start) as string) AS day",
-          "event_type", "n", "cents")
+      runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
+      s.read.parquet(sink.toString)
+        .select(col("day"), col("event_type"), col("n"), col("cents"))
         .orderBy(col("day"), col("event_type"))
     },
     Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 SECOND AS w FROM events),

@@ -1359,6 +1359,69 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-12 shapes (s30 join-free assignment, e34 bounded explode, p37 composed weights)") {
+    import org.apache.spark.sql.functions.{col, to_date, countDistinct}
+    // s30: literal-codebook assignment is a pure projection — the
+    // corpus is never joined
+    val s30 = finalPlan(queries.Pipeline47.s30.run(spark, sfDir))
+    assert(!s30.contains("SortMergeJoin") && !s30.contains("CartesianProduct"),
+      s"s30 never joins the corpus:\n$s30")
+    val s30Row = queries.Pipeline47.s30.run(spark, sfDir).collect().head
+    assert(s30Row.getLong(2) >= s30Row.getLong(3), "max list >= min list")
+    assert(s30Row.getLong(4) >= 1000000L, "hot-list load factor >= uniform")
+    assert(s30Row.getLong(5) >= 1000000L / s30Row.getLong(0),
+      "HHI >= the uniform floor 1/k")
+    // e34: the ×7 date explode is the only fan-out — no self-join
+    val e34 = finalPlan(queries.Pipeline47.e34.run(spark, sfDir))
+    assert(!e34.contains("SortMergeJoin") && !e34.contains("CartesianProduct"),
+      s"e34 is explode + distinct agg:\n$e34")
+    val e34Rows = queries.Pipeline47.e34.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dau = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dau.foreach { case (day, n) =>
+      assert(e34Rows(day) >= n, s"WAU($day) must dominate DAU") }
+    // p37: floor-division weights must still sum to ~1e6
+    val p37Rows = queries.Pipeline47.p37.run(spark, sfDir).collect()
+    val (sp, sq) = (p37Rows.map(_.getLong(2)).sum, p37Rows.map(_.getLong(3)).sum)
+    assert(sp <= 1000000L && sp >= 1000000L - p37Rows.length,
+      s"p weights sum to ~1e6, got $sp")
+    assert(sq <= 1000000L && sq >= 1000000L - p37Rows.length,
+      s"q weights sum to ~1e6, got $sq")
+  }
+
+  test("round-11 part-13 shapes (d24 monotone tiers, c12 recomputed LCC, st08 drops exactly the stragglers)") {
+    import org.apache.spark.sql.functions.{col, expr, max => smax, to_date}
+    // d24: each tier's equality is implied by the previous — dup
+    // mass is monotone down the normalization ladder
+    val d24 = queries.Pipeline48.d24.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d24("t0_raw") <= d24("t1_lower") && d24("t1_lower") <= d24("t2_tokens")
+      && d24("t2_tokens") <= d24("t3_bag"), s"tiers must be monotone: $d24")
+    // c12: LCC recomputes from (deg, tri) and stays a micro share
+    queries.Pipeline48.c12.run(spark, sfDir).collect().foreach { r =>
+      val (deg, tri, lcc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = if (deg < 2) 0L else tri * 2000000L / (deg * (deg - 1))
+      assert(lcc == want && lcc >= 0L && lcc <= 1000000L)
+    }
+    // st08: the sink must hold EXACTLY the corpus minus the pinned
+    // stragglers minus the open last day — the drop is total and
+    // nothing else is lost
+    val ev = Tables.events(spark, sfDir)
+    val straggler = "to_date(ts) >= '2024-01-10' AND to_date(ts) <= '2024-01-12'" +
+      " AND event_id % 7 = 0"
+    val lastDay = ev.agg(smax(to_date(col("ts")))).collect().head.getDate(0).toString
+    val total = ev.count()
+    val nStrag = ev.filter(expr(straggler)).count()
+    val nLast = ev.filter(to_date(col("ts")).cast("string") === lastDay).count()
+    val sinkN = queries.Pipeline48.st08.run(spark, sfDir).collect().map(_.getLong(2)).sum
+    assert(sinkN == total - nStrag - nLast,
+      s"sink=$sinkN expected=${total - nStrag - nLast} (total=$total strag=$nStrag last=$nLast)")
+    assert(nStrag > 0L, "the straggler set must be non-empty for the pin to bite")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
