@@ -19,8 +19,9 @@ object SparkEntry {
       Pipeline27.all ++ Pipeline28.all ++ Pipeline29.all ++ Pipeline30.all ++
       Pipeline31.all ++ Pipeline32.all ++ Pipeline33.all ++ Pipeline34.all ++
       Pipeline35.all ++ Pipeline36.all ++ Pipeline37.all ++ Pipeline38.all ++
-      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++
-      Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed)
+      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++ Pipeline49.all ++
+      Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed,
+        cassStreamCompaction)
 
   /** One shared per-JVM root for the synthetic sstable fixtures below.
     * The fixture bytes are deterministic, so re-writing them on every
@@ -204,6 +205,67 @@ object SparkEntry {
         CAST((SELECT sum(2 + length(CAST(j AS VARCHAR)) + length(CAST(i AS VARCHAR)) + (i + j) % 17)
               FROM range(0, 120000) t(i) CROSS JOIN range(0, 4) u(j)) AS BIGINT) AS val_bytes,
         true AS multi_split"""))
+
+  /** The STREAMING compaction engine against the reference's own
+    * golden output: the same fixture tree cass_compaction batch-
+    * compacts is fed file-by-file (maxFilesPerTrigger=1) through the
+    * sstable MicroBatchStream into
+    * [[graft.streaming.StreamingCompaction.compactIncremental]]'s
+    * mapGroupsWithState merge; the per-key FINAL state (last update
+    * wins, idempotent per-batch parquet sink) must agree with the
+    * golden file's per-key deletedAt and live-column count — the
+    * oracle parses the reference's own aeg-json lines with DuckDB's
+    * JSON reader. Proves the incremental A1 state machine converges
+    * to the batch answer on the reference's data, not just on
+    * writer-generated fixtures (StreamingCompactionSpec's chaos
+    * cases). */
+  val cassStreamCompaction: QueryDef = QueryDef(
+    "cass_stream_compaction",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val root = "/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/input"
+      def fresh(name: String): java.io.File = {
+        val f = new java.io.File(fixtureRoot, name)
+        def del(x: java.io.File): Unit = {
+          val kids = x.listFiles(); if (kids != null) kids.foreach(del)
+          x.delete(): Unit
+        }
+        del(f); f
+      }
+      val sink = fresh("stream_sink")
+      val ckpt = fresh("stream_ckpt")
+      val atoms = s.readStream.format("sstable")
+        .option("maxFilesPerTrigger", "1").option("skipCorrupt", "true")
+        .load(root).as[graft.sstable.AtomRec]
+      val q = graft.streaming.StreamingCompaction.compactIncremental(atoms)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingCompaction.RowUpdate],
+            id: Long) => df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("keyHex")).orderBy(col("batch").desc)
+      s.read.parquet(sink.toString)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .selectExpr("keyHex AS key_hex", "deletedAt AS deleted_at",
+          "cast(nLiveColumns as bigint) AS n_live_columns")
+        .orderBy(col("key_hex"))
+    },
+    Some("""WITH g AS (SELECT split_part(line, chr(9), 1) AS key_hex,
+               split_part(line, chr(9), 2) AS j
+             FROM read_csv(
+               '/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10/randomtable/aeg_json_output/aeg-00000',
+               delim='|', header=false, quote='', escape='',
+               columns={'line': 'VARCHAR'}))
+      SELECT key_hex,
+        CAST(json_extract(j, '$.' || key_hex || '.deletedAt') AS BIGINT)
+          AS deleted_at,
+        CAST(json_array_length(json_extract(j, '$.' || key_hex || '.columns'))
+          AS BIGINT) AS n_live_columns
+      FROM g ORDER BY key_hex"""))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1422,6 +1422,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nStrag > 0L, "the straggler set must be non-empty for the pin to bite")
   }
 
+  test("round-11 part-14 shapes (s31 broadcast query frames, q67 one window pass)") {
+    val s31 = finalPlan(queries.Pipeline49.s31.run(spark, sfDir))
+    assert(!s31.contains("CartesianProduct"), s"s31 stays equi/broadcast:\n$s31")
+    queries.Pipeline49.s31.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 10L, "overlap bounded by k")
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / 10L, "micro recomputes")
+    }
+    val q67 = finalPlan(queries.Pipeline49.q67.run(spark, sfDir))
+    assert(!q67.contains("Join"), s"q67 is one shuffle + one window:\n$q67")
+    queries.Pipeline49.q67.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "discrete quantiles are ordered")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

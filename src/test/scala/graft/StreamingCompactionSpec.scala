@@ -150,13 +150,49 @@ class StreamingCompactionSpec extends AnyFunSuite {
     val byKey = atoms.groupBy(a => CassType.hex(a.key))
     byKey.foreach { case (_, as) =>
       val all = StreamingCompaction.mergeAtoms(
-        StreamingCompaction.RowState(Long.MinValue, Map.empty), as.iterator)
+        StreamingCompaction.RowState(Long.MinValue, Map.empty, Nil), as.iterator)
       Seq(1, 3, 7).foreach { chunk =>
         val stepped = as.grouped(chunk).foldLeft(
-          StreamingCompaction.RowState(Long.MinValue, Map.empty)) {
+          StreamingCompaction.RowState(Long.MinValue, Map.empty, Nil)) {
           (st, batch) => StreamingCompaction.mergeAtoms(st, batch.iterator)
         }
         assert(stepped == all)
+      }
+    }
+  }
+
+  test("range tombstones in state: any chunking or arrival order yields the batch counts (2.0.10 fixture, RTs included)") {
+    // the reference says its streaming reducer can't do RTs
+    // incrementally; the stateful death-rule predicate can — prove
+    // (a) chunk-invariance, (b) ORDER-invariance of the observable
+    // (deletedAt, liveColumns), and (c) agreement with the batch
+    // merge, on the reference's own RT-bearing fixture
+    import spark.implicits._
+    val atoms = GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/randomtable/input")
+      .select("key", "source", "rowDeletedAt", "kind", "name", "value",
+        "ts", "ttl", "localDeletionTime", "tsOfLastDelete", "rtMax")
+      .as[AtomRec].collect().toSeq
+    assert(atoms.exists(_.kind == "rt"), "fixture must carry range tombstones")
+    val batch = GraftSSTable.compact(
+        GraftSSTable.readAtoms(spark, s"$testRoot/2.0.10/randomtable/input"),
+        numPartitions = 4)
+      .collect()
+      .map(r => CassType.hex(r.key) ->
+        ((r.deletedAt, r.columns.count(_.ts > r.deletedAt))))
+      .toMap
+    val byKey = atoms.groupBy(a => CassType.hex(a.key))
+    assert(byKey.keySet == batch.keySet)
+    byKey.foreach { case (k, as) =>
+      def obs(ordered: Seq[AtomRec], chunk: Int) = {
+        val st = ordered.grouped(chunk).foldLeft(
+          StreamingCompaction.RowState(Long.MinValue, Map.empty, Nil)) {
+          (s, b) => StreamingCompaction.mergeAtoms(s, b.iterator)
+        }
+        (st.deletedAt, StreamingCompaction.liveColumns(st))
+      }
+      Seq(1, 3, as.size.max(1)).foreach { chunk =>
+        assert(obs(as, chunk) == batch(k), s"key $k chunk $chunk")
+        assert(obs(as.reverse, chunk) == batch(k), s"key $k reversed chunk $chunk")
       }
     }
   }
