@@ -1437,6 +1437,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-15 shapes (p38 6-row diff, q68 integer KS, t40 monotone coverage)") {
+    val p38Rows = queries.Pipeline50.p38.run(spark, sfDir).collect()
+    assert(p38Rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("mean_tokens_milli", "n_docs", "n_dup_docs", "n_langs", "n_sources",
+        "total_tokens"))
+    p38Rows.foreach { r =>
+      val (vs, vf, dlt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = if (vf == 0) 0L else (BigInt(vs - vf) * 1000000 / vf).toLong
+      assert(dlt == want, s"${r.getString(0)}: delta recomputes")
+      if (r.getString(0) == "n_docs" || r.getString(0) == "total_tokens")
+        assert(vs <= vf, "slice counts bounded by full")
+    }
+    val q68Row = queries.Pipeline50.q68.run(spark, sfDir).collect().head
+    assert(q68Row.getLong(2) >= 0L && q68Row.getLong(2) <= 1000000L,
+      "KS is a micro share")
+    val t40Rows = queries.Pipeline50.t40.run(spark, sfDir).collect()
+    assert(t40Rows.map(_.getLong(4)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "coverage is monotone in K")
+    t40Rows.foreach(r => assert(r.getLong(1) <= r.getLong(0) &&
+      r.getLong(4) <= 1000000L))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
