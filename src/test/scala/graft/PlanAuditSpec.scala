@@ -1459,6 +1459,50 @@ class PlanAuditSpec extends AnyFunSuite {
       r.getLong(4) <= 1000000L))
   }
 
+  test("round-11 part-16 shapes (e35 catalog-sized chain, p39 exact Hamilton, t41 positive dispersion)") {
+    val e35Rows = queries.Pipeline51.e35.run(spark, sfDir).collect()
+    val mass = e35Rows.map(_.getLong(1)).sum
+    assert(mass <= 1000000L && mass >= 900000L,
+      s"stationary mass stays ~1e6 up to floor leakage, got $mass")
+    assert(e35Rows.length >= 2, "every observed type gets a row")
+    val p39Rows = queries.Pipeline51.p39.run(spark, sfDir).collect()
+    assert(p39Rows.map(_.getLong(3)).sum == 100000L,
+      "Hamilton apportionment must hand out the exact budget")
+    val t41Rows = queries.Pipeline51.t41.run(spark, sfDir).collect()
+    t41Rows.foreach { r =>
+      assert(r.getLong(3) > 0L, s"${r.getString(0)}: dispersion positive")
+      assert(r.getLong(1) <= r.getLong(2), "docs-with bounded by occurrences")
+    }
+  }
+
+  test("round-11 part-17 shapes (st09 sink == closed batch sessions, q69 robust scale)") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    // st09: the engine's append-mode session sink must equal the
+    // batch sessionization restricted to sessions that closed before
+    // the final watermark — computed here with the AUDITED batch
+    // operator, independently of the DuckDB oracle
+    import spark.implicits._
+    val evts = Tables.events(spark, sfDir)
+      .as[graft.streaming.EventStreams.Event]
+    val wmMs = Tables.events(spark, sfDir)
+      .agg(smax(col("ts"))).collect().head.getTimestamp(0).getTime - 1000L
+    val want = graft.streaming.EventStreams.sessionizeBounded(evts, 30)
+      .selectExpr("user_id", "unix_millis(session_start) AS s",
+        "unix_millis(session_end) AS e", "n_events", "total_cents")
+      .filter(col("e") + 1800000L <= wmMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = queries.Pipeline52.st09.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"engine sessions must equal closed batch sessions " +
+      s"(got ${got.size}, want ${want.size})")
+    assert(got.nonEmpty)
+    val q69Row = queries.Pipeline52.q69.run(spark, sfDir).collect().head
+    assert(q69Row.getLong(0) == Tables.orders(spark, sfDir).count())
+    assert(q69Row.getLong(2) >= 0L, "MAD is non-negative")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
