@@ -1503,6 +1503,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q69Row.getLong(2) >= 0L, "MAD is non-negative")
   }
 
+  test("round-11 part-18 shapes (e36 cohort partition, s32 complete confusion rows, q70 one fold)") {
+    import org.apache.spark.sql.functions.col
+    // e36: buckets partition users; recompute cvr
+    val e36Rows = queries.Pipeline53.e36.run(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(e36Rows.map(_.getLong(1)).sum == users, "cohorts partition users")
+    e36Rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // s32: row shares per actual sum to ~1e6; diagonal mass equals
+    // s21's correct count
+    val s32Rows = queries.Pipeline53.s32.run(spark, sfDir).collect()
+    s32Rows.groupBy(_.getLong(0)).foreach { case (_, cells) =>
+      val sh = cells.map(_.getLong(3)).sum
+      assert(sh <= 1000000L && sh >= 1000000L - cells.length,
+        s"row shares sum to ~1e6, got $sh")
+    }
+    val diag = s32Rows.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    val correct = operators.Similarity.knnClassify(
+        Tables.embeddings(spark, sfDir), "vec_id % 7 = 0", 5)
+      .filter(col("correct")).count()
+    assert(diag == correct, "confusion diagonal == classifier correct count")
+    // q70: one scan, one fold, no join; revenue skews right
+    val q70 = finalPlan(queries.Pipeline53.q70.run(spark, sfDir))
+    assert(!q70.contains("Join"), s"q70 is a single fold:\n$q70")
+    val q70Row = queries.Pipeline53.q70.run(spark, sfDir).collect().head
+    assert(q70Row.getLong(0) == Tables.orders(spark, sfDir).count())
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
