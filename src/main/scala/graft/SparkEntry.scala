@@ -19,9 +19,9 @@ object SparkEntry {
       Pipeline27.all ++ Pipeline28.all ++ Pipeline29.all ++ Pipeline30.all ++
       Pipeline31.all ++ Pipeline32.all ++ Pipeline33.all ++ Pipeline34.all ++
       Pipeline35.all ++ Pipeline36.all ++ Pipeline37.all ++ Pipeline38.all ++
-      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++ Pipeline49.all ++ Pipeline50.all ++ Pipeline51.all ++ Pipeline52.all ++ Pipeline53.all ++
+      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++ Pipeline49.all ++ Pipeline50.all ++ Pipeline51.all ++ Pipeline52.all ++ Pipeline53.all ++ Pipeline54.all ++
       Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed,
-        cassStreamCompaction)
+        cassStreamCompaction, cassCompactionMixed)
 
   /** One shared per-JVM root for the synthetic sstable fixtures below.
     * The fixture bytes are deterministic, so re-writing them on every
@@ -205,6 +205,31 @@ object SparkEntry {
         CAST((SELECT sum(2 + length(CAST(j AS VARCHAR)) + length(CAST(i AS VARCHAR)) + (i + j) % 17)
               FROM range(0, 120000) t(i) CROSS JOIN range(0, 4) u(j)) AS BIGINT) AS val_bytes,
         true AS multi_split"""))
+
+  /** MIXED-VERSION compaction against the reference's own combined
+    * golden: the 2.0.10 + 1.2.18 fixture tree (two on-disk sstable
+    * format generations in ONE input — the fleet-upgrade scenario
+    * the reference's combined test pins) batch-compacted distributed
+    * and hash-compared line-by-line against the reference's
+    * `aeg_json_output` for that tree. Same plan as cass_compaction;
+    * what's under test is the version sniffing (X10) + per-version
+    * decoders agreeing inside one merge. */
+  val cassCompactionMixed: QueryDef = QueryDef(
+    "cass_compaction_mixed",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      val root = "/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10_1.2.18_combined"
+      val atoms = GraftSSTable.readAtoms(s, s"$root/randomtable/input",
+        Map("skipCorrupt" -> "true"))
+      GraftSSTable.aegJsonLines(GraftSSTable.compact(atoms))
+        .toDF("key", "line")
+        .select(col("line"))
+        .orderBy(col("line"))
+    },
+    Some("""SELECT line FROM read_csv(
+        '/root/reference/aegisthus-hadoop/src/test/resources/testdata/2.0.10_1.2.18_combined/randomtable/aeg_json_output/aeg-00000',
+        delim='|', header=false, quote='', escape='', columns={'line': 'VARCHAR'})
+      ORDER BY line"""))
 
   /** The STREAMING compaction engine against the reference's own
     * golden output: the same fixture tree cass_compaction batch-

@@ -1533,6 +1533,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q70Row.getLong(0) == Tables.orders(spark, sfDir).count())
   }
 
+  test("round-11 part-19 shapes (p41 permutation property, q71 one join + fold)") {
+    // p41: within an epoch the head ranks are 1..10 over DISTINCT
+    // docs, and epochs genuinely reshuffle (heads differ)
+    val p41Rows = queries.Pipeline54.p41.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = p41Rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L))
+      assert(rows.map(_._3).distinct.length == 10)
+    }
+    assert(byEpoch.values.map(_.sortBy(_._2).map(_._3).toSeq).toSet.size == 3,
+      "each epoch must order differently")
+    // q71: one order-keyed join + one fold
+    val q71 = finalPlan(queries.Pipeline54.q71.run(spark, sfDir))
+    assert(!q71.contains("CartesianProduct"), s"q71 stays equi:\n$q71")
+    val r = queries.Pipeline54.q71.run(spark, sfDir).collect().head
+    assert(r.getLong(2) <= r.getLong(0) - r.getLong(1), "matched bounded by joint")
+    assert(r.getLong(3) == r.getLong(2) * 1000000L / (r.getLong(0) - r.getLong(1)))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
