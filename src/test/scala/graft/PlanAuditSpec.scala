@@ -1554,6 +1554,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.getLong(3) == r.getLong(2) * 1000000L / (r.getLong(0) - r.getLong(1)))
   }
 
+  test("round-11 part-20 shapes (q72 one window union, s33 one pair pass, e37 conditional forward min, p40 partitioned rollup)") {
+    import org.apache.spark.sql.functions.col
+    // q72: islands from ONE window pass, no self-join; union length
+    // bounded by naive sum and by the observation span
+    val q72 = finalPlan(queries.Pipeline55.q72.run(spark, sfDir))
+    assert(!q72.contains("Join"), s"q72 merges intervals join-free:\n$q72")
+    val q72Row = queries.Pipeline55.q72.run(spark, sfDir).collect().head
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(q72Row.getLong(1) <= nEvents * 300L,
+      "union length bounded by the naive per-event sum")
+    assert(q72Row.getLong(2) * 1000L >= 300000L, "a user's time >= one interval")
+    // s33: counts monotone non-increasing in tau
+    val s33Rows = queries.Pipeline55.s33.run(spark, sfDir).collect()
+    assert(s33Rows.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(s33Rows.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    s33Rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // e37: recovered bounded by errors; quantiles ordered
+    val e37Row = queries.Pipeline55.e37.run(spark, sfDir).collect().head
+    assert(e37Row.getLong(1) <= e37Row.getLong(0))
+    assert(e37Row.getLong(4) <= e37Row.getLong(5), "p50 <= p90")
+    // p40: rollup partitions the pinned eval slice
+    val p40Rows = queries.Pipeline55.p40.run(spark, sfDir).collect()
+    assert(p40Rows.map(_.getLong(1)).sum == 50L, "every pinned eval doc counted once")
+    p40Rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
