@@ -713,6 +713,32 @@ object Events {
         "cast(round(q3 * 1000000) as bigint) AS p75_s_micro")
   }
 
+  /** Per-entity interval-UNION time: each event opens a
+    * `intervalMicros` activity window; returns each user's merged
+    * union length in micros (`u`, `active_us`) via the running-max-
+    * end island technique — ONE window pass, no self-join. Ties on
+    * the start timestamp are harmless: tied events share an end, so
+    * island boundaries are order-invariant. */
+  def activeTimeUnion(events: DataFrame, userCol: String, tsCol: String,
+      intervalMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(intervalMicros >= 1, s"interval must be positive, got $intervalMicros")
+    val wPrev = Window.partitionBy(col("u")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("u")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .selectExpr(s"$userCol AS u", s"unix_micros($tsCol) AS st",
+        s"unix_micros($tsCol) + $intervalMicros AS en")
+      .withColumn("pmax", max(col("en")).over(wPrev))
+      .withColumn("new_i", expr("cast(pmax is null or st > pmax as bigint)"))
+      .withColumn("isl", sum(col("new_i")).over(wRun))
+      .groupBy(col("u"), col("isl"))
+      .agg((max(col("en")) - min(col("st"))).as("len_us"))
+      .groupBy(col("u"))
+      .agg(coalesce(sum(col("len_us")), lit(0L)).as("active_us"))
+  }
+
   /** Daily-active-users OLS trend: distinct users per day, then the
     * exact least-squares slope over (day index, dau) — every moment
     * an exact BIGINT sum, the slope one integer micro division

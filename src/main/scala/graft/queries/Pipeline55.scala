@@ -59,22 +59,8 @@ object Pipeline55 {
   val q72: QueryDef = QueryDef(
     "q72_active_time_union",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val iv = Tables.events(s, d)
-        .selectExpr("user_id AS u", "unix_micros(ts) AS st",
-          "unix_micros(ts) + 300000000 AS en")
-      val wPrev = Window.partitionBy(col("u")).orderBy(col("st"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy(col("u")).orderBy(col("st"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val islands = iv
-        .withColumn("pmax", max(col("en")).over(wPrev))
-        .withColumn("new_i", expr("cast(pmax is null or st > pmax as bigint)"))
-        .withColumn("isl", sum(col("new_i")).over(wRun))
-        .groupBy(col("u"), col("isl"))
-        .agg((max(col("en")) - min(col("st"))).as("len_us"))
-      val per = islands.groupBy(col("u"))
-        .agg(coalesce(sum(col("len_us")), lit(0L)).as("active_us"))
+      val per = graft.operators.Events.activeTimeUnion(
+        Tables.events(s, d), "user_id", "ts", 300000000L)
       per.agg(count(lit(1)).as("n_users"),
           coalesce(sum(col("active_us")), lit(0L)).as("tot_us"),
           max(col("active_us")).as("max_us"))

@@ -463,4 +463,32 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       assert(gotSav == wantSav, s"round $round: savings mismatch")
     }
   }
+
+  test("activeTimeUnion: differential fuzz vs in-memory interval merge (ties, nesting, exact adjacency)") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val w = 5000000L // 5 s activity window
+      // 2s granularity forces ties, overlaps, and EXACT end==start
+      // adjacency (t == pmax is NOT a new island — closed intervals)
+      val rows = (1 to 250).map { _ =>
+        (nxt() % 10, 1700000000000000L + (nxt() % 80) * 2500000L)
+      }
+      val df = rows.toDF("user_id", "us")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts")
+      val got = Events.activeTimeUnion(df, "user_id", "ts", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (u, es) =>
+        val iv = es.map(_._2).distinct.sorted.map(t => (t, t + w))
+        var total = 0L
+        var (cs, ce) = iv.head
+        iv.tail.foreach { case (s0, e0) =>
+          if (s0 > ce) { total += ce - cs; cs = s0; ce = e0 }
+          else if (e0 > ce) ce = e0
+        }
+        total += ce - cs
+        u -> total
+      }
+      assert(got == want, s"round $round: union length mismatch")
+    }
+  }
 }
