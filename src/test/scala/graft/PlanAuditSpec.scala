@@ -1580,6 +1580,35 @@ class PlanAuditSpec extends AnyFunSuite {
     p40Rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("round-11 part-21 shapes (st10 cross-drop join state, d25 monotone budget)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // st10: the engine's match set must equal the batch interval
+    // join exactly — any join-state eviction that loses an in-range
+    // pair (or late-drop that loses a side) breaks set equality
+    val got = queries.Pipeline56.st10.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.filter(col("event_type") === "error")
+      .selectExpr("event_id AS e_id", "ts AS e_ts").as("e")
+      .join(ev.filter(col("event_type") === "purchase")
+        .selectExpr("event_id AS p_id", "ts AS p_ts").as("p"),
+        expr("p_ts >= e_ts AND p_ts < e_ts + INTERVAL 60 SECONDS"))
+      .selectExpr("e_id", "p_id", "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"engine matches (${got.size}) != batch (${want.size})")
+    // sf0.001 is sparse enough that the 60 s window may hold no
+    // pairs — emptiness equality is still the semantics; the driver
+    // gate at sf0.01/0.1 exercises 90 / 9274 real matches
+    // d25: the bigger signature budget must not lose candidates'
+    // calibration sanity: n_both <= min(n_est, n_true)
+    val d25Rows = queries.Pipeline56.d25.run(spark, sfDir).collect()
+    assert(d25Rows.map(_.getLong(0)).toSeq == Seq(8L, 16L))
+    d25Rows.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
