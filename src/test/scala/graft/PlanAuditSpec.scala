@@ -1609,6 +1609,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-22 shapes (e38 weekly anti semantics, q73 complete grid, t42 symmetric matrix)") {
+    val e38Rows = queries.Pipeline57.e38.run(spark, sfDir).collect()
+    e38Rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "view-only bounded by viewers")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // q73: the grid is COMPLETE (S × P incl. empty cells) and cell
+    // counts sum to the orders table
+    val q73Rows = queries.Pipeline57.q73.run(spark, sfDir).collect()
+    val nS = q73Rows.map(_.getString(0)).distinct.length
+    val nP = q73Rows.map(_.getString(1)).distinct.length
+    assert(q73Rows.length == nS * nP, "grid must be complete")
+    assert(q73Rows.map(_.getLong(2)).sum == Tables.orders(spark, sfDir).count())
+    // t42: strictly-upper-triangular pair matrix over the source
+    // catalog; jaccard micro shares bounded
+    val t42Rows = queries.Pipeline57.t42.run(spark, sfDir).collect()
+    val srcs = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(t42Rows.length == srcs * (srcs - 1) / 2 ||
+      t42Rows.length <= srcs * (srcs - 1) / 2, "at most one row per unordered pair")
+    t42Rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
