@@ -464,6 +464,59 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("timeToConvert: differential fuzz vs in-memory first-view/first-purchase-after (equal-ts traps)") {
+    import spark.implicits._
+    val types = Vector("view", "purchase", "click")
+    (1 to 3).foreach { round =>
+      // 1s granularity provokes ts ties across and within types
+      val rows = (1 to 300).map { _ =>
+        (nxt() % 15, 1700000000000000L + (nxt() % 60) * 1000000L,
+          types((nxt() % 3).toInt))
+      }
+      val df = rows.toDF("user_id", "us", "event_type")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "event_type")
+      val got = Events.timeToConvert(df, "event_type", "user_id", "ts",
+        "view", "purchase").collect().head
+      val lats = rows.groupBy(_._1).values.flatMap { es =>
+        val vts = es.filter(_._3 == "view").map(_._2)
+        if (vts.isEmpty) None
+        else {
+          val v0 = vts.min
+          val ps = es.filter(e => e._3 == "purchase" && e._2 > v0).map(_._2)
+          if (ps.isEmpty) None else Some((ps.min - v0) / 1000000L)
+        }
+      }.toSeq.sorted
+      assert(got.getLong(0) == lats.size.toLong, s"round $round: converter count")
+      if (lats.nonEmpty)
+        assert(got.getLong(1) == lats.sum / lats.size, s"round $round: exact mean")
+    }
+  }
+
+  test("dailyActiveTrend: differential fuzz vs in-memory OLS (single-day and flat series)") {
+    import spark.implicits._
+    (1 to 3).foreach { round =>
+      val nDays = 1 + (nxt() % 9).toInt // includes the degenerate 1-day case
+      val rows = (1 to 200).map { _ =>
+        (nxt() % 20, 1700000000000000L + (nxt() % nDays) * 86400000000L)
+      }
+      val df = rows.toDF("user_id", "us")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts")
+      val got = Events.dailyActiveTrend(df, "user_id", "ts").collect().head
+      val daily = rows.map(r => (r._2 / 86400000000L, r._1)).distinct
+        .groupBy(_._1).map { case (d, v) => d -> v.size.toLong }
+      val d0 = daily.keys.min
+      val xy = daily.map { case (d, y) => (d - d0, y) }.toSeq
+      val (n, sx, sy) = (xy.size.toLong, xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sx2 = xy.map(p => p._1 * p._1).sum
+      val den = BigInt(n) * sx2 - BigInt(sx) * sx
+      val want = if (den == 0) 0L
+        else ((BigInt(n) * sxy - BigInt(sx) * sy) * 1000000 / den).toLong
+      assert(got.getLong(0) == n && got.getLong(5) == want,
+        s"round $round: slope mismatch (n=$n)")
+    }
+  }
+
   test("activeTimeUnion: differential fuzz vs in-memory interval merge (ties, nesting, exact adjacency)") {
     import spark.implicits._
     (1 to 3).foreach { round =>
