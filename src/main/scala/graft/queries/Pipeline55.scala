@@ -111,11 +111,18 @@ object Pipeline55 {
         .selectExpr("y.vec_id AS d2",
           s"cast(round((${Similarity.cosExpr.format("x.v", "y.v", "x.nrm", "y.nrm")}) * 1000000) as bigint) AS cm")
         .filter(col("cm") >= 300000L)
-      pairs.selectExpr("d2", "cm", "explode(array(300000, 450000, 600000)) AS tau")
-        .filter(col("cm") >= col("tau"))
-        .groupBy(col("tau"))
-        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d2")).as("n_dropped"))
-        .selectExpr("cast(tau as bigint) AS tau_micro", "n_pairs", "n_dropped")
+      // LEFT-join the pinned tau grid so the output SHAPE is
+      // data-independent (an empty tau emits a zero row, not nothing)
+      val taus = s.range(0, 3).selectExpr(
+        "element_at(array(300000L, 450000L, 600000L), cast(id as int) + 1) AS tau")
+      taus.join(
+          pairs.selectExpr("d2", "cm", "explode(array(300000L, 450000L, 600000L)) AS tau")
+            .filter(col("cm") >= col("tau"))
+            .groupBy(col("tau"))
+            .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d2")).as("n_dropped")),
+          Seq("tau"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_dropped"))
+        .selectExpr("tau AS tau_micro", "n_pairs", "n_dropped")
         .orderBy(col("tau_micro"))
     },
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -136,11 +143,18 @@ object Pipeline55 {
             FROM asg x JOIN asg y
             ON x.centroid = y.centroid AND x.vec_id < y.vec_id),
       q AS (SELECT d2, cm, tau FROM p, unnest([300000, 450000, 600000]) AS t(tau)
-            WHERE cm >= 300000 AND cm >= tau)
-      SELECT CAST(tau AS BIGINT) AS tau_micro,
-        CAST(count(*) AS BIGINT) AS n_pairs,
-        CAST(count(DISTINCT d2) AS BIGINT) AS n_dropped
-      FROM q GROUP BY 1 ORDER BY 1"""))
+            WHERE cm >= 300000 AND cm >= tau),
+      agg AS (SELECT CAST(tau AS BIGINT) AS tau_micro,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT d2) AS BIGINT) AS n_dropped
+              FROM q GROUP BY 1),
+      grid AS (SELECT CAST(tau AS BIGINT) AS tau_micro
+               FROM unnest([300000, 450000, 600000]) AS t(tau))
+      SELECT grid.tau_micro,
+        CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(COALESCE(agg.n_dropped, 0) AS BIGINT) AS n_dropped
+      FROM grid LEFT JOIN agg ON grid.tau_micro = agg.tau_micro
+      ORDER BY 1"""))
 
   /** Error-recovery latency: for every error event, the gap to the
     * user's NEXT non-error event (the "how fast do users recover"
