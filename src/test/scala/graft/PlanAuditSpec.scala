@@ -1635,6 +1635,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-23 shapes (d26 flow mass identity, s34 bounded recall)") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    // d26: total flow mass must equal docs minus distinct fingerprints
+    // (every non-keeper member flows exactly once) — holds even when
+    // the corpus has no exact dups at this SF
+    val flow = queries.Pipeline58.d26.run(spark, sfDir).collect()
+    val fp = Tables.documents(spark, sfDir)
+      .selectExpr(s"${operators.TextOps.strHash60("text")} AS fp")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nFp = fp.agg(countDistinct(col("fp"))).collect().head.getLong(0)
+    assert(flow.map(_.getLong(2)).sum == nDocs - nFp,
+      "flow mass == docs - distinct fingerprints")
+    val s34Rows = queries.Pipeline58.s34.run(spark, sfDir).collect()
+    assert(s34Rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L))
+    s34Rows.foreach { r =>
+      assert(r.getLong(1) == 10L, "the pinned query set")
+      assert(r.getLong(2) <= r.getLong(0) * r.getLong(1), "hits bounded by k*q")
+      assert(r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
