@@ -1656,6 +1656,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-24 shapes (m14 every payload round-trips, p42 composed identities)") {
+    // m14: the verdict must be TOTAL — every payload of every kind
+    // round-trips byte-exactly (a single lossy kind breaks this)
+    val m14Rows = queries.Pipeline59.m14.run(spark, sfDir).collect()
+    assert(m14Rows.map(_.getString(0)).sorted.toSeq == Seq("audio", "image", "video"))
+    m14Rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: ${r.getLong(2)}/${r.getLong(1)} round-trips"))
+    // p42: the composed numbers must recompute from their source
+    // operators run standalone
+    val p42Row = queries.Pipeline59.p42.run(spark, sfDir).collect().head
+    val sav = operators.Dedup.segmentDedupSavings(
+        Tables.documents(spark, sfDir), "text", 8).collect()
+    assert(p42Row.getLong(0) == sav.map(_.getLong(1)).sum, "total tokens compose")
+    assert(p42Row.getLong(1) == sav.map(_.getLong(4)).sum, "effective tokens compose")
+    assert(p42Row.getLong(2) ==
+      (BigInt(p42Row.getLong(0) - p42Row.getLong(1)) * 1000000 / p42Row.getLong(0)).toLong)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
