@@ -437,4 +437,72 @@ object Graph {
           "div (cast(m as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx) as bigint)) " +
           "AS assortativity_micro")
   }
+
+  /** Strongly connected components of a DIRECTED graph by
+    * transitive-closure doubling: `reach := reach ∪ (reach ⋈ reach)`
+    * until fixpoint, then `scc_id(u) = min{v : u→*v AND v→*u}` over
+    * the reflexive closure (u is always mutually reachable with
+    * itself, so every node lands in exactly one component and the min
+    * is a deterministic label). Returns (node, scc_id, scc_size).
+    *
+    * Scale contract — this operator is for BOUNDED node domains
+    * (event-type vocabularies, category taxonomies, language codes):
+    * the closure holds at most T² rows for T distinct nodes, which is
+    * data-independent of the log that produced the edges. The one
+    * log-sized pass is whatever derived `edges` upstream (e.g. the
+    * [[Events.transitionMatrix]] lead-window). Doubling converges in
+    * ⌈log₂(diameter)⌉ rounds; each round is one self equi-join plus a
+    * distinct over ≤T² rows, checkpointed with stale-block release
+    * (the [[pageRank]] discipline); the driver holds one Long. The
+    * valve THROWS on non-convergence rather than returning a partial
+    * closure ([[pageRankConverged]] discipline). */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    try {
+      val e = edges.selectExpr(s"$srcCol AS s", s"$dstCol AS t").distinct()
+      val nodes = e.select(col("s").as("n"))
+        .union(e.select(col("t").as("n"))).distinct()
+      // reflexive seed: every node reaches itself (path length 0)
+      var reach = ckpt(nodes.selectExpr("n AS s", "n AS t").union(e).distinct())
+      var stale: Seq[RDD[_]] = checkpointRdds(reach)
+      var prev = reach.count()
+      var round = 0
+      var fixed = false
+      while (!fixed) {
+        round += 1
+        require(round <= maxRounds,
+          s"scc did not reach closure within $maxRounds doubling rounds " +
+            s"($prev reach pairs) — node domain larger than this operator's " +
+            "bounded-vocabulary contract")
+        val next = ckpt(reach
+          .union(reach.as("a")
+            .join(reach.as("b"), col("a.t") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.t").as("t")))
+          .distinct())
+        val c = next.count()
+        fixed = c == prev
+        stale.foreach(_.unpersist(blocking = false))
+        stale = checkpointRdds(next)
+        prev = c
+        reach = next
+      }
+      val mutual = reach
+        .join(reach.selectExpr("t AS s", "s AS t"), Seq("s", "t"))
+      val labeled = mutual.groupBy(col("s").as("node"))
+        .agg(min(col("t")).as("scc_id"))
+      labeled
+        .withColumn("scc_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("scc_id"))))
+        .select(col("node"), col("scc_id"), col("scc_size"))
+    } catch {
+      case th: Throwable =>
+        acquired.foreach(Storage.release)
+        throw th
+    }
+  }
 }

@@ -510,6 +510,58 @@ object Similarity {
         "trained_quality > seed_quality AS trained_better")
   }
 
+  /** Centroid-based silhouette score per cluster — the geometric
+    * cluster-quality audit that needs NO labels (complementing the
+    * label-based s22 cluster-purity query): for each vector, with cosine
+    * distance d = 1 − cos, cohesion a = d(own centroid) and
+    * separation b = min over OTHER centroids d(c). Because the
+    * centroid ranking is cosine-descending, a = 1 − cos₁ and
+    * b = 1 − cos₂ (the runner-up), and since a ≤ b the classic
+    * (b − a)/max(a, b) collapses to (cos₁ − cos₂)/(1 − cos₂) — one
+    * subtract, one subtract, one divide, one multiply, one round:
+    * a fixed chain of correctly-rounded IEEE ops both engines
+    * replay bit-identically, then exact BIGINT micro sums.
+    *
+    * Degenerate cases: a vector whose runner-up cosine is exactly 1
+    * (coincides with two centroids) scores 0 by convention rather
+    * than 0/0; vectors with fewer than two rankable centroids
+    * (NaN-cosine tail) drop out, the [[assignmentCos]] closure
+    * semantics.
+    *
+    * 100 TB shape: the codebook is O(k·D) plan-literal state; the
+    * per-vector work is one columnar [[graft.functions.CentroidRanks]]
+    * projection + a 2-element posexplode + a broadcast codebook join —
+    * map-side only — then ONE partial-agg shuffle to k rows. */
+  def silhouette(emb: DataFrame, kCentroids: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = fixedCodebook(emb, kCentroids)
+    val (cents, cnorms, ids) = codebookCols(cb)
+    val cbDf = cb.toSeq.map { case (id, v, n) => (id, v.toSeq, n) }
+      .toDF("cid", "cv", "cn")
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val top2 = p.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(slice(
+          call_function("graft_centroid_ranks", col("v"), cents, cnorms), 1, 2)))
+      .withColumn("cid", element_at(ids, col("col").cast("int") + 1))
+      .join(broadcast(cbDf), Seq("cid"))
+      .selectExpr("vec_id", "pos", "cid",
+        cosExpr.format("v", "cv", "nrm", "cn") + " AS cos")
+    top2.groupBy(col("vec_id"))
+      .agg(max(when(col("pos") === 0, col("cid"))).as("cluster"),
+        max(when(col("pos") === 0, col("cos"))).as("cos1"),
+        max(when(col("pos") === 1, col("cos"))).as("cos2"),
+        count(lit(1)).as("nranks"))
+      .filter(col("nranks") === 2)
+      .selectExpr("vec_id", "cluster",
+        "cast(round(if(1.0d - cos2 = 0.0d, 0.0d, " +
+          "((cos1 - cos2) / (1.0d - cos2)) * 1000000.0d)) as bigint) AS sil_micro")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sil_micro")).as("sum_sil_micro"))
+      .selectExpr("cluster", "n_vectors", "sum_sil_micro",
+        "sum_sil_micro div n_vectors AS mean_sil_micro")
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
       kCentroids: Int, nprobe: Int): DataFrame =
     ivfTopKWith(emb, fixedCodebook(emb, kCentroids), nQueries, k, nprobe)

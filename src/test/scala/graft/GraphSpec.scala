@@ -295,4 +295,79 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
       "kCore must not leak checkpoint blocks past release()")
   }
+
+  // ---- scc ----
+
+  /** In-memory reference: boolean transitive closure (Floyd–Warshall
+    * over the reflexive edge relation), then the operator's own
+    * definition verbatim — scc_id(u) = min{v : u→*v ∧ v→*u}. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val r = Array.fill(n, n)(false)
+    nodes.indices.foreach(i => r(i)(i) = true)
+    edges.foreach { case (s, t) => r(idx(s))(idx(t)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (r(i)(k) && r(k)(j)) r(i)(j) = true
+    val lab = nodes.indices.map { i =>
+      nodes(i) -> nodes.indices.filter(j => r(i)(j) && r(j)(i)).map(nodes).min
+    }.toMap
+    val size = lab.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    lab.map { case (u, l) => u -> (l, size(l)) }
+  }
+
+  private def runScc(edges: Seq[(Long, Long)], parts: Int = 4,
+      maxRounds: Int = 20): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = Graph.scc(edges.toDF("s", "t").repartition(parts), "s", "t",
+      maxRounds = maxRounds)
+    val out = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Storage.release(df)
+    out
+  }
+
+  test("scc: two cycles bridged one-way + dangling tail") {
+    // cycle {1,2,3} → bridge → cycle {4,5} → tail 6: three components,
+    // the bridge direction keeps them separate
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L))
+    val got = runScc(edges)
+    assert(got === Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (4L, 2L), 5L -> (4L, 2L), 6L -> (6L, 1L)))
+  }
+
+  test("scc: differential fuzz vs the in-memory closure reference") {
+    var x = 424242L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    for (trial <- 1 to 5) {
+      val nNodes = 6 + trial * 3
+      val edges = (1 to nNodes * 2).map(_ => (nxt() % nNodes + 1, nxt() % nNodes + 1))
+      assert(runScc(edges) === refScc(edges), s"trial $trial edges=$edges")
+    }
+  }
+
+  test("scc: self-loops and duplicate edges are absorbed; acyclic DAG is all singletons") {
+    val dag = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 3L))
+    val got = runScc(dag)
+    assert(got === Map(1L -> (1L, 1L), 2L -> (2L, 1L), 3L -> (3L, 1L)))
+  }
+
+  test("scc: partition independence") {
+    var x = 777L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = (1 to 60).map(_ => (nxt() % 15 + 1, nxt() % 15 + 1))
+    assert(runScc(edges, parts = 1) === runScc(edges, parts = 7))
+  }
+
+  test("scc: the maxRounds valve throws and releases its checkpoints") {
+    // a 9-node directed path needs 3 doubling rounds past the seed
+    val edges = (1L to 8L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException](runScc(edges, maxRounds = 1))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "a valve trip must release every checkpoint block it acquired")
+  }
 }

@@ -1674,6 +1674,54 @@ class PlanAuditSpec extends AnyFunSuite {
       (BigInt(p42Row.getLong(0) - p42Row.getLong(1)) * 1000000 / p42Row.getLong(0)).toLong)
   }
 
+  test("round-11 part-25 shapes (c13 partition + no cartesian, q74 bucketed cumsum + threshold mass, s35 bounded clusters)") {
+    // c13: SCCs PARTITION the node set — sizes are consistent within a
+    // component, the min label is a member (scc_id <= node never
+    // violated since every node reaches itself), and the closure plan
+    // stays equi-join (no cartesian product)
+    val c13 = queries.Pipeline60.c13.run(spark, sfDir)
+    val c13Plan = finalPlan(c13)
+    assert(!c13Plan.contains("CartesianProduct"), s"closure must equi-join:\n$c13Plan")
+    val sccRows = c13.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sccRows.nonEmpty)
+    sccRows.groupBy(_._2).foreach { case (id, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"scc $id sizes disagree")
+      assert(g.length.toLong == g.head._3, s"scc $id claimed size != member count")
+      assert(g.map(_._1).min == id, s"scc label $id must be its min member")
+    }
+    assert(sccRows.map(_._1).distinct.length == sccRows.length,
+      "a node must land in exactly one component")
+
+    // q74: the cumulative sum must come from the BUCKETED parallel
+    // window (hash-partitioned on the bucket column), not a
+    // single-partition global window; and the picked mass must equal
+    // the exact threshold count floor((total-1-off)/step)+1
+    val q74 = queries.Pipeline60.q74.run(spark, sfDir)
+    val q74Plan = finalPlan(q74)
+    assert(q74Plan.contains("hashpartitioning(b"),
+      s"per-bucket cumsum must hash-partition on the bucket:\n$q74Plan")
+    val base = Tables.orders(spark, sfDir)
+      .selectExpr("cast(round(o_totalprice * 100) as bigint) AS w").collect()
+    val total = base.map(_.getLong(0)).sum
+    val step = math.max(total / 100, 1L)
+    val off = step / 2
+    val expectPicks = (total - 1 - off) / step + 1
+    assert(q74.collect().map(_.getLong(2)).sum == expectPicks,
+      "systematic sampling must place exactly one pick per threshold")
+
+    // s35: clusters come from the fixed codebook id range; silhouette
+    // stays in [0, 1e6]; the per-cluster masses sum to the vectors
+    // that ranked >= 2 centroids (all of them on this corpus)
+    val s35 = queries.Pipeline60.s35.run(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(s35.map(_.getLong(1)).sum == nVecs, "every vector scores")
+    s35.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L,
+        s"cluster ${r.getLong(0)} mean silhouette out of range: ${r.getLong(3)}")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
