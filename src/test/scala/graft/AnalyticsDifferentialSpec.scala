@@ -544,4 +544,118 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       assert(got == want, s"round $round: union length mismatch")
     }
   }
+
+  // ---- QueryDef-level fuzzes: the registered query is replayed end
+  // to end (Tables read path included) against a synthesized
+  // events.parquet in a temp sf-dir, compared to an in-memory
+  // reference — one level above the operator fuzzes, so the inline
+  // query logic (joins, loop unrolls, coalesces) is covered too. ----
+
+  /** (user_id, ms, event_id, event_type, value) rows -> a temp dir
+    * shaped like a testdata sf dir (events.parquet only). */
+  private def writeEventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_sf").toFile
+    dir.deleteOnExit()
+    rows.toDF("user_id", "ms", "event_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_millis(ms) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  private val fuzzTypes = Vector("view", "click", "purchase", "error")
+
+  private def randomEvents(n: Int, users: Int, msSlots: Int): Seq[(Long, Long, Long, String, Double)] =
+    (1 to n).map { i =>
+      (nxt() % users, 1700000000000L + (nxt() % msSlots) * 1000L, i.toLong,
+        fuzzTypes((nxt() % fuzzTypes.size).toInt), (nxt() % 10000).toDouble / 100.0)
+    }
+
+  test("e35 markov stationary: QueryDef fuzz vs in-memory floor-exact power iteration") {
+    (1 to 3).foreach { round =>
+      val rows = randomEvents(350, 20, 60)
+      val got = queries.Pipeline51.e35.run(spark, writeEventsDir(rows))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pairs = rows.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.toSeq
+      val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val fromTot = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val p = cnt.map { case ((a, b), c) => (a, b) -> c * 1000000L / fromTot(a) }
+      val types = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      var m: Map[String, Long] = types.map(_ -> 1000000L / types.size).toMap
+      for (_ <- 1 to 8) {
+        val inflow = scala.collection.mutable.Map[String, BigInt]()
+          .withDefaultValue(BigInt(0))
+        p.foreach { case ((a, b), pm) =>
+          m.get(a).foreach(mass => inflow(b) += BigInt(mass) * pm)
+        }
+        m = inflow.map { case (t, s) => t -> (s / 1000000).toLong }.toMap
+      }
+      val want = types.map(t => t -> m.getOrElse(t, 0L)).toMap
+      assert(got == want, s"round $round: stationary mismatch")
+    }
+  }
+
+  test("q68 exact KS statistic: QueryDef fuzz vs in-memory CDF sweep (tie cents, min-cents argmax)") {
+    (1 to 3).foreach { round =>
+      // coarse value grid so many cents collide (the grouped-CDF path)
+      val rows = randomEvents(300, 15, 40)
+        .map(r => r.copy(_5 = (nxt() % 25).toDouble / 2.0))
+      val got = queries.Pipeline50.q68.run(spark, writeEventsDir(rows)).collect().head
+      val v = rows.filter(r => r._4 == "purchase" || r._4 == "click")
+        .map(r => (r._4, Math.round(r._5 * 100)))
+      val n1 = v.count(_._1 == "purchase").toLong
+      val n2 = v.count(_._1 == "click").toLong
+      val byCents = v.groupBy(_._2).toSeq.sortBy(_._1)
+      var (c1, c2) = (0L, 0L)
+      var best = (BigInt(-1), Long.MinValue) // (term, -cents) lexicographic max
+      byCents.foreach { case (cents, g) =>
+        c1 += g.count(_._1 == "purchase"); c2 += g.count(_._1 == "click")
+        val term = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+        if (term > best._1 || (term == best._1 && -cents > best._2))
+          best = (term, -cents)
+      }
+      val wantKs = (best._1 * 1000000 / (BigInt(n1) * n2)).toLong
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+        ((n1, n2, wantKs, -best._2)), s"round $round: KS mismatch")
+    }
+  }
+
+  test("e37 recovery time: QueryDef fuzz vs in-memory next-OK search (unrecovered tails, ts ties)") {
+    (1 to 3).foreach { round =>
+      val rows = randomEvents(320, 18, 50)
+      val got = queries.Pipeline55.e37.run(spark, writeEventsDir(rows)).collect().head
+      // per user, row-ordered by (ts, event_id): each error's latency
+      // to the next non-error row's ts (None when the tail is errors)
+      val lats = rows.groupBy(_._1).values.flatMap { es =>
+        val s = es.sortBy(e => (e._2, e._3))
+        s.indices.filter(i => s(i)._4 == "error").map { i =>
+          s.drop(i + 1).find(_._4 != "error")
+            .map(nk => (nk._2 * 1000L - s(i)._2 * 1000L) / 1000000L)
+        }
+      }.toSeq
+      val nErrors = lats.size.toLong
+      val rec = lats.flatten.toSeq
+      val nRec = rec.size.toLong
+      def pct(p: Double): Double = {
+        // Spark Percentile: position = p*(n-1), linear interpolation
+        // (higher-position)*lower + (position-lower)*higher
+        val sorted = rec.sorted.map(_.toDouble)
+        val pos = p * (sorted.size - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        if (lo == hi) sorted(lo)
+        else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+      }
+      assert(nErrors > 0 && nRec > 0, s"round $round: degenerate fuzz input")
+      val want = (nErrors, nRec, nRec * 1000000L / nErrors,
+        if (nRec == 0) 0L else rec.sum / nRec,
+        Math.round(pct(0.5) * 1000000), Math.round(pct(0.9) * 1000000))
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5)) == want, s"round $round: recovery mismatch")
+    }
+  }
 }
