@@ -253,4 +253,46 @@ object EventStreams {
         col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .drop("bucket_e", "bucket_p")
   }
+
+  /** Stream-stream LEFT OUTER interval join — the state-EVICTION
+    * semantic [[purchasesNearErrors]]'s inner join never exercises:
+    * every purchase emits, paired with each error it trails within
+    * `windowSeconds`, or ONCE with NULLs when the watermark proves no
+    * matching error can still arrive. The left (purchase) side keys
+    * to its single time bucket, so an unmatched purchase emits
+    * exactly one NULL row (putting the exploded side on the left
+    * would emit one NULL per bucket copy — the asymmetry is load-
+    * bearing and spec-pinned).
+    *
+    * NULL rows are emitted by the engine only when the GLOBAL
+    * watermark (min across both inputs) passes the purchase's match
+    * horizon — a caller that stops the stream early keeps tail
+    * purchases buffered, not dropped. Drive far-future sentinels OF
+    * BOTH TYPES through the source to flush them (the st11 query
+    * does): the watermark nodes are declared upstream of the type
+    * filters, but Catalyst pushes the filters below them, so only an
+    * event that survives a side's filter advances that side's
+    * watermark — a third-type sentinel advances neither.
+    * State stays O(watermark × rate) per side, hash-partitioned by
+    * bucket. Works identically over batch frames (plain left join). */
+  def purchasesWithErrorAttribution(events: DataFrame, windowSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermark) else df
+    val purchases = wm(events).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    val errors = wm(events).filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("bucket_e", explode(expr(
+        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
+    purchases.join(errors,
+      col("bucket_p") === col("bucket_e") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+      .drop("bucket_p", "bucket_e")
+  }
 }

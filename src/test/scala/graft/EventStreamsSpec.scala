@@ -176,6 +176,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matched set == inner join; nulls single and never contradicted") {
+    val winSec = 3600L
+    val stream = EventStreams.readEventStream(spark, sfDir)
+    val q = EventStreams.purchasesWithErrorAttribution(stream, windowSeconds = winSec)
+      .writeStream.outputMode("append").format("memory").queryName("soj_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row): (Long, Option[Long]) =
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      val streamed = spark.sql("SELECT p_id, e_id FROM soj_out").collect().map(key).toSeq
+      val batch = EventStreams.purchasesWithErrorAttribution(
+          Tables.events(spark, sfDir), windowSeconds = winSec)
+        .select("p_id", "e_id").collect().map(key).toSet
+      // the batch form is the plain left join: its matched subset must
+      // equal the inner operator's pair set, and every purchase must
+      // appear — unmatched ones exactly once, with NULL
+      val inner = EventStreams.purchasesNearErrors(
+          Tables.events(spark, sfDir), windowSeconds = winSec)
+        .select("p_id", "e_id").collect().map(key).toSet
+      assert(inner.nonEmpty, "fixture produced no matches at this window")
+      assert(batch.filter(_._2.isDefined) == inner)
+      val purchases = Tables.events(spark, sfDir)
+        .filter("event_type = 'purchase'")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(batch.map(_._1) == purchases, "left join must emit every purchase")
+      val matchedP = batch.filter(_._2.isDefined).map(_._1)
+      assert(batch.filter(_._2.isEmpty).map(_._1).intersect(matchedP).isEmpty,
+        "a matched purchase must not also carry a NULL row (batch)")
+      // streaming without flush sentinels: every match emits (matches
+      // never wait on the watermark); NULLs may be withheld at the
+      // tail but each emitted row is a batch row, emitted once, and
+      // never contradicts a match — the eviction-correctness half;
+      // exact NULL completeness is the st11 query's sentinel-driven
+      // oracle check
+      assert(streamed.distinct.size == streamed.size,
+        "append mode must emit each row at most once")
+      val sSet = streamed.toSet
+      assert(sSet.subsetOf(batch), s"streamed rows not in batch: ${sSet.diff(batch)}")
+      assert(sSet.filter(_._2.isDefined) == inner,
+        "all matched pairs must emit without sentinels")
+      assert(sSet.filter(_._2.isEmpty).map(_._1).intersect(matchedP).isEmpty,
+        "a matched purchase must never also emit NULL (stream)")
+    } finally q.stop()
+  }
+
   test("stream-static segment revenue: stream (memory sink) == batch") {
     val dim = Tables.customer(spark, sfDir)
       .selectExpr("c_custkey AS user_id", "c_mktsegment AS segment")
