@@ -438,6 +438,85 @@ object Graph {
           "AS assortativity_micro")
   }
 
+  /** Harmonic centrality of a DIRECTED graph — Σ over reachable
+    * targets of 1∕d(s,t), the closeness-family centrality that stays
+    * well-defined on disconnected graphs (unreachable targets
+    * contribute 0, not ∞). Distances come from a frontier BFS over
+    * the DISTINCT edge list: round r's frontier joins the edges,
+    * anti-joins the pairs already seen (first discovery IS the
+    * shortest path), and the loop stops when a frontier comes back
+    * empty. Each term is floored micro-units (`1e6 div d`), summed
+    * exactly — both engines replay the identical integer chain.
+    * Returns (node, harmonic_micro, n_reachable) for every node in
+    * the edge list, zeros for pure sinks.
+    *
+    * Scale contract: the [[scc]] bounded-vocabulary contract —
+    * distances are O(T²) rows, rounds ≤ diameter ≤ T, each round one
+    * equi-join + one anti-join over catalog-sized frames,
+    * checkpointed with stale-block release; the valve THROWS. The
+    * one log-sized pass is upstream edge derivation. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    // Fresh-attribute barrier: the seed frame and each round's
+    // accumulate-union must NOT share expression ids (or carried
+    // constraints) with `e`/`dist`, which appear INSIDE the other
+    // union child's plan — Catalyst's Union constraint rewrite
+    // chokes on a child constraint mentioning a non-output
+    // attribute. Frames here are vocabulary-sized (≤T² rows), so
+    // the Row round-trip is negligible.
+    def rebase(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    try {
+      val e = ckpt(edges.selectExpr(s"$srcCol AS s", s"$dstCol AS t")
+        .filter(col("s") =!= col("t")).distinct())
+      val nodes = e.select(col("s").as("n"))
+        .union(e.select(col("t").as("n"))).distinct()
+      var dist = ckpt(rebase(e).withColumn("d", lit(1L)))
+      var frontier = dist
+      var more = frontier.count() > 0L
+      var round = 1
+      while (more) {
+        round += 1
+        require(round <= maxRounds,
+          s"harmonicCentrality BFS still expanding after $maxRounds rounds — " +
+            "node domain larger than this operator's bounded-vocabulary contract")
+        val next = ckpt(frontier.as("f")
+          .join(e.as("e"), col("f.t") === col("e.s"))
+          .select(col("f.s").as("s"), col("e.t").as("t"))
+          .filter(col("s") =!= col("t"))
+          .distinct()
+          .join(dist.select(col("s"), col("t")), Seq("s", "t"), "left_anti")
+          .withColumn("d", lit(round.toLong)))
+        more = next.count() > 0L
+        if (more) {
+          val merged = ckpt(dist.union(rebase(next)))
+          Seq(dist, frontier).foreach(Storage.release)
+          dist = merged
+          frontier = next
+        } else {
+          Storage.release(next)
+        }
+      }
+      val out = nodes.join(
+          dist.groupBy(col("s").as("n"))
+            .agg(sum(expr("1000000L div d")).as("h"),
+              count(lit(1)).as("r")),
+          Seq("n"), "left")
+        .selectExpr("n AS node", "coalesce(h, 0L) AS harmonic_micro",
+          "coalesce(r, 0L) AS n_reachable")
+      out
+    } catch {
+      case th: Throwable =>
+        acquired.foreach(Storage.release)
+        throw th
+    }
+  }
+
   /** Strongly connected components of a DIRECTED graph by
     * transitive-closure doubling: `reach := reach ∪ (reach ⋈ reach)`
     * until fixpoint, then `scc_id(u) = min{v : u→*v AND v→*u}` over

@@ -362,11 +362,79 @@ class GraphSpec extends AnyFunSuite {
     assert(runScc(edges, parts = 1) === runScc(edges, parts = 7))
   }
 
+  // ---- harmonic centrality ----
+
+  /** In-memory reference: per-source BFS over the deduped,
+    * self-loop-free edge list, then the operator's floored micro sum. */
+  private def refHarmonic(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val adj = e.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct }
+    nodes.map { s =>
+      val dist = scala.collection.mutable.Map[Long, Long]()
+      var frontier = adj.getOrElse(s, Nil).filterNot(_ == s)
+      var d = 1L
+      while (frontier.nonEmpty) {
+        frontier.foreach(v => dist(v) = d)
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(v => v == s || dist.contains(v))
+      }
+      s -> ((dist.values.map(1000000L / _).sum, dist.size.toLong))
+    }.toMap
+  }
+
+  private def runHarmonic(edges: Seq[(Long, Long)], parts: Int = 4,
+      maxRounds: Int = 20): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = Graph.harmonicCentrality(edges.toDF("s", "t").repartition(parts),
+      "s", "t", maxRounds = maxRounds)
+    val out = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Storage.release(df)
+    out
+  }
+
   test("scc: the maxRounds valve throws and releases its checkpoints") {
     // a 9-node directed path needs 3 doubling rounds past the seed
     val edges = (1L to 8L).map(i => (i, i + 1))
     val before = spark.sparkContext.getPersistentRDDs.size
     intercept[IllegalArgumentException](runScc(edges, maxRounds = 1))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "a valve trip must release every checkpoint block it acquired")
+  }
+
+  test("harmonic: path, cycle, and sink match hand counts") {
+    // path 1->2->3 plus a cycle 4<->5 and an edge 3->4
+    // d(1,*): 2:1 3:2 4:3 5:4 ; d(2,*): 3:1 4:2 5:3 ; d(3,*): 4:1 5:2
+    // d(4,*): 5:1 4? excluded ; d(5,*): 4:1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L))
+    val got = runHarmonic(edges)
+    assert(got(1L) == ((1000000L + 500000L + 333333L + 250000L, 4L)))
+    assert(got(2L) == ((1000000L + 500000L + 333333L, 3L)))
+    assert(got(3L) == ((1000000L + 500000L, 2L)))
+    assert(got(4L) == ((1000000L, 1L)))
+    assert(got(5L) == ((1000000L, 1L)))
+  }
+
+  test("harmonic: differential fuzz vs in-memory BFS") {
+    var x = 31337L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    for (trial <- 1 to 5) {
+      val nNodes = 5 + trial * 3
+      val edges = (1 to nNodes * 2).map(_ => (nxt() % nNodes + 1, nxt() % nNodes + 1))
+      assert(runHarmonic(edges) === refHarmonic(edges), s"trial $trial edges=$edges")
+    }
+  }
+
+  test("harmonic: partition independence and valve release") {
+    var x = 2024L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = (1 to 50).map(_ => (nxt() % 12 + 1, nxt() % 12 + 1))
+    assert(runHarmonic(edges, parts = 1) === runHarmonic(edges, parts = 7))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalArgumentException](
+      runHarmonic((1L to 9L).map(i => (i, i + 1)), maxRounds = 2))
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "a valve trip must release every checkpoint block it acquired")
   }
