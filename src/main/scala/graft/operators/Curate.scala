@@ -296,4 +296,47 @@ object Curate {
         "cast((cast(n_sampled as decimal(38,0)) * 1000000) div n_rows as bigint) AS realized_micro")
       .orderBy(col("stratum"))
   }
+
+  /** Exact Gini coefficient of a NON-NEGATIVE integer weight column
+    * (order values, doc token counts, per-source masses) — the
+    * inequality measure that complements [[sourceConcentration]]'s
+    * HHI. With weights sorted ascending and 1-based ranks i,
+    * `G = (2·Σ i·wᵢ − (n+1)·Σw) / (n·Σw)`, reported floored to
+    * micro-units. Ties collapse: rows are grouped per DISTINCT
+    * weight, and a tie group of `cnt` rows starting at global rank
+    * `before+1` contributes `w·(cnt·(before+1) + cnt·(cnt−1)/2)`
+    * exactly — so no per-row rank is ever materialized.
+    *
+    * 100 TB shape: the global exclusive cumulative count is NOT a
+    * single-partition window over the distinct-weight frame — the
+    * weight domain splits into ≤257 value-range buckets (top bits of
+    * the weight relative to a broadcast 1-row max; bucket order IS
+    * value order, unlike q74's hash line), each bucket window-cumsums
+    * in parallel, and the ≤257-row bucket-offset frame broadcasts
+    * back. The decomposition is algebraically the identity; the
+    * oracle computes the same numbers with one flat window. All
+    * products ride decimal(38,0) (mirrored by HUGEINT): s1 ≤ n²·wmax
+    * ≈ 5e31 at 1e12 rows of ≤5e7, ×1e6 still inside 38 digits. */
+  def giniExact(df: DataFrame, weightCol: String): DataFrame = {
+    val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val mx = g.agg(max(col("c")).as("mx"))
+    val gb = g.crossJoin(broadcast(mx))
+      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
+    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
+    val offs = bt.withColumn("off",
+      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .agg(sum(col("cnt")).as("n"),
+        sum(expr("cast(c as decimal(38,0)) * cnt")).as("t"),
+        sum(expr("cast(c as decimal(38,0)) * (cast(cnt as decimal(38,0)) * (before + 1)" +
+          " + cast(cnt as decimal(38,0)) * (cnt - 1) div 2)")).as("s1"))
+      .selectExpr("n AS n_rows", "cast(t as bigint) AS total_weight",
+        "cast(if(n < 2 or t <= 0, 0, " +
+          "(2 * s1 - (n + 1) * t) * 1000000 div (n * t)) as bigint) AS gini_micro")
+  }
 }

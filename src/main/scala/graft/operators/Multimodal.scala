@@ -245,6 +245,35 @@ object Multimodal {
   final case class AudioClipAudit(media_id: Long, n_samples: Long,
       n_clipped: Long, clip_micro: Long, dc_offset: Long)
 
+  final case class AudioZcr(media_id: Long, n_samples: Long,
+      n_crossings: Long, zcr_micro: Long)
+
+  /** Zero-crossing rate over REAL WAV payloads — the classic cheap
+    * voiced/unvoiced + noisiness discriminator (high ZCR ≈ fricatives
+    * or hiss, low ≈ tonal/voiced content). A crossing is a STRICT
+    * sign flip between adjacent samples (`s[i−1]·s[i] < 0`): exact
+    * zeros break a run and count at neither adjacency, so the
+    * definition needs no zero-side convention and the `Short×Short`
+    * product can never overflow an Int. `zcr_micro` is crossings per
+    * adjacent pair, floored micro-units. One decode + one integer
+    * pass per record; map-only, never shuffles. */
+  def zeroCrossingAudit(media: Dataset[MediaRecord]): Dataset[AudioZcr] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val s = MediaCodec.decodeWav(m.payload).samples
+      var cross = 0L
+      var i = 1
+      while (i < s.length) {
+        if (s(i - 1).toInt * s(i).toInt < 0) cross += 1
+        i += 1
+      }
+      val n = s.length.toLong
+      AudioZcr(m.media_id, n, cross,
+        if (n < 2) 0L else cross * 1000000L / (n - 1))
+    }
+  }
+
   /** Clipping / DC-offset audit over REAL WAV payloads — the two
     * recording-quality defects an audio-ingest pipeline gates on:
     * samples at-or-beyond the clip threshold (rail hits from

@@ -255,4 +255,38 @@ class CurateSpec extends AnyFunSuite {
     // effective sources = 1/HHI = 1.6 -> 1600000 micro
     assert(r(0).getLong(4) === 1600000L)
   }
+
+  /** In-memory Gini reference: sort ascending, BigInt the textbook
+    * rank formula — the per-distinct-value tie collapse and the
+    * bucketed cumsum in the operator must reproduce it exactly. */
+  private def refGini(ws: Seq[Long]): (Long, Long, Long) = {
+    val sorted = ws.sorted
+    val n = BigInt(sorted.length)
+    val t = sorted.map(BigInt(_)).sum
+    val s1 = sorted.zipWithIndex.map { case (w, i) => BigInt(w) * (i + 1) }.sum
+    val g = if (n < 2 || t <= 0) BigInt(0)
+      else (2 * s1 - (n + 1) * t) * 1000000 / (n * t)
+    (n.toLong, t.toLong, g.toLong)
+  }
+
+  test("giniExact: differential fuzz vs the in-memory rank formula (ties, zeros, degenerates)") {
+    import spark.implicits._
+    var x = 424242L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val cases = Seq(
+      Seq(5L),                          // single row -> 0
+      Seq(7L, 7L, 7L, 7L),              // all equal -> 0
+      Seq(0L, 0L, 10L),                 // zeros and one holder
+      (1 to 200).map(_ => nxt() % 1000),      // heavy ties
+      (1 to 300).map(_ => nxt() % 100000000L) // wide domain (multi-bucket)
+    )
+    for ((ws, i) <- cases.zipWithIndex) {
+      val (n, t, g) = refGini(ws)
+      val r = Curate.giniExact(ws.toDF("w").repartition(5), "w").collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((n, t, g)),
+        s"case $i weights=${ws.take(8)}…")
+    }
+    assert(Curate.giniExact(Seq(7L, 7L, 7L).toDF("w"), "w")
+      .collect()(0).getLong(2) === 0L, "all-equal distribution must score 0")
+  }
 }

@@ -331,4 +331,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((8L, 0L)) === ((None, None, true)), "single-frame video keys its only frame")
     intercept[IllegalArgumentException](Multimodal.keyframes(frames, -1L))
   }
+
+  test("zeroCrossingAudit: strict sign flips, zeros break runs, non-audio filtered, degenerates") {
+    import spark.implicits._
+    // +5 -5 +5 0 -5 +5 : flips at (0,1) (1,2); (2,3) and (3,4) touch a
+    // zero (product 0, NOT a crossing); (4,5) flips -> 3 crossings
+    // over 5 adjacent pairs -> 600000 micro
+    val s1 = Array[Short](5, -5, 5, 0, -5, 5)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, s1)),
+      Multimodal.MediaRecord(2L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array[Short](7))), // 1 sample -> 0
+      Multimodal.MediaRecord(3L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array.tabulate[Short](8)(j =>
+          (if (j % 2 == 0) 32767 else -32767).toShort))), // rails flip every pair
+      Multimodal.MediaRecord(4L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(1, 1, Array[Byte](1, 2, 3)))).toDS()
+    val got = Multimodal.zeroCrossingAudit(media)
+      .collect().map(z => z.media_id -> ((z.n_samples, z.n_crossings, z.zcr_micro))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "non-audio records emit nothing")
+    assert(got(1L) == ((6L, 3L, 600000L)))
+    assert(got(2L) == ((1L, 0L, 0L)), "a 1-sample clip has no adjacent pairs")
+    assert(got(3L) == ((8L, 7L, 1000000L)),
+      "rail-to-rail alternation crosses at every pair (and 32767² must not overflow)")
+  }
 }

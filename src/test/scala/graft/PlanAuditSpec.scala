@@ -1722,6 +1722,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-28 shapes (q76 bucketed rank identity, t43 bounded shuffles, m15 crossing bound)") {
+    // q76: the exclusive-cumcount must come from the PARALLEL
+    // per-bucket window (hash-partitioned on the value bucket), never
+    // a single-partition global window over the distinct-value frame;
+    // and the Gini must be scale-invariant in the weights (pure
+    // inequality measure): doubling every weight leaves gini_micro
+    // unchanged while total doubles
+    val q76 = queries.Pipeline63.q76.run(spark, sfDir)
+    val q76Plan = finalPlan(q76)
+    assert(q76Plan.contains("hashpartitioning(b"),
+      s"per-bucket cumsum must hash-partition on the bucket:\n$q76Plan")
+    assert(!q76Plan.contains("CartesianProduct"), s"no cartesian:\n$q76Plan")
+    val r76 = q76.collect()(0)
+    val cents2 = Tables.orders(spark, sfDir)
+      .selectExpr("cast(round(o_totalprice * 100) as bigint) * 2 AS w")
+    val dbl = graft.operators.Curate.giniExact(cents2, "w").collect()(0)
+    assert(dbl.getLong(2) == r76.getLong(2),
+      "Gini must be invariant under uniform weight scaling")
+    assert(dbl.getLong(1) == 2L * r76.getLong(1))
+
+    // t43: the repeat probability is bounded by the most-common-type
+    // share squared-ish: for every source, floor bounds — 0 <= micro
+    // <= 1e6 — and the type count never exceeds the token count
+    val t43 = queries.Pipeline63.t43.run(spark, sfDir).collect()
+    assert(t43.nonEmpty)
+    t43.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "types cannot exceed tokens")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+
+    // m15: crossings are bounded by adjacent pairs, and zcr_micro is
+    // exactly crossings*1e6 div (n-1) — recomputed from the row itself
+    val m15 = queries.Pipeline63.m15.run(spark, sfDir).collect()
+    assert(m15.nonEmpty)
+    m15.foreach { r =>
+      val (n, x, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(x <= math.max(0L, n - 1), "crossings bounded by adjacent pairs")
+      assert(z == (if (n < 2) 0L else x * 1000000L / (n - 1)))
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

@@ -114,4 +114,25 @@ class TextOpsSpec extends AnyFunSuite {
     // right->i  = 3
     assert(got(4L) == ((4L, 3L, 3L, 206835000L - (1015000L * 4 / 3) - (84600000L * 3 / 4))))
   }
+
+  test("simpsonDiversity: hand counts, tiny-source floor, and an all-same-token source") {
+    import spark.implicits._
+    val docs = Seq(
+      // source a: tokens a a a b b c -> N=6, types=3,
+      // rep = 3*2 + 2*1 + 0 = 8 -> 8e6/(6*5) = 266666
+      (1L, "a", "A a a b"),
+      (2L, "a", "b c"),
+      // source b: one token -> N=1 -> floored to 0
+      (3L, "b", "solo"),
+      // source c: x x x x -> rep = 4*3 = 12 -> 12e6/(4*3) = 1000000
+      (4L, "c", "x x X x"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.simpsonDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((6L, 3L, 266666L)))
+    assert(got("b") == ((1L, 1L, 0L)), "a 1-token source floors to 0")
+    assert(got("c") == ((4L, 1L, 1000000L)),
+      "an all-same-token source maxes at exactly 1e6")
+  }
 }
