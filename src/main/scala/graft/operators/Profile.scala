@@ -49,4 +49,83 @@ object Profile {
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Benford first-digit micro-shares, floored `log10(1 + 1/d)`,
+    * d = 1..9 — pinned as integer constants so both engines compare
+    * against the identical expectation (no runtime log). */
+  private[graft] val BenfordMicro: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford first-significant-digit audit of a POSITIVE integer
+    * column (amounts in cents, counts) — the forensic-accounting
+    * classic: naturally-grown magnitude data leads with 1 about 30%
+    * of the time, and a flat or spiked digit histogram flags
+    * synthetic or manipulated values. The first digit is the first
+    * character of the decimal rendering — exact, no float log — and
+    * the expected shares are the pinned [[BenfordMicro]] constants.
+    * The output grid is data-independent (always 9 rows, zeros for
+    * absent digits); non-positive values are excluded (Benford is
+    * undefined there) but reported via `n_total` staying the sum of
+    * the digit rows only.
+    *
+    * 100 TB shape: one map + one 9-key partial-agg shuffle; the
+    * 9-row grid and 1-row total broadcast. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val expect = BenfordMicro.zipWithIndex
+      .map { case (m, i) => s"when ${i + 1} then ${m}L" }
+      .mkString("case digit ", " ", " else 0L end")
+    val counts = df.selectExpr(s"cast($valueCol as bigint) AS v")
+      .filter(col("v") > 0)
+      .selectExpr("cast(substring(cast(v as string), 1, 1) as bigint) AS digit")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = spark.range(1, 10).selectExpr("id AS digit")
+    grid.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("n_total"))))
+      .selectExpr("digit", "n", "n_total",
+        "cast(if(n_total = 0, 0, (cast(n as decimal(38,0)) * 1000000) div n_total) as bigint) AS share_micro",
+        s"$expect AS benford_micro")
+      .selectExpr("digit", "n", "n_total", "share_micro", "benford_micro",
+        "abs(share_micro - benford_micro) AS dev_micro")
+      .orderBy(col("digit"))
+  }
+
+  /** Exact weighted median of a value column under a non-negative
+    * integer weight column — the smallest value v with
+    * `2·cumweight(v) ≥ total` (lower weighted median; with unit
+    * weights this is the lower statistical median). Distinct-value
+    * collapse + the [[graft.operators.Curate.giniExact]] value-range
+    * bucket decomposition: the global inclusive cumulative weight is
+    * ≤257 parallel per-bucket windows plus a broadcast offset frame,
+    * never a single-partition window over the distinct-value frame.
+    * Returns one row: (median_value, total_weight, cum_at_median).
+    *
+    * 100 TB shape: one distinct-value partial agg, one ≤257-row
+    * broadcast, one bucket-partitioned window, one 1-row fold. */
+  def weightedMedianExact(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame = {
+    val g = df.selectExpr(s"cast($valueCol as bigint) AS c",
+        s"cast($weightCol as bigint) AS w")
+      .groupBy(col("c")).agg(sum(col("w")).as("wv"))
+    val mx = g.agg(max(col("c")).as("mx"))
+    val gb = g.crossJoin(broadcast(mx))
+      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
+    val bt = gb.groupBy(col("b")).agg(sum(col("wv")).as("bw"))
+    val offs = bt.withColumn("off",
+      coalesce(sum(col("bw")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("cum", col("off") + sum(col("wv")).over(win))
+      .crossJoin(broadcast(gb.agg(sum(col("wv")).as("total"))))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("total"))
+      .agg(min(col("c")).as("median_value"), min_by(col("cum"), col("c")).as("cum_at_median"))
+      .selectExpr("median_value", "total AS total_weight", "cum_at_median")
+  }
 }

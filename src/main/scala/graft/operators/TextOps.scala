@@ -246,4 +246,28 @@ object TextOps {
           " div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1))) as bigint)" +
           " AS simpson_repeat_micro")
       .orderBy(col("source"))
+
+  /** Lexical richness per source — hapax legomena (types seen once)
+    * and dis legomena (types seen twice) counts plus the hapax share
+    * of the vocabulary, floored micro-units. A natural corpus runs
+    * ~40–60% hapax; template-generated text collapses far below
+    * that, so the share is a cheap synthetic-text flag next to
+    * [[simpsonDiversity]]'s repeat probability (which weighs TOKENS
+    * where this weighs TYPES).
+    *
+    * 100 TB shape: the same two bounded shuffles as
+    * [[simpsonDiversity]] — one (source, token) partial agg, one
+    * source fold. */
+  def lexicalRichness(docs: DataFrame, srcCol: String, textCol: String): DataFrame =
+    docs.selectExpr(s"$srcCol AS source", s"${tokens(textCol)} AS toks")
+      .selectExpr("source", "explode(toks) AS tok")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(expr("cast(n = 1 as bigint)")).as("n_hapax"),
+        sum(expr("cast(n = 2 as bigint)")).as("n_dis"))
+      .selectExpr("source", "n_types", "n_hapax", "n_dis",
+        "cast((cast(n_hapax as decimal(38,0)) * 1000000) div n_types as bigint)" +
+          " AS hapax_share_micro")
+      .orderBy(col("source"))
 }

@@ -1763,6 +1763,48 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-29 shapes (q77 grid totals, q78 bucketed identity, t44 type partition)") {
+    // q77: shares must sum to the total (the 9-row grid partitions the
+    // positive values), every deviation is |share - pinned constant|,
+    // and the plan carries no cartesian beyond the 1-row total
+    val q77 = queries.Pipeline64.q77.run(spark, sfDir)
+    val rows77 = q77.collect()
+    assert(rows77.length == 9)
+    val total = rows77.head.getLong(2)
+    assert(rows77.map(_.getLong(1)).sum == total,
+      "digit counts must partition the positive values")
+    rows77.foreach { r =>
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+
+    // q78: the bucketed cumulative weight must be the flat-window
+    // identity — recompute the median in-memory from the same frame
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("cast(round(l_extendedprice * 100) as bigint) AS c",
+        "cast(round(l_quantity) as bigint) AS w").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val g = li.groupBy(_._1).map { case (v, s) => v -> s.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val tot = g.map(_._2).sum
+    var cum = 0L
+    val (mv, ca) = g.collectFirst {
+      case (v, w) if { cum += w; cum * 2 >= tot } => (v, cum)
+    }.get
+    val q78 = queries.Pipeline64.q78.run(spark, sfDir)
+    assert(q78Plan(q78).contains("hashpartitioning(b"),
+      "per-bucket cumweight must hash-partition on the bucket")
+    val r78 = q78.collect()(0)
+    assert((r78.getLong(0), r78.getLong(1), r78.getLong(2)) === ((mv, tot, ca)))
+
+    // t44: hapax + dis never exceed the type count; shares bounded
+    queries.Pipeline64.t44.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  private def q78Plan(df: DataFrame): String = finalPlan(df)
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,

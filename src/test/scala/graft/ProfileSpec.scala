@@ -39,4 +39,58 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 0L)
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("benfordAudit: hand counts, pinned expectations, non-positive exclusion, 9-row grid") {
+    import spark.implicits._
+    // 1, 19, 100 -> digit 1 x3; 25 -> 2; 9 -> 9; 0 and -5 excluded
+    val df = Seq(1L, 19L, 100L, 25L, 9L, 0L, -5L).toDF("v")
+    val got = Profile.benfordAudit(df, "v").collect()
+    assert(got.length == 9, "the grid is always 9 rows")
+    assert(got.map(_.getLong(0)).toSeq == (1L to 9L))
+    val by = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(by(1L) == ((3L, 5L, 600000L, 301029L, 298971L)))
+    assert(by(2L) == ((1L, 5L, 200000L, 176091L, 23909L)))
+    assert(by(9L) == ((1L, 5L, 200000L, 45757L, 154243L)))
+    assert(by(3L) == ((0L, 5L, 0L, 124938L, 124938L)), "absent digits report zeros")
+    assert(Profile.BenfordMicro.sum <= 1000000L &&
+      Profile.BenfordMicro.sum >= 999990L, "floored shares nearly sum to 1e6")
+  }
+
+  /** In-memory weighted-median reference: expand by weight, lower
+    * median of the expanded multiset (equivalently smallest v with
+    * 2·cumw ≥ total). */
+  private def refWMedian(vw: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val g = vw.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val total = g.map(_._2).sum
+    var cum = 0L
+    var med = g.head._1
+    var cumAt = 0L
+    var found = false
+    for ((v, w) <- g if !found) {
+      cum += w
+      if (cum * 2 >= total) { med = v; cumAt = cum; found = true }
+    }
+    (med, total, cumAt)
+  }
+
+  test("weightedMedianExact: differential fuzz vs in-memory expansion (ties, skew, unit weights)") {
+    import spark.implicits._
+    var x = 777L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((10L, 1L)),                                   // single row
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)),      // unit weights, even n -> lower median 2
+      Seq((5L, 100L), (1000000L, 1L)),                  // one heavy value dominates
+      (1 to 150).map(_ => (nxt() % 500, nxt() % 9 + 1)),       // ties
+      (1 to 200).map(_ => (nxt() % 100000000L, nxt() % 20 + 1)) // wide domain, multi-bucket
+    )
+    for ((vw, i) <- cases.zipWithIndex) {
+      val want = refWMedian(vw)
+      val r = Profile.weightedMedianExact(vw.toDF("v", "w").repartition(5), "v", "w")
+        .collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === want, s"case $i")
+    }
+  }
 }

@@ -135,4 +135,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got("c") == ((4L, 1L, 1000000L)),
       "an all-same-token source maxes at exactly 1e6")
   }
+
+  test("lexicalRichness: hapax/dis hand counts and share floor") {
+    import spark.implicits._
+    val docs = Seq(
+      // source a: a a a b b c d -> types {a:3, b:2, c:1, d:1}
+      // -> 4 types, 2 hapax, 1 dis, share 500000
+      (1L, "a", "a a A b"),
+      (2L, "a", "b c d"),
+      // source b: x y z all once -> 3 types, 3 hapax -> 1e6
+      (3L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.lexicalRichness(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((4L, 2L, 1L, 500000L)))
+    assert(got("b") == ((3L, 3L, 0L, 1000000L)))
+  }
 }
