@@ -339,4 +339,38 @@ object Curate {
         "cast(if(n < 2 or t <= 0, 0, " +
           "(2 * s1 - (n + 1) * t) * 1000000 div (n * t)) as bigint) AS gini_micro")
   }
+
+  /** Annealed training-mixture schedule: per epoch, each source's
+    * sampling weight interpolates linearly from its NATURAL token
+    * share (epoch 0) to the UNIFORM share `1e6 div S` (the last
+    * epoch) — the standard curriculum that starts faithful to the
+    * corpus and ends upweighting scarce sources. All integer micro
+    * arithmetic: `w(e) = nat + (uni − nat)·e div (E−1)`; the signed
+    * `div` truncates toward zero in BOTH engines (the documented
+    * Spark-`div`/DuckDB-`//` agreement), so rows where uniform is
+    * below natural hash-compare too. Returns the (epoch × source)
+    * grid with natural, uniform, and annealed micro weights.
+    *
+    * 100 TB shape: one source-keyed partial agg to S rows; the
+    * epoch grid is a broadcast `range(E)` cross of the S-row frame —
+    * nothing after the first agg scales with the corpus. */
+  def annealedMixture(docs: DataFrame, srcCol: String, textCol: String,
+      epochs: Int): DataFrame = {
+    require(epochs >= 2, s"epochs must be >= 2, got $epochs")
+    val spark = docs.sparkSession
+    val per = docs
+      .selectExpr(s"$srcCol AS source",
+        s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("w"))
+    val tot = per.agg(sum(col("w")).as("total"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .selectExpr("source",
+        "cast((cast(w as decimal(38,0)) * 1000000) div total as bigint) AS natural_micro",
+        "1000000L div n_sources AS uniform_micro")
+      .crossJoin(broadcast(spark.range(0, epochs).selectExpr("id AS epoch")))
+      .selectExpr("epoch", "source", "natural_micro", "uniform_micro",
+        s"natural_micro + (uniform_micro - natural_micro) * epoch div ${epochs - 1}" +
+          " AS weight_micro")
+      .orderBy(col("epoch"), col("source"))
+  }
 }

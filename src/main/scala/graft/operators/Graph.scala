@@ -456,7 +456,45 @@ object Graph {
     * checkpointed with stale-block release; the valve THROWS. The
     * one log-sized pass is upstream edge derivation. */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20): DataFrame =
+    withBfsDistances(edges, srcCol, dstCol, maxRounds, "harmonicCentrality") {
+      (nodes, dist) =>
+        nodes.join(
+            dist.groupBy(col("s").as("n"))
+              .agg(sum(expr("1000000L div d")).as("h"),
+                count(lit(1)).as("r")),
+            Seq("n"), "left")
+          .selectExpr("n AS node", "coalesce(h, 0L) AS harmonic_micro",
+            "coalesce(r, 0L) AS n_reachable")
+    }
+
+  /** Eccentricity of every node of a DIRECTED graph — the longest
+    * shortest path out of the node over its REACHABLE set (the
+    * closeness family's max face; `max(ecc)` is the reachable
+    * diameter, `min` over non-sink nodes the radius). Same frontier
+    * BFS, same bounded-vocabulary contract, same valve as
+    * [[harmonicCentrality]]; pure sinks report 0. Returns
+    * (node, ecc, n_reachable). */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame =
+    withBfsDistances(edges, srcCol, dstCol, maxRounds, "eccentricity") {
+      (nodes, dist) =>
+        nodes.join(
+            dist.groupBy(col("s").as("n"))
+              .agg(max(col("d")).as("e"), count(lit(1)).as("r")),
+            Seq("n"), "left")
+          .selectExpr("n AS node", "coalesce(e, 0L) AS ecc",
+            "coalesce(r, 0L) AS n_reachable")
+    }
+
+  /** Shared frontier-BFS core: builds the distinct self-loop-free
+    * edge list, runs the anti-join BFS to the full shortest-path
+    * table (s, t, d), and hands (nodes, dist) to `agg` — which must
+    * produce the operator's FINAL frame (evaluated before the
+    * checkpoints are handed to the caller's lifecycle). */
+  private def withBfsDistances(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int, opName: String)(
+      agg: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def ckpt(df: DataFrame): DataFrame = {
@@ -483,7 +521,7 @@ object Graph {
       while (more) {
         round += 1
         require(round <= maxRounds,
-          s"harmonicCentrality BFS still expanding after $maxRounds rounds — " +
+          s"$opName BFS still expanding after $maxRounds rounds — " +
             "node domain larger than this operator's bounded-vocabulary contract")
         val next = ckpt(frontier.as("f")
           .join(e.as("e"), col("f.t") === col("e.s"))
@@ -502,14 +540,7 @@ object Graph {
           Storage.release(next)
         }
       }
-      val out = nodes.join(
-          dist.groupBy(col("s").as("n"))
-            .agg(sum(expr("1000000L div d")).as("h"),
-              count(lit(1)).as("r")),
-          Seq("n"), "left")
-        .selectExpr("n AS node", "coalesce(h, 0L) AS harmonic_micro",
-          "coalesce(r, 0L) AS n_reachable")
-      out
+      agg(nodes, dist)
     } catch {
       case th: Throwable =>
         acquired.foreach(Storage.release)

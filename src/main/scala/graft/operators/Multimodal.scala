@@ -248,6 +248,40 @@ object Multimodal {
   final case class AudioZcr(media_id: Long, n_samples: Long,
       n_crossings: Long, zcr_micro: Long)
 
+  final case class ImageChannelStats(media_id: Long, width: Long, height: Long,
+      r_mean: Long, g_mean: Long, b_mean: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Per-channel means + a 4-bucket intensity histogram over REAL
+    * PPM payloads — the white-balance / exposure sanity audit an
+    * image-ingest pipeline gates on (a channel mean pinned at the
+    * rails or a histogram massed in one bucket flags synthetic or
+    * clipped frames). Channel means are floored over the pixel
+    * count; histogram buckets are `byte div 64` over ALL channel
+    * bytes. One decode + one integer pass per record; map-only,
+    * never shuffles. */
+  def channelStats(media: Dataset[MediaRecord]): Dataset[ImageChannelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val img = MediaCodec.decodePpm(m.payload)
+      val sums = new Array[Long](3)
+      val hist = new Array[Long](4)
+      var i = 0
+      val b = img.rgb
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        sums(i % 3) += v
+        hist(v / 64) += 1
+        i += 1
+      }
+      val nPix = (img.width.toLong * img.height).max(1L)
+      ImageChannelStats(m.media_id, img.width.toLong, img.height.toLong,
+        sums(0) / nPix, sums(1) / nPix, sums(2) / nPix,
+        hist(0), hist(1), hist(2), hist(3))
+    }
+  }
+
   /** Zero-crossing rate over REAL WAV payloads — the classic cheap
     * voiced/unvoiced + noisiness discriminator (high ZCR ≈ fricatives
     * or hiss, low ≈ tonal/voiced content). A crossing is a STRICT

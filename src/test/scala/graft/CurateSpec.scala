@@ -289,4 +289,28 @@ class CurateSpec extends AnyFunSuite {
     assert(Curate.giniExact(Seq(7L, 7L, 7L).toDF("w"), "w")
       .collect()(0).getLong(2) === 0L, "all-equal distribution must score 0")
   }
+
+  test("annealedMixture: endpoints pin natural and uniform, interpolation monotone, guard") {
+    import spark.implicits._
+    // source a: 30 tokens, b: 10 -> natural 750000 / 250000, uniform 500000
+    val docs = Seq(
+      (1L, "a", Seq.fill(30)("w").mkString(" ")),
+      (2L, "b", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rows = Curate.annealedMixture(docs, "source", "text", epochs = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 10, "epochs x sources grid")
+    assert(rows((0L, "a"))._3 == 750000L, "epoch 0 IS the natural share")
+    assert(rows((4L, "a"))._3 == 500000L, "the last epoch IS uniform")
+    assert(rows((0L, "b"))._3 == 250000L && rows((4L, "b"))._3 == 500000L)
+    // a anneals DOWN 750000 -> 500000, b UP 250000 -> 500000, both by
+    // exact quarters of the gap
+    assert((0 to 4).map(e => rows((e.toLong, "a"))._3) ==
+      Seq(750000L, 687500L, 625000L, 562500L, 500000L))
+    assert((0 to 4).map(e => rows((e.toLong, "b"))._3) ==
+      Seq(250000L, 312500L, 375000L, 437500L, 500000L))
+    intercept[IllegalArgumentException](
+      Curate.annealedMixture(docs, "source", "text", epochs = 1))
+  }
 }

@@ -427,6 +427,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("eccentricity: differential fuzz vs in-memory BFS (max face of the shared core)") {
+    import spark.implicits._
+    var x = 90210L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    for (trial <- 1 to 5) {
+      val nNodes = 5 + trial * 3
+      val edges = (1 to nNodes * 2).map(_ => (nxt() % nNodes + 1, nxt() % nNodes + 1))
+      // the in-memory reference: per-source BFS, ecc = max distance
+      val want = refHarmonic(edges) // (harmonicMicro, reachCount) — reuse BFS
+      val e = edges.filter(p => p._1 != p._2).distinct
+      val adj = e.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct }
+      val eccRef = ((e.map(_._1) ++ e.map(_._2)).distinct).map { s =>
+        val dist = scala.collection.mutable.Map[Long, Long]()
+        var frontier = adj.getOrElse(s, Nil).filterNot(_ == s)
+        var d = 1L
+        while (frontier.nonEmpty) {
+          frontier.foreach(v => dist(v) = d)
+          d += 1
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+            .distinct.filterNot(v => v == s || dist.contains(v))
+        }
+        s -> ((if (dist.isEmpty) 0L else dist.values.max, dist.size.toLong))
+      }.toMap
+      val df = Graph.eccentricity(edges.toDF("s", "t").repartition(4), "s", "t")
+      val got = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      Storage.release(df)
+      assert(got === eccRef, s"trial $trial edges=$edges")
+      assert(got.keySet === want.keySet, "both faces see the same node set")
+    }
+  }
+
   test("harmonic: partition independence and valve release") {
     var x = 2024L
     def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }

@@ -356,4 +356,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((8L, 7L, 1000000L)),
       "rail-to-rail alternation crosses at every pair (and 32767² must not overflow)")
   }
+
+  test("channelStats: hand-built 2x1 image pins channel means and histogram, non-image filtered") {
+    import spark.implicits._
+    // pixels: (10, 100, 200) and (20, 150, 250)
+    // r_mean = 15, g_mean = 125, b_mean = 225
+    // buckets (v div 64): 10,20 -> h0; 100 -> h1; 150 -> h2; 200,250 -> h3
+    val rgb = Array[Byte](10, 100.toByte, 200.toByte, 20, 150.toByte, 250.toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(2, 1, rgb)),
+      Multimodal.MediaRecord(2L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array[Short](1, 2)))).toDS()
+    val got = Multimodal.channelStats(media).collect()
+    assert(got.length == 1, "non-image records emit nothing")
+    val s = got.head
+    assert((s.width, s.height) == ((2L, 1L)))
+    assert((s.r_mean, s.g_mean, s.b_mean) == ((15L, 125L, 225L)))
+    assert((s.h0, s.h1, s.h2, s.h3) == ((2L, 1L, 1L, 2L)))
+  }
 }

@@ -1805,6 +1805,47 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private def q78Plan(df: DataFrame): String = finalPlan(df)
 
+  test("round-11 part-30 shapes (c16 vs c14 consistency, p43 grid identities, m16 mass)") {
+    // c16 and c14 run the SAME BFS core — their reachability columns
+    // must agree node for node, and ecc is bounded by n_reachable
+    // (each BFS round discovers >= 1 new target on the path to the
+    // farthest one)
+    val ecc = queries.Pipeline65.c16.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val har = queries.Pipeline62.c14.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ecc.keySet == har.keySet)
+    ecc.foreach { case (n, (e, r)) =>
+      assert(r == har(n), s"node $n reach count disagrees across BFS faces")
+      assert(e <= r, s"node $n ecc $e exceeds its reachable count $r")
+      assert((e == 0) == (r == 0))
+    }
+
+    // p43: epoch 0 equals the natural share and the last epoch the
+    // uniform share for EVERY source; weights move monotonically
+    val p43 = queries.Pipeline65.p43.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sources = p43.keys.map(_._2).toSeq.distinct
+    sources.foreach { s =>
+      val (nat, uni, w0) = p43((0L, s))
+      assert(w0 == nat, s"$s epoch 0 must be natural")
+      assert(p43((3L, s))._3 == uni, s"$s last epoch must be uniform")
+      val ws = (0 to 3).map(e => p43((e.toLong, s))._3)
+      assert(ws == ws.sorted || ws == ws.sorted.reverse,
+        s"$s anneal must be monotone: $ws")
+    }
+
+    // m16: histogram buckets partition the channel bytes (sum = 3·w·h)
+    queries.Pipeline65.m16.run(spark, sfDir).collect().foreach { r =>
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      val hist = r.getLong(6) + r.getLong(7) + r.getLong(8) + r.getLong(9)
+      assert(hist == 3 * w * h, s"media ${r.getLong(0)} histogram mass")
+      Seq(3, 4, 5).foreach(i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 255, "means are byte-ranged"))
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
