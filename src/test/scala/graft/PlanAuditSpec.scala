@@ -1846,6 +1846,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-31 shapes (q79 window skyline == N^2 dominance, broadcast frontier)") {
+    // the window decomposition must reproduce the textbook NOT EXISTS
+    // dominance definition exactly — brute-force the small SF
+    val o = Tables.orders(spark, sfDir).selectExpr("o_orderkey",
+      "cast(o_orderdate as string) AS day",
+      "cast(round(o_totalprice * 100) as bigint) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = o.filter { case (_, d, c) =>
+      !o.exists { case (_, d2, c2) =>
+        d2 <= d && c2 >= c && (d2 < d || c2 > c)
+      }
+    }.map(_._1).toSet
+    val q79 = queries.Pipeline66.q79.run(spark, sfDir)
+    val got = q79.collect().map(_.getLong(0)).toSet
+    assert(got === brute, "window skyline must equal the N^2 dominance definition")
+    val plan = finalPlan(q79)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the date-domain frontier frame must broadcast back onto the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
