@@ -340,6 +340,50 @@ object Curate {
           "(2 * s1 - (n + 1) * t) * 1000000 div (n * t)) as bigint) AS gini_micro")
   }
 
+  /** Exact top-fraction concentration: the share of total weight
+    * held by the top `ceil(permille·n/1000)` rows ranked by weight
+    * descending — "the top 1% of users generate X% of events", the
+    * concentration number next to [[giniExact]]'s inequality index.
+    * Ties collapse per distinct weight (the [[giniExact]] idiom):
+    * when the cutoff K lands inside a tie group, `K − before`
+    * members are taken — every member weighs the same, so the SUM is
+    * tie-break-invariant and needs no per-row ranking. Same ≤257
+    * value-range bucket decomposition, descending.
+    *
+    * 100 TB shape: one distinct-weight partial agg, one ≤257-row
+    * broadcast offset frame, one bucket-partitioned window, 1-row
+    * folds. */
+  def topShareExact(df: DataFrame, weightCol: String, permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
+    val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val mx = g.agg(max(col("c")).as("mx"))
+    val gb = g.crossJoin(broadcast(mx))
+      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
+    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
+    val offs = bt.withColumn("off",
+      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("b")).orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = gb.agg(sum(col("cnt")).as("n"),
+      sum(expr("cast(c as decimal(38,0)) * cnt")).as("total"))
+      .selectExpr("n", "total", s"($permille * n + 999) div 1000 AS kk")
+    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .selectExpr("n", "kk", "total",
+        "cast(c as decimal(38,0)) *" +
+          " if(before >= kk, 0L, least(cnt, kk - before)) AS taken")
+      .groupBy(col("n"), col("kk"), col("total"))
+      .agg(sum(col("taken")).as("tw"))
+      .selectExpr("n AS n_rows", "cast(kk as bigint) AS k_top",
+        "cast(total as bigint) AS total_weight",
+        "cast(tw as bigint) AS top_weight",
+        "cast(if(total <= 0, 0, tw * 1000000 div total) as bigint) AS share_micro")
+  }
+
   /** Annealed training-mixture schedule: per epoch, each source's
     * sampling weight interpolates linearly from its NATURAL token
     * share (epoch 0) to the UNIFORM share `1e6 div S` (the last

@@ -290,6 +290,38 @@ class CurateSpec extends AnyFunSuite {
       .collect()(0).getLong(2) === 0L, "all-equal distribution must score 0")
   }
 
+  /** In-memory top-share reference: sort desc, take ceil(p·n/1000),
+    * sum — the tie collapse must reproduce it exactly. */
+  private def refTopShare(ws: Seq[Long], permille: Int): (Long, Long, Long, Long, Long) = {
+    val sorted = ws.sorted.reverse
+    val n = sorted.length.toLong
+    val k = (permille * n + 999) / 1000
+    val total = sorted.map(BigInt(_)).sum
+    val top = sorted.take(k.toInt).map(BigInt(_)).sum
+    val share = if (total <= 0) BigInt(0) else top * 1000000 / total
+    (n, k, total.toLong, top.toLong, share.toLong)
+  }
+
+  test("topShareExact: differential fuzz vs sort-desc-take-K (ties at the cutoff, degenerates)") {
+    import spark.implicits._
+    var x = 13579L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val cases = Seq(
+      (Seq(10L), 500),
+      (Seq(5L, 5L, 5L, 5L), 250),          // cutoff INSIDE a tie group
+      (Seq(100L, 1L, 1L, 1L, 1L), 200),    // one whale
+      ((1 to 200).map(_ => nxt() % 50).toSeq, 10),   // heavy ties, 1%
+      ((1 to 300).map(_ => nxt() % 100000000L).toSeq, 100)) // wide domain
+    for (((ws, p), i) <- cases.zipWithIndex) {
+      val want = refTopShare(ws, p)
+      val r = Curate.topShareExact(ws.toDF("w").repartition(5), "w", p).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === want, s"case $i permille=$p")
+    }
+    intercept[IllegalArgumentException](
+      Curate.topShareExact(Seq(1L).toDF("w"), "w", 0))
+  }
+
   test("annealedMixture: endpoints pin natural and uniform, interpolation monotone, guard") {
     import spark.implicits._
     // source a: 30 tokens, b: 10 -> natural 750000 / 250000, uniform 500000

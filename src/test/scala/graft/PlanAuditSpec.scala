@@ -1867,6 +1867,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("round-11 part-32 shapes (e39 bounds + bucketed rank, s36 composes s30's universe)") {
+    // e39: top share bounded by [k/n share-of-rows-if-uniform, 1e6];
+    // the cumulative rank must come from the bucketed parallel window
+    val e39 = queries.Pipeline67.e39.run(spark, sfDir)
+    assert(finalPlan(e39).contains("hashpartitioning(b"),
+      "descending cumcount must ride the bucketed window")
+    val r = e39.collect()(0)
+    val (n, k, total, top, share) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(k == (10 * n + 999) / 1000)
+    assert(top <= total && share <= 1000000L)
+    assert(share * n >= 1000000L * k - n,
+      "top-k rows by weight can never hold less than k/n of the mass (floor slack)")
+
+    // s36: the Gini must be computed over EXACTLY s30's list universe —
+    // n_rows = s30's k_lists and total_weight = s30's n_vecs
+    val s30 = queries.Pipeline47.s30.run(spark, sfDir).collect()(0)
+    val s36 = queries.Pipeline67.s36.run(spark, sfDir).collect()(0)
+    assert(s36.getLong(0) == s30.getLong(0),
+      "gini row count must equal s30's k_lists")
+    assert(s36.getLong(1) == s30.getLong(1),
+      "gini total weight must equal s30's n_vecs")
+    assert(s36.getLong(2) >= 0L && s36.getLong(2) < 1000000L)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
