@@ -10,7 +10,7 @@ import graft.operators.{Curate, Graph}
   */
 object Pipeline65 {
 
-  def all: Seq[QueryDef] = Seq(c16, p43, m16)
+  def all: Seq[QueryDef] = Seq(c15, p43, m16)
 
   /** Eccentricity ([[graft.operators.Graph.eccentricity]]) of every
     * node of the directed event-type graph — the longest shortest
@@ -20,8 +20,8 @@ object Pipeline65 {
     * same depth-capped walk with max(d) instead of the harmonic
     * sum, node list deduped explicitly (the c14 DuckDB
     * UNION-in-RECURSIVE lesson). */
-  val c16: QueryDef = QueryDef(
-    "c16_eccentricity",
+  val c15: QueryDef = QueryDef(
+    "c15_eccentricity",
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

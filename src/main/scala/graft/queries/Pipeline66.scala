@@ -10,7 +10,7 @@ import graft.Tables
   */
 object Pipeline66 {
 
-  def all: Seq[QueryDef] = Seq(q79, st13)
+  def all: Seq[QueryDef] = Seq(q79, st12)
 
   /** 2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) of
     * orders under (minimize order date, maximize value): the
@@ -71,11 +71,11 @@ object Pipeline66 {
     * second run's data batch landed as id 2, not 1). The 30-day
     * watermark makes the aggregate update-compatible while provably
     * evicting nothing inside the one-month corpus. */
-  val st13: QueryDef = QueryDef(
-    "st13_engine_update_upsert",
+  val st12: QueryDef = QueryDef(
+    "st12_engine_update_upsert",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("event_id"))
-      val root = new java.io.File(Pipeline43.streamRoot, "st13")
+      val root = new java.io.File(Pipeline43.streamRoot, "st12")
       val streamDir = new java.io.File(root, "stream")
       val ckpt = new java.io.File(root, "ckpt")
       val sink = new java.io.File(root, "sink")

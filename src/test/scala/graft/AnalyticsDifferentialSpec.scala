@@ -564,6 +564,67 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     dir.toString
   }
 
+  /** Synthesized orders table for QueryDef fuzzes of the
+    * order-analytics tail (skyline, rolling OLS). */
+  private def writeOrdersDir(rows: Seq[(Long, Long, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_ord").toFile
+    dir.deleteOnExit()
+    rows.toDF("o_orderkey", "day_off", "o_totalprice")
+      .selectExpr("o_orderkey", "o_orderkey % 7 AS o_custkey",
+        "'O' AS o_orderstatus", "o_totalprice",
+        "timestamp_millis(1700000000000 + day_off * 86400000) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir.toString
+  }
+
+  test("q79 skyline: QueryDef fuzz vs brute N^2 dominance (same-day ties, duplicate prices)") {
+    (1 to 3).foreach { round =>
+      // coarse price grid + few days -> many exact ties on both axes
+      val rows = (1 to 120).map(i =>
+        (i.toLong, nxt() % 12, ((nxt() % 40) * 25).toDouble / 100.0))
+      val got = queries.Pipeline66.q79.run(spark, writeOrdersDir(rows))
+        .collect().map(_.getLong(0)).toSet
+      val o = rows.map { case (k, d, p) => (k, d, Math.round(p * 100)) }
+      val brute = o.filter { case (_, d, c) =>
+        !o.exists { case (_, d2, c2) =>
+          d2 <= d && c2 >= c && (d2 < d || c2 > c)
+        }
+      }.map(_._1).toSet
+      assert(got == brute, s"round $round")
+    }
+  }
+
+  test("q80 rolling OLS: QueryDef fuzz vs in-memory 7-window regression (sparse days, negative slopes)") {
+    (1 to 3).foreach { round =>
+      // sparse day grid: the dense index (not calendar days) must drive x
+      val rows = (1 to 150).map(i =>
+        (i.toLong, (nxt() % 40) * 3, ((nxt() % 100000) + 1).toDouble / 100.0))
+      val got = queries.Pipeline68.q80.run(spark, writeOrdersDir(rows))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val daily = rows.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(r => Math.round(r._3 * 100)).sum
+      }.toSeq.sortBy(_._1)
+      val want = daily.indices.drop(6).map { j =>
+        val w = (j - 6 to j).map(k => (BigInt(k + 1), BigInt(daily(k)._2)))
+        val n = BigInt(7)
+        val sx = w.map(_._1).sum
+        val sy = w.map(_._2).sum
+        val sxy = w.map { case (x, y) => x * y }.sum
+        val sx2 = w.map(p => p._1 * p._1).sum
+        daily(j)._1 -> ((n * sxy - sx * sy) * 1000000 / (n * sx2 - sx * sx)).toLong
+      }.toMap
+      assert(got.size == want.size, s"round $round sizes")
+      want.foreach { case (d, s) =>
+        val key = got.keys.find(_.startsWith(
+          java.time.Instant.ofEpochMilli(1700000000000L + d * 86400000L)
+            .toString.take(10))).get
+        assert(got(key) == s, s"round $round day $d")
+      }
+    }
+  }
+
   private val fuzzTypes = Vector("view", "click", "purchase", "error")
 
   private def randomEvents(n: Int, users: Int, msSlots: Int): Seq[(Long, Long, Long, String, Double)] =

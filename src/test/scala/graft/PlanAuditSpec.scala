@@ -1805,12 +1805,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private def q78Plan(df: DataFrame): String = finalPlan(df)
 
-  test("round-11 part-30 shapes (c16 vs c14 consistency, p43 grid identities, m16 mass)") {
-    // c16 and c14 run the SAME BFS core — their reachability columns
+  test("round-11 part-30 shapes (c15 vs c14 consistency, p43 grid identities, m16 mass)") {
+    // c15 and c14 run the SAME BFS core — their reachability columns
     // must agree node for node, and ecc is bounded by n_reachable
     // (each BFS round discovers >= 1 new target on the path to the
     // farthest one)
-    val ecc = queries.Pipeline65.c16.run(spark, sfDir).collect()
+    val ecc = queries.Pipeline65.c15.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val har = queries.Pipeline62.c14.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
