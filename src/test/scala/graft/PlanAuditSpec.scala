@@ -1892,6 +1892,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s36.getLong(2) >= 0L && s36.getLong(2) < 1000000L)
   }
 
+  test("round-11 part-34 shapes (p44 executes exactly p43's schedule)") {
+    // p44's target rates must be EXACTLY p43's weights div 1000 for
+    // every (epoch, source); per-source doc counts are epoch-invariant
+    // (the same corpus is sampled each epoch); and samples never
+    // exceed the population
+    val sched = queries.Pipeline65.p43.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    val p44 = queries.Pipeline69.p44.run(spark, sfDir).collect()
+    assert(p44.nonEmpty)
+    val docsBySrc = p44.groupBy(_.getString(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(3)).distinct }
+    docsBySrc.foreach { case (s, counts) =>
+      assert(counts.length == 1, s"source $s doc count must be epoch-invariant")
+    }
+    p44.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) == sched(key) / 1000,
+        s"$key realized rate must be the p43 weight div 1000")
+      assert(r.getLong(4) <= r.getLong(3), s"$key samples exceed population")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
