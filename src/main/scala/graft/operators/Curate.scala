@@ -340,6 +340,53 @@ object Curate {
           "(2 * s1 - (n + 1) * t) * 1000000 div (n * t)) as bigint) AS gini_micro")
   }
 
+  /** Exact trimmed (truncated) mean: drop the `k = permille·n div
+    * 1000` smallest AND largest rows by weight, average the rest —
+    * the robust-statistics classic that ignores both tails. ONE
+    * collapsed distinct-weight frame serves both tails: the
+    * ascending exclusive cumcount `before` gives the low-tail take
+    * `min(cnt, k − before)` and, by symmetry, the high-tail take
+    * `min(cnt, k − (n − before − cnt))` — tie groups are
+    * weight-uniform so partial takes are exact (the [[topShareExact]]
+    * rule applied twice). Same ≤257 value-range bucket
+    * decomposition; returns one row
+    * (n_rows, k_trim, total_weight, trimmed_sum, trimmed_mean_milli).
+    * Requires 2k < n (a fully-trimmed frame has no mean).
+    *
+    * 100 TB shape: one distinct-weight partial agg, one ≤257-row
+    * broadcast offset frame, one bucket window, 1-row folds. */
+  def trimmedMeanExact(df: DataFrame, weightCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille < 500,
+      s"permille must be in [0, 500), got $permille")
+    val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val mx = g.agg(max(col("c")).as("mx"))
+    val gb = g.crossJoin(broadcast(mx))
+      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
+    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
+    val offs = bt.withColumn("off",
+      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = gb.agg(sum(col("cnt")).as("n"),
+      sum(expr("cast(c as decimal(38,0)) * cnt")).as("total"))
+      .selectExpr("n", "total", s"($permille * n) div 1000 AS k")
+    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .selectExpr("n", "k", "total",
+        "cast(c as decimal(38,0)) * (greatest(0L, least(cnt, k - before))" +
+          " + greatest(0L, least(cnt, k - (n - before - cnt)))) AS cut")
+      .groupBy(col("n"), col("k"), col("total"))
+      .agg(sum(col("cut")).as("cut"))
+      .selectExpr("n AS n_rows", "cast(k as bigint) AS k_trim",
+        "cast(total as bigint) AS total_weight",
+        "cast(total - cut as bigint) AS trimmed_sum",
+        "cast(if(n - 2 * k <= 0, 0, (total - cut) * 1000 div (n - 2 * k))" +
+          " as bigint) AS trimmed_mean_milli")
+  }
+
   /** Exact top-fraction concentration: the share of total weight
     * held by the top `ceil(permille·n/1000)` rows ranked by weight
     * descending — "the top 1% of users generate X% of events", the

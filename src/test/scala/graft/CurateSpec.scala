@@ -322,6 +322,36 @@ class CurateSpec extends AnyFunSuite {
       Curate.topShareExact(Seq(1L).toDF("w"), "w", 0))
   }
 
+  test("trimmedMeanExact: differential fuzz vs sort-and-slice (tie-spanning tails, permille 0)") {
+    import spark.implicits._
+    var x = 8642L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    def ref(ws: Seq[Long], p: Int): (Long, Long, Long, Long, Long) = {
+      val v = ws.sorted
+      val n = v.length.toLong
+      val k = p * n / 1000
+      val tr = v.slice(k.toInt, (n - k).toInt)
+      val total = v.map(BigInt(_)).sum
+      val ts = tr.map(BigInt(_)).sum
+      val mean = if (tr.isEmpty) BigInt(0) else ts * 1000 / tr.length
+      (n, k, total.toLong, ts.toLong, mean.toLong)
+    }
+    val cases = Seq(
+      (Seq(5L), 0),                                  // no trim
+      (Seq(1L, 1L, 1L, 1L, 100L), 200),              // tie-heavy low tail
+      (Seq(7L, 7L, 7L, 7L, 7L, 7L), 300),            // tails INSIDE one tie group
+      ((1 to 200).map(_ => nxt() % 40).toSeq, 100),  // heavy ties both tails
+      ((1 to 300).map(_ => nxt() % 100000000L).toSeq, 50)) // wide domain
+    for (((ws, p), i) <- cases.zipWithIndex) {
+      val want = ref(ws, p)
+      val r = Curate.trimmedMeanExact(ws.toDF("w").repartition(5), "w", p).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === want, s"case $i permille=$p")
+    }
+    intercept[IllegalArgumentException](
+      Curate.trimmedMeanExact(Seq(1L).toDF("w"), "w", 500))
+  }
+
   test("annealedMixture: endpoints pin natural and uniform, interpolation monotone, guard") {
     import spark.implicits._
     // source a: 30 tokens, b: 10 -> natural 750000 / 250000, uniform 500000

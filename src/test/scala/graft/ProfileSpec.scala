@@ -57,6 +57,36 @@ class ProfileSpec extends AnyFunSuite {
       Profile.BenfordMicro.sum >= 999990L, "floored shares nearly sum to 1e6")
   }
 
+  test("benfordAudit: differential fuzz vs in-memory first-digit counting (log-uniform + uniform mixes)") {
+    import spark.implicits._
+    var x = 31415L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    for (trial <- 1 to 3) {
+      // mix log-uniform-ish magnitudes (Benford-friendly) with a
+      // uniform band plus zeros/negatives that must be excluded
+      val vs = (1 to 400).map { _ =>
+        val mode = nxt() % 3
+        if (mode == 0) (nxt() % 9 + 1) * math.pow(10, (nxt() % 6).toDouble).toLong
+        else if (mode == 1) nxt() % 100000
+        else -(nxt() % 50) // negatives and zeros excluded
+      }
+      val pos = vs.filter(_ > 0)
+      val byDigit = pos.groupBy(v => v.toString.head.asDigit.toLong)
+        .map { case (d, g) => d -> g.size.toLong }
+      val total = pos.size.toLong
+      val got = Profile.benfordAudit(vs.toDF("v").repartition(4), "v").collect()
+      assert(got.length == 9)
+      got.foreach { r =>
+        val d = r.getLong(0)
+        val n = byDigit.getOrElse(d, 0L)
+        assert(r.getLong(1) == n, s"trial $trial digit $d count")
+        assert(r.getLong(2) == total)
+        assert(r.getLong(3) == (if (total == 0) 0L else n * 1000000L / total))
+        assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+      }
+    }
+  }
+
   /** In-memory weighted-median reference: expand by weight, lower
     * median of the expanded multiset (equivalently smallest v with
     * 2·cumw ≥ total). */
