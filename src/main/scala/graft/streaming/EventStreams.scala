@@ -295,4 +295,56 @@ object EventStreams {
       "left_outer")
       .drop("bucket_p", "bucket_e")
   }
+
+  /** FULL OUTER face of [[purchasesWithErrorAttribution]]: matched
+    * (purchase, error) pairs within the window, plus NULL rows for
+    * purchases no error preceded AND for errors no purchase
+    * followed. The errors side still explodes into ≤2 window
+    * buckets (the join key that keeps state probes bucket-local at
+    * scale), which makes RAW full-outer output over-complete: each
+    * exploded error COPY that goes unmatched emits its own NULL row
+    * — including copies of errors whose OTHER copy matched. Pipe the
+    * sink through [[reconcileFullOuter]] to collapse that
+    * multiplicity; the pair (bucketed engine join + reconciliation)
+    * is the production pattern, and its end-to-end result equals
+    * the plain batch full join. */
+  def errorPurchaseFullOuter(events: DataFrame, windowSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermark) else df
+    val purchases = wm(events).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    val errors = wm(events).filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("bucket_e", explode(expr(
+        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
+    purchases.join(errors,
+      col("bucket_p") === col("bucket_e") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "full_outer")
+      .drop("bucket_p", "bucket_e")
+  }
+
+  /** Collapse the bucket-copy multiplicity of
+    * [[errorPurchaseFullOuter]]'s raw output (columns p_id, e_id,
+    * gap_us): matched pairs and purchase-side NULLs pass through
+    * (the purchases side is single-bucket, so they are already
+    * exact); error-side NULLs keep one row per error id that
+    * matched in NO copy. Batch-side, O(matched + nulls). */
+  def reconcileFullOuter(rawIn: DataFrame): DataFrame = {
+    // project away incidental sink columns (e.g. a discovered batch=N
+    // partition) so the NULL-side union lines up by name
+    val raw = rawIn.select(col("p_id"), col("e_id"), col("gap_us"))
+    val matched = raw.filter(col("p_id").isNotNull && col("e_id").isNotNull)
+    val pNull = raw.filter(col("p_id").isNotNull && col("e_id").isNull)
+    val eNull = raw.filter(col("p_id").isNull).select(col("e_id")).distinct()
+      .join(matched.select(col("e_id")).distinct(), Seq("e_id"), "left_anti")
+      .selectExpr("cast(null as long) AS p_id", "e_id",
+        "cast(null as long) AS gap_us")
+    matched.unionByName(pNull).unionByName(eNull)
+  }
 }

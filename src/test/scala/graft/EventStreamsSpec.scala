@@ -248,4 +248,51 @@ class EventStreamsSpec extends AnyFunSuite {
         s"watermark withheld non-final windows: ${withheld.filter(_._1 != maxWin)}")
     } finally q.stop()
   }
+
+  import org.apache.spark.sql.functions.{col => fcol}
+  test("full-outer interval join: bucketed face + reconcile == plain full join (cross-copy trap)") {
+    import spark.implicits._
+    // Hand-built trap: error e1 at t=59s matches purchase p1 at t=61s
+    // through its SECOND bucket copy only — its first copy goes
+    // unmatched and emits a spurious NULL the reconcile must drop.
+    // e2 at t=500s matches nothing (true NULL). p2 at t=300s has no
+    // preceding error (purchase-side NULL).
+    val rows = Seq(
+      (1L, 59000L, "error"), (2L, 61000L, "purchase"),
+      (3L, 500000L, "error"), (4L, 300000L, "purchase"))
+      .toDF("event_id", "ms", "event_type")
+      .selectExpr("event_id", "timestamp_millis(ms) AS ts", "event_type")
+    val raw = EventStreams.errorPurchaseFullOuter(rows)
+      .selectExpr("p_id", "e_id", "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+    // the raw bucketed output MUST contain the spurious copy (else the
+    // trap isn't a trap and reconcile is untested)
+    assert(raw.filter(fcol("p_id").isNull && fcol("e_id") === 1L).count() == 1L,
+      "e1's unmatched first bucket copy should emit a raw NULL row")
+    val got = EventStreams.reconcileFullOuter(raw)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == Set(
+      (Some(2L), Some(1L)),   // matched through the second copy
+      (Some(4L), None),       // purchase-side NULL
+      (None, Some(3L))))      // true error-side NULL — exactly once
+
+    // and on the real corpus: batch face + reconcile == plain full join
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(fcol("ts"), fcol("event_type"), fcol("event_id"))
+    val engine = EventStreams.reconcileFullOuter(
+      EventStreams.errorPurchaseFullOuter(ev)
+        .selectExpr("p_id", "e_id",
+          "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    val p = ev.filter(fcol("event_type") === "purchase")
+      .select(fcol("event_id").as("p_id"), fcol("ts").as("p_ts"))
+    val e = ev.filter(fcol("event_type") === "error")
+      .select(fcol("event_id").as("e_id"), fcol("ts").as("e_ts"))
+    val plain = p.join(e,
+        fcol("p_ts") >= fcol("e_ts") &&
+          fcol("p_ts") < fcol("e_ts") + org.apache.spark.sql.functions.expr("INTERVAL 60 SECONDS"),
+        "full_outer")
+      .selectExpr("p_id", "e_id", "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(engine == plain, "bucketed full outer + reconcile must equal the plain full join")
+  }
 }
