@@ -719,4 +719,68 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
         got.getLong(4), got.getLong(5)) == want, s"round $round: recovery mismatch")
     }
   }
+
+  /** Synthesized lineitem table (only the columns q82 reads) for
+    * QueryDef fuzzes of the rank-statistics tail. */
+  private def writeLineitemDir(rows: Seq[(Long, Double, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_li").toFile
+    dir.deleteOnExit()
+    rows.toDF("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir.toString
+  }
+
+  test("q82 spearman: QueryDef fuzz vs in-memory midrank rho (coarse grids, heavy ties)") {
+    (1 to 3).foreach { round =>
+      // coarse grids on both axes so midranks are fractional (the
+      // doubled-rank integer trick is the thing under test)
+      val rows = (1 to 200).map(i => (i.toLong,
+        ((nxt() % 8) + 1).toDouble, ((nxt() % 30) * 50 + 100).toDouble / 100.0))
+      val got = queries.Pipeline72.q82.run(spark, writeLineitemDir(rows))
+        .collect().head
+      val xs = rows.map(r => Math.round(r._2))
+      val ys = rows.map(r => Math.round(r._3 * 100))
+      def r2map(vs: Seq[Long]): Map[Long, BigInt] = {
+        var before = 0L
+        vs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+          .toSeq.sortBy(_._1).map { case (v, c) =>
+            val r = BigInt(2 * before + c + 1); before += c; v -> r
+          }.toMap
+      }
+      val (rx, ry) = (r2map(xs), r2map(ys))
+      val n = BigInt(xs.size)
+      val d2 = xs.zip(ys).map { case (x, y) =>
+        val d = rx(x) - ry(y); d * d }.sum
+      val want = (xs.size.toLong, (d2 / n).toLong,
+        (BigInt(1000000) - (6 * d2 * 1000000) / (4 * n * (n * n - 1))).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
+        s"round $round: spearman mismatch")
+    }
+  }
+
+  test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
+    val types = Vector("a", "b", "c", "d", "e", "f")
+    (1 to 3).foreach { round =>
+      // sparse: ~6 events/user so the transition graph is INCOMPLETE —
+      // a mix of mutual, asymmetric and null dyads each round
+      val rows = (1 to 60).map { i =>
+        (nxt() % 10, 1700000000000L + (nxt() % 50) * 1000L, i.toLong,
+          types((nxt() % types.size).toInt), 0.0)
+      }
+      val got = queries.Pipeline72.c16.run(spark, writeEventsDir(rows))
+        .collect().head
+      val ed = rows.groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) if a != b => (a, b) }
+      }.toSet
+      val nN = ed.flatMap(e => Seq(e._1, e._2)).size.toLong
+      val p = ed.map { case (s, t) => if (s < t) (s, t) else (t, s) }.size.toLong
+      val r = ed.count(e => ed.contains((e._2, e._1))).toLong
+      val want = (nN, ed.size.toLong, r / 2, p - r / 2, nN * (nN - 1) / 2 - p,
+        if (ed.isEmpty) 0L else r * 1000000L / ed.size)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5)) == want, s"round $round: census mismatch")
+    }
+  }
 }

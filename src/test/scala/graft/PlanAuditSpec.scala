@@ -1914,6 +1914,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-37 shapes (c16 dyad identities, q82 bucketed ranks + bounds)") {
+    // c16: the Holland–Leinhardt identities must hold in-plan —
+    // every directed edge is one arm of exactly one dyad
+    val c = queries.Pipeline72.c16.run(spark, sfDir).collect().head
+    val (nN, nE, m, a, nul, rec) = (c.getLong(0), c.getLong(1),
+      c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5))
+    assert(2 * m + a == nE, "directed edges must decompose into 2·mutual + asym")
+    assert(m + a + nul == nN * (nN - 1) / 2, "dyads must partition all node pairs")
+    assert(rec >= 0L && rec <= 1000000L)
+
+    // q82: both rank maps must ride the bucketed parallel window (no
+    // single-partition global cumsum over the big frames), and rho
+    // stays in [-1e6, 1e6] (the synthetic corpus draws price
+    // independently of quantity, so |rho| is small — bounds only)
+    val q82 = queries.Pipeline72.q82.run(spark, sfDir)
+    assert(finalPlan(q82).contains("hashpartitioning(b"),
+      "rank cumcounts must ride the value-range bucketed window")
+    val r = q82.collect().head
+    assert(r.getLong(0) > 0L)
+    assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
