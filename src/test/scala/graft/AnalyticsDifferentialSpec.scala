@@ -720,13 +720,16 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
-  /** Synthesized lineitem table (only the columns q82 reads) for
-    * QueryDef fuzzes of the rank-statistics tail. */
-  private def writeLineitemDir(rows: Seq[(Long, Double, Double)]): String = {
+  /** Synthesized lineitem table (only the columns the rank-statistics
+    * tail reads: quantity, price, discount, returnflag) for QueryDef
+    * fuzzes. */
+  private def writeLineitemDir(
+      rows: Seq[(Long, Double, Double, Double, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_li").toFile
     dir.deleteOnExit()
-    rows.toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    rows.toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir.toString
   }
@@ -736,7 +739,8 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       // coarse grids on both axes so midranks are fractional (the
       // doubled-rank integer trick is the thing under test)
       val rows = (1 to 200).map(i => (i.toLong,
-        ((nxt() % 8) + 1).toDouble, ((nxt() % 30) * 50 + 100).toDouble / 100.0))
+        ((nxt() % 8) + 1).toDouble, ((nxt() % 30) * 50 + 100).toDouble / 100.0,
+        (nxt() % 10).toDouble / 100.0, if (nxt() % 2 == 0) "R" else "N"))
       val got = queries.Pipeline72.q82.run(spark, writeLineitemDir(rows))
         .collect().head
       val xs = rows.map(r => Math.round(r._2))
@@ -756,6 +760,56 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
         (BigInt(1000000) - (6 * d2 * 1000000) / (4 * n * (n * n - 1))).toLong)
       assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
         s"round $round: spearman mismatch")
+    }
+  }
+
+  test("q83 kendall/gamma: QueryDef fuzz vs brute N^2 pair counting (heavy ties both axes)") {
+    (1 to 3).foreach { round =>
+      // tiny domains on both axes -> every tie class is populated
+      val rows = (1 to 150).map(i => (i.toLong,
+        ((nxt() % 5) + 1).toDouble, 1.0,
+        (nxt() % 4).toDouble / 100.0, "N"))
+      val got = queries.Pipeline73.q83.run(spark, writeLineitemDir(rows))
+        .collect().head
+      val v = rows.map(r => (Math.round(r._2), Math.round(r._4 * 100)))
+      var (c, dd, tx, ty, txy) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      for (i <- v.indices; j <- i + 1 until v.size) {
+        val ((x1, y1), (x2, y2)) = (v(i), v(j))
+        if (x1 == x2) tx += 1
+        if (y1 == y2) ty += 1
+        if (x1 == x2 && y1 == y2) txy += 1
+        if ((x1 < x2 && y1 < y2) || (x1 > x2 && y1 > y2)) c += 1
+        if ((x1 < x2 && y1 > y2) || (x1 > x2 && y1 < y2)) dd += 1
+      }
+      val n = BigInt(v.size)
+      val want = (v.size.toLong, c.toLong, dd.toLong, tx.toLong, ty.toLong,
+        txy.toLong,
+        (if (c + dd == 0) BigInt(0) else (c - dd) * 1000000 / (c + dd)).toLong,
+        ((c - dd) * 1000000 / (n * (n - 1) / 2)).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5), got.getLong(6), got.getLong(7)) == want,
+        s"round $round: kendall mismatch")
+    }
+  }
+
+  test("q84 mann-whitney: QueryDef fuzz vs brute pair dominance (tie cents, skewed sizes)") {
+    (1 to 3).foreach { round =>
+      // coarse cent grid -> midranks fractional; ~25% R rows -> skew
+      val rows = (1 to 180).map(i => (i.toLong, 1.0,
+        ((nxt() % 12) * 25 + 50).toDouble / 100.0, 0.0,
+        if (nxt() % 4 == 0) "R" else "N"))
+      val got = queries.Pipeline73.q84.run(spark, writeLineitemDir(rows))
+        .collect().head
+      val r = rows.filter(_._5 == "R").map(x => Math.round(x._3 * 100))
+      val n = rows.filter(_._5 == "N").map(x => Math.round(x._3 * 100))
+      def u2(a: Seq[Long], b: Seq[Long]): BigInt =
+        BigInt(a.map(x => b.map(y =>
+          (if (x > y) 2L else 0L) + (if (x == y) 1L else 0L)).sum).sum)
+      val (ur2, un2) = (u2(r, n), u2(n, r))
+      val want = (r.size.toLong, n.size.toLong, ur2.toLong, un2.toLong,
+        (ur2 * 1000000 / (2 * BigInt(r.size) * n.size)).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4)) == want, s"round $round: mann-whitney mismatch")
     }
   }
 

@@ -1936,6 +1936,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
   }
 
+  test("round-11 part-38 shapes (q83 bounded cell join + pair identity, q84 U identity)") {
+    // q83: the O(N^2) pair statistics must come from the BOUNDED
+    // joint-domain cell frame (a broadcast non-equi join, never a
+    // shuffled cartesian), and every unordered pair lands in exactly
+    // one concordance class: n0 = C + D + tieX + tieY - tieXY
+    val q83 = queries.Pipeline73.q83.run(spark, sfDir)
+    val plan83 = finalPlan(q83)
+    assert(plan83.contains("BroadcastNestedLoopJoin"),
+      "cell-pair products must ride a broadcast join over the bounded cells")
+    assert(!plan83.contains("CartesianProduct"))
+    val r = q83.collect().head
+    val (n, c, dd, tx, ty, txy) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(c + dd + tx + ty - txy == n * (n - 1) / 2,
+      "concordance classes must partition all pairs")
+    assert(r.getLong(6).abs <= 1000000L && r.getLong(7).abs <= 1000000L)
+
+    // q84: the combined rank map rides the bucketed window, and the
+    // two doubled U's must satisfy U_R + U_N = n_R * n_N exactly
+    val q84 = queries.Pipeline73.q84.run(spark, sfDir)
+    assert(finalPlan(q84).contains("hashpartitioning(b"),
+      "combined rank cumcount must ride the value-range bucketed window")
+    val u = q84.collect().head
+    assert(u.getLong(2) + u.getLong(3) == 2 * u.getLong(0) * u.getLong(1),
+      "doubled Mann-Whitney U identity must hold")
+    assert(u.getLong(4) >= 0L && u.getLong(4) <= 1000000L)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
