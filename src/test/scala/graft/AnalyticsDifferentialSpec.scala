@@ -813,6 +813,76 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("e40 twap: QueryDef fuzz vs in-memory step-weighted mean (ts ties, refunds, single-event users)") {
+    (1 to 3).foreach { round =>
+      // values skew negative; ts collide often; ~1/3 of users have one event
+      val rows = (1 to 250).map { i =>
+        (nxt() % 30, 1700000000000L + (nxt() % 60) * 1000L, i.toLong,
+          "view", (nxt() % 8000 - 3000).toDouble / 100.0)
+      }
+      val got = queries.Pipeline74.e40.run(spark, writeEventsDir(rows))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val s = es.sortBy(e => (e._2, e._3))
+        if (s.size < 2) None
+        else {
+          val iv = s.sliding(2).collect { case Seq(a, b) =>
+            (BigInt(Math.round(a._5 * 100)) * ((b._2 - a._2) * 1000L),
+              (b._2 - a._2) * 1000L)
+          }.toSeq
+          val span = iv.map(_._2).sum
+          if (span <= 0) None
+          else Some(u -> ((s.size.toLong, span,
+            (iv.map(_._1).sum * 1000000 / span).toLong)))
+        }
+      }
+      assert(got == want, s"round $round: twap mismatch")
+    }
+  }
+
+  /** Synthesized documents table (doc_id, source, text) for QueryDef
+    * fuzzes of the corpus-analytics tail. */
+  private def writeDocsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_doc").toFile
+    dir.deleteOnExit()
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("t45 trigram novelty: QueryDef fuzz vs in-memory first-sighting attribution (short docs, shared phrases)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    (1 to 3).foreach { round =>
+      // tiny vocab -> trigrams repeat across docs; some docs < 3 tokens
+      val rows = (1 to 40).map { i =>
+        val len = (nxt() % 14).toInt + 1
+        val text = Seq.fill(len)(vocab((nxt() % vocab.size).toInt)).mkString(" ")
+        (i.toLong, s"s${nxt() % 4}", text)
+      }
+      val got = queries.Pipeline74.t45.run(spark, writeDocsDir(rows))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val tri = rows.map { case (id, src, text) =>
+        val t = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        (id, src, if (t.size < 3) Set.empty[String]
+          else t.sliding(3).map(_.mkString(" ")).toSet)
+      }
+      val first = tri.flatMap { case (id, _, g) => g.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+      val want = tri.groupBy(_._2).map { case (src, ds) =>
+        val occ = ds.map(_._3.size.toLong).sum
+        val nov = ds.map { case (id, _, g) =>
+          g.count(first(_) == id).toLong }.sum
+        src -> ((ds.size.toLong, occ, nov,
+          if (occ == 0) 0L else (BigInt(nov) * 1000000 / occ).toLong))
+      }
+      assert(got == want, s"round $round: novelty mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

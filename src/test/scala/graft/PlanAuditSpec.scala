@@ -1964,6 +1964,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(u.getLong(4) >= 0L && u.getLong(4) <= 1000000L)
   }
 
+  test("round-11 part-39 shapes (e40 single user shuffle, t45 first-sighting mass identity)") {
+    // e40: the lead window and the per-user agg must share ONE
+    // user-keyed exchange — a second shuffle on the same key is the
+    // regression this audit exists to catch
+    val e40 = queries.Pipeline74.e40.run(spark, sfDir)
+    // the AQE plan string repeats in its "Initial Plan" section —
+    // audit only the final plan
+    val plan = finalPlan(e40).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size == 1,
+      s"window + agg must reuse one user-keyed exchange:\n$plan")
+    e40.collect().foreach { r =>
+      assert(r.getLong(1) >= 2L && r.getLong(2) > 0L)
+    }
+
+    // t45: every distinct shingle hash is attributed to exactly one
+    // doc, so sum(n_novel) == corpus distinct-shingle count and
+    // sum(n_trigrams) == total (doc, shingle) incidence mass
+    val docs = Tables.documents(spark, sfDir)
+    val ex = graft.operators.Dedup.shingleHashSets(docs, "text", 3)
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+    val vocab = ex.select("sgl").distinct().count()
+    val mass = ex.count()
+    val t45 = queries.Pipeline74.t45.run(spark, sfDir).collect()
+    assert(t45.map(_.getLong(3)).sum == vocab,
+      "first sightings must partition the distinct-shingle vocabulary")
+    assert(t45.map(_.getLong(2)).sum == mass)
+    t45.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
