@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Similarity, Storage}
+
+/** Round-11 additions, part 40: the LEFT SEMI stream-stream join
+  * (completing the engine join-mode matrix: inner st10, left outer
+  * st11, full outer st13) and the int8 quantization rank-fidelity
+  * audit composing the q82 midrank-Spearman machinery over the s28
+  * scoring chains.
+  */
+object Pipeline75 {
+
+  def all: Seq[QueryDef] = Seq(st14, s37)
+
+  /** Stream-stream LEFT SEMI interval join through the real engine
+    * ([[graft.streaming.EventStreams.purchasesAfterErrors]]):
+    * purchases with ANY error in the preceding 60 s, each exactly
+    * once. Same two-drop choreography as st10 — the cross-drop case
+    * (a drop-2 purchase whose only matching error arrived in drop 1)
+    * is the state-retention proof — but unlike every other mode,
+    * semi needs NO sentinel flush and NO reconciliation: matches
+    * emit on arrival and existence over the ≤2 exploded error-bucket
+    * copies is still just existence. The oracle is the plain batch
+    * EXISTS. */
+  val st14: QueryDef = QueryDef(
+    "st14_engine_semi_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("event_id"))
+      val root = new java.io.File(Pipeline43.streamRoot, "st14")
+      val streamDir = new java.io.File(root, "stream")
+      val ckpt = new java.io.File(root, "ckpt")
+      val sink = new java.io.File(root, "sink")
+      Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
+      Pipeline43.deleteRec(sink)
+      val base = System.currentTimeMillis()
+      def run(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+        val joined = graft.streaming.EventStreams
+          .purchasesAfterErrors(stream).select(col("p_id"))
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      Pipeline43.writeSlice(root, streamDir,
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        "batch1", base - 60000L)
+      run()
+      Pipeline43.writeSlice(root, streamDir,
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "batch2", base)
+      run()
+      s.read.parquet(sink.toString).select(col("p_id")).orderBy(col("p_id"))
+    },
+    Some("""SELECT p.event_id AS p_id FROM events p
+      WHERE p.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM events e WHERE e.event_type = 'error'
+          AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 60 SECOND)
+      ORDER BY p_id"""))
+
+  /** Int8 rank fidelity: per query, the midrank Spearman rho between
+    * the EXACT cosine ranking and the int8-quantized ranking over
+    * every candidate — the whole-ranking complement of s28's
+    * top-10-overlap (overlap can look perfect while the tail
+    * ranking scrambles; rho sees the tail). Both scores are the
+    * pinned s28 micro chains (one fixed IEEE expression each engine
+    * replays bit-for-bit), ranks ride the q82 doubled-midrank trick
+    * per query, and `rho = 1 − 6Σd²/(n(n²−1))` lands in micro
+    * units — tie-exact, float-free after the two score columns.
+    *
+    * 100 TB shape: the brute q×N candidate frame is the s28 audit
+    * face (swap ivfTopK candidates at scale); after it, everything
+    * collapses to per-(query, distinct-score) partial aggs and a
+    * per-query fold. The pair frame is cached once and released. */
+  val s37: QueryDef = QueryDef(
+    "s37_int8_rank_fidelity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val pred = "vec_id % 50 = 3 AND vec_id < 2000"
+      val p = Similarity.prepared(emb).select("vec_id", "v", "nrm")
+      val qsE = p.filter(expr(pred))
+        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qn")
+      val ex = broadcast(qsE).join(p, col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS n_id",
+          "if(qn = 0d or nrm = 0d, cast(null as bigint), " +
+            "cast(round((graft_dot(qv, v) / (sqrt(qn) * sqrt(nrm)))" +
+            " * 1000000) as bigint)) AS x")
+      val qz = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), col("q"), col("maxabs"), col("nrm"))
+      val qsI = qz.filter(expr(pred))
+        .selectExpr("vec_id AS q_id", "q AS qq", "maxabs AS qm", "nrm AS qn2")
+      val iq = broadcast(qsI).join(qz, col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS n_id",
+          "aggregate(zip_with(qq, q, (x, y) -> cast(x as bigint) * y), " +
+            "cast(0 as bigint), (a, x) -> a + x) AS idot",
+          "qm", "maxabs AS cm", "qn2", "nrm AS cn")
+        .selectExpr("q_id", "n_id",
+          "if(qn2 = 0d or cn = 0d, cast(null as bigint), " +
+            "cast(round(((cast(idot as double) * qm * cm) / " +
+            "(16129d * sqrt(qn2) * sqrt(cn))) * 1000000) as bigint)) AS y")
+      Storage.withCached(ex.join(iq, Seq("q_id", "n_id"))
+          .filter(col("x").isNotNull && col("y").isNotNull)) { pairs =>
+        def rmap(c: String) = {
+          val win = Window.partitionBy(col("q_id")).orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          pairs.groupBy(col("q_id"), col(c)).agg(count(lit(1)).as("cnt"))
+            .withColumn("before", coalesce(sum(col("cnt")).over(win), lit(0L)))
+            .selectExpr("q_id", c, s"2 * before + cnt + 1 AS r2$c")
+        }
+        pairs.join(rmap("x"), Seq("q_id", "x"))
+          .join(rmap("y"), Seq("q_id", "y"))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(r2x - r2y as decimal(38,0)) * (r2x - r2y)")).as("d2"))
+          .selectExpr("q_id", "n AS n_cands",
+            "cast(1000000 - (6 * d2 * 1000000)" +
+              " div (4 * cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * n - 1))" +
+              " as bigint) AS fidelity_micro")
+          .orderBy(col("q_id"))
+      }
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm,
+              list_reduce(list_concat([0.0::DOUBLE],
+                list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b))
+                AS maxabs
+            FROM e),
+      qz AS (SELECT vec_id, nrm, maxabs,
+               CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::INT)
+                 ELSE list_transform(v, x -> CAST(round((x * 127) / maxabs)
+                   AS INT))
+               END AS q
+             FROM n),
+      ex AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+                ELSE CAST(round((${DuckOps.dot("q.v", "c.v")}
+                  / (sqrt(q.nrm) * sqrt(c.nrm))) * 1000000) AS BIGINT)
+                END AS x
+            FROM n q JOIN n c ON q.vec_id % 50 = 3 AND q.vec_id < 2000
+              AND c.vec_id <> q.vec_id),
+      iq AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+              CASE WHEN a.nrm = 0 OR c.nrm = 0 THEN NULL
+                ELSE CAST(round(((list_reduce(list_concat([0::BIGINT],
+                  list_transform(range(1, len(a.q) + 1),
+                    i -> a.q[i]::BIGINT * c.q[i])), (x, y) -> x + y)::DOUBLE
+                  * a.maxabs * c.maxabs) /
+                  (16129 * sqrt(a.nrm) * sqrt(c.nrm))) * 1000000) AS BIGINT)
+                END AS y
+             FROM qz a JOIN qz c ON a.vec_id % 50 = 3 AND a.vec_id < 2000
+               AND c.vec_id <> a.vec_id),
+      pr AS (SELECT ex.q_id, ex.x, iq.y FROM ex
+             JOIN iq ON ex.q_id = iq.q_id AND ex.n_id = iq.n_id
+             WHERE ex.x IS NOT NULL AND iq.y IS NOT NULL),
+      gx AS (SELECT q_id, x, CAST(count(*) AS BIGINT) AS cnt
+             FROM pr GROUP BY 1, 2),
+      rx AS (SELECT q_id, x, 2 * COALESCE(CAST(sum(cnt) OVER (
+               PARTITION BY q_id ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               + cnt + 1 AS r2x FROM gx),
+      gy AS (SELECT q_id, y, CAST(count(*) AS BIGINT) AS cnt
+             FROM pr GROUP BY 1, 2),
+      ry AS (SELECT q_id, y, 2 * COALESCE(CAST(sum(cnt) OVER (
+               PARTITION BY q_id ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               + cnt + 1 AS r2y FROM gy),
+      j AS (SELECT pr.q_id, rx.r2x, ry.r2y FROM pr
+            JOIN rx ON pr.q_id = rx.q_id AND pr.x = rx.x
+            JOIN ry ON pr.q_id = ry.q_id AND pr.y = ry.y),
+      a AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST((r2x - r2y) AS HUGEINT) * (r2x - r2y)) AS HUGEINT)
+                AS d2 FROM j GROUP BY 1)
+      SELECT q_id, n AS n_cands,
+        CAST(1000000 - (6 * d2 * 1000000)
+          // (4 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+          AS fidelity_micro
+      FROM a ORDER BY q_id"""))
+}

@@ -296,6 +296,36 @@ object EventStreams {
       .drop("bucket_p", "bucket_e")
   }
 
+  /** LEFT SEMI face of the bucketed interval join: purchases that
+    * had ANY error in the preceding `windowSeconds` — existence
+    * only, each matched purchase exactly once, unmatched purchases
+    * never emitted. Semi is the one join mode where the errors
+    * side's ≤2-bucket explosion needs NO reconciliation at all:
+    * existence over copies is existence, so the raw engine output
+    * is already exact. Matches emit as soon as the partner arrives
+    * (no watermark wait — nothing is emitted on timeout), while the
+    * watermark still bounds both sides' join state. */
+  def purchasesAfterErrors(events: DataFrame, windowSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermark) else df
+    val purchases = wm(events).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    val errors = wm(events).filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("bucket_e", explode(expr(
+        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
+    purchases.join(errors,
+      col("bucket_p") === col("bucket_e") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_semi")
+      .drop("bucket_p")
+  }
+
   /** FULL OUTER face of [[purchasesWithErrorAttribution]]: matched
     * (purchase, error) pairs within the window, plus NULL rows for
     * purchases no error preceded AND for errors no purchase

@@ -295,4 +295,37 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(engine == plain, "bucketed full outer + reconcile must equal the plain full join")
   }
+
+  test("left-semi interval join: bucket copies and multi-matches collapse to existence (batch face)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fc, expr => fe}
+    // p1 matches e1 only through e1's SECOND bucket copy; p2 matches
+    // TWO errors (e1 via copy + e2 same-bucket) and must emit once;
+    // p3 matches nothing and must not emit at all
+    val rows = Seq(
+      (1L, 59000L, "error"), (2L, 61000L, "purchase"),
+      (3L, 70000L, "error"), (4L, 100000L, "purchase"),
+      (5L, 300000L, "purchase"))
+      .toDF("event_id", "ms", "event_type")
+      .selectExpr("event_id", "timestamp_millis(ms) AS ts", "event_type")
+    val got = EventStreams.purchasesAfterErrors(rows)
+      .select(fc("p_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L, 4L), "existence once per purchase, no copy duplication")
+
+    // real corpus: batch semi face == plain (unbucketed) left semi
+    val ev = Tables.events(spark, sfDir)
+      .select(fc("ts"), fc("event_type"), fc("event_id"))
+    val engine = EventStreams.purchasesAfterErrors(ev)
+      .select(fc("p_id")).collect().map(_.getLong(0)).toSet
+    val p = ev.filter(fc("event_type") === "purchase")
+      .select(fc("event_id").as("p_id"), fc("ts").as("p_ts"))
+    val e = ev.filter(fc("event_type") === "error")
+      .select(fc("event_id").as("e_id"), fc("ts").as("e_ts"))
+    val plain = p.join(e,
+        fc("p_ts") >= fc("e_ts") &&
+          fc("p_ts") < fc("e_ts") + fe("INTERVAL 60 SECONDS"),
+        "left_semi")
+      .select(fc("p_id")).collect().map(_.getLong(0)).toSet
+    assert(engine == plain, "bucketed semi must equal the plain left semi")
+  }
 }

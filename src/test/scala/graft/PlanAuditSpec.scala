@@ -1994,6 +1994,21 @@ class PlanAuditSpec extends AnyFunSuite {
     t45.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("round-11 part-40 shapes (s37 self-fidelity + bounds, candidates match s28 universe)") {
+    // s37: rho in [-1e6, 1e6]; int8 keeps dims to ~0.8% relative
+    // error so the whole-ranking fidelity must be strongly positive;
+    // every query ranks the same candidate universe
+    val s37 = queries.Pipeline75.s37.run(spark, sfDir).collect()
+    assert(s37.nonEmpty)
+    val nCands = s37.map(_.getLong(1)).distinct
+    assert(nCands.length == 1, "all queries rank the same candidate universe")
+    s37.foreach { r =>
+      val rho = r.getLong(2)
+      assert(rho > 0L && rho <= 1000000L,
+        s"q ${r.getLong(0)}: int8 rank fidelity must be strongly positive, got $rho")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
