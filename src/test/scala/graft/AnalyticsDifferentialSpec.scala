@@ -883,6 +883,46 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 lorenz curve: QueryDef fuzz vs in-memory sorted cumsum (duplicate values at cuts)") {
+    (1 to 3).foreach { round =>
+      // coarse price grid -> decile cuts land INSIDE runs of ties
+      val rows = (1 to 137).map(i =>
+        (i.toLong, nxt() % 12, ((nxt() % 15) * 25 + 25).toDouble / 100.0))
+      val res = queries.Pipeline76.q85.run(spark, writeOrdersDir(rows))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val cs = rows.map(r => Math.round(r._3 * 100)).sorted
+      val n = cs.size.toLong
+      val total = cs.map(BigInt(_)).sum
+      val want = (1L to 10L).map { k =>
+        val rk = k * n / 10
+        val mass = cs.take(rk.toInt).map(BigInt(_)).sum
+        k -> ((rk, mass.toLong, (mass * 1000000 / total).toLong))
+      }.toMap
+      assert(res == want, s"round $round: lorenz mismatch")
+    }
+  }
+
+  test("e41 gap dispersion: QueryDef fuzz vs in-memory CV^2 (constant gaps, ts ties)") {
+    (1 to 3).foreach { round =>
+      val rows = randomEvents(300, 15, 90)
+      val got = queries.Pipeline76.e41.run(spark, writeEventsDir(rows))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val gaps = rows.groupBy(r => (r._1, r._4)).toSeq.flatMap { case ((_, t), es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._2).sliding(2)
+          .collect { case Seq(a, b) => t -> ((b - a) * 1000L / 1000000L) }
+      }
+      val want = gaps.groupBy(_._1).map { case (t, gs) =>
+        val v = gs.map(g => BigInt(g._2))
+        val (n, sg, sg2) = (BigInt(v.size), v.sum, v.map(x => x * x).sum)
+        t -> ((v.size.toLong, (sg / n).toLong,
+          if (sg == 0) 0L else ((n * sg2 - sg * sg) * 1000000 / (sg * sg)).toLong))
+      }
+      assert(got == want, s"round $round: dispersion mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

@@ -2009,6 +2009,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-41 shapes (q85 convexity + bucketed cumsum, e41 CV^2 >= 0)") {
+    // q85: the Lorenz curve is convex from below — shares monotone,
+    // each decile's share at most its rank share, decile 10 exactly
+    // the whole mass; the rank lookup rides the bucketed window
+    val q85 = queries.Pipeline76.q85.run(spark, sfDir)
+    assert(finalPlan(q85).contains("hashpartitioning(b"),
+      "rank/mass cumsums must ride the value-range bucketed window")
+    val rows = q85.collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(0) * 100000L,
+        s"decile ${r.getLong(0)}: ascending mass share can't exceed rank share")
+    }
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.last.getLong(3) == 1000000L, "decile 10 holds all the mass")
+
+    // e41: Cauchy-Schwarz makes n*sum(g^2) >= (sum g)^2 — CV^2 >= 0
+    queries.Pipeline76.e41.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(1) > 0L)
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
