@@ -566,6 +566,69 @@ object Graph {
     * (the [[pageRank]] discipline); the driver holds one Long. The
     * valve THROWS on non-convergence rather than returning a partial
     * closure ([[pageRankConverged]] discipline). */
+  /** Condensation-DAG longest-path depth: contract every SCC of the
+    * directed graph ([[scc]]) to one super-node, keep the distinct
+    * cross-component edges (acyclic by construction), and give each
+    * super-node its longest incoming path length — the cascade depth
+    * of a flow graph (how many hops separate the ultimate origins
+    * from the deepest sink). Depths relax by Bellman-style rounds
+    * (`d(t) = max(d(t), d(s) + 1)` over the condensed edges) until
+    * the depth mass Σd stops moving; the valve THROWS past
+    * `maxRounds` — on a correct condensation the loop is bounded by
+    * the DAG depth, so tripping it means [[scc]]'s closure was
+    * violated, not "data too big".
+    *
+    * 100 TB shape: inherits [[scc]]'s bounded-vocabulary contract —
+    * every frame after the edge distinct is O(components²); the
+    * driver holds one Long per round. */
+  def condensationDepth(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = Storage.checkpointed(df); acquired += c; c
+    }
+    try {
+      val lab = ckpt(scc(edges, srcCol, dstCol))
+      val e0 = edges.selectExpr(s"$srcCol AS s", s"$dstCol AS t").distinct()
+      val cond = ckpt(e0
+        .join(lab.selectExpr("node AS s", "scc_id AS cs"), Seq("s"))
+        .join(lab.selectExpr("node AS t", "scc_id AS ct"), Seq("t"))
+        .filter(col("cs") =!= col("ct"))
+        .select(col("cs").as("es"), col("ct").as("et")).distinct())
+      var depth = ckpt(lab.select(col("scc_id").as("n")).distinct()
+        .withColumn("d", lit(0L)))
+      var stale: Seq[RDD[_]] = checkpointRdds(depth)
+      var sumD = -1L
+      var round = 0
+      var fixed = false
+      while (!fixed) {
+        round += 1
+        require(round <= maxRounds,
+          s"condensation depth did not stabilize within $maxRounds rounds " +
+            "— the condensed graph has a cycle, which violates scc's closure")
+        val next = ckpt(depth
+          .unionByName(cond.join(depth, col("es") === col("n"))
+            .select(col("et").as("n"), (col("d") + 1).as("d")))
+          .groupBy(col("n")).agg(max(col("d")).as("d")))
+        val sd = next.agg(coalesce(sum(col("d")), lit(0L))).head.getLong(0)
+        fixed = sd == sumD
+        stale.foreach(_.unpersist(blocking = false))
+        stale = checkpointRdds(next)
+        sumD = sd
+        depth = next
+      }
+      depth.selectExpr("n AS scc_id", "d AS depth")
+        .join(lab.select(col("scc_id"), col("scc_size")).distinct(),
+          Seq("scc_id"))
+        .select(col("scc_id"), col("depth"), col("scc_size"))
+    } catch {
+      case th: Throwable =>
+        acquired.foreach(Storage.release)
+        throw th
+    }
+  }
+
   def scc(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")

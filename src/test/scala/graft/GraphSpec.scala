@@ -362,6 +362,59 @@ class GraphSpec extends AnyFunSuite {
     assert(runScc(edges, parts = 1) === runScc(edges, parts = 7))
   }
 
+  // ---- condensation depth ----
+
+  /** In-memory reference: [[refScc]]'s labels, condensed distinct
+    * cross-component edges, longest path per super-node by repeated
+    * relaxation (bounded by component count on an acyclic graph). */
+  private def refCondDepth(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val lab = refScc(edges)
+    val cond = edges.map { case (s, t) => (lab(s)._1, lab(t)._1) }
+      .filter(p => p._1 != p._2).distinct
+    val comps = lab.values.map(_._1).toSeq.distinct
+    val depth = scala.collection.mutable.Map(comps.map(_ -> 0L): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      cond.foreach { case (s, t) =>
+        if (depth(s) + 1 > depth(t)) { depth(t) = depth(s) + 1; changed = true }
+      }
+    }
+    val size = lab.values.groupBy(_._1).map { case (l, g) => l -> g.size.toLong }
+    comps.map(c => c -> ((depth(c), size(c)))).toMap
+  }
+
+  private def runCondDepth(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = Graph.condensationDepth(edges.toDF("s", "t").repartition(parts),
+      "s", "t")
+    val out = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Storage.release(df)
+    out
+  }
+
+  test("condensationDepth: differential fuzz vs in-memory scc + relaxation") {
+    var x = 987654L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    for (trial <- 1 to 5) {
+      val nNodes = 5 + trial * 3
+      // sparse enough that condensation keeps several layers
+      val edges = (1 to nNodes + trial * 2)
+        .map(_ => (nxt() % nNodes + 1, nxt() % nNodes + 1))
+      assert(runCondDepth(edges) === refCondDepth(edges),
+        s"trial $trial edges=$edges")
+    }
+  }
+
+  test("condensationDepth: pure DAG keeps every node, rings collapse with max depth") {
+    // 1→2→3 chain plus a 4↔5 ring hanging off 3: depths 0,1,2,3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L))
+    val got = runCondDepth(edges)
+    assert(got === Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L),
+      4L -> (3L, 2L)))
+  }
+
   // ---- harmonic centrality ----
 
   /** In-memory reference: per-source BFS over the deduped,
