@@ -248,6 +248,9 @@ object Multimodal {
   final case class AudioZcr(media_id: Long, n_samples: Long,
       n_crossings: Long, zcr_micro: Long)
 
+  final case class AudioQuietRuns(media_id: Long, n_samples: Long,
+      n_quiet: Long, n_runs: Long, max_run: Long)
+
   final case class ImageChannelStats(media_id: Long, width: Long, height: Long,
       r_mean: Long, g_mean: Long, b_mean: Long,
       h0: Long, h1: Long, h2: Long, h3: Long)
@@ -305,6 +308,32 @@ object Multimodal {
       val n = s.length.toLong
       AudioZcr(m.media_id, n, cross,
         if (n < 2) 0L else cross * 1000000L / (n - 1))
+    }
+  }
+
+  /** Quiet-run profile over REAL WAV payloads: maximal runs of
+    * consecutive samples with `|v| < threshold` — the
+    * silence-segmentation statistic (how many pauses, how long the
+    * longest) a speech-data pipeline reads before deciding chunk
+    * boundaries. One decode + one integer pass per record; map-only,
+    * never shuffles. */
+  def quietRunAudit(media: Dataset[MediaRecord], threshold: Int): Dataset[AudioQuietRuns] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val s = MediaCodec.decodeWav(m.payload).samples
+      var quiet = 0L; var runs = 0L; var maxRun = 0L; var cur = 0L
+      var i = 0
+      while (i < s.length) {
+        if (math.abs(s(i).toInt) < threshold) {
+          quiet += 1; cur += 1
+          if (cur == 1L) runs += 1
+          if (cur > maxRun) maxRun = cur
+        } else cur = 0L
+        i += 1
+      }
+      AudioQuietRuns(m.media_id, s.length.toLong, quiet, runs, maxRun)
     }
   }
 

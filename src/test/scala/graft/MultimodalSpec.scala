@@ -357,6 +357,30 @@ class MultimodalSpec extends AnyFunSuite {
       "rail-to-rail alternation crosses at every pair (and 32767² must not overflow)")
   }
 
+  test("quietRunAudit: hand-pinned runs, threshold is strict, rails never quiet, non-audio filtered") {
+    import spark.implicits._
+    // threshold 10: |v| < 10 is quiet. Pattern: q q L q L L q q q ->
+    // runs of 2, 1, 3 -> n_quiet 6, n_runs 3, max_run 3; v = ±10
+    // (exactly at threshold) is LOUD (strict <)
+    val s1 = Array[Short](3, -9, 10, 0, -10, 50, 9, 1, -4)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, s1)),
+      Multimodal.MediaRecord(2L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array[Short](32767, -32768))), // all loud
+      Multimodal.MediaRecord(3L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array[Short](0, 0, 0))), // one full run
+      Multimodal.MediaRecord(4L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(1, 1, Array[Byte](1, 2, 3)))).toDS()
+    val got = Multimodal.quietRunAudit(media, 10)
+      .collect().map(q => q.media_id ->
+        ((q.n_samples, q.n_quiet, q.n_runs, q.max_run))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "non-audio records emit nothing")
+    assert(got(1L) == ((9L, 6L, 3L, 3L)))
+    assert(got(2L) == ((2L, 0L, 0L, 0L)), "rail samples are never quiet")
+    assert(got(3L) == ((3L, 3L, 1L, 3L)), "an all-quiet clip is one maximal run")
+  }
+
   test("channelStats: hand-built 2x1 image pins channel means and histogram, non-image filtered") {
     import spark.implicits._
     // pixels: (10, 100, 200) and (20, 150, 250)

@@ -2031,6 +2031,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-43 shapes (p45 keeper partition identity, m17 run bounds)") {
+    // p45: keepers partition the corpus — sum(n_kept) equals the
+    // independent distinct-fingerprint count, masses reconcile
+    val docs = Tables.documents(spark, sfDir)
+    val nFp = docs
+      .selectExpr(s"${graft.operators.TextOps.tokens("text")} AS t")
+      .selectExpr(s"${graft.operators.TextOps.strHash60("concat_ws(' ', slice(t, 1, 40))")} AS fp")
+      .distinct().count()
+    val p45 = queries.Pipeline78.p45.run(spark, sfDir).collect()
+    assert(p45.map(_.getLong(2)).sum == nFp,
+      "per-source keepers must sum to the distinct-fingerprint count")
+    p45.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(4) && r.getLong(6) <= 1000000L)
+    }
+
+    // m17: run structure bounds hold on every clip
+    queries.Pipeline78.m17.run(spark, sfDir).collect().foreach { r =>
+      val (n, q, runs, mx) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(q <= n && mx <= q && runs <= q)
+      assert((q == 0 && runs == 0 && mx == 0) || (runs >= 1 && mx >= 1))
+      assert(runs * mx >= q, "no run exceeds max_run (pigeonhole)")
+    }
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
