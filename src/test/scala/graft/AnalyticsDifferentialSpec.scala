@@ -923,6 +923,34 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("t46 sentence quantiles: QueryDef fuzz vs in-memory sorted lookup (tie lengths, empty sentences)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val seps = Vector(". ", "! ", "? ", "... ")
+    (1 to 3).foreach { round =>
+      val rows = (1 to 30).map { i =>
+        val nSent = (nxt() % 5).toInt + 1
+        val text = (1 to nSent).map { _ =>
+          val len = (nxt() % 7).toInt // 0-token sentences included
+          Seq.fill(len)(vocab((nxt() % vocab.size).toInt)).mkString(" ")
+        }.zip(Seq.fill(nSent)(seps((nxt() % seps.size).toInt)))
+          .map { case (s, sep) => s + sep }.mkString
+        (i.toLong, "s0", text)
+      }
+      val got = queries.Pipeline79.t46.run(spark, writeDocsDir(rows))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val lens = rows.flatMap(_._3.split("[.!?]+"))
+        .map(_.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong)
+        .filter(_ > 0).sorted
+      val n = lens.size.toLong
+      val want = Seq(25L, 50L, 90L).map { p =>
+        val rk = (p * n + 99) / 100
+        p -> ((n, rk, lens((rk - 1).toInt)))
+      }.toMap
+      assert(got == want, s"round $round: quantile mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

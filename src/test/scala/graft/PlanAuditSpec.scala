@@ -2057,6 +2057,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 part-44 shapes (d27 mass identities vs corpus and p45, t46 bucketed lookup)") {
+    // d27's histogram must account for every document, and its group
+    // count must equal p45's keeper count (same fingerprint universe)
+    val d27 = queries.Pipeline79.d27.run(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(d27.map(_.getLong(2)).sum == nDocs,
+      "group sizes × counts must sum to the corpus")
+    val p45Keep = queries.Pipeline78.p45.run(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    assert(d27.map(_.getLong(1)).sum == p45Keep,
+      "one keeper per group: d27 groups == p45 keepers")
+
+    // t46: the rank lookup rides the bucketed window; quantiles are
+    // monotone in p and each rank lands inside the corpus
+    val t46 = queries.Pipeline79.t46.run(spark, sfDir)
+    assert(finalPlan(t46).contains("hashpartitioning(b"),
+      "quantile rank lookup must ride the value-range bucketed window")
+    val rows = t46.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)),
+      "quantiles must be monotone in p")
+    rows.foreach(r => assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1)))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
