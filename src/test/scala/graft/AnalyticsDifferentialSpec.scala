@@ -951,6 +951,49 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 winsorized mean: QueryDef fuzz vs in-memory clamp (cuts inside tie runs)") {
+    (1 to 3).foreach { round =>
+      // coarse grid -> the k and n-k cuts land inside runs of ties
+      val rows = (1 to (100 + (nxt() % 80).toInt)).map(i => (i.toLong, 1.0,
+        ((nxt() % 9) * 50 + 100).toDouble / 100.0, 0.0, "N"))
+      val got = queries.Pipeline80.q86.run(spark, writeLineitemDir(rows))
+        .collect().head
+      val cs = rows.map(r => Math.round(r._3 * 100)).sorted
+      val n = cs.size
+      val k = n / 10
+      val vLo = cs(k)         // rank k+1, 0-indexed
+      val vHi = cs(n - k - 1) // rank n-k
+      val wsum = cs.zipWithIndex.map { case (c, i) =>
+        BigInt(if (i < k) vLo else if (i >= n - k) vHi else c)
+      }.sum
+      val want = (n.toLong, k.toLong, vLo, vHi, (wsum / n).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4)) == want, s"round $round: winsorized mismatch")
+    }
+  }
+
+  test("q87 revenue AR(1): QueryDef fuzz vs in-memory least squares (sparse days, negative slope)") {
+    (1 to 3).foreach { round =>
+      val rows = (1 to 160).map(i =>
+        (i.toLong, (nxt() % 50) * 2, ((nxt() % 90000) + 100).toDouble / 100.0))
+      val got = queries.Pipeline80.q87.run(spark, writeOrdersDir(rows))
+        .collect().head
+      val daily = rows.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(r => BigInt(Math.round(r._3 * 100))).sum / 100
+      }.toSeq.sortBy(_._1).map(_._2)
+      val pairs = daily.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sx2 = pairs.map(p => p._1 * p._1).sum
+      val want = (pairs.size.toLong, (sx / n).toLong,
+        ((n * sxy - sx * sy) * 1000000 / (n * sx2 - sx * sx)).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
+        s"round $round: ar1 mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

@@ -2080,6 +2080,21 @@ class PlanAuditSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1)))
   }
 
+  test("round-11 part-45 shapes (q86 clamp sandwich + bucketed lookup, q87 pair frame)") {
+    val q86 = queries.Pipeline80.q86.run(spark, sfDir)
+    assert(finalPlan(q86).contains("hashpartitioning(b"),
+      "winsorized lookups must ride the value-range bucketed window")
+    val r = q86.collect().head
+    val (n, k, vLo, vHi, m) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(k == n / 10 && vLo <= vHi)
+    assert(m >= vLo && m <= vHi,
+      "every clamped value lies in [v_lo, v_hi], so the mean must too")
+
+    val q87 = queries.Pipeline80.q87.run(spark, sfDir).collect().head
+    assert(q87.getLong(0) >= 1L && q87.getLong(1) > 0L)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
