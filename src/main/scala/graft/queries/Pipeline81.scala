@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-11 additions, part 46: grouped robust outlier detection
+  * (median/MAD per group through the grouped bucketed rank lookup,
+  * twice) and embedding source cohesion via the exact centroid
+  * identity.
+  */
+object Pipeline81 {
+
+  def all: Seq[QueryDef] = Seq(q88, s38)
+
+  /** Grouped exact median over (g, c) rows via the value-range
+    * bucketed rank lookup — the q76 machinery with a composite
+    * (group, bucket) window key, so no group ever rides a
+    * single-partition window. Lower median (rank `(n+1) div 2`),
+    * tie-exact. */
+  private[graft] def groupedMedian(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcnt = df.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+    val mx = gcnt.groupBy(col("g"))
+      .agg(max(col("c")).as("mx"), sum(col("cnt")).as("n"))
+    val gb = gcnt.join(broadcast(mx.select(col("g"), col("mx"))), Seq("g"))
+      .withColumn("b", expr("c div greatest(1L, (mx div 64) + 1L)"))
+    val offs = gb.groupBy(col("g"), col("b")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(sum(col("bcnt")).over(
+        Window.partitionBy(col("g")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("g"), col("b")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gb.join(broadcast(offs.select(col("g"), col("b"), col("off"))), Seq("g", "b"))
+      .withColumn("before",
+        col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .join(broadcast(mx.selectExpr("g", "(n + 1) div 2 AS rk")), Seq("g"))
+      .filter(col("before") < col("rk") && col("before") + col("cnt") >= col("rk"))
+      .selectExpr("g", "c AS med")
+  }
+
+  /** Robust outliers per order priority: each group's exact median
+    * and MAD (median absolute deviation — [[groupedMedian]] run on
+    * the values, then again on `|v − med|`), and the count of orders
+    * beyond the classic `3·MAD` fence — the q69 MAD promoted to a
+    * grouped, decision-making face. All integers; the only joins are
+    * 5-row broadcast frames.
+    *
+    * 100 TB shape: two grouped distinct-value partial aggs + grouped
+    * bucketed windows (never a per-group single partition), one final
+    * fold; the base projection is cached once across the three
+    * passes and released. */
+  val q88: QueryDef = QueryDef(
+    "q88_robust_outliers",
+    (s, d) => {
+      graft.operators.Storage.withCached(Tables.orders(s, d)
+          .selectExpr("o_orderpriority AS g",
+            "cast(round(o_totalprice * 100) as bigint) AS c")) { base =>
+        val med = groupedMedian(base)
+        val dev = base.join(broadcast(med), Seq("g"))
+          .selectExpr("g", "abs(c - med) AS c", "c AS v", "med")
+        val mad = groupedMedian(dev.select(col("g"), col("c")))
+          .withColumnRenamed("med", "mad")
+        dev.join(broadcast(mad), Seq("g"))
+          .selectExpr("g", "med", "mad",
+            "cast(abs(v - med) > 3 * mad as bigint) AS out")
+          .groupBy(col("g"), col("med"), col("mad"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("out")).as("n_outliers"))
+          .selectExpr("g AS priority", "n_orders", "med AS median_cents",
+            "mad AS mad_cents", "n_outliers",
+            "cast((cast(n_outliers as decimal(38,0)) * 1000000) div n_orders" +
+              " as bigint) AS outlier_micro")
+          .orderBy(col("priority"))
+      }
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      g1 AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      med AS (SELECT g, c AS med FROM (
+          SELECT g, c, cnt,
+            COALESCE(CAST(sum(cnt) OVER (PARTITION BY g ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS before,
+            CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM g1)
+        WHERE before < (n + 1) // 2 AND before + cnt >= (n + 1) // 2),
+      dev AS (SELECT base.g, abs(base.c - med.med) AS dc, base.c AS v, med.med
+              FROM base JOIN med ON base.g = med.g),
+      g2 AS (SELECT g, dc, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY 1, 2),
+      mad AS (SELECT g, dc AS mad FROM (
+          SELECT g, dc, cnt,
+            COALESCE(CAST(sum(cnt) OVER (PARTITION BY g ORDER BY dc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS before,
+            CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM g2)
+        WHERE before < (n + 1) // 2 AND before + cnt >= (n + 1) // 2),
+      m AS (SELECT dev.g, dev.med, mad.mad,
+              CASE WHEN abs(dev.v - dev.med) > 3 * mad.mad THEN 1 ELSE 0 END
+                AS outl
+            FROM dev JOIN mad ON dev.g = mad.g)
+      SELECT g AS priority, CAST(count(*) AS BIGINT) AS n_orders,
+        med AS median_cents, mad AS mad_cents,
+        CAST(sum(outl) AS BIGINT) AS n_outliers,
+        CAST((CAST(sum(outl) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+          AS outlier_micro
+      FROM m GROUP BY g, med, mad ORDER BY priority"""))
+
+  /** Embedding source cohesion via the exact centroid identity: the
+    * mean pairwise dot WITHIN each source is
+    * `(‖Σv‖² − Σ‖v‖²) ∕ (n(n−1))` — N² pair dots collapsed to one
+    * per-dimension sum. Components are milli-quantized
+    * (`round(x·1e3)`, the pinned contract) so every sum is an exact
+    * integer in any aggregation order — no float-summation
+    * nondeterminism — and the resulting dot unit is already micro.
+    * High cohesion = the source's vectors cluster; ≈0 = isotropic.
+    *
+    * 100 TB shape: one explode pass into a (source, dim) partial agg
+    * (S·D rows), one source fold — the pair space is never
+    * materialized. */
+  val s38: QueryDef = QueryDef(
+    "s38_source_cohesion",
+    (s, d) => {
+      val q = Tables.embeddings(s, d)
+        .selectExpr("vec_id", "cast(label as string) AS src",
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q")
+      val perDim = q.selectExpr("src", "posexplode(q) AS (dim, qv)")
+        .groupBy(col("src"), col("dim"))
+        .agg(sum(expr("cast(qv as decimal(38,0))")).as("sq"))
+        .groupBy(col("src"))
+        .agg(sum(expr("sq * sq")).as("csq"))
+      val perVec = q.selectExpr("src",
+          "aggregate(q, cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x) AS nrm")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("nrm")).as("snrm"))
+      perVec.join(perDim, Seq("src"))
+        .filter(col("n") > 1)
+        .selectExpr("src AS source", "n AS n_vecs",
+          "cast((csq - snrm) div (cast(n as decimal(38,0)) * (n - 1))" +
+            " as bigint) AS mean_intra_dot_micro")
+        .orderBy(col("source"))
+    },
+    Some("""WITH q AS (SELECT vec_id, CAST(label AS VARCHAR) AS src,
+               list_transform(embedding,
+                 x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+             FROM embeddings),
+      pd AS (SELECT src, dim, CAST(sum(CAST(qv AS HUGEINT)) AS HUGEINT) AS sq
+             FROM (SELECT src, unnest(q) AS qv,
+                     generate_subscripts(q, 1) AS dim FROM q)
+             GROUP BY 1, 2),
+      csq AS (SELECT src, CAST(sum(sq * sq) AS HUGEINT) AS csq
+              FROM pd GROUP BY 1),
+      pv AS (SELECT src, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(list_reduce(list_concat([0::HUGEINT],
+                 list_transform(q, x -> CAST(x AS HUGEINT) * x)),
+                 (a, b) -> a + b)) AS HUGEINT) AS snrm
+             FROM q GROUP BY 1)
+      SELECT pv.src AS source, pv.n AS n_vecs,
+        CAST((csq.csq - pv.snrm) // (CAST(pv.n AS HUGEINT) * (pv.n - 1))
+          AS BIGINT) AS mean_intra_dot_micro
+      FROM pv JOIN csq ON pv.src = csq.src
+      WHERE pv.n > 1 ORDER BY source"""))
+}

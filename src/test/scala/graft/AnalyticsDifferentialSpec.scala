@@ -574,7 +574,7 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       .selectExpr("o_orderkey", "o_orderkey % 7 AS o_custkey",
         "'O' AS o_orderstatus", "o_totalprice",
         "timestamp_millis(1700000000000 + day_off * 86400000) AS o_orderdate",
-        "'1-URGENT' AS o_orderpriority")
+        "concat('P', o_orderkey % 3) AS o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     dir.toString
   }
@@ -991,6 +991,72 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
         ((n * sxy - sx * sy) * 1000000 / (n * sx2 - sx * sx)).toLong)
       assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
         s"round $round: ar1 mismatch")
+    }
+  }
+
+  test("q88 robust outliers: QueryDef fuzz vs in-memory median/MAD/fence (tie medians, heavy tails)") {
+    (1 to 3).foreach { round =>
+      // coarse grid + occasional 100x spikes -> real outliers and
+      // medians landing inside tie runs
+      val rows = (1 to 150).map { i =>
+        val base = ((nxt() % 12) * 25 + 100).toDouble / 100.0
+        (i.toLong, nxt() % 10,
+          if (nxt() % 11 == 0) base * 100 else base)
+      }
+      val got = queries.Pipeline81.q88.run(spark, writeOrdersDir(rows))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      def lowerMedian(vs: Seq[Long]): Long = {
+        val s2 = vs.sorted; s2(((vs.size + 1) / 2 - 1).toInt)
+      }
+      val want = rows.groupBy(r => s"P${r._1 % 3}").map { case (g, rs) =>
+        val v = rs.map(r => Math.round(r._3 * 100))
+        val med = lowerMedian(v)
+        val mad = lowerMedian(v.map(x => math.abs(x - med)))
+        val out = v.count(x => math.abs(x - med) > 3 * mad).toLong
+        g -> ((v.size.toLong, med, mad, out,
+          (BigInt(out) * 1000000 / v.size).toLong))
+      }
+      assert(got == want, s"round $round: robust outlier mismatch")
+    }
+  }
+
+  /** Synthesized embeddings table (vec_id, label, embedding) for
+    * QueryDef fuzzes of the vector-analytics tail. */
+  private def writeEmbeddingsDir(rows: Seq[(Long, Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_emb").toFile
+    dir.deleteOnExit()
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  test("s38 source cohesion: QueryDef fuzz vs brute pairwise dots (anti-correlated sources)") {
+    (1 to 3).foreach { round =>
+      val rows = (1 to 60).map { i =>
+        val lbl = nxt() % 4
+        // one label family is sign-alternating -> negative cohesion
+        val v = Seq.tabulate(8) { j =>
+          val x = ((nxt() % 2000) - 1000).toFloat / 1000f
+          if (lbl == 0 && i % 2 == 0) -x else x
+        }
+        (i.toLong, lbl, v)
+      }
+      val got = queries.Pipeline81.s38.run(spark, writeEmbeddingsDir(rows))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._2.toString).collect {
+        case (src, rs) if rs.size > 1 =>
+          val qs = rs.map(_._3.map(x =>
+            BigInt(Math.round(x.toDouble * 1000))))
+          val n = qs.size
+          val brute = (for (a <- qs; b <- qs if a ne b) yield
+            a.zip(b).map { case (x, y) => x * y }.sum).sum
+          src -> ((n.toLong, (brute / (BigInt(n) * (n - 1))).toLong))
+      }
+      assert(got == want, s"round $round: cohesion mismatch")
     }
   }
 

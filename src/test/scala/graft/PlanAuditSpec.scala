@@ -2095,6 +2095,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q87.getLong(0) >= 1L && q87.getLong(1) > 0L)
   }
 
+  test("round-11 part-46 shapes (q88 grouped bucketed windows + fence bounds, s38 no pair join)") {
+    // the q88 result is checkpointed (its own plan is a scan), so the
+    // grouped-window claim is audited on the groupedMedian builder
+    val base = Tables.orders(spark, sfDir).selectExpr(
+      "o_orderpriority AS g", "cast(round(o_totalprice * 100) as bigint) AS c")
+    val medPlan = finalPlan(queries.Pipeline81.groupedMedian(base))
+    assert(medPlan.contains("hashpartitioning(g"),
+      "grouped medians must ride the (group, bucket) windows")
+    queries.Pipeline81.q88.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(5) <= 1000000L)
+    }
+
+    // s38: the N^2 pair space must never materialize — no self-join
+    // of the embeddings scan, just partial aggs
+    val s38 = queries.Pipeline81.s38.run(spark, sfDir)
+    val plan = finalPlan(s38).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "cohesion must come from the centroid identity, not pair dots")
+    s38.collect().foreach(r => assert(r.getLong(1) > 1L))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
