@@ -317,9 +317,17 @@ object Curate {
     * oracle computes the same numbers with one flat window. All
     * products ride decimal(38,0) (mirrored by HUGEINT): s1 ≤ n²·wmax
     * ≈ 5e31 at 1e12 rows of ≤5e7, ×1e6 still inside 38 digits. */
-  def giniExact(df: DataFrame, weightCol: String): DataFrame = {
-    val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
-      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+  def giniExact(df: DataFrame, weightCol: String): DataFrame =
+    giniExactFromCounts(df.selectExpr(s"cast($weightCol as bigint) AS c")
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt")))
+
+  /** [[giniExact]] over a PRE-AGGREGATED value-frequency state
+    * (columns `c`, `cnt`) — the mergeable-state face: value
+    * histograms from independent slices union+sum to the identical
+    * state the one-shot scan builds, so a maintained Gini never
+    * re-reads history (the q43/q44 incremental discipline applied to
+    * a holistic order statistic). */
+  def giniExactFromCounts(g: DataFrame): DataFrame = {
     val mx = g.agg(max(col("c")).as("mx"))
     val gb = g.crossJoin(broadcast(mx))
       .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))

@@ -296,6 +296,37 @@ object EventStreams {
       .drop("bucket_p", "bucket_e")
   }
 
+  /** RIGHT OUTER face of the bucketed interval join: matched
+    * (purchase ← error) pairs within the window plus NULL rows for
+    * errors no purchase followed — completing the engine join-mode
+    * matrix (inner, left outer, full outer, left semi, right outer:
+    * every mode Structured Streaming supports). The errors side is
+    * the EXPLODED side here, so raw right-outer output is
+    * over-complete exactly like the full outer's error half — each
+    * unmatched error COPY emits a NULL row; pipe the sink through
+    * [[reconcileFullOuter]] (the purchase-NULL branch is simply
+    * empty for this mode). */
+  def errorPurchaseRightOuter(events: DataFrame, windowSeconds: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermark) else df
+    val purchases = wm(events).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    val errors = wm(events).filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("bucket_e", explode(expr(
+        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
+    purchases.join(errors,
+      col("bucket_p") === col("bucket_e") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "right_outer")
+      .drop("bucket_p", "bucket_e")
+  }
+
   /** LEFT SEMI face of the bucketed interval join: purchases that
     * had ANY error in the preceding `windowSeconds` — existence
     * only, each matched purchase exactly once, unmatched purchases

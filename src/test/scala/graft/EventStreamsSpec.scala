@@ -296,6 +296,47 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(engine == plain, "bucketed full outer + reconcile must equal the plain full join")
   }
 
+  test("right-outer interval join: bucketed face + reconcile == plain right join (cross-copy trap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fc, expr => fe}
+    // e1 matches p1 only via its SECOND bucket copy (first copy's raw
+    // NULL must be dropped by reconcile); e2 matches nothing (true
+    // NULL row, exactly once); p2 is unmatched and must NOT emit
+    val rows = Seq(
+      (1L, 59000L, "error"), (2L, 61000L, "purchase"),
+      (3L, 500000L, "error"), (4L, 300000L, "purchase"))
+      .toDF("event_id", "ms", "event_type")
+      .selectExpr("event_id", "timestamp_millis(ms) AS ts", "event_type")
+    val raw = EventStreams.errorPurchaseRightOuter(rows)
+      .selectExpr("p_id", "e_id", "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+    assert(raw.filter(fc("p_id").isNull && fc("e_id") === 1L).count() == 1L,
+      "e1's unmatched first bucket copy should emit a raw NULL row")
+    val got = EventStreams.reconcileFullOuter(raw)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == Set((Some(2L), Some(1L)), (None, Some(3L))),
+      "matched once + one true error NULL; unmatched purchases never emit")
+
+    // real corpus: batch face + reconcile == plain right join
+    val ev = Tables.events(spark, sfDir)
+      .select(fc("ts"), fc("event_type"), fc("event_id"))
+    val engine = EventStreams.reconcileFullOuter(
+      EventStreams.errorPurchaseRightOuter(ev)
+        .selectExpr("p_id", "e_id",
+          "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    val p = ev.filter(fc("event_type") === "purchase")
+      .select(fc("event_id").as("p_id"), fc("ts").as("p_ts"))
+    val e = ev.filter(fc("event_type") === "error")
+      .select(fc("event_id").as("e_id"), fc("ts").as("e_ts"))
+    val plain = p.join(e,
+        fc("p_ts") >= fc("e_ts") &&
+          fc("p_ts") < fc("e_ts") + fe("INTERVAL 60 SECONDS"),
+        "right_outer")
+      .selectExpr("p_id", "e_id", "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(engine == plain, "bucketed right outer + reconcile must equal the plain right join")
+  }
+
   test("left-semi interval join: bucket copies and multi-matches collapse to existence (batch face)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => fc, expr => fe}

@@ -2118,6 +2118,17 @@ class PlanAuditSpec extends AnyFunSuite {
     s38.collect().foreach(r => assert(r.getLong(1) > 1L))
   }
 
+  test("round-11 part-47 shapes (q89 merged-state gini == one-shot q76 cell-exact)") {
+    // the associativity claim, asserted engine-side too: the Gini
+    // computed from two merged slice states must equal q76's one-shot
+    val oneShot = queries.Pipeline63.q76.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val merged = queries.Pipeline82.q89.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq == oneShot.toSeq,
+      "slice states merged must reproduce the one-shot gini cell-exactly")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
