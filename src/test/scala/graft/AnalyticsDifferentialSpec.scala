@@ -1060,6 +1060,26 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("e42 handoff latency: QueryDef fuzz vs in-memory per-pair lower median (ts ties, self-loops)") {
+    (1 to 3).foreach { round =>
+      val rows = randomEvents(300, 15, 60)
+      val got = queries.Pipeline83.e42.run(spark, writeEventsDir(rows))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val hops = rows.groupBy(_._1).values.flatMap { es =>
+        val s = es.sortBy(e => (e._2, e._3))
+        s.sliding(2).collect { case Seq(a, b) =>
+          (a._4, b._4) -> ((b._2 - a._2) * 1000L / 1000000L)
+        }
+      }.toSeq
+      val want = hops.groupBy(_._1).map { case (k, gs) =>
+        val v = gs.map(_._2).sorted
+        k -> ((v.size.toLong, v((v.size + 1) / 2 - 1)))
+      }
+      assert(got == want, s"round $round: handoff mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

@@ -2129,6 +2129,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "slice states merged must reproduce the one-shot gini cell-exactly")
   }
 
+  test("round-11 part-48 shapes (q90 dup bounds, e42 hop-mass identity + grouped windows)") {
+    val q90 = queries.Pipeline83.q90.run(spark, sfDir).collect().head
+    val (n, grps, dups, mx, micro) = (q90.getLong(0), q90.getLong(1),
+      q90.getLong(2), q90.getLong(3), q90.getLong(4))
+    assert(dups < n && micro <= 1000000L)
+    assert((grps == 0 && dups == 0 && mx == 0) || (mx >= 2 && dups >= grps))
+
+    val e42 = queries.Pipeline83.e42.run(spark, sfDir)
+    assert(finalPlan(e42).contains("hashpartitioning(g"),
+      "per-pair medians must ride the grouped bucketed windows")
+    val rows = e42.collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+      .orderBy(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))
+    val nHops = Tables.events(spark, sfDir)
+      .withColumn("b", org.apache.spark.sql.functions.lead(
+        org.apache.spark.sql.functions.col("event_type"), 1).over(w))
+      .filter(org.apache.spark.sql.functions.col("b").isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == nHops,
+      "per-pair hop counts must sum to all transitions")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
