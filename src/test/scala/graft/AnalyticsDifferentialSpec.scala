@@ -1080,6 +1080,29 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 bowley skewness: QueryDef fuzz vs in-memory quartiles (skewed grids, degenerate IQR)") {
+    (1 to 3).foreach { round =>
+      // quadratic value grid -> genuinely skewed; round 3 collapses
+      // to near-constant values so the q3=q1 guard fires
+      val rows = (1 to 140).map { i =>
+        val u = (nxt() % 10) + 1
+        val c = if (round == 3) 500L else u * u * 25
+        (i.toLong, 1.0, c.toDouble / 100.0, 0.0, "N")
+      }
+      val got = queries.Pipeline84.q91.run(spark, writeLineitemDir(rows))
+        .collect().head
+      val cs = rows.map(r => Math.round(r._3 * 100)).sorted
+      val n = cs.size.toLong
+      def q(p: Long): Long = cs(((p * n + 99) / 100 - 1).toInt)
+      val (q1, q2, q3) = (q(25), q(50), q(75))
+      val want = (n, q1, q2, q3,
+        if (q3 == q1) 0L
+        else (BigInt(q3 + q1 - 2 * q2) * 1000000 / (q3 - q1)).toLong)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4)) == want, s"round $round: bowley mismatch")
+    }
+  }
+
   test("c16 dyad census: QueryDef fuzz vs in-memory M/A/N counting (sparse graphs, self-loop drops)") {
     val types = Vector("a", "b", "c", "d", "e", "f")
     (1 to 3).foreach { round =>

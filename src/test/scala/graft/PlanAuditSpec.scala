@@ -2152,6 +2152,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-pair hop counts must sum to all transitions")
   }
 
+  test("round-11 part-49 shapes (q91 quartile order + bounds, t47 consistent with t46 corpus face)") {
+    val q91 = queries.Pipeline84.q91.run(spark, sfDir)
+    assert(finalPlan(q91).contains("hashpartitioning(b"),
+      "quartile lookups must ride the value-range bucketed window")
+    val r = q91.collect().head
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    assert(r.getLong(4).abs <= 1000000L,
+      "Bowley skewness is bounded in [-1, 1] by construction")
+
+    // t47's per-source sentence counts must sum to t46's corpus count
+    val t47 = queries.Pipeline84.t47.run(spark, sfDir).collect()
+    val corpusN = queries.Pipeline79.t46.run(spark, sfDir)
+      .collect().head.getLong(1)
+    assert(t47.map(_.getLong(1)).sum == corpusN,
+      "per-source sentence counts must partition the corpus")
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
