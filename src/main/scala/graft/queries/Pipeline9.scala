@@ -17,8 +17,8 @@ object Pipeline9 {
   /** Damping constants for c02 — the SINGLE source of truth for both
     * the Spark call (passed as `dampingMicro`) and the generated
     * oracle CTEs, so the two sides cannot silently diverge. */
-  private val DampingMicro = 850000L
-  private val TeleportMicro = 1000000L - DampingMicro
+  private[queries] val DampingMicro = 850000L
+  private[queries] val TeleportMicro = 1000000L - DampingMicro
 
   /** One damped PageRank iteration as a DuckDB CTE triple — the
     * exact-integer twin of [[graft.operators.Graph.rankStep]]:
@@ -29,7 +29,7 @@ object Pipeline9 {
     * an uncast dshare propagated int128 through every later round
     * into the result column (the round-9 c02 hash failure — values
     * identical, type wrong). */
-  private def prStep(k: Int, dampingMicro: Long, teleportMicro: Long): String = {
+  private[queries] def prStep(k: Int, dampingMicro: Long, teleportMicro: Long): String = {
     val p = s"r${k - 1}"
     s"""i$k AS (SELECT ew.dst AS id, CAST(sum((p.r * ew.w) // ew.ow) AS BIGINT) AS inflow
                 FROM ew JOIN $p p ON ew.src = p.id GROUP BY 1),

@@ -2169,6 +2169,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-source sentence counts must partition the corpus")
   }
 
+  test("round-11 part-50 shapes (c18 rank-mass conservation over the dup-flow graph)") {
+    // exact-integer PageRank conserves mass up to per-node truncation
+    // slack: sum(rank) <= n * 1e6, and loses at most ~1 micro per
+    // node per round (5 rounds + teleport rounding)
+    val rows = queries.Pipeline85.c18.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= n * 1000000L, "rank mass can never exceed n (micro)")
+    assert(total >= n * 1000000L - n * 1000L,
+      s"truncation slack bound blown: $total vs ${n * 1000000L}")
+    rows.foreach(r => assert(r.getLong(1) >= 150000L - 1L,
+      "every node holds at least the teleport share"))
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
