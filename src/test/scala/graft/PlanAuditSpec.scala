@@ -2184,6 +2184,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "every node holds at least the teleport share"))
   }
 
+  test("round-11 part-51 shapes (d28 cross-query consistency, q92 bounds)") {
+    // d28's flag counts must reconcile with the queries that own each
+    // tier: prefix dups == corpus minus p45's keepers-of-singletons...
+    // the exact identity: n_prefix_dup == sum over d27 groups with
+    // size >= 2 of their doc mass
+    val d28 = queries.Pipeline86.d28.run(spark, sfDir).collect().head
+    val d27 = queries.Pipeline79.d27.run(spark, sfDir).collect()
+    val prefixDupMass = d27.filter(_.getLong(0) >= 2L).map(_.getLong(2)).sum
+    assert(d28.getLong(2) == prefixDupMass,
+      "prefix-dup flags must equal d27's size>=2 doc mass")
+    assert(d28.getLong(3) <= math.min(d28.getLong(1), d28.getLong(2)))
+    assert(d28.getLong(4) >= 0L && d28.getLong(4) <= 1000000L)
+
+    // q92: quartile order and the [0, 1e6] bound (values positive)
+    val r = queries.Pipeline86.q92.run(spark, sfDir).collect().head
+    assert(r.getLong(1) <= r.getLong(2))
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+  }
+
   test("sstable scan reports size stats so small scans auto-broadcast in joins") {
     import org.apache.spark.sql.functions.col
     val atoms = GraftSSTable.readAtoms(spark,
