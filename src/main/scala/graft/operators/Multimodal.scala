@@ -251,6 +251,9 @@ object Multimodal {
   final case class AudioQuietRuns(media_id: Long, n_samples: Long,
       n_quiet: Long, n_runs: Long, max_run: Long)
 
+  final case class ImageGradientEnergy(media_id: Long, width: Long,
+      height: Long, grad_r: Long, grad_g: Long, grad_b: Long)
+
   final case class ImageChannelStats(media_id: Long, width: Long, height: Long,
       r_mean: Long, g_mean: Long, b_mean: Long,
       h0: Long, h1: Long, h2: Long, h3: Long)
@@ -282,6 +285,37 @@ object Multimodal {
       ImageChannelStats(m.media_id, img.width.toLong, img.height.toLong,
         sums(0) / nPix, sums(1) / nPix, sums(2) / nPix,
         hist(0), hist(1), hist(2), hist(3))
+    }
+  }
+
+  /** Horizontal gradient energy over REAL PPM payloads: per channel
+    * the sum of `|v(x+1, y) − v(x, y)|` across each row — the cheap
+    * sharpness/texture statistic (near-zero = flat or blurred,
+    * high = detail or noise) an image-ingest pipeline thresholds
+    * before spending decode-heavy featurizers. One decode + one
+    * integer pass per record; map-only, never shuffles. */
+  def gradientEnergy(media: Dataset[MediaRecord]): Dataset[ImageGradientEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val img = MediaCodec.decodePpm(m.payload)
+      val g = new Array[Long](3)
+      val b = img.rgb
+      val w = img.width
+      var p = 0
+      val nPix = w * img.height
+      while (p < nPix) {
+        if (p % w < w - 1) {
+          var ch = 0
+          while (ch < 3) {
+            g(ch) += math.abs((b((p + 1) * 3 + ch) & 0xff) - (b(p * 3 + ch) & 0xff))
+            ch += 1
+          }
+        }
+        p += 1
+      }
+      ImageGradientEnergy(m.media_id, w.toLong, img.height.toLong,
+        g(0), g(1), g(2))
     }
   }
 

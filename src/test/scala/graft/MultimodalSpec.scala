@@ -381,6 +381,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 3L, 1L, 3L)), "an all-quiet clip is one maximal run")
   }
 
+  test("gradientEnergy: hand-built 3x2 image pins per-channel sums; 1-wide image is all zero") {
+    import spark.implicits._
+    // 3x2 image, bytes laid out row-major RGB. Row 0 pixels:
+    // (10,0,0) (30,0,0) (20,0,0) -> R diffs |30-10|+|20-30| = 30
+    // Row 1 pixels: (0,5,200) (0,9,100) (0,1,250) -> G 4+8=12, B 100+150=250
+    val rgb = Array[Int](10, 0, 0, 30, 0, 0, 20, 0, 0,
+      0, 5, 200, 0, 9, 100, 0, 1, 250).map(_.toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(3, 2, rgb)),
+      Multimodal.MediaRecord(2L, "image", "image/x-portable-pixmap", "t",
+        MediaCodec.encodePpm(1, 4, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))),
+      Multimodal.MediaRecord(3L, "audio", "audio/vnd.wave", "t",
+        MediaCodec.encodeWav(8000, Array[Short](1, 2)))).toDS()
+    val got = Multimodal.gradientEnergy(media)
+      .collect().map(g => g.media_id ->
+        ((g.width, g.height, g.grad_r, g.grad_g, g.grad_b))).toMap
+    assert(got.keySet == Set(1L, 2L), "non-image records emit nothing")
+    assert(got(1L) == ((3L, 2L, 30L, 12L, 250L)))
+    assert(got(2L) == ((1L, 4L, 0L, 0L, 0L)),
+      "a 1-pixel-wide image has no horizontal neighbors")
+  }
+
   test("channelStats: hand-built 2x1 image pins channel means and histogram, non-image filtered") {
     import spark.implicits._
     // pixels: (10, 100, 200) and (20, 150, 250)
