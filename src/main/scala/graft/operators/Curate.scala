@@ -328,17 +328,7 @@ object Curate {
     * re-reads history (the q43/q44 incremental discipline applied to
     * a holistic order statistic). */
   def giniExactFromCounts(g: DataFrame): DataFrame = {
-    val mx = g.agg(max(col("c")).as("mx"))
-    val gb = g.crossJoin(broadcast(mx))
-      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
-    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
-    val offs = bt.withColumn("off",
-      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val win = Window.partitionBy(col("b")).orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
-      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+    bucketedCumsum(g, "c", "cnt")
       .agg(sum(col("cnt")).as("n"),
         sum(expr("cast(c as decimal(38,0)) * cnt")).as("t"),
         sum(expr("cast(c as decimal(38,0)) * (cast(cnt as decimal(38,0)) * (before + 1)" +
@@ -346,6 +336,42 @@ object Curate {
       .selectExpr("n AS n_rows", "cast(t as bigint) AS total_weight",
         "cast(if(n < 2 or t <= 0, 0, " +
           "(2 * s1 - (n + 1) * t) * 1000000 div (n * t)) as bigint) AS gini_micro")
+  }
+
+  /** The shared ≤257-bucket value-range exclusive-cumsum decomposition
+    * (ADVICE r11 — previously repeated inline by [[giniExactFromCounts]],
+    * [[trimmedMeanExact]], [[topShareExact]],
+    * [[graft.operators.Profile.weightedMedianExact]], and the q82
+    * Spearman rank map): given a DISTINCT-value frame `g` with a
+    * value column and an additive aggregate column, appends `before`
+    * — the exact exclusive cumulative `aggCol` in `valueCol` order
+    * (ascending or descending) — without ever riding a
+    * single-partition window. The value domain splits into ≤257
+    * range buckets (`v div (max div 256 + 1)`; bucket order IS value
+    * order), each bucket window-cumsums in parallel, and the ≤257-row
+    * bucket-offset frame broadcasts back. Algebraically the identity;
+    * every caller's oracle computes the same numbers with one flat
+    * window.
+    *
+    * Contract: `g` must already be collapsed per distinct `valueCol`
+    * (one row per value) with `valueCol` a BIGINT. */
+  private[graft] def bucketedCumsum(g: DataFrame, valueCol: String,
+      aggCol: String, ascending: Boolean = true): DataFrame = {
+    val mx = g.agg(max(col(valueCol)).as("__mx"))
+    val gb = g.crossJoin(broadcast(mx))
+      .withColumn("__b", expr(s"$valueCol div greatest(1L, (__mx div 256) + 1L)"))
+    val bOrd = if (ascending) col("__b").asc else col("__b").desc
+    val vOrd = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val offs = gb.groupBy(col("__b")).agg(sum(col(aggCol)).as("__bagg"))
+      .withColumn("__off",
+        coalesce(sum(col("__bagg")).over(Window.orderBy(bOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("__b")).orderBy(vOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gb.join(broadcast(offs.select(col("__b"), col("__off"))), Seq("__b"))
+      .withColumn("before",
+        col("__off") + coalesce(sum(col(aggCol)).over(win), lit(0L)))
+      .drop("__b", "__mx", "__off")
   }
 
   /** Exact trimmed (truncated) mean: drop the `k = permille·n div
@@ -368,20 +394,10 @@ object Curate {
       s"permille must be in [0, 500), got $permille")
     val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
       .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val mx = g.agg(max(col("c")).as("mx"))
-    val gb = g.crossJoin(broadcast(mx))
-      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
-    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
-    val offs = bt.withColumn("off",
-      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val win = Window.partitionBy(col("b")).orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = gb.agg(sum(col("cnt")).as("n"),
+    val tot = g.agg(sum(col("cnt")).as("n"),
       sum(expr("cast(c as decimal(38,0)) * cnt")).as("total"))
       .selectExpr("n", "total", s"($permille * n) div 1000 AS k")
-    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
-      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+    bucketedCumsum(g, "c", "cnt")
       .crossJoin(broadcast(tot))
       .selectExpr("n", "k", "total",
         "cast(c as decimal(38,0)) * (greatest(0L, least(cnt, k - before))" +
@@ -413,20 +429,10 @@ object Curate {
       s"permille must be in [1, 1000], got $permille")
     val g = df.selectExpr(s"cast($weightCol as bigint) AS c")
       .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val mx = g.agg(max(col("c")).as("mx"))
-    val gb = g.crossJoin(broadcast(mx))
-      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
-    val bt = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
-    val offs = bt.withColumn("off",
-      coalesce(sum(col("bcnt")).over(Window.orderBy(col("b").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val win = Window.partitionBy(col("b")).orderBy(col("c").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = gb.agg(sum(col("cnt")).as("n"),
+    val tot = g.agg(sum(col("cnt")).as("n"),
       sum(expr("cast(c as decimal(38,0)) * cnt")).as("total"))
       .selectExpr("n", "total", s"($permille * n + 999) div 1000 AS kk")
-    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
-      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+    bucketedCumsum(g, "c", "cnt", ascending = false)
       .crossJoin(broadcast(tot))
       .selectExpr("n", "kk", "total",
         "cast(c as decimal(38,0)) *" +

@@ -540,6 +540,12 @@ object Graph {
           Storage.release(next)
         }
       }
+      // the last non-empty frontier is no longer referenced by the
+      // result plan (dist is its own checkpoint) — release it here so
+      // Storage.release(result) is sufficient on the success path
+      // (ADVICE r11); when no round expanded, frontier IS dist and
+      // must survive for the caller
+      if (frontier ne dist) Storage.release(frontier)
       agg(nodes, dist)
     } catch {
       case th: Throwable =>
@@ -548,24 +554,6 @@ object Graph {
     }
   }
 
-  /** Strongly connected components of a DIRECTED graph by
-    * transitive-closure doubling: `reach := reach ∪ (reach ⋈ reach)`
-    * until fixpoint, then `scc_id(u) = min{v : u→*v AND v→*u}` over
-    * the reflexive closure (u is always mutually reachable with
-    * itself, so every node lands in exactly one component and the min
-    * is a deterministic label). Returns (node, scc_id, scc_size).
-    *
-    * Scale contract — this operator is for BOUNDED node domains
-    * (event-type vocabularies, category taxonomies, language codes):
-    * the closure holds at most T² rows for T distinct nodes, which is
-    * data-independent of the log that produced the edges. The one
-    * log-sized pass is whatever derived `edges` upstream (e.g. the
-    * [[Events.transitionMatrix]] lead-window). Doubling converges in
-    * ⌈log₂(diameter)⌉ rounds; each round is one self equi-join plus a
-    * distinct over ≤T² rows, checkpointed with stale-block release
-    * (the [[pageRank]] discipline); the driver holds one Long. The
-    * valve THROWS on non-convergence rather than returning a partial
-    * closure ([[pageRankConverged]] discipline). */
   /** Condensation-DAG longest-path depth: contract every SCC of the
     * directed graph ([[scc]]) to one super-node, keep the distinct
     * cross-component edges (acyclic by construction), and give each
@@ -618,6 +606,10 @@ object Graph {
         sumD = sd
         depth = next
       }
+      // the condensed edge list is only consumed inside the loop —
+      // the returned frame references depth + lab, so release cond
+      // now rather than waiting for the ContextCleaner (ADVICE r11)
+      Storage.release(cond)
       depth.selectExpr("n AS scc_id", "d AS depth")
         .join(lab.select(col("scc_id"), col("scc_size")).distinct(),
           Seq("scc_id"))
@@ -629,6 +621,24 @@ object Graph {
     }
   }
 
+  /** Strongly connected components of a DIRECTED graph by
+    * transitive-closure doubling: `reach := reach ∪ (reach ⋈ reach)`
+    * until fixpoint, then `scc_id(u) = min{v : u→*v AND v→*u}` over
+    * the reflexive closure (u is always mutually reachable with
+    * itself, so every node lands in exactly one component and the min
+    * is a deterministic label). Returns (node, scc_id, scc_size).
+    *
+    * Scale contract — this operator is for BOUNDED node domains
+    * (event-type vocabularies, category taxonomies, language codes):
+    * the closure holds at most T² rows for T distinct nodes, which is
+    * data-independent of the log that produced the edges. The one
+    * log-sized pass is whatever derived `edges` upstream (e.g. the
+    * [[Events.transitionMatrix]] lead-window). Doubling converges in
+    * ⌈log₂(diameter)⌉ rounds; each round is one self equi-join plus a
+    * distinct over ≤T² rows, checkpointed with stale-block release
+    * (the [[pageRank]] discipline); the driver holds one Long. The
+    * valve THROWS on non-convergence rather than returning a partial
+    * closure ([[pageRankConverged]] discipline). */
   def scc(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")

@@ -8,17 +8,23 @@ import org.apache.spark.sql.functions._
   * column the row count, null count, EXACT distinct count, and
   * min/max rendered to strings.
   *
-  * 100 TB shape: ONE wide aggregation over ONE scan that reads
-  * exactly the profiled columns (VERDICT r10 #4 — the previous
-  * scan-per-column shape multiplied scan volume by the column
-  * count). The distinct counts are per-column DISTINCT aggregates,
-  * which Catalyst plans as a single Expand (C+1 projections of the
-  * same scanned batch — in-memory row replication, never a re-read)
-  * feeding one partial-agg shuffle; everything after is a 1-row
-  * frame unpivoted driver-free by `stack`. Exact distinct (not
-  * approx) is the deliberate default — the profile is the ground
-  * truth other estimates get judged against; swap
-  * `approx_count_distinct` in a caller if a sketch is acceptable.
+  * 100 TB shape (VERDICT r11 #1): one TWO-LEVEL aggregation per
+  * column — `groupBy(value)` partial-agg (map-side combined, so the
+  * shuffle carries at most the per-partition distinct values) into a
+  * 1-row fold over the distinct-value frame, the C members unioned
+  * into one plan. Every member's scan is pruned to its single column,
+  * so on a columnar source the C members together read exactly the
+  * bytes one C-column scan would — and there is NO Expand: the
+  * earlier single-agg form with C DISTINCT aggregates planned a
+  * Catalyst Expand ((C+1)× in-memory row replication feeding one
+  * shuffle whose volume is Σ per-column distinct values through a
+  * single hash-agg), which regressed q41 23× at sf0.1 and is a scale
+  * hazard on key-like columns. A genuinely row-oriented source (where
+  * scans can't prune) should pre-project the profiled columns once
+  * and profile the projection. Exact distinct (not approx) is the
+  * deliberate default — the profile is the ground truth other
+  * estimates get judged against; swap `approx_count_distinct` in a
+  * caller if a sketch is acceptable.
   *
   * min/max string rendering is engine-portable for integer, string,
   * and date columns ('17', 'RAIL', '1998-12-01' render identically in
@@ -33,21 +39,21 @@ object Profile {
     require(cols.distinct.size == cols.size, s"duplicate column in $cols")
     cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"column name must be a plain identifier, got '$c'"))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
-    val one = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
-      .mkString(", ")
-    one.selectExpr("n_rows", s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_nulls, n_distinct, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    cols.map { c =>
+      // two-level: distinct-value histogram (null group included so
+      // n_rows/n_nulls fall out of the same pass), then a 1-row fold;
+      // min/max over group keys == min/max over rows, count of
+      // non-null groups == exact distinct
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("v")).cast("string").as("min_val"),
+          max(col("v")).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Benford first-digit micro-shares, floored `log10(1 + 1/d)`,
@@ -82,7 +88,11 @@ object Profile {
     val grid = spark.range(1, 10).selectExpr("id AS digit")
     grid.join(counts, Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(counts.agg(sum(col("n")).as("n_total"))))
+      // coalesce: with no positive values sum() over zero rows is
+      // NULL, which would poison share/dev instead of taking the
+      // documented zero branch (ADVICE r11)
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_total"))))
       .selectExpr("digit", "n", "n_total",
         "cast(if(n_total = 0, 0, (cast(n as decimal(38,0)) * 1000000) div n_total) as bigint) AS share_micro",
         s"$expect AS benford_micro")
@@ -108,21 +118,10 @@ object Profile {
     val g = df.selectExpr(s"cast($valueCol as bigint) AS c",
         s"cast($weightCol as bigint) AS w")
       .groupBy(col("c")).agg(sum(col("w")).as("wv"))
-    val mx = g.agg(max(col("c")).as("mx"))
-    val gb = g.crossJoin(broadcast(mx))
-      .withColumn("b", expr("c div greatest(1L, (mx div 256) + 1L)"))
-    val bt = gb.groupBy(col("b")).agg(sum(col("wv")).as("bw"))
-    val offs = bt.withColumn("off",
-      coalesce(sum(col("bw")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("b"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("b")).orderBy(col("c"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
-      .withColumn("cum", col("off") + sum(col("wv")).over(win))
-      .crossJoin(broadcast(gb.agg(sum(col("wv")).as("total"))))
+    // inclusive cumulative weight = shared exclusive cumsum + own mass
+    Curate.bucketedCumsum(g, "c", "wv")
+      .withColumn("cum", col("before") + col("wv"))
+      .crossJoin(broadcast(g.agg(sum(col("wv")).as("total"))))
       .filter(col("cum") * 2 >= col("total"))
       .groupBy(col("total"))
       .agg(min(col("c")).as("median_value"), min_by(col("cum"), col("c")).as("cum_at_median"))

@@ -189,12 +189,15 @@ object TextOps {
     * domain-shift detector a mixture designer reads next to DSIR
     * weights.
     *
-    * 100 TB shape: two partial-agg passes over exploded tokens, then
-    * a (source × vocab) grid — absent terms MUST contribute their
-    * corpus mass, so the grid is the metric's intrinsic cost; vocab
-    * here is catalog-sized, and a web-scale vocab would be capped
-    * upstream (the t36 head profile). All products ride
-    * decimal(38,0).
+    * 100 TB shape (VERDICT r11 #5): NO sources×vocab grid. Terms
+    * absent from source s contribute `c_t·n_s` each, so the absent
+    * mass has the closed form `n_s·(N − Σ_{t present in s} c_t)` —
+    * the whole TV needs only the PRESENT (source, term) pairs: one
+    * term-keyed equi-join of the per-(source,term) counts onto the
+    * corpus term counts, one per-source fold, plus the closed-form
+    * absent term. The earlier grid form materialized |sources|×|vocab|
+    * rows (10¹⁰ at 10³ sources × 10⁷ terms) for pairs that are almost
+    * all zero. All products ride decimal(38,0).
     *
     * Returns `source, n_terms_in_source, n_tokens_source, tv_micro`
     * (ordered). */
@@ -206,17 +209,21 @@ object TextOps {
       count(lit(1)).as("n_terms_in_source"))
     val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val bigN = ct.agg(sum(col("c_t")).as("n_total"))
-    val grid = ns.crossJoin(ct) // sources × vocab — the metric's support
-      .join(cst, Seq("source", "term"), "left")
-      .na.fill(0L, Seq("c_st"))
-      .crossJoin(broadcast(bigN))
-    grid
-      .selectExpr("source", "n_terms_in_source", "n_s",
-        "abs(cast(c_st as decimal(38,0)) * n_total - cast(c_t as decimal(38,0)) * n_s) AS num",
-        "cast(n_s as decimal(38,0)) * n_total AS den")
-      .groupBy(col("source"), col("n_terms_in_source"), col("n_s"), col("den"))
-      .agg(sum(col("num")).as("num"))
+    cst.join(ct, Seq("term")) // present pairs only — term-keyed equi-join
+      .join(ns, Seq("source")) // n_s inside the per-term sum
+      .crossJoin(broadcast(bigN)) // 1-row constant
+      .groupBy(col("source"), col("n_terms_in_source"), col("n_s"), col("n_total"))
+      .agg(
+        sum(expr("abs(cast(c_st as decimal(38,0)) * n_total" +
+          " - cast(c_t as decimal(38,0)) * n_s)")).as("num_present"),
+        sum(expr("cast(c_t as decimal(38,0))")).as("ct_present"))
       .selectExpr("source", "n_terms_in_source", "n_s AS n_tokens_source",
+        // absent terms: each contributes |0 − c_t·n_s| = c_t·n_s, so
+        // their sum is n_s·(N − Σ_present c_t) — the closed form that
+        // replaces the grid
+        "num_present + cast(n_s as decimal(38,0)) * (n_total - ct_present) AS num",
+        "cast(n_s as decimal(38,0)) * n_total AS den")
+      .selectExpr("source", "n_terms_in_source", "n_tokens_source",
         "cast((num * 1000000) div (2 * den) as bigint) AS tv_micro")
       .orderBy(col("source"))
   }

@@ -302,7 +302,9 @@ object Pipeline12 {
   /** Column profiling ([[graft.operators.Profile.profile]]) over five
     * lineitem columns of engine-portable render types (int / string /
     * date): row count, null count, EXACT distinct count, min/max
-    * strings — one single-column pruned scan + 1-row agg per member. */
+    * strings — per member one single-column pruned scan into a
+    * two-level (value-histogram → 1-row fold) aggregation; no Expand
+    * (PlanAudit-asserted, VERDICT r11 #1). */
   val q41: QueryDef = QueryDef(
     "q41_profile",
     (s, d) => Profile.profile(Tables.lineitem(s, d),

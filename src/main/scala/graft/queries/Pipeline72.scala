@@ -94,21 +94,10 @@ object Pipeline72 {
       // the q76 value-range bucket decomposition — the exclusive
       // cumcount over the distinct-value frame never rides a
       // single-partition window (price cents has a large domain)
-      def rankMap(df: org.apache.spark.sql.DataFrame, c: String) = {
-        val g = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        val gb = g.crossJoin(broadcast(g.agg(max(col(c)).as("mx"))))
-          .withColumn("b", expr(s"$c div greatest(1L, (mx div 256) + 1L)"))
-        val offs = gb.groupBy(col("b")).agg(sum(col("cnt")).as("bcnt"))
-          .withColumn("off",
-            coalesce(sum(col("bcnt")).over(Window.orderBy(col("b"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val win = Window.partitionBy(col("b")).orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        gb.join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
-          .withColumn("before",
-            col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+      def rankMap(df: org.apache.spark.sql.DataFrame, c: String) =
+        graft.operators.Curate.bucketedCumsum(
+            df.groupBy(col(c)).agg(count(lit(1)).as("cnt")), c, "cnt")
           .selectExpr(c, s"2 * before + cnt + 1 AS r2$c")
-      }
       v.join(rankMap(v, "x"), Seq("x"))
         .join(rankMap(v, "y"), Seq("y"))
         .agg(count(lit(1)).as("n"),

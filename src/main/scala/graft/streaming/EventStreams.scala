@@ -236,22 +236,34 @@ object EventStreams {
     * spec-pinned. */
   def purchasesNearErrors(events: DataFrame, windowSeconds: Long = 60,
       watermark: String = "10 minutes"): DataFrame = {
+    val (purchases, errors, cond) = intervalJoinSides(events, windowSeconds, watermark)
+    errors.join(purchases, cond).drop("bucket_e", "bucket_p")
+  }
+
+  /** Shared preparation of the bucketed purchases/errors interval-join
+    * matrix (ADVICE r11): watermark wrapper (streaming only — batch
+    * frames pass through, preserving batch/stream parity), type
+    * filters, the single-bucket purchase projection, the ≤2-bucket
+    * exploded error projection, and the bucket-equality + interval
+    * join condition. The five join-mode faces differ ONLY in the join
+    * type string (and which side leads for output column order). */
+  private def intervalJoinSides(events: DataFrame, windowSeconds: Long,
+      watermark: String): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val w = windowSeconds * 1000000L // bucket width in micros
     val isStreaming = events.isStreaming
-    def wm(df: DataFrame, tsCol: String) =
-      if (isStreaming) df.withWatermark(tsCol, watermark) else df
-    val errors = wm(events.filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("ts").as("e_ts")), "e_ts")
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermark) else df
+    val purchases = wm(events).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
+    val errors = wm(events).filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
       .withColumn("bucket_e", explode(expr(
         s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
-    val purchases = wm(events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts")), "p_ts")
-      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
-    errors.join(purchases,
-      col("bucket_e") === col("bucket_p") &&
-        col("p_ts") >= col("e_ts") &&
-        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
-      .drop("bucket_e", "bucket_p")
+    val cond = col("bucket_p") === col("bucket_e") &&
+      col("p_ts") >= col("e_ts") &&
+      col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS")
+    (purchases, errors, cond)
   }
 
   /** Stream-stream LEFT OUTER interval join — the state-EVICTION
@@ -277,23 +289,8 @@ object EventStreams {
     * bucket. Works identically over batch frames (plain left join). */
   def purchasesWithErrorAttribution(events: DataFrame, windowSeconds: Long = 60,
       watermark: String = "10 minutes"): DataFrame = {
-    val w = windowSeconds * 1000000L
-    val isStreaming = events.isStreaming
-    def wm(df: DataFrame) =
-      if (isStreaming) df.withWatermark("ts", watermark) else df
-    val purchases = wm(events).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
-    val errors = wm(events).filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
-      .withColumn("bucket_e", explode(expr(
-        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
-    purchases.join(errors,
-      col("bucket_p") === col("bucket_e") &&
-        col("p_ts") >= col("e_ts") &&
-        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "left_outer")
-      .drop("bucket_p", "bucket_e")
+    val (purchases, errors, cond) = intervalJoinSides(events, windowSeconds, watermark)
+    purchases.join(errors, cond, "left_outer").drop("bucket_p", "bucket_e")
   }
 
   /** RIGHT OUTER face of the bucketed interval join: matched
@@ -308,23 +305,8 @@ object EventStreams {
     * empty for this mode). */
   def errorPurchaseRightOuter(events: DataFrame, windowSeconds: Long = 60,
       watermark: String = "10 minutes"): DataFrame = {
-    val w = windowSeconds * 1000000L
-    val isStreaming = events.isStreaming
-    def wm(df: DataFrame) =
-      if (isStreaming) df.withWatermark("ts", watermark) else df
-    val purchases = wm(events).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
-    val errors = wm(events).filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
-      .withColumn("bucket_e", explode(expr(
-        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
-    purchases.join(errors,
-      col("bucket_p") === col("bucket_e") &&
-        col("p_ts") >= col("e_ts") &&
-        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "right_outer")
-      .drop("bucket_p", "bucket_e")
+    val (purchases, errors, cond) = intervalJoinSides(events, windowSeconds, watermark)
+    purchases.join(errors, cond, "right_outer").drop("bucket_p", "bucket_e")
   }
 
   /** LEFT SEMI face of the bucketed interval join: purchases that
@@ -338,23 +320,8 @@ object EventStreams {
     * watermark still bounds both sides' join state. */
   def purchasesAfterErrors(events: DataFrame, windowSeconds: Long = 60,
       watermark: String = "10 minutes"): DataFrame = {
-    val w = windowSeconds * 1000000L
-    val isStreaming = events.isStreaming
-    def wm(df: DataFrame) =
-      if (isStreaming) df.withWatermark("ts", watermark) else df
-    val purchases = wm(events).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
-    val errors = wm(events).filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
-      .withColumn("bucket_e", explode(expr(
-        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
-    purchases.join(errors,
-      col("bucket_p") === col("bucket_e") &&
-        col("p_ts") >= col("e_ts") &&
-        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "left_semi")
-      .drop("bucket_p")
+    val (purchases, errors, cond) = intervalJoinSides(events, windowSeconds, watermark)
+    purchases.join(errors, cond, "left_semi").drop("bucket_p")
   }
 
   /** FULL OUTER face of [[purchasesWithErrorAttribution]]: matched
@@ -371,23 +338,8 @@ object EventStreams {
     * the plain batch full join. */
   def errorPurchaseFullOuter(events: DataFrame, windowSeconds: Long = 60,
       watermark: String = "10 minutes"): DataFrame = {
-    val w = windowSeconds * 1000000L
-    val isStreaming = events.isStreaming
-    def wm(df: DataFrame) =
-      if (isStreaming) df.withWatermark("ts", watermark) else df
-    val purchases = wm(events).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withColumn("bucket_p", expr(s"unix_micros(p_ts) div $w"))
-    val errors = wm(events).filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
-      .withColumn("bucket_e", explode(expr(
-        s"sequence(unix_micros(e_ts) div $w, (unix_micros(e_ts) + ${w - 1}) div $w)")))
-    purchases.join(errors,
-      col("bucket_p") === col("bucket_e") &&
-        col("p_ts") >= col("e_ts") &&
-        col("p_ts") < col("e_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "full_outer")
-      .drop("bucket_p", "bucket_e")
+    val (purchases, errors, cond) = intervalJoinSides(events, windowSeconds, watermark)
+    purchases.join(errors, cond, "full_outer").drop("bucket_p", "bucket_e")
   }
 
   /** Collapse the bucket-copy multiplicity of

@@ -2215,6 +2215,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a KB-sized sstable scan must broadcast, not sort-merge:\n$plan")
   }
 
+  test("round-12 shapes: q41 has no Expand, t39 has no sources×vocab grid") {
+    // q41 (VERDICT r11 #1): per-column two-level aggs, never the
+    // multi-distinct Expand whose (C+1)× replication regressed it 23×
+    val q41 = finalPlan(queries.Pipeline12.q41.run(spark, sfDir))
+    assert(!q41.contains("Expand"),
+      s"q41 must not plan a multi-distinct Expand:\n$q41")
+    // t39 (VERDICT r11 #5): the TV closed form joins only PRESENT
+    // (source, term) pairs — the only non-equi join is the 1-row
+    // n_total broadcast; no unbounded×unbounded cross product
+    val t39 = finalPlan(queries.Pipeline46.t39.run(spark, sfDir))
+    assert(!t39.contains("CartesianProduct"),
+      s"t39 must not materialize the sources×vocab grid:\n$t39")
+    // the AQE string repeats the plan ("Final" + "Initial") — count
+    // nested-loop joins in the final segment only
+    val t39Final = t39.split("== Initial Plan ==").head
+    assert(t39Final.split("BroadcastNestedLoopJoin").length <= 2,
+      s"t39: the only nested-loop join is the 1-row n_total broadcast:\n$t39")
+  }
+
   test("sstable scan prunes to the required atom columns (F6)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val keysOnly = GraftSSTable.readAtoms(spark,

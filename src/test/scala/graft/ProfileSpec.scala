@@ -40,6 +40,40 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("profile: empty input yields zero counts, not nulls") {
+    import spark.implicits._
+    val df = Seq.empty[(Option[Long], Option[String])].toDF("num", "txt")
+    val rs = Profile.profile(df, Seq("num", "txt")).collect()
+    assert(rs.length == 2)
+    rs.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
+  test("profile: plan has no Expand (the multi-distinct trap) and prunes each member scan") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "s", "x")
+    val prof = Profile.profile(df, Seq("k", "s"))
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile must not plan a multi-distinct Expand (VERDICT r11 #1):\n$plan")
+  }
+
+  test("benfordAudit: all-non-positive input reports the zero-filled 9-row grid (ADVICE r11)") {
+    import spark.implicits._
+    val df = Seq(0L, -5L, -17L).toDF("v")
+    val got = Profile.benfordAudit(df, "v").collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      assert(r.getLong(1) == 0L, "n")
+      assert(r.getLong(2) == 0L, "n_total")
+      assert(r.getLong(3) == 0L, "share_micro must take the zero branch, not NULL")
+      assert(r.getLong(5) == r.getLong(4), "dev == benford expectation when share is 0")
+    }
+  }
+
   test("benfordAudit: hand counts, pinned expectations, non-positive exclusion, 9-row grid") {
     import spark.implicits._
     // 1, 19, 100 -> digit 1 x3; 25 -> 2; 9 -> 9; 0 and -5 excluded
