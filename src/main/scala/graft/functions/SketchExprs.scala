@@ -233,6 +233,30 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_shingle_hashes_all(text, n)`: ALL 60-bit n-token shingle
+  * hashes IN ORDER, with duplicates — the positional face of
+  * [[ShingleHashes]] (element i is the hash of the window starting
+  * at 1-based token position i+1), for operators that need (pos,
+  * hash) occurrences rather than the distinct set (exact-substring
+  * span dedup). Value-identical to
+  * `transform(shingles(tokens(text), n), strHash60)` without ever
+  * materializing the shingle strings. */
+case class ShingleHashesAll(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hashes_all expects (STRING, INT), got $t")
+  }
+  override protected def nullSafeEval(str: Any, n: Any): Any =
+    new GenericArrayData(SketchExprs.shingleHashes(
+      str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase.toString,
+      n.asInstanceOf[Int], distinct = false))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `graft_token_hashes(text)`: per-token 60-bit hashes IN ORDER, with
   * duplicates (width-1 non-distinct windows) — the SimHash input,
   * bit-identical to `transform(tokens(text), strHash60)`. */

@@ -477,6 +477,83 @@ object Dedup {
         "concat_ws(' ', transform(kept, j -> element_at(t, j))) AS text_scrubbed")
   }
 
+  /** Cross-document EXACT-SUBSTRING duplicated spans — the Lee et al.
+    * 2021 "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr face (arXiv:2107.06499, the suffix-array method):
+    * every MAXIMAL token span of length ≥ k that appears verbatim in
+    * at least one OTHER document, at ANY offset on either side. This
+    * is the dup tier the 40-token-prefix fingerprint family
+    * (d27/p45) provably cannot see — a shared boilerplate paragraph
+    * in the MIDDLE of two otherwise-distinct documents — and it
+    * differs from [[scrubRepeatedPassages]] in both universe
+    * (cross-document only; within-doc-only repeats are NOT spans
+    * here) and output (a span INVENTORY per document, not a
+    * rewritten text).
+    *
+    * Semantics, pinned: a k-token window is a *duplicated seed* iff
+    * its 60-bit hash occurs in ≥ 2 DISTINCT documents (so every
+    * occurrence in every holder is a seed — including the "first"
+    * one, unlike the scrub's keep-first rule). Seeds of one document
+    * whose token intervals [pos, pos+k−1] touch or overlap (start
+    * gap ≤ k) merge transitively into one maximal span — exactly the
+    * byte-range union of the public method lifted to tokens. Output:
+    * one row per (doc, span): `doc_id, span_start` (1-based token
+    * position), `span_tokens` (merged length ≥ k), `n_windows`
+    * (seed windows merged into it). "Exact" is modulo the 60-bit
+    * hash (p ≈ 2⁻⁶⁰ per colliding window pair — the corpus-wide
+    * false-span risk at 10¹² windows is ≈ 10⁻⁶; confirm on shingle
+    * text within hash groups if true exactness is ever required).
+    *
+    * 100 TB shape — all equi-shuffles, no pair join, no collect:
+    * seed emission is map-only (per-doc window hashes posexploded);
+    * the cross-doc test is a (hash → min/max doc) partial agg —
+    * map-side combinable, and min≠max needs no DISTINCT machinery —
+    * plus one hash-keyed equi-join back onto occurrences, so a hot
+    * boilerplate shingle costs O(its occurrences), never
+    * O(occurrences²); span assembly is a per-document window (state
+    * bounded by document length — the A1 sorted-run merge expressed
+    * as lag + running sum over one (doc, pos) sort). */
+  def exactSubstrSpans(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    // the native rolling window hasher — value-identical to
+    // transform(shingles(tokens, k), strHash60) (ShingleHashesSpec),
+    // but O(tokens·k) long arithmetic with no shingle-string
+    // materialization: measured 3.5× cheaper end-to-end at sf0.1
+    val occ = docs.selectExpr("doc_id", s"graft_shingle_hashes_all($textCol, $k) AS hs")
+      .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
+    val crossDoc = occ.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ.join(crossDoc, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .selectExpr("doc_id", "span_start",
+        "span_end - span_start + 1 AS span_tokens", "n_windows")
+  }
+
+  /** Per-document rollup of [[exactSubstrSpans]] — the curation
+    * dashboard face: how many maximal cross-document verbatim spans
+    * each document carries, their total token mass (spans are
+    * disjoint by construction, so the sum IS the union coverage),
+    * and the longest one. Documents with no span are absent. */
+  def exactSubstrStats(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    exactSubstrSpans(docs, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).as("max_span_tokens"))
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming,
     * candidate-generated by 4 bands of 15 bits. Pigeonhole: for
     * maxHamming <= 3, at most 3 of the 4 bands can differ, so every

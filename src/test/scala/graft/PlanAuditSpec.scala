@@ -2232,6 +2232,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val t39Final = t39.split("== Initial Plan ==").head
     assert(t39Final.split("BroadcastNestedLoopJoin").length <= 2,
       s"t39: the only nested-loop join is the 1-row n_total broadcast:\n$t39")
+    // d29 (VERDICT r11 #2): seed occurrences join the cross-doc hash
+    // set by EQUALITY — a hot boilerplate shingle must cost O(its
+    // occurrences), never a pair join
+    val d29 = finalPlan(queries.Pipeline88.d29.run(spark, sfDir))
+    assert(!d29.contains("CartesianProduct") &&
+      !d29.contains("BroadcastNestedLoopJoin"),
+      s"d29 candidate generation must stay an equi-join:\n$d29")
   }
 
   test("sstable scan prunes to the required atom columns (F6)") {

@@ -42,6 +42,24 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(diff.count() == 0, "token hashes must keep duplicates in token order")
   }
 
+  test("positional shingle hashes (non-distinct, ordered) == transform(shingles, strHash60)") {
+    graft.functions.CassFunctions.registerAll(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionByName(Seq((-1L, ""), (-2L, "a b"), (-3L, "x y x y x y"))
+        .toDF("doc_id", "text"))
+    Seq(2, 8).foreach { n =>
+      val diff = docs.selectExpr("doc_id",
+          s"graft_shingle_hashes_all(text, $n) AS a",
+          s"transform(${TextOps.shingles(s"${TextOps.tokens("text")}", n)}, " +
+            s"x -> ${TextOps.strHash60("x")}) AS b")
+        .filter("a != b")
+      assert(diff.count() == 0,
+        s"n=$n: positional hashes must keep every window in order")
+    }
+  }
+
   test("edge strings: empty, short, separators, case, non-ascii") {
     graft.functions.CassFunctions.registerAll(spark)
     import spark.implicits._
