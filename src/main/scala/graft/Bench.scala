@@ -152,6 +152,15 @@ object Bench {
       f"[bench] calib pre=$calibPre%.3fs post=$calibPost%.3fs min=$calib%.3fs " +
         s"mids=${calibMids.map(v => f"$v%.3f").mkString(",")}")
     val total = results.map(_._2).sum
+    // batch vs streaming-gate subtotals (VERDICT r11 #3): the st*
+    // gates each restart a real Structured Streaming query several
+    // times (processAllAvailable + checkpoint replay) — fixed
+    // micro-batch choreography, not data work — and at ~35% of the
+    // headline total they obscured the flat batch trend round over
+    // round. Split so both trends read independently.
+    val isStreamGate = (name: String) => name.matches("st\\d+_.*")
+    val totalStream = results.collect { case (k, best, _, _) if isStreamGate(k) => best }.sum
+    val totalBatch = total - totalStream
     // full-fidelity per-query record (full names, min+median, rows,
     // iteration count) goes to a FILE — the stdout tail capture is
     // 2000 chars, which the 75-query full-name map outgrew in round 5
@@ -162,7 +171,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)},"warm_runs":$calibWarmRuns,"mids":[${calibMids.map(r(_, 3)).mkString(",")}]},"queries":$detail}\n"""
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)},"warm_runs":$calibWarmRuns,"mids":[${calibMids.map(r(_, 3)).mkString(",")}]},"queries":$detail}\n"""
         .getBytes("UTF-8"))
     // collisions fall back to the full name so the map is always 1:1
     // with the registry (see shortId)
@@ -187,7 +196,8 @@ object Bench {
       .map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
     def line(n: Int): String = {
       val qs = byCost.take(n).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","calib":${
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${
+        r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"calib":${
         r(calib, 3)},"n_queries":${results.size},"queries":$qs$medJson,"sf":"${
         js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
