@@ -196,4 +196,110 @@ class StreamingCompactionSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("task-attempt chaos: aegjson batch-write task killed mid-write leaves no visible file; restart re-commits; sink text == one-shot write (VERDICT r11 #8)") {
+    // The streaming face of CommitProtocolSpec: the foreachBatch →
+    // writeAegJson path dies INSIDE the write task (after the attempt
+    // file is open and rows are flowing), the query fails, and the
+    // production recovery — restart from the checkpoint, the engine
+    // re-runs the failed batch id — must re-commit cleanly over the
+    // dead attempt's debris. Text-compares each batch dir against a
+    // one-shot batch write of the same flush.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sst-tchaos").toFile
+    val oneshotRoot = java.nio.file.Files.createTempDirectory("sst-tchaos-exp").toFile
+    val sinkDir = java.nio.file.Files.createTempDirectory("sst-tchaos-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sst-tchaos-ckpt").toString
+    def flush(into: java.io.File, gen: Int,
+        rows: Seq[(String, Long, Seq[(String, String, Long)])]): Unit = {
+      val f = new java.io.DataOutputStream(new java.io.FileOutputStream(
+        new java.io.File(into, f"ks-cf-jb-$gen%04d-Data.db")))
+      rows.foreach { case (key, deletedAt, cells) =>
+        SSTableWriter.writeRow(f, CompactedRow(key.getBytes, deletedAt,
+          cells.map { case (n, v, ts) =>
+            CellOut(SSTableFormat.KindColumn, n.getBytes, v.getBytes, ts,
+              None, None, None)
+          }), SSTableVersion("jb"))
+      }
+      f.close()
+    }
+    def runOnce(): Option[Throwable] = {
+      val atoms = spark.readStream.format("sstable")
+        .option("maxFilesPerTrigger", "1").load(dir.toString)
+      val q = atoms.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = GraftSSTable.compact(df, numPartitions = 1)
+          // poison INSIDE the write task's pull pipeline: the kill
+          // fires while the attempt file is already open with rows
+          // written — a true mid-write task death, not a pre-write one
+          val poisoned = rows.mapPartitions { it =>
+            var n = 0
+            it.map { r =>
+              n += 1
+              if (n == 2 && StreamSinkChaos.kill.compareAndSet(true, false))
+                throw new RuntimeException("task attempt killed mid-write")
+              r
+            }
+          }
+          GraftSSTable.writeAegJson(poisoned, s"$sinkDir/batch=$id", numFiles = 1)
+        }
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case e: Throwable => Some(e) }
+      finally q.stop()
+    }
+    val gen1 = Seq(
+      ("k1", Long.MinValue, Seq(("a", "v1", 10L))),
+      ("k2", 15L, Seq(("b", "x", 5L))),
+      ("k3", Long.MinValue, Seq(("c", "y", 7L))))
+    val gen2 = Seq(
+      ("k1", Long.MinValue, Seq(("a", "v2", 20L))),
+      ("k4", Long.MinValue, Seq(("d", "z", 9L))))
+    flush(dir, 1, gen1)
+
+    StreamSinkChaos.kill.set(true)
+    val failed = runOnce()
+    assert(failed.isDefined, "the poisoned batch write must fail the query")
+    assert(!StreamSinkChaos.kill.get, "the kill must have fired inside the task")
+    val b0 = new java.io.File(s"$sinkDir/batch=0")
+    val visible0 = Option(b0.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible0.isEmpty,
+      s"a dead attempt must publish NO final file, saw ${visible0.map(_.getName).toSeq}")
+
+    assert(runOnce().isEmpty, "restart must re-run the failed batch cleanly")
+    flush(dir, 2, gen2)
+    assert(runOnce().isEmpty, "post-recovery flush must keep streaming")
+
+    // one-shot expectations: each flush alone, compacted and written
+    // through the same writer
+    def oneshot(gen: Int, rows: Seq[(String, Long, Seq[(String, String, Long)])]): String = {
+      val d = new java.io.File(oneshotRoot, s"g$gen"); d.mkdirs()
+      flush(d, gen, rows)
+      val out = new java.io.File(oneshotRoot, s"out$gen").toString
+      GraftSSTable.writeAegJson(
+        GraftSSTable.compact(GraftSSTable.readAtoms(spark, d.toString),
+          numPartitions = 1), out, numFiles = 1)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "aeg-00000")), "UTF-8")
+    }
+    def sunk(id: Long): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sinkDir/batch=$id", "aeg-00000")), "UTF-8")
+    assert(sunk(0L) == oneshot(1, gen1),
+      "recommitted batch 0 must text-match the one-shot write of flush 1")
+    assert(sunk(1L) == oneshot(2, gen2),
+      "batch 1 must text-match the one-shot write of flush 2")
+    // and the recovered batch dir holds exactly one visible file
+    val finals0 = Option(b0.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getName).toSeq
+    assert(finals0 == Seq("aeg-00000"), s"one intact final file, got $finals0")
+  }
+}
+
+/** Executor-visible (local-mode) kill switch for the task-attempt
+  * chaos test — compareAndSet so exactly one attempt dies. */
+object StreamSinkChaos {
+  val kill = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
