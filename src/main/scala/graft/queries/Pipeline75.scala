@@ -83,28 +83,29 @@ object Pipeline75 {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
       val pred = "vec_id % 50 = 3 AND vec_id < 2000"
-      val p = Similarity.prepared(emb).select("vec_id", "v", "nrm")
-      val qsE = p.filter(expr(pred))
-        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qn")
-      val ex = broadcast(qsE).join(p, col("vec_id") =!= col("q_id"))
+      // ONE fused brute pass (re-planned, VERDICT r11 #6):
+      // quantizeInt8 already carries v + nrm, so the exact and int8
+      // scores come out of a single broadcast q×N join — the earlier
+      // two-pass shape paid the candidate fan-out twice plus an
+      // (q_id, n_id) equi-join to reconcile them
+      val base = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), col("v"), col("nrm"), col("maxabs"), col("q"))
+      val qs = base.filter(expr(pred))
+        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qn",
+          "maxabs AS qm", "q AS qq")
+      val fused = broadcast(qs).join(base, col("vec_id") =!= col("q_id"))
         .selectExpr("q_id", "vec_id AS n_id",
           "if(qn = 0d or nrm = 0d, cast(null as bigint), " +
             "cast(round((graft_dot(qv, v) / (sqrt(qn) * sqrt(nrm)))" +
-            " * 1000000) as bigint)) AS x")
-      val qz = Similarity.quantizeInt8(emb)
-        .select(col("vec_id"), col("q"), col("maxabs"), col("nrm"))
-      val qsI = qz.filter(expr(pred))
-        .selectExpr("vec_id AS q_id", "q AS qq", "maxabs AS qm", "nrm AS qn2")
-      val iq = broadcast(qsI).join(qz, col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id AS n_id",
+            " * 1000000) as bigint)) AS x",
           "aggregate(zip_with(qq, q, (x, y) -> cast(x as bigint) * y), " +
             "cast(0 as bigint), (a, x) -> a + x) AS idot",
-          "qm", "maxabs AS cm", "qn2", "nrm AS cn")
-        .selectExpr("q_id", "n_id",
+          "qm", "maxabs AS cm", "qn AS qn2", "nrm AS cn")
+        .selectExpr("q_id", "n_id", "x",
           "if(qn2 = 0d or cn = 0d, cast(null as bigint), " +
             "cast(round(((cast(idot as double) * qm * cm) / " +
             "(16129d * sqrt(qn2) * sqrt(cn))) * 1000000) as bigint)) AS y")
-      Storage.withCached(ex.join(iq, Seq("q_id", "n_id"))
+      Storage.withCached(fused
           .filter(col("x").isNotNull && col("y").isNotNull)) { pairs =>
         def rmap(c: String) = {
           val win = Window.partitionBy(col("q_id")).orderBy(col(c))

@@ -46,7 +46,11 @@ object Pipeline77 {
           col("keeper_source") =!= col("source"))
         .select(col("keeper_source").as("ks"), col("source").as("ds"))
         .distinct()
-      Graph.condensationDepth(edges, "ks", "ds").orderBy(col("scc_id"))
+      // the O(S²) edge frame is re-read by scc's closure seed AND the
+      // condensation join — cache it so the corpus-sized tokenize+join
+      // lineage runs once, not once per graph-loop consumer
+      graft.operators.Storage.withCached(edges)(e =>
+        Graph.condensationDepth(e, "ks", "ds").orderBy(col("scc_id")))
     },
     Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, source,
           ${DuckOps.tokens("text")} AS t FROM documents),

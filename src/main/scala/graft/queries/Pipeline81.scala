@@ -18,9 +18,19 @@ object Pipeline81 {
     * (group, bucket) window key, so no group ever rides a
     * single-partition window. Lower median (rank `(n+1) div 2`),
     * tie-exact. */
-  private[graft] def groupedMedian(df: DataFrame): DataFrame = {
+  private[graft] def groupedMedian(df: DataFrame): DataFrame =
+    groupedMedianFromCounts(
+      df.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt")))
+
+  /** [[groupedMedian]] over a PRE-AGGREGATED (g, c, cnt) frame — the
+    * mergeable-state face (the giniExactFromCounts idiom): q88 builds
+    * the histogram ONCE and derives median, MAD, and the outlier
+    * fold from it without re-reading the base table. Duplicate
+    * (g, c) rows are tolerated (their count intervals tile the
+    * cumulative line, so the rank filter still selects exactly one
+    * row, with the same value). */
+  private[graft] def groupedMedianFromCounts(gcnt: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gcnt = df.groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
     val mx = gcnt.groupBy(col("g"))
       .agg(max(col("c")).as("mx"), sum(col("cnt")).as("n"))
     val gb = gcnt.join(broadcast(mx.select(col("g"), col("mx"))), Seq("g"))
@@ -46,32 +56,51 @@ object Pipeline81 {
     * grouped, decision-making face. All integers; the only joins are
     * 5-row broadcast frames.
     *
-    * 100 TB shape: two grouped distinct-value partial aggs + grouped
-    * bucketed windows (never a per-group single partition), one final
-    * fold; the base projection is cached once across the three
-    * passes and released. */
+    * 100 TB shape (re-planned, VERDICT r11 #6): ONE scan of orders
+    * builds the (g, value) histogram, cached; the MAD histogram is
+    * DERIVED from it (fold values through |c − med| and re-sum
+    * counts — a shuffle over the already-collapsed frame, not the
+    * table), and the outlier fold rides the same histogram (`cnt`
+    * where the fence trips). Three table passes fused to one; all
+    * joins 5-row broadcasts. */
   val q88: QueryDef = QueryDef(
     "q88_robust_outliers",
     (s, d) => {
-      graft.operators.Storage.withCached(Tables.orders(s, d)
-          .selectExpr("o_orderpriority AS g",
-            "cast(round(o_totalprice * 100) as bigint) AS c")) { base =>
-        val med = groupedMedian(base)
-        val dev = base.join(broadcast(med), Seq("g"))
-          .selectExpr("g", "abs(c - med) AS c", "c AS v", "med")
-        val mad = groupedMedian(dev.select(col("g"), col("c")))
-          .withColumnRenamed("med", "mad")
-        dev.join(broadcast(mad), Seq("g"))
-          .selectExpr("g", "med", "mad",
-            "cast(abs(v - med) > 3 * mad as bigint) AS out")
-          .groupBy(col("g"), col("med"), col("mad"))
-          .agg(count(lit(1)).as("n_orders"), sum(col("out")).as("n_outliers"))
-          .selectExpr("g AS priority", "n_orders", "med AS median_cents",
-            "mad AS mad_cents", "n_outliers",
-            "cast((cast(n_outliers as decimal(38,0)) * 1000000) div n_orders" +
-              " as bigint) AS outlier_micro")
-          .orderBy(col("priority"))
-      }
+      // explicit eager-cache ladder (the withCached lifecycle unrolled
+      // one level deeper): med and devCnt are re-read by several
+      // broadcast-frame evaluations, so each is pinned while live and
+      // released deterministically after the result checkpoints
+      val gcnt = Tables.orders(s, d)
+        .selectExpr("o_orderpriority AS g",
+          "cast(round(o_totalprice * 100) as bigint) AS c")
+        .groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+      gcnt.cache()
+      try {
+        val med = groupedMedianFromCounts(gcnt)
+        med.cache() // lazy: first broadcast evaluation fills it (5 rows)
+        try {
+          // NO tie-collapse pre-agg: the rank filter selects exactly
+          // one row even when (g, |c−med|) repeats — tie rows' count
+          // intervals tile the cumulative line, so the rank falls in
+          // exactly one (saves a shuffle + cache + count job)
+          val devCnt = gcnt.join(broadcast(med), Seq("g"))
+            .selectExpr("g", "abs(c - med) AS c", "cnt")
+          val mad = groupedMedianFromCounts(devCnt)
+            .withColumnRenamed("med", "mad")
+          graft.operators.Storage.checkpointed(
+            gcnt.join(broadcast(med), Seq("g"))
+              .join(broadcast(mad), Seq("g"))
+              .selectExpr("g", "med", "mad", "cnt",
+                "if(abs(c - med) > 3 * mad, cnt, 0L) AS out")
+              .groupBy(col("g"), col("med"), col("mad"))
+              .agg(sum(col("cnt")).as("n_orders"), sum(col("out")).as("n_outliers"))
+              .selectExpr("g AS priority", "n_orders", "med AS median_cents",
+                "mad AS mad_cents", "n_outliers",
+                "cast((cast(n_outliers as decimal(38,0)) * 1000000) div n_orders" +
+                  " as bigint) AS outlier_micro")
+              .orderBy(col("priority")))
+        } finally med.unpersist(blocking = false)
+      } finally gcnt.unpersist(blocking = false)
     },
     Some("""WITH base AS (SELECT o_orderpriority AS g,
                CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
