@@ -2,15 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 
 /** Round-12 additions, part 54: cross-document exact-substring span
   * dedup (the Lee et al. 2021 ExactSubstr method — VERDICT r11 #2,
-  * the one missing first-class LLM-dedup operator).
+  * the one missing first-class LLM-dedup operator) and its per-source
+  * curation rollup.
   */
 object Pipeline88 {
 
-  def all: Seq[QueryDef] = Seq(d29)
+  def all: Seq[QueryDef] = Seq(d29, d30)
 
   /** Per-document exact-substring duplication inventory
     * ([[graft.operators.Dedup.exactSubstrStats]], k = 8): maximal
@@ -42,4 +43,57 @@ object Pipeline88 {
         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens
       FROM sp GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-source exact-substring duplication mass — the curation
+    * dashboard number next to d29's per-doc inventory: what fraction
+    * of each source's token mass sits inside cross-document verbatim
+    * ≥8-token spans (the ExactSubstr scrub's would-be savings,
+    * source-attributed). Docs with no span contribute zero dup mass
+    * but full token mass. */
+  val d30: QueryDef = QueryDef(
+    "d30_exact_substr_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = Dedup.exactSubstrSpans(docs, "text", 8)
+        .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+      docs.selectExpr("doc_id", "source",
+          s"cast(size(${TextOps.tokens("text")}) as bigint) AS n_toks")
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("dup_tokens")).as("dup_span_tokens"))
+        .selectExpr("source", "n_docs", "n_tokens", "dup_span_tokens",
+          "cast(if(n_tokens = 0, 0, (cast(dup_span_tokens as decimal(38,0))" +
+            " * 1000000) div n_tokens) as bigint) AS dup_micro")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, source, ${DuckOps.tokens("text")} AS t
+               FROM documents),
+      hx AS (SELECT doc_id, list_transform(${DuckOps.shingles("t", 8)},
+               s -> ${DuckOps.strHash60("s")}) AS hs FROM tk),
+      occ AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+              i -> {'pos': i, 'h': hs[i]}), recursive := true) FROM hx),
+      cd AS (SELECT h FROM occ GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      dp AS (SELECT occ.doc_id, CAST(occ.pos AS BIGINT) AS pos
+             FROM occ JOIN cd USING (h)),
+      br AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+             FROM dp),
+      gr AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos) AS grp FROM br),
+      sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             FROM gr GROUP BY doc_id, grp),
+      pd AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+             FROM sp GROUP BY 1),
+      m AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS n_toks,
+              COALESCE(pd.dup_tokens, 0) AS dup_tokens
+            FROM tk LEFT JOIN pd USING (doc_id))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(dup_tokens) AS BIGINT) AS dup_span_tokens,
+        CAST(CASE WHEN sum(n_toks) = 0 THEN 0
+          ELSE (CAST(sum(dup_tokens) AS HUGEINT) * 1000000) // sum(n_toks)
+          END AS BIGINT) AS dup_micro
+      FROM m GROUP BY 1 ORDER BY 1"""))
 }
