@@ -542,6 +542,62 @@ object Dedup {
         "span_end - span_start + 1 AS span_tokens", "n_windows")
   }
 
+  /** PAIR-attributed exact-substring spans — the face of the Lee et
+    * al. ExactSubstr method that names the copying partner: for each
+    * ordered document pair (d1 < d2), the maximal ALIGNED verbatim
+    * token spans they share. Two occurrences of one k-window align on
+    * the diagonal `diag = pos1 − pos2`; consecutive (gap ≤ k) matches
+    * on one diagonal merge into a span, exactly the suffix-array
+    * match extension. Repeated text matching at several alignments
+    * yields one span per diagonal — the method's semantics, pinned.
+    * Returns per pair: `d1, d2, n_spans, max_span_tokens,
+    * span_tokens` (sum over aligned spans; alignments may overlap in
+    * either document).
+    *
+    * The pair join is the one place a hot boilerplate shingle would
+    * go quadratic, so hashes with more than `maxOcc` TOTAL
+    * occurrences are dropped from pair generation (the t31/d02 df-cap
+    * valve, mirrored in the oracle): every surviving hash fans out
+    * ≤ maxOcc² position pairs. [[exactSubstrSpans]] keeps the uncapped
+    * per-document truth; this operator names partners under the cap.
+    *
+    * 100 TB shape: seed emission map-only; the eligibility agg is
+    * map-side combinable; pair generation is a hash-keyed self
+    * equi-join with cap-bounded fan-out; span assembly is a
+    * (d1, d2, diag)-partitioned window — state bounded by the shorter
+    * document. */
+  def exactSubstrPairSpans(docs: DataFrame, textCol: String, k: Int,
+      maxOcc: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    require(maxOcc >= 2, s"occurrence cap must be >= 2, got $maxOcc")
+    val occ = docs.selectExpr("doc_id", s"graft_shingle_hashes_all($textCol, $k) AS hs")
+      .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
+    val eligible = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("n_occ") <= maxOcc && col("dmin") =!= col("dmax"))
+      .select(col("h"))
+    val oc = occ.join(eligible, Seq("h"))
+    val pr = oc.as("a").join(oc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    pr
+      .withColumn("brk",
+        when(col("p1") - lag(col("p1"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg((max(col("p1")) - min(col("p1")) + lit(k).cast("long")).as("span"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span")).as("max_span_tokens"),
+        sum(col("span")).as("span_tokens"))
+  }
+
   /** Per-document rollup of [[exactSubstrSpans]] — the curation
     * dashboard face: how many maximal cross-document verbatim spans
     * each document carries, their total token mass (spans are

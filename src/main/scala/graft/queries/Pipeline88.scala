@@ -11,7 +11,7 @@ import graft.operators.{Dedup, TextOps}
   */
 object Pipeline88 {
 
-  def all: Seq[QueryDef] = Seq(d29, d30)
+  def all: Seq[QueryDef] = Seq(d29, d30, d31)
 
   /** Per-document exact-substring duplication inventory
     * ([[graft.operators.Dedup.exactSubstrStats]], k = 8): maximal
@@ -96,4 +96,39 @@ object Pipeline88 {
           ELSE (CAST(sum(dup_tokens) AS HUGEINT) * 1000000) // sum(n_toks)
           END AS BIGINT) AS dup_micro
       FROM m GROUP BY 1 ORDER BY 1"""))
+
+  /** Pair-attributed aligned spans
+    * ([[graft.operators.Dedup.exactSubstrPairSpans]], k = 8,
+    * occurrence cap 16): which document PAIRS share verbatim ≥8-token
+    * spans, with the longest and total aligned-span mass per pair —
+    * the partner-naming face d29's per-doc inventory cannot give.
+    * The oracle mirrors the df-cap (total occurrences ≤ 16) and the
+    * per-diagonal island merge. */
+  val d31: QueryDef = QueryDef(
+    "d31_exact_substr_pairs",
+    (s, d) => Dedup.exactSubstrPairSpans(Tables.documents(s, d), "text", 8, 16)
+      .orderBy(col("d1"), col("d2")),
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      hx AS (SELECT doc_id, list_transform(${DuckOps.shingles("t", 8)},
+               s -> ${DuckOps.strHash60("s")}) AS hs FROM tk),
+      occ AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+              i -> {'pos': i, 'h': hs[i]}), recursive := true) FROM hx),
+      el AS (SELECT h FROM occ GROUP BY h
+             HAVING count(*) <= 16 AND min(doc_id) <> max(doc_id)),
+      oc AS (SELECT occ.doc_id, CAST(occ.pos AS BIGINT) AS pos, occ.h
+             FROM occ JOIN el USING (h)),
+      pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+               a.pos - b.pos AS diag
+             FROM oc a JOIN oc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      br AS (SELECT d1, d2, diag, p1, CASE WHEN p1 - lag(p1) OVER
+               (PARTITION BY d1, d2, diag ORDER BY p1) <= 8 THEN 0 ELSE 1 END
+               AS brk FROM pr),
+      gr AS (SELECT d1, d2, diag, p1, sum(brk) OVER
+               (PARTITION BY d1, d2, diag ORDER BY p1) AS g FROM br),
+      sp AS (SELECT d1, d2, diag, max(p1) - min(p1) + 8 AS span
+             FROM gr GROUP BY d1, d2, diag, g)
+      SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(max(span) AS BIGINT) AS max_span_tokens,
+        CAST(sum(span) AS BIGINT) AS span_tokens
+      FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

@@ -116,6 +116,81 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 7L, 4L)))
   }
 
+  test("pair spans: partner attribution, per-diagonal merge, df-cap prunes hot shingles") {
+    val shared = "c1 c2 c3 c4 c5"
+    val docs = Seq(
+      1L -> s"a1 a2 $shared a3",
+      2L -> s"b1 $shared b2 b3",
+      3L -> s"z1 z2 z3 $shared")
+    // k=3: 5 shared tokens -> 3 seed windows per doc, one aligned span
+    // of 5 tokens per pair (each pair has its own diagonal)
+    val got = Dedup.exactSubstrPairSpans(df(docs), "text", 3, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    got.values.foreach(v => assert(v == ((1L, 5L, 5L)), s"got $v"))
+    // the cap: each shared window occurs 3 times; maxOcc = 2 drops all
+    val capped = Dedup.exactSubstrPairSpans(df(docs), "text", 3, 2).count()
+    assert(capped == 0L, "hashes above the occurrence cap generate no pairs")
+  }
+
+  test("pair spans: differential fuzz vs in-memory reference") {
+    val rnd = new scala.util.Random(0xD31)
+    for (trial <- 1 to 3) {
+      val k = 2 + rnd.nextInt(2)
+      val vocab = (1 to 20).map(i => s"w$i")
+      val base = (1L to 8L).map { id =>
+        id -> Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = base.map { case (id, t) =>
+        if (rnd.nextInt(2) == 0 && id > 1) {
+          val (_, srcT) = base((id - 2).toInt)
+          val st = srcT.split(" ")
+          val from = rnd.nextInt(math.max(1, st.length - k - 1))
+          val slice = st.slice(from, from + k + rnd.nextInt(3))
+          val tt = t.split(" ")
+          val at = rnd.nextInt(tt.length)
+          id -> (tt.take(at) ++ slice ++ tt.drop(at)).mkString(" ")
+        } else id -> t
+      }
+      val cap = 16
+      val got = Dedup.exactSubstrPairSpans(df(docs), "text", k, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // in-memory reference: same cap, same per-diagonal merge
+      def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val windows = docs.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.length < k) Seq.empty
+        else ts.sliding(k).zipWithIndex.map { case (w, i) => (w.mkString(" "), id, i + 1L) }.toSeq
+      }
+      val byS = windows.groupBy(_._1)
+      val live = byS.filter { case (_, ws) =>
+        ws.size <= cap && ws.map(_._2).distinct.size >= 2 }
+      val pairRows = for {
+        (s1, d1, p1) <- live.values.flatten.toSeq
+        (s2, d2, p2) <- byS(s1) if live.contains(s2) && s1 == s2 && d1 < d2
+      } yield ((d1, d2, p1 - p2), p1)
+      val ref = pairRows.groupBy(_._1).toSeq
+        .flatMap { case ((d1, d2, diag), ps) =>
+          val sorted = ps.map(_._2).distinct.sorted
+          val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var start = sorted.head; var last = sorted.head
+          for (p <- sorted.tail) {
+            if (p - last <= k) last = p
+            else { spans += (last - start + k); start = p; last = p }
+          }
+          spans += (last - start + k)
+          spans.map(sp => (d1, d2) -> sp)
+        }
+        .groupBy(_._1).view.mapValues { sps =>
+          val v = sps.map(_._2)
+          (v.size.toLong, v.max, v.sum)
+        }.toMap
+      assert(got == ref, s"trial $trial k=$k:\ngot $got\nref $ref")
+    }
+  }
+
   test("differential fuzz vs in-memory reference (planted cross-copy spans)") {
     val rnd = new scala.util.Random(0xE5A7)
     for (trial <- 1 to 5) {
