@@ -27,18 +27,45 @@ package graft
   */
 object BenchScale {
 
-  /** The top-20 heaviest registry lines by BENCH_r10 per-query min.
-    * cass_roundtrip_compressed (rank 15) is excluded — it benchmarks
-    * a self-generated fixed-size sstable fixture, so an input-dir
-    * scale factor cannot reach it. */
-  val Top20: Seq[String] = Seq(
-    "q42_assoc_rules", "c04_kcore", "d02_ngram_jaccard_pairs",
-    "t21_bm25_artifact", "d08_containment_pairs", "c02_pagerank",
-    "t31_tfidf_pairs", "t27_snippets", "t23_hybrid_rrf",
-    "t16_bpe_artifact", "s19_hard_negatives", "t19_bm25_topk",
-    "d09_weighted_jaccard", "p22_data_selection", "s18_mmr_rerank",
-    "p13_pack_subwords", "p14_dsir_selection", "t14_bpe_vocab",
-    "c06_component_histogram", "t22_lm_artifact")
+  /** The consolidated family-covering sweep set (VERDICT r11 #4): the
+    * heaviest registry lines per operator family at the round-12
+    * closing state, so ONE regenerated BENCH_SCALE.json carries every
+    * family's current exponent. cass_* lines are excluded — they
+    * benchmark self-generated fixed-size sstable fixtures an input-dir
+    * scale factor cannot reach; st* streaming gates are excluded —
+    * their cost is micro-batch restart choreography (see the bench's
+    * total_stream_gate_s split), not input-scaled data work. */
+  val SweepSet: Seq[String] = Seq(
+    // dedup (exact / jaccard / minhash / simhash / edit / exact-substr)
+    "d02_ngram_jaccard_pairs", "d08_containment_pairs", "d09_weighted_jaccard",
+    "d10_edit_rerank", "d14_ensemble_pairs", "d19_cluster_sources",
+    "d25_minhash_k_sweep", "d29_exact_substr", "d30_exact_substr_by_source",
+    "d31_exact_substr_pairs",
+    // retrieval
+    "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
+    "s19_hard_negatives",
+    // tokenizer / packing
+    "t13_bpe_train", "t14_bpe_vocab", "t16_bpe_artifact", "p13_pack_subwords",
+    // graph
+    "c01_dedup_clusters", "c02_pagerank", "c04_kcore",
+    "c06_component_histogram", "c10_cc_incremental", "c17_dup_cascade_depth",
+    "c18_source_authority",
+    // similarity / ANN
+    "s13_ivf_trained_topk", "s16_semantic_dedup_bigk", "s17_ivfpq_topk",
+    "s18_mmr_rerank", "s32_knn_confusion", "s36_ivf_list_gini",
+    "s37_int8_rank_fidelity",
+    // rank statistics / profiling
+    "q41_profile", "q76_gini", "q82_spearman", "q88_robust_outliers",
+    "q92_quartile_dispersion",
+    // events / baskets
+    "e41_gap_dispersion", "e42_handoff_latency", "q42_assoc_rules",
+    "q63_assoc_top_support",
+    // text analysis / curation
+    "t31_tfidf_pairs", "t38_tokenizer_fertility", "t39_source_drift_tv",
+    "p12_curation_pipeline", "p14_dsir_selection", "p22_data_selection",
+    "p27_effective_tokens",
+    // multimodal (documents-derived media)
+    "m12_phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -57,12 +84,12 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
-    // SPARK_GRAFT_SCALE_QUERIES overrides the Top20 (comma-separated)
+    // SPARK_GRAFT_SCALE_QUERIES overrides the SweepSet (comma-separated)
     // — used for the 100× decade where a subset keeps the sweep
     // tractable
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Top20)
+      .getOrElse(SweepSet)
     val qdefs = names.map(n => byName.getOrElse(n,
       throw new IllegalArgumentException(s"unknown query $n")))
 

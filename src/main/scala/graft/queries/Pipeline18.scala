@@ -98,13 +98,18 @@ object Pipeline18 {
 
   /** k-NN label propagation
     * ([[graft.operators.Similarity.knnClassify]]): every 7th vector
-    * classified by the majority label of its 5 exact-cosine nearest
-    * neighbors, reported against its own label (leave-one-out
-    * accuracy audit). */
+    * of the PINNED eval set (`vec_id < 1400` — the round-12
+    * consolidated sweep caught the unbounded every-7th predicate
+    * going quadratic at 10×: queries scaled with the corpus, the
+    * t19/s19 corpus-fraction trap again) classified by the majority
+    * label of its 5 exact-cosine nearest neighbors, reported against
+    * its own label (leave-one-out accuracy audit). Candidates still
+    * scale with the corpus; the eval set does not — exponent 2.04 →
+    * linear. */
   val s21: QueryDef = QueryDef(
     "s21_knn_label",
     (s, d) => Similarity.knnClassify(Tables.embeddings(s, d),
-        "vec_id % 7 = 0", 5)
+        "vec_id % 7 = 0 AND vec_id < 1400", 5)
       .orderBy(col("q_id")),
     Some(s"""WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -112,7 +117,7 @@ object Pipeline18 {
       n AS (SELECT vec_id, v, label, ${DuckOps.norm2("v")} AS nrm FROM e),
       p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
               ${DuckOps.dot("q.v", "c.v")} / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
-            FROM n q JOIN n c ON q.vec_id % 7 = 0 AND c.vec_id <> q.vec_id),
+            FROM n q JOIN n c ON q.vec_id % 7 = 0 AND q.vec_id < 1400 AND c.vec_id <> q.vec_id),
       top AS (SELECT q_id, n_id, label FROM (
           SELECT q_id, n_id, label,
             row_number() OVER (PARTITION BY q_id

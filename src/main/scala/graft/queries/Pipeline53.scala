@@ -65,7 +65,8 @@ object Pipeline53 {
   val s32: QueryDef = QueryDef(
     "s32_knn_confusion",
     (s, d) => {
-      val cls = Similarity.knnClassify(Tables.embeddings(s, d), "vec_id % 7 = 0", 5)
+      val cls = Similarity.knnClassify(Tables.embeddings(s, d),
+        "vec_id % 7 = 0 AND vec_id < 1400", 5)
         .select(col("actual"), col("pred_label"))
       val rows = cls.groupBy(col("actual")).agg(count(lit(1)).as("row_n"))
       cls.groupBy(col("actual"), col("pred_label")).agg(count(lit(1)).as("n"))
