@@ -608,6 +608,59 @@ object Dedup {
         sum(col("span")).as("span_tokens"))
   }
 
+  /** Train→eval SPAN CONTAMINATION — the n-gram-overlap train/test
+    * leakage audit (the published GPT-3/PaLM contamination method:
+    * flag evaluation text whose ≥k-token windows appear verbatim in
+    * the training split): rows matching `evalPred` are the eval set,
+    * everything else the train set, and each eval document reports
+    * the maximal spans (gap-≤k island merge, as [[exactSubstrSpans]])
+    * of windows that also occur ANYWHERE in train. Eval↔eval and
+    * train↔train overlap deliberately does not count — only
+    * train-side presence contaminates. Every eval document emits a
+    * row (zero-filled when clean) — the audit table a release gate
+    * reads top to bottom.
+    *
+    * Returns `doc_id, n_tokens, n_spans, contaminated_tokens,
+    * contamination_micro` for eval documents.
+    *
+    * 100 TB shape: one window-hash emission pass over the whole
+    * corpus (map-only, eval flag carried); the train-hash set is a
+    * map-side-combinable hash agg; ONE hash-keyed equi-join flags
+    * eval occurrences (hot hashes cost O(their eval occurrences));
+    * island merge per eval doc; one left join zero-fills clean eval
+    * docs. No pair join, no collect. */
+  def spanContamination(docs: DataFrame, textCol: String, k: Int,
+      evalPred: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    val base = docs.selectExpr("doc_id", s"($evalPred) AS is_eval",
+      s"graft_shingle_hashes_all($textCol, $k) AS hs",
+      s"cast(size(${TextOps.tokens(textCol)}) as bigint) AS n_tokens")
+    val occ = base
+      .selectExpr("doc_id", "is_eval", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("doc_id", "is_eval", "cast(pos0 + 1 as bigint) AS pos", "h")
+    val trainH = occ.filter(!col("is_eval"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__n")).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = occ.filter(col("is_eval"))
+      .join(trainH, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k).cast("long")).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span")).as("contaminated_tokens"))
+    base.filter(col("is_eval")).select(col("doc_id"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "contaminated_tokens"))
+      .selectExpr("doc_id", "n_tokens", "n_spans", "contaminated_tokens",
+        "cast(if(n_tokens = 0, 0, (cast(contaminated_tokens as decimal(38,0))" +
+          " * 1000000) div n_tokens) as bigint) AS contamination_micro")
+  }
+
   /** Per-document rollup of [[exactSubstrSpans]] — the curation
     * dashboard face: how many maximal cross-document verbatim spans
     * each document carries, their total token mass (spans are

@@ -11,7 +11,7 @@ import graft.operators.{Dedup, TextOps}
   */
 object Pipeline88 {
 
-  def all: Seq[QueryDef] = Seq(d29, d30, d31)
+  def all: Seq[QueryDef] = Seq(d29, d30, d31, p46)
 
   /** Per-document exact-substring duplication inventory
     * ([[graft.operators.Dedup.exactSubstrStats]], k = 8): maximal
@@ -131,4 +131,44 @@ object Pipeline88 {
         CAST(max(span) AS BIGINT) AS max_span_tokens,
         CAST(sum(span) AS BIGINT) AS span_tokens
       FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Train→eval span contamination
+    * ([[graft.operators.Dedup.spanContamination]], k = 8, eval set =
+    * `doc_id % 97 = 0`): the published n-gram-overlap train/test
+    * leakage audit — per eval document the verbatim ≥8-token span
+    * mass that also occurs anywhere in the train split, zero-filled
+    * for clean docs. Only train-side presence contaminates
+    * (eval↔eval overlap does not count — spec-pinned). */
+  val p46: QueryDef = QueryDef(
+    "p46_span_contamination",
+    (s, d) => Dedup.spanContamination(Tables.documents(s, d), "text", 8,
+        "doc_id % 97 = 0")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tk AS (SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+               ${DuckOps.tokens("text")} AS t FROM documents),
+      hx AS (SELECT doc_id, is_eval, CAST(len(t) AS BIGINT) AS n_tokens,
+               list_transform(${DuckOps.shingles("t", 8)},
+                 s -> ${DuckOps.strHash60("s")}) AS hs FROM tk),
+      occ AS (SELECT doc_id, is_eval, unnest(list_transform(range(1, len(hs) + 1),
+              i -> {'pos': i, 'h': hs[i]}), recursive := true) FROM hx),
+      th AS (SELECT DISTINCT h FROM occ WHERE NOT is_eval),
+      dp AS (SELECT occ.doc_id, CAST(occ.pos AS BIGINT) AS pos
+             FROM occ JOIN th USING (h) WHERE occ.is_eval),
+      br AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+             FROM dp),
+      gr AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos) AS grp FROM br),
+      sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             FROM gr GROUP BY doc_id, grp),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS ct FROM sp GROUP BY 1)
+      SELECT hx.doc_id, hx.n_tokens,
+        COALESCE(pd.n_spans, 0) AS n_spans,
+        COALESCE(pd.ct, 0) AS contaminated_tokens,
+        CAST(CASE WHEN hx.n_tokens = 0 THEN 0
+          ELSE (CAST(COALESCE(pd.ct, 0) AS HUGEINT) * 1000000) // hx.n_tokens
+          END AS BIGINT) AS contamination_micro
+      FROM hx LEFT JOIN pd USING (doc_id)
+      WHERE hx.is_eval ORDER BY doc_id"""))
 }

@@ -191,6 +191,28 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
+  test("span contamination: only train-side presence contaminates; clean eval docs zero-fill") {
+    val leaked = "t1 t2 t3 t4 t5"
+    val docs = Seq(
+      // eval docs (pred: doc_id % 2 = 0)
+      2L -> s"e1 e2 $leaked e3",      // contaminated from train doc 1
+      4L -> "shared eval only span here padding words",
+      6L -> "shared eval only span here other padding",  // 4<->6 overlap is eval-eval
+      // train docs
+      1L -> s"a1 $leaked a2 a3",
+      3L -> "unrelated train content entirely")
+    val got = Dedup.spanContamination(df(docs), "text", 3, "doc_id % 2 = 0")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(2L, 4L, 6L), "every eval doc reports")
+    // doc 2: 5 leaked tokens of 8 -> 625000 micro
+    assert(got(2L) == ((8L, 1L, 5L, 625000L)), s"got ${got(2L)}")
+    // eval<->eval overlap must NOT count as contamination
+    assert(got(4L) == ((7L, 0L, 0L, 0L)))
+    assert(got(6L) == ((7L, 0L, 0L, 0L)))
+  }
+
   test("differential fuzz vs in-memory reference (planted cross-copy spans)") {
     val rnd = new scala.util.Random(0xE5A7)
     for (trial <- 1 to 5) {
