@@ -63,7 +63,7 @@ object BenchScale {
     // text analysis / curation
     "t31_tfidf_pairs", "t38_tokenizer_fertility", "t39_source_drift_tv",
     "p12_curation_pipeline", "p14_dsir_selection", "p22_data_selection",
-    "p27_effective_tokens",
+    "p27_effective_tokens", "p46_span_contamination",
     // multimodal (documents-derived media)
     "m12_phash_neardup")
 
