@@ -19,13 +19,24 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: ONE distinct projection of the basket-item log, one
   * basket-keyed collect into the bounded per-basket array with the
-  * pair fan-out exploded from it (fan-out bounded by the square of
-  * the basket size — baskets are small by nature; a degenerate
-  * mega-basket would surface in [[Profile]] first, and holds the same
-  * bound a self equi-join would), one pair-keyed partial agg, and two
-  * item-keyed equi-joins against the O(catalog) item-count frame
-  * (broadcast when the catalog fits, AQE otherwise). The basket count
-  * is one O(1)-row aggregate. No driver state beyond that scalar.
+  * pair fan-out NESTED-exploded from it (left index first, then the
+  * right suffix — peak per-row state is O(basket size), never the
+  * s²/2 pair array at once; total fan-out stays bounded by the square
+  * of the basket size, the same bound a self equi-join would carry),
+  * one pair-keyed partial agg, and two item-keyed equi-joins against
+  * the O(catalog) item-count frame (broadcast when the catalog fits,
+  * AQE otherwise). The basket count is one O(1)-row aggregate. No
+  * driver state beyond that scalar.
+  *
+  * Degenerate-input failure mode, explicit (ADVICE r12): the
+  * basket-keyed `collect_list` holds ONE basket's distinct item list
+  * in a single aggregation buffer — a pathological mega-basket (say
+  * 10M distinct items) costs O(items) executor memory in that buffer
+  * BEFORE any documented [[Profile]] pre-flight would flag it. That
+  * is the same order as one skewed group in any groupBy and ~80 MB at
+  * 10M longs — survivable, unlike the s²/2 pair array the pre-r13
+  * `flatten(transform(...))` form materialized per row (which is why
+  * pair generation is now the nested explode).
   */
 object Baskets {
 
@@ -41,41 +52,46 @@ object Baskets {
     * terminal action. */
   def assocPairs(baskets: DataFrame, basketCol: String, itemCol: String,
       minPairs: Long): DataFrame = {
-    require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
     val itemsRaw = baskets
       .selectExpr(s"$basketCol AS bk", s"$itemCol AS it")
       .distinct()
     Storage.withCached(itemsRaw) { items =>
       val nBaskets = items.agg(countDistinct(col("bk"))).head.getLong(0)
-      require(nBaskets >= 1L, "assocPairs needs at least one basket")
-      require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
-        s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
-          "below 2^63")
       assocPairsFrom(items, nBaskets, minPairs)
     }
   }
 
   /** the LAZY [[assocPairs]] plan over an already-available distinct
     * (bk, it) frame — package-private so PlanAuditSpec can audit the
-    * un-checkpointed join shape (the rankStep convention). */
+    * un-checkpointed join shape (the rankStep convention). The input
+    * contract (≥1 basket, the `1e6·nBaskets < 2^63` exact-integer
+    * bound that protects support_micro/lift_micro, minPairs ≥ 1)
+    * lives HERE so lazy composers (q63) keep the same guards as the
+    * eager API (ADVICE r12). */
   private[graft] def assocPairsFrom(items: DataFrame, nBaskets: Long,
       minPairs: Long): DataFrame = {
+    require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
+    require(nBaskets >= 1L, "assocPairs needs at least one basket")
+    require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
+      s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
+        "below 2^63")
     val cnt = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
     // pair generation: collect each basket's (distinct) items once and
     // fan pairs out from the bounded array — ONE basket-keyed shuffle
     // instead of the self equi-join's two (re-planned, VERDICT r11
-    // #6; measured −30% on q63 at sf0.1). Same fan-out bound as the
-    // join form (basket size², baskets are small by nature); ordered
-    // pairs come from the sorted array, so item_a < item_b holds by
-    // construction
+    // #6). NESTED explode (left index, then right suffix) rather than
+    // explode(flatten(transform(...))): the flattened form built each
+    // basket's FULL s²/2 pair array per row before exploding — a
+    // per-row memory spike and the r12 verdict's q63 suspect — where
+    // this keeps per-row state O(basket size). Ordered pairs come
+    // from the sorted array, so item_a < item_b holds by construction
     val pairs = items
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(col("it"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .selectExpr("explode(flatten(transform(sequence(1, size(ds) - 1), " +
-        "i -> transform(sequence(i + 1, size(ds)), " +
-        "j -> struct(element_at(ds, i) AS item_a, element_at(ds, j) AS item_b))))) AS pr")
-      .select(col("pr.item_a"), col("pr.item_b"))
+      .selectExpr("ds", "posexplode(slice(ds, 1, size(ds) - 1)) AS (i0, item_a)")
+      .selectExpr("item_a",
+        "explode(slice(ds, i0 + 2, size(ds) - i0 - 1)) AS item_b")
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairs)

@@ -25,9 +25,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** true iff some exchange hash-partitions on a value-range bucket
     * column — `b` for inline decompositions, `__b` for the shared
-    * [[graft.operators.Curate.bucketedCumsum]] helper (ADVICE r11). */
+    * [[graft.operators.Curate.bucketedCumsum]] helper (ADVICE r11).
+    * Matches the exact attribute (`b#12` / `__b#12`), not the prefix
+    * "b", which unrelated columns (bk, bucket_p, bcnt...) satisfied
+    * vacuously (ADVICE r12). */
   private def bucketKeyed(plan: String): Boolean =
-    plan.contains("hashpartitioning(__b") || plan.contains("hashpartitioning(b")
+    "hashpartitioning\\((__)?b#".r.findFirstIn(plan).isDefined
 
   test("star join broadcasts every dim; fact side is never broadcast") {
     val plan = finalPlan(queries.Relational.q06.run(spark, sfDir))
