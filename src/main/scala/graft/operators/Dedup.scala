@@ -523,14 +523,16 @@ object Dedup {
     * O(occurrences²); span assembly is a per-document window (state
     * bounded by document length — the A1 sorted-run merge expressed
     * as lag + running sum over one (doc, pos) sort). */
-  def exactSubstrSpans(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def exactSubstrSpans(docs: DataFrame, textCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
     // the native rolling window hasher — value-identical to
     // transform(shingles(tokens, k), strHash60) (ShingleHashesSpec),
     // but O(tokens·k) long arithmetic with no shingle-string
     // materialization: measured 3.5× cheaper end-to-end at sf0.1
-    val occ = docs.selectExpr("doc_id", s"graft_shingle_hashes_all($textCol, $k) AS hs")
+    val occ = docs.selectExpr(s"$idCol AS doc_id",
+        s"graft_shingle_hashes_all($textCol, $k) AS hs")
       .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
       .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
     val crossDoc = occ.groupBy(col("h"))
@@ -577,11 +579,12 @@ object Dedup {
     * (d1, d2, diag)-partitioned window — state bounded by the shorter
     * document. */
   def exactSubstrPairSpans(docs: DataFrame, textCol: String, k: Int,
-      maxOcc: Int): DataFrame = {
+      maxOcc: Int, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
     require(maxOcc >= 2, s"occurrence cap must be >= 2, got $maxOcc")
-    val occ = docs.selectExpr("doc_id", s"graft_shingle_hashes_all($textCol, $k) AS hs")
+    val occ = docs.selectExpr(s"$idCol AS doc_id",
+        s"graft_shingle_hashes_all($textCol, $k) AS hs")
       .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
       .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
     val eligible = occ.groupBy(col("h"))
@@ -630,10 +633,13 @@ object Dedup {
     * island merge per eval doc; one left join zero-fills clean eval
     * docs. No pair join, no collect. */
   def spanContamination(docs: DataFrame, textCol: String, k: Int,
-      evalPred: String): DataFrame = {
+      evalPred: String, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
-    val base = docs.selectExpr("doc_id", s"($evalPred) AS is_eval",
+    // evalPred is evaluated over the CALLER's columns (so it may
+    // reference idCol by its original name); outputs are normalized
+    // to doc_id like the rest of the ExactSubstr family (ADVICE r12)
+    val base = docs.selectExpr(s"$idCol AS doc_id", s"($evalPred) AS is_eval",
       s"graft_shingle_hashes_all($textCol, $k) AS hs",
       s"cast(size(${TextOps.tokens(textCol)}) as bigint) AS n_tokens")
     val occ = base
@@ -666,8 +672,9 @@ object Dedup {
     * each document carries, their total token mass (spans are
     * disjoint by construction, so the sum IS the union coverage),
     * and the longest one. Documents with no span are absent. */
-  def exactSubstrStats(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    exactSubstrSpans(docs, textCol, k)
+  def exactSubstrStats(docs: DataFrame, textCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    exactSubstrSpans(docs, textCol, k, idCol)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_tokens")).as("dup_tokens"),

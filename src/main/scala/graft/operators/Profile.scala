@@ -56,6 +56,21 @@ object Profile {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[profile]] over a ONE-PASS pre-projection of the profiled
+    * columns — the callable form of the scaladoc's row-oriented-source
+    * guidance (ADVICE r12): [[profile]] plans C independent scans
+    * (byte-equivalent on a columnar source where each prunes to its
+    * column, but C× scan volume on a row-oriented source that cannot
+    * prune). This materializes `df.select(cols)` once via the
+    * [[Storage.withCached]] contract and profiles the cached
+    * projection, so the source is read exactly once. EAGER: the
+    * result comes back materialized; [[Storage.release]] it after the
+    * terminal action. */
+  def profileProjected(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    Storage.withCached(df.select(cols.map(col): _*))(profile(_, cols))
+  }
+
   /** Benford first-digit micro-shares, floored `log10(1 + 1/d)`,
     * d = 1..9 — pinned as integer constants so both engines compare
     * against the identical expectation (no runtime log). */

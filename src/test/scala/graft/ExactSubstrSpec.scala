@@ -242,4 +242,22 @@ class ExactSubstrSpec extends AnyFunSuite {
       assert(got == ref, s"trial $trial k=$k:\ngot $got\nref $ref")
     }
   }
+  test("idCol parameter: a renamed id column yields identical spans, stats, pairs, contamination (ADVICE r12)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta middle shared span one two three"),
+      (2L, "totally different head words here shared span one two three and a different tail"),
+      (3L, "no overlap with anything else at all in this third document"))
+    val renamed = df(docs).withColumnRenamed("doc_id", "my_id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.exactSubstrSpans(df(docs), "text", 4)) ==
+      rows(Dedup.exactSubstrSpans(renamed, "text", 4, idCol = "my_id")))
+    assert(rows(Dedup.exactSubstrStats(df(docs), "text", 4)) ==
+      rows(Dedup.exactSubstrStats(renamed, "text", 4, idCol = "my_id")))
+    assert(rows(Dedup.exactSubstrPairSpans(df(docs), "text", 4, 16)) ==
+      rows(Dedup.exactSubstrPairSpans(renamed, "text", 4, 16, idCol = "my_id")))
+    assert(rows(Dedup.spanContamination(df(docs), "text", 4, "doc_id % 2 = 0")) ==
+      rows(Dedup.spanContamination(renamed, "text", 4, "my_id % 2 = 0", idCol = "my_id")))
+  }
 }
+

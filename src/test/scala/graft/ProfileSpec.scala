@@ -157,4 +157,21 @@ class ProfileSpec extends AnyFunSuite {
       assert((r.getLong(0), r.getLong(1), r.getLong(2)) === want, s"case $i")
     }
   }
+  test("profileProjected matches profile cell-exactly (one-pass projection form)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b"), 1.0),
+      (Some(1L), None, 2.0),
+      (None, Some("a"), 3.0),
+      (Some(3L), Some("a"), 4.0))
+      .toDF("num", "txt", "unprofiled")
+    val cols = Seq("num", "txt")
+    val viaProjected = Profile.profileProjected(df, cols)
+    try {
+      val a = Profile.profile(df, cols).collect().map(_.toSeq).toSet
+      val b = viaProjected.collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally graft.operators.Storage.release(viaProjected)
+  }
 }
+
