@@ -40,7 +40,8 @@ object BenchScale {
     "d02_ngram_jaccard_pairs", "d08_containment_pairs", "d09_weighted_jaccard",
     "d10_edit_rerank", "d14_ensemble_pairs", "d19_cluster_sources",
     "d25_minhash_k_sweep", "d29_exact_substr", "d30_exact_substr_by_source",
-    "d31_exact_substr_pairs",
+    "d31_exact_substr_pairs", "d32_exact_substr_scrub",
+    "p47_scrub_savings_by_source",
     // retrieval
     "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
     "s19_hard_negatives",

@@ -667,6 +667,68 @@ object Dedup {
           " * 1000000) div n_tokens) as bigint) AS contamination_micro")
   }
 
+  /** Cross-document exact-substring SCRUB — the removal face of the
+    * Lee et al. 2021 ExactSubstr method (arXiv:2107.06499) that acts
+    * on [[exactSubstrSpans]]' inventory: every k-token window whose
+    * 60-bit hash occurs in ≥ 2 DISTINCT documents keeps exactly ONE
+    * canonical copy corpus-wide (the lowest (doc_id, pos) occurrence)
+    * and is scrubbed everywhere else; each document's text is rebuilt
+    * from the surviving tokens. Overlapping removal windows union
+    * their covered ranges (the [[scrubRepeatedPassages]] coverage
+    * rule, via the same native [[graft.functions.ScrubKeep]]
+    * two-pointer merge). Differs from [[scrubRepeatedPassages]] in
+    * universe only: within-document-ONLY repeats are untouched here
+    * (they are not cross-document duplication) — but later
+    * occurrences of a cross-document-duplicated window inside the
+    * canonical document itself ARE scrubbed, because only the single
+    * (doc_id, pos)-minimal copy is canonical. Returns one row per
+    * input document: `doc_id, n_before, n_after, text_scrubbed`
+    * (documents with nothing to scrub pass through, n_after =
+    * n_before).
+    *
+    * "Exact" is modulo the 60-bit window hash (p ≈ 2⁻⁶⁰ per
+    * colliding pair); the oracle replays the same hash, and the
+    * differential fuzz in ScrubSpec checks against a shingle-TEXT
+    * reference, so a collision would surface there.
+    *
+    * 100 TB shape — linear passes, nothing quadratic, no collect:
+    * window hashing is map-only (8-byte longs into the shuffle, via
+    * the native rolling hasher); canonical election + the cross-doc
+    * test ride ONE hash-partitioned window shuffle (row_number for
+    * rank, whole-partition min/max doc_id for the ≥2-distinct-docs
+    * test — same partitioning, no second exchange; millions of
+    * fine-grained 60-bit keys, skew only on genuinely hot passages
+    * whose groups still sort independently); removal starts aggregate
+    * per doc (map-side combined, output bounded by tokens); one
+    * doc-keyed equi-join rebuilds the text with the O(len + |cov|)
+    * two-pointer keep merge. */
+  def exactSubstrScrub(docs: DataFrame, textCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    val tk = docs.selectExpr(s"$idCol AS doc_id", s"${TextOps.tokens(textCol)} AS t")
+    val occ = docs.selectExpr(s"$idCol AS doc_id",
+        s"graft_shingle_hashes_all($textCol, $k) AS hs")
+      .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
+    val part = Window.partitionBy(col("h"))
+    val removals = occ
+      .withColumn("rn", row_number().over(part.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("dmin", min(col("doc_id")).over(part))
+      .withColumn("dmax", max(col("doc_id")).over(part))
+      .filter(col("rn") >= 2 && col("dmin") =!= col("dmax"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"))
+    tk.join(removals, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "t",
+        "coalesce(cov, cast(array() as array<bigint>)) AS cov")
+      .selectExpr("doc_id", "t", s"graft_scrub_keep(cov, $k, size(t)) AS kept")
+      .selectExpr("doc_id",
+        "cast(size(t) as bigint) AS n_before",
+        "cast(size(kept) as bigint) AS n_after",
+        "concat_ws(' ', transform(kept, j -> element_at(t, j))) AS text_scrubbed")
+  }
+
   /** Per-document rollup of [[exactSubstrSpans]] — the curation
     * dashboard face: how many maximal cross-document verbatim spans
     * each document carries, their total token mass (spans are

@@ -164,4 +164,88 @@ class ScrubSpec extends AnyFunSuite {
       docs.toDF("doc_id", "text").repartition(7), "text", N).collect().toSet
     assert(one == many)
   }
+  // ---- exactSubstrScrub (the cross-document removal face, r13) ----
+
+  private def xScrub(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.exactSubstrScrub(docs.toDF("doc_id", "text"), "text", N)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  /** In-memory reference for the cross-document scrub: shingle-TEXT
+    * identity (no hash), windows held by >= 2 distinct docs, one
+    * canonical (lowest (doc, pos)) occurrence kept corpus-wide, all
+    * other occurrences' token spans removed. */
+  private def xReference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val occ = for {
+      (id, t) <- toks
+      i <- 0 to t.length - N
+    } yield (t.slice(i, i + N).mkString(" "), id, i)
+    val crossDoc = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val removed = occ.filter(o => crossDoc(o._1)).groupBy(_._1).values.flatMap { os =>
+      os.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSeq
+    val covByDoc = removed.groupBy(_._2).view
+      .mapValues(_.flatMap(o => o._3 until o._3 + N).toSet).toMap
+    toks.map { case (id, t) =>
+      val cov = covByDoc.getOrElse(id, Set.empty)
+      val kept = t.indices.filterNot(cov).map(t)
+      id -> ((t.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("exactSubstrScrub: canonical copy survives, every other holder is scrubbed") {
+    val docs = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "zzz alpha beta gamma yyy",
+      2L -> "qqq alpha beta gamma")
+    val out = xScrub(docs)
+    assert(out(0L) == ((4L, 4L, "alpha beta gamma delta")))
+    assert(out(1L) == ((5L, 2L, "zzz yyy")))
+    assert(out(2L) == ((4L, 1L, "qqq")))
+  }
+
+  test("exactSubstrScrub: within-doc-ONLY repeats are untouched (the universe difference vs scrubRepeatedPassages)") {
+    val docs = Seq(
+      0L -> "a b c x y a b c",       // repeat is within doc 0 only
+      1L -> "totally unrelated words here")
+    val out = xScrub(docs)
+    assert(out(0L) == ((8L, 8L, "a b c x y a b c")))
+    // ...while the within-corpus scrub removes the second copy
+    assert(scrub(docs)(0L) == ((8L, 5L, "a b c x y")))
+  }
+
+  test("exactSubstrScrub: later occurrences inside the canonical doc are scrubbed too (one copy corpus-wide)") {
+    // "a b c" is cross-doc duplicated; doc 0 holds it twice - only the
+    // FIRST copy is canonical, the second is scrubbed like doc 1's
+    val out = xScrub(Seq(0L -> "a b c x a b c", 1L -> "y a b c z"))
+    assert(out(0L) == ((7L, 4L, "a b c x")))
+    assert(out(1L) == ((5L, 2L, "y z")))
+  }
+
+  test("exactSubstrScrub: differential fuzz vs the in-memory reference") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 6) {
+      val docs = (0L until 30L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      assert(xScrub(docs) == xReference(docs), s"trial $trial")
+    }
+  }
+
+  test("exactSubstrScrub result is partition-count independent") {
+    import spark.implicits._
+    val docs = Seq(0L -> "a b c d e", 1L -> "x a b c y", 2L -> "z b c d w")
+    val one = Dedup.exactSubstrScrub(
+      docs.toDF("doc_id", "text").repartition(1), "text", N).collect().toSet
+    val many = Dedup.exactSubstrScrub(
+      docs.toDF("doc_id", "text").repartition(7), "text", N).collect().toSet
+    assert(one == many)
+  }
 }
