@@ -147,11 +147,24 @@ object BenchScale {
     val lines = qdefs.map { q =>
       val (tb, ts) = (tBase(q.name), tScaled(q.name))
       val expo = math.log(ts / tb) / math.log(factor.toDouble)
+      // output-bound classifier (VERDICT r12 #6), a computed field
+      // instead of prose: how time PER EMITTED ROW moved across the
+      // decade — (t_scaled/rows_scaled)/(t_base/rows_base). < 1 means
+      // per-row cost FELL even if total time grew super-linearly
+      // (a pair inventory whose output itself grew, d10/d14's class);
+      // null when either row count is 0 (nothing emitted to normalize
+      // by).
+      val tprRatio =
+        if (rowsB(q.name) > 0 && rowsS(q.name) > 0)
+          Some((ts / rowsS(q.name)) / (tb / rowsB(q.name)))
+        else None
       System.err.println(f"[scale] ${q.name}%-26s base=$tb%6.2fs " +
-        f"scaled=$ts%6.2fs exponent=$expo%5.2f")
+        f"scaled=$ts%6.2fs exponent=$expo%5.2f t_per_row_x=${
+          tprRatio.map(v => f"$v%.3f").getOrElse("null")}")
       s""""${q.name}":{"t_base":${r(tb)},"t_scaled":${r(ts)},""" +
         s""""exponent":${r(expo)},"rows_base":${rowsB(q.name)},""" +
-        s""""rows_scaled":${rowsS(q.name)}}"""
+        s""""rows_scaled":${rowsS(q.name)},""" +
+        s""""t_per_row_x":${tprRatio.map(r).getOrElse("null")}}"""
     }
     val json = s"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +
       s""""n":$iters,"calib":{"pre":${r(calibPre)},"post":${r(calibPost)}},""" +

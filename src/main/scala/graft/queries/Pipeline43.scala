@@ -53,6 +53,54 @@ object Pipeline43 {
     f.delete(): Unit
   }
 
+  /** SINGLE-LIFETIME multi-wave gate drive (VERDICT r12 #5): start
+    * the streaming query ONCE over the (possibly still-empty) stream
+    * dir, then for each wave write its file drop and drain with
+    * `processAllAvailable` — the engine only discovers a drop after
+    * the previous wave's drain, so each drop is still its OWN
+    * micro-batch and watermark advancement between drops is preserved
+    * exactly as in the stopped-and-resumed form, at a fraction of the
+    * choreography cost (no checkpoint replay / stream re-init per
+    * drop; r12 measured the st gates at 38% of the headline bench).
+    * STOP-AND-RESUME chaos coverage deliberately stays on the class
+    * representatives that test resume itself: st07 (append-mode
+    * watermark carried across a resume), st12 (the run_id upsert
+    * face), st13 (the join-matrix restart gate), plus
+    * StreamingCompactionSpec's task-attempt chaos. */
+  private[queries] def driveWaves(streamDir: java.io.File,
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      waves: Seq[() => Unit]): Unit = {
+    streamDir.mkdirs()
+    val q = start()
+    try waves.foreach { w => w(); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  /** [[driveWaves]] with the state-store partition count sized to the
+    * gate's state: a stream-stream join commits EVERY state partition
+    * of EVERY stateful operator on EVERY micro-batch (HDFS-backed
+    * store: one delta file + CRC each), so a 32-partition session
+    * pays hundreds of tiny synchronous writes per batch for state
+    * that fits in a handful of partitions — measured 60-70% of the
+    * r12 st-gate wall-clock. Partition count is a physical knob with
+    * no semantic face (every gate's oracle is partition-count
+    * independent, and a 100 TB deployment sizes it to state volume,
+    * exactly as done here); the session's original setting is
+    * restored after the drive. */
+  private[queries] def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  private[queries] def driveWavesSized(s: org.apache.spark.sql.SparkSession,
+      streamDir: java.io.File,
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      waves: Seq[() => Unit], statePartitions: Int = 4): Unit =
+    withStatePartitions(s, statePartitions)(driveWaves(streamDir, start, waves))
+
   /** One STOPPED-AND-RESUMED run of the append-mode daily rollup
     * over whatever files `streamDir` currently holds: start from
     * `ckpt` (watermark and window state restored from the commit
@@ -65,21 +113,28 @@ object Pipeline43 {
     * files into one batch, where nothing is ever late). Batch ids
     * continue across the resume, so every finalized window lands in
     * exactly one `batch=N` directory under `sinkDir`. */
-  private[queries] def runAppendDaily(s: org.apache.spark.sql.SparkSession,
+  private[queries] def appendDailyStart(s: org.apache.spark.sql.SparkSession,
       streamDir: java.io.File, ckpt: java.io.File, sinkDir: java.io.File,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType)
+      : () => org.apache.spark.sql.streaming.StreamingQuery = () => {
     val agg = s.readStream.schema(schema).parquet(streamDir.toString)
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
       .selectExpr("cast(to_date(window.start) as string) AS day",
         "event_type", "n", "cents")
-    val q = agg.writeStream.outputMode("append")
+    agg.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         df.write.mode("overwrite").parquet(s"$sinkDir/batch=$id"))
       .start()
+  }
+
+  private[queries] def runAppendDaily(s: org.apache.spark.sql.SparkSession,
+      streamDir: java.io.File, ckpt: java.io.File, sinkDir: java.io.File,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = appendDailyStart(s, streamDir, ckpt, sinkDir, schema)()
     try q.processAllAvailable() finally q.stop()
   }
 
@@ -120,14 +175,19 @@ object Pipeline43 {
       // rest; each drop is drained by its OWN stopped-and-resumed
       // run, so the watermark provably advances between them
       val base = System.currentTimeMillis()
-      writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
-      writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
+      // state partitions sized to the gate's O(days × types) state
+      // (see driveWavesSized scaladoc); the stop-and-resume
+      // choreography itself — the semantics under test — is unchanged
+      withStatePartitions(s, 4) {
+        writeSlice(root, streamDir,
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          "batch1", base - 60000L)
+        runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
+        writeSlice(root, streamDir,
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "batch2", base)
+        runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
+      }
       s.read.parquet(sink.toString)
         .select(col("day"), col("event_type"), col("n"), col("cents"))
         .orderBy(col("day"), col("event_type"))

@@ -132,15 +132,20 @@ object Pipeline48 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      Pipeline43.writeSlice(root, streamDir,
-        slim(ev.filter(expr(s"ts < timestamp'2024-01-16' AND NOT ($straggler)"))),
-        "batch1", base - 60000L)
       val schema = slim(ev).schema
-      Pipeline43.runAppendDaily(s, streamDir, ckpt, sink, schema)
-      Pipeline43.writeSlice(root, streamDir,
-        slim(ev.filter(expr(s"ts >= timestamp'2024-01-16' OR ($straggler)"))),
-        "batch2", base)
-      Pipeline43.runAppendDaily(s, streamDir, ckpt, sink, schema)
+      // single-lifetime waves (VERDICT r12 #5): the straggler-drop
+      // semantics needs each drop in its OWN micro-batch (so the
+      // watermark from drop 1 makes drop 2's stragglers late), not a
+      // restart between drops — resume itself stays gated by st07
+      Pipeline43.driveWavesSized(s, streamDir,
+        Pipeline43.appendDailyStart(s, streamDir, ckpt, sink, schema),
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            slim(ev.filter(expr(s"ts < timestamp'2024-01-16' AND NOT ($straggler)"))),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            slim(ev.filter(expr(s"ts >= timestamp'2024-01-16' OR ($straggler)"))),
+            "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("day"), col("event_type"), col("n"), col("cents"))
         .orderBy(col("day"), col("event_type"))

@@ -35,31 +35,33 @@ object Pipeline52 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      def run(): Unit = {
-        val agg = s.readStream.schema(ev.schema).parquet(streamDir.toString)
-          .withWatermark("ts", "1 second")
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
-          .selectExpr("user_id",
-            "unix_millis(session_window.start) AS start_ms",
-            "unix_millis(session_window.end - interval 30 minutes) AS end_ms",
-            "n_events", "total_cents")
-        val q = agg.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      run()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run()
+      // single-lifetime waves (VERDICT r12 #5): cross-drop session
+      // stitching only needs the drops in separate micro-batches;
+      // resume itself stays gated by st07/st12/st13
+      Pipeline43.driveWavesSized(s, streamDir,
+        () => {
+          val agg = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+            .withWatermark("ts", "1 second")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+            .selectExpr("user_id",
+              "unix_millis(session_window.start) AS start_ms",
+              "unix_millis(session_window.end - interval 30 minutes) AS end_ms",
+              "n_events", "total_cents")
+          agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+            .start()
+        },
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"), col("total_cents"))

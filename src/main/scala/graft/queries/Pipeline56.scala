@@ -34,27 +34,30 @@ object Pipeline56 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      def run(): Unit = {
-        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
-        val joined = graft.streaming.EventStreams.purchasesNearErrors(stream)
-          .selectExpr("e_id", "p_id",
-            "(unix_micros(p_ts) - unix_micros(e_ts)) AS gap_us")
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      run()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run()
+      // single-lifetime waves (VERDICT r12 #5): the cross-drop
+      // join-state retention point needs separate micro-batches, not
+      // a restart — resume stays gated by st13, the join-matrix
+      // chaos representative
+      Pipeline43.driveWavesSized(s, streamDir,
+        () => {
+          val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+          val joined = graft.streaming.EventStreams.purchasesNearErrors(stream)
+            .selectExpr("e_id", "p_id",
+              "(unix_micros(p_ts) - unix_micros(e_ts)) AS gap_us")
+          joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+            .start()
+        },
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("e_id"), col("p_id"), col("gap_us"))
         .orderBy(col("e_id"), col("p_id"))

@@ -37,55 +37,55 @@ object Pipeline61 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      def run(): Unit = {
-        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
-        val joined = graft.streaming.EventStreams
-          .purchasesWithErrorAttribution(stream)
-          .selectExpr("p_id", "e_id",
-            "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      run()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run()
-      // Flush choreography. Catalyst pushes the type filters BELOW
-      // the watermark nodes, so a sentinel only advances a side's
-      // watermark if it IS that side's type — each flush drop is a
-      // real (error, purchase) pair, 2 and 3 days past the corpus max
-      // (a day apart, so the sentinels can never join each other or
-      // anything real). The global watermark is the min across both
-      // sides, hence the PAIR; and a batch's watermark only applies
-      // to the NEXT batch, hence TWO drops — the first raises the
-      // watermark past every real horizon, the second is the batch in
-      // which the engine drains the evicted tail as NULL rows (with
-      // one drop the drain would ride the optional no-data cleanup
-      // batch and race q.stop()). Negative sentinel ids are excluded
-      // from the sink read; the sentinel purchases themselves stay
-      // buffered in state, never emitted — by the same rule under
-      // test.
-      for ((days, name, off) <- Seq((2, "batch3", 60000L),
-          (4, "batch4", 120000L))) {
-        Pipeline43.writeSlice(root, streamDir,
-          ev.agg(max(col("ts")).as("m"))
-            .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
-              "'error' AS event_type", s"-${days}L AS event_id")
-            .unionAll(ev.agg(max(col("ts")).as("m"))
-              .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
-                "'purchase' AS event_type", s"-${days + 1}L AS event_id")),
-          name, base + off)
-        run()
-      }
+      // Flush choreography (drops 3/4). Catalyst pushes the type
+      // filters BELOW the watermark nodes, so a sentinel only
+      // advances a side's watermark if it IS that side's type — each
+      // flush drop is a real (error, purchase) pair, 2 and 3 days
+      // past the corpus max (a day apart, so the sentinels can never
+      // join each other or anything real). The global watermark is
+      // the min across both sides, hence the PAIR; and a batch's
+      // watermark only applies to the NEXT batch, hence TWO drops —
+      // the first raises the watermark past every real horizon, the
+      // second is the batch in which the engine drains the evicted
+      // tail as NULL rows (with one drop the drain would ride the
+      // optional no-data cleanup batch and race q.stop()). Negative
+      // sentinel ids are excluded from the sink read; the sentinel
+      // purchases themselves stay buffered in state, never emitted —
+      // by the same rule under test. Single-lifetime waves (VERDICT
+      // r12 #5): each drop still lands in its own micro-batch; resume
+      // stays gated by st13, the join-matrix chaos representative.
+      def sentinel(days: Int) =
+        ev.agg(max(col("ts")).as("m"))
+          .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
+            "'error' AS event_type", s"-${days}L AS event_id")
+          .unionAll(ev.agg(max(col("ts")).as("m"))
+            .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
+              "'purchase' AS event_type", s"-${days + 1}L AS event_id"))
+      Pipeline43.driveWavesSized(s, streamDir,
+        () => {
+          val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+          val joined = graft.streaming.EventStreams
+            .purchasesWithErrorAttribution(stream)
+            .selectExpr("p_id", "e_id",
+              "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+          joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+            .start()
+        },
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "batch2", base),
+          () => Pipeline43.writeSlice(root, streamDir, sentinel(2),
+            "batch3", base + 60000L),
+          () => Pipeline43.writeSlice(root, streamDir, sentinel(4),
+            "batch4", base + 120000L)))
       s.read.parquet(sink.toString)
         .filter(col("p_id") >= 0)
         .select(col("p_id"), col("e_id"), col("gap_us"))

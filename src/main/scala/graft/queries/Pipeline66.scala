@@ -99,14 +99,19 @@ object Pipeline66 {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      run(0)
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run(1)
+      // state partitions sized to the gate's O(days × types) state
+      // (Pipeline43.driveWavesSized scaladoc); the stop-and-resume
+      // run_id choreography — the semantics under test — is unchanged
+      Pipeline43.withStatePartitions(s, 4) {
+        Pipeline43.writeSlice(root, streamDir,
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          "batch1", base - 60000L)
+        run(0)
+        Pipeline43.writeSlice(root, streamDir,
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "batch2", base)
+        run(1)
+      }
       import org.apache.spark.sql.expressions.Window
       s.read.parquet(sink.toString)
         .withColumn("rk", row_number().over(

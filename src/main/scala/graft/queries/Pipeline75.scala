@@ -35,26 +35,27 @@ object Pipeline75 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      def run(): Unit = {
-        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
-        val joined = graft.streaming.EventStreams
-          .purchasesAfterErrors(stream).select(col("p_id"))
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      run()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run()
+      // single-lifetime waves (VERDICT r12 #5): resume stays gated by
+      // st13, the join-matrix chaos representative
+      Pipeline43.driveWavesSized(s, streamDir,
+        () => {
+          val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+          val joined = graft.streaming.EventStreams
+            .purchasesAfterErrors(stream).select(col("p_id"))
+          joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+            .start()
+        },
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "batch2", base)))
       s.read.parquet(sink.toString).select(col("p_id")).orderBy(col("p_id"))
     },
     Some("""SELECT p.event_id AS p_id FROM events p

@@ -35,40 +35,42 @@ object Pipeline82 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
-      def run(): Unit = {
-        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
-        val joined = graft.streaming.EventStreams
-          .errorPurchaseRightOuter(stream)
-          .selectExpr("p_id", "e_id",
-            "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
-        val q = joined.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt.toString)
-          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              id: Long) =>
-            df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-        "batch1", base - 60000L)
-      run()
-      Pipeline43.writeSlice(root, streamDir,
-        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-        "batch2", base)
-      run()
-      for ((days, name, off) <- Seq((2, "batch3", 60000L),
-          (4, "batch4", 120000L))) {
-        Pipeline43.writeSlice(root, streamDir,
-          ev.agg(max(col("ts")).as("m"))
-            .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
-              "'error' AS event_type", s"-${days}L AS event_id")
-            .unionAll(ev.agg(max(col("ts")).as("m"))
-              .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
-                "'purchase' AS event_type", s"-${days + 1}L AS event_id")),
-          name, base + off)
-        run()
-      }
+      // single-lifetime waves (VERDICT r12 #5): same sentinel-PAIR
+      // flush choreography as st11/st13 (see Pipeline61's comment),
+      // each drop still its own micro-batch; resume stays gated by
+      // st13, the join-matrix chaos representative
+      def sentinel(days: Int) =
+        ev.agg(max(col("ts")).as("m"))
+          .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
+            "'error' AS event_type", s"-${days}L AS event_id")
+          .unionAll(ev.agg(max(col("ts")).as("m"))
+            .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
+              "'purchase' AS event_type", s"-${days + 1}L AS event_id"))
+      Pipeline43.driveWavesSized(s, streamDir,
+        () => {
+          val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+          val joined = graft.streaming.EventStreams
+            .errorPurchaseRightOuter(stream)
+            .selectExpr("p_id", "e_id",
+              "unix_micros(p_ts) - unix_micros(e_ts) AS gap_us")
+          joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              df.write.mode("overwrite").parquet(s"$sink/batch=$id"))
+            .start()
+        },
+        Seq(
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "batch1", base - 60000L),
+          () => Pipeline43.writeSlice(root, streamDir,
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "batch2", base),
+          () => Pipeline43.writeSlice(root, streamDir, sentinel(2),
+            "batch3", base + 60000L),
+          () => Pipeline43.writeSlice(root, streamDir, sentinel(4),
+            "batch4", base + 120000L)))
       graft.streaming.EventStreams.reconcileFullOuter(
           s.read.parquet(sink.toString))
         .filter((col("p_id").isNull || col("p_id") >= 0) &&
