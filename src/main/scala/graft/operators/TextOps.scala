@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum}
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, expr, lit, max, sort_array, sum}
 
 /** SQL expression builders for the text-pipeline operators (tokenize,
   * shingle, hash, minhash, simhash). Everything is exact integer
@@ -277,4 +277,59 @@ object TextOps {
         "cast((cast(n_hapax as decimal(38,0)) * 1000000) div n_types as bigint)" +
           " AS hapax_share_micro")
       .orderBy(col("source"))
+
+  /** Within-document repetition gates — the Rae et al. 2021 (Gopher)
+    * repetition filters in token-fraction form, pinned exactly:
+    * `top2_share_micro` = the share of the doc's 2-gram POSITIONS
+    * held by its most frequent 2-gram; `dup3_cov_micro` = the share
+    * of TOKENS covered by 3-grams occurring ≥ 2 times within the doc
+    * (exact coverage union via the [[graft.functions.ScrubKeep]]
+    * two-pointer merge — every occurrence of a repeated 3-gram is a
+    * covering window, including the first); `flagged` = top2 share
+    * > 0.20 OR dup-3-gram coverage > 0.30 (the published rule
+    * family's thresholds, pinned). Docs shorter than the window pass
+    * with zero shares.
+    *
+    * 100 TB shape: 2-gram stats are one (doc, hash)-keyed partial agg
+    * into a per-doc max fold (map-side combinable, never a corpus
+    * window); 3-gram coverage is one (doc, hash)-partitioned window
+    * count + a per-doc sorted-starts collect (bounded by doc length)
+    * + the O(len + |cov|) keep merge. Hashes (8-byte longs), never
+    * n-gram strings, in the shuffle. */
+  def repetitionGates(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.selectExpr(s"$idCol AS doc_id",
+      s"cast(size(${tokens(textCol)}) as bigint) AS n",
+      s"graft_shingle_hashes_all($textCol, 2) AS h2",
+      s"graft_shingle_hashes_all($textCol, 3) AS h3")
+    val top2 = base.selectExpr("doc_id", "explode(h2) AS h")
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_count"))
+    val cov3 = base.selectExpr("doc_id", "posexplode(h3) AS (p0, h)")
+      .selectExpr("doc_id", "cast(p0 + 1 as bigint) AS pos", "h")
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("h"))))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"))
+    base.select(col("doc_id"), col("n"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov3, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n AS n_tokens",
+        "coalesce(top2_count, 0L) AS top2_count",
+        "coalesce(cov, cast(array() as array<bigint>)) AS cov")
+      .selectExpr("doc_id", "n_tokens", "top2_count",
+        "if(n_tokens < 2, 0L, (top2_count * 1000000) div (n_tokens - 1))" +
+          " AS top2_share_micro",
+        "n_tokens - cast(size(graft_scrub_keep(cov, 3, cast(n_tokens as int)))" +
+          " as bigint) AS dup3_cov_tokens")
+      .selectExpr("doc_id", "n_tokens", "top2_count", "top2_share_micro",
+        "dup3_cov_tokens",
+        "if(n_tokens = 0, 0L, (dup3_cov_tokens * 1000000) div n_tokens)" +
+          " AS dup3_cov_micro")
+      .selectExpr("doc_id", "n_tokens", "top2_count", "top2_share_micro",
+        "dup3_cov_tokens", "dup3_cov_micro",
+        "top2_share_micro > 200000 OR dup3_cov_micro > 300000 AS flagged")
+  }
 }

@@ -152,4 +152,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got("a") == ((4L, 2L, 1L, 500000L)))
     assert(got("b") == ((3L, 3L, 0L, 1000000L)))
   }
+  // ---- repetitionGates (the Gopher repetition filters, r13) ----
+
+  private def gates(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long, Long, Boolean)] = {
+    import spark.implicits._
+    TextOps.repetitionGates(docs.toDF("doc_id", "text"), "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+  }
+
+  test("repetitionGates: top-2-gram share and repeated-3-gram coverage on hand fixtures") {
+    val out = gates(Seq(
+      // "a b" occurs 3 times out of 5 2-gram positions -> 600000;
+      // "a b a" at 1 and 3 (overlapping) -> 3-gram [1,3] covers 1..5 of 6
+      0L -> "a b a b a b",
+      // no repeated 2- or 3-gram
+      1L -> "one two three four five",
+      // shorter than the 2-gram window: zero shares, never flagged
+      2L -> "single"))
+    // doc 0: n=6, 5 two-gram positions, "a b" at 1,3,5 -> c=3 -> 600000
+    //   3-grams: aba(1) bab(2) aba(3) bab(4): both repeat -> cov=[1,2,3,4]
+    //   covers tokens 1..6 -> dup3 = 6 -> 1000000, flagged
+    assert(out(0L) == ((6L, 3L, 600000L, 6L, 1000000L, true)))
+    assert(out(1L) == ((5L, 1L, 250000L, 0L, 0L, true)))
+    assert(out(2L) == ((1L, 0L, 0L, 0L, 0L, false)))
+  }
+
+  test("repetitionGates: threshold boundary - share exactly at the pinned cut does not flag") {
+    // top2_share exactly 200000 (1 of 5 positions = 200000) and zero
+    // 3-gram coverage: strict > means NOT flagged
+    val out = gates(Seq(0L -> "q w e r t y"))
+    assert(out(0L)._3 == 200000L && !out(0L)._6)
+  }
 }
