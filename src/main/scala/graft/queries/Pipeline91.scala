@@ -12,7 +12,55 @@ import graft.operators.TextOps
   */
 object Pipeline91 {
 
-  def all: Seq[QueryDef] = Seq(t48, p49)
+  def all: Seq[QueryDef] = Seq(t48, p49, t49)
+
+  /** Deterministic sliding-window chunk inventory — the
+    * retrieval-corpus preparation step (RAG chunking) pinned exactly:
+    * window = 32 tokens, stride = 24 (25% overlap), chunk starts at
+    * 1, 25, 49, … until the start exceeds the doc; the LAST chunk is
+    * truncated to the doc end (never padded, never dropped), so every
+    * token belongs to ≥ 1 chunk and chunk k covers
+    * [1 + 24(k−1), min(n, 32 + 24(k−1))]. Empty docs emit no chunks.
+    * Output: one row per chunk with its exact token span and a
+    * 60-bit content fingerprint of the chunk text (the dedup handle a
+    * chunk store keys on).
+    *
+    * 100 TB shape: map-only — one tokenize, a per-doc sequence
+    * explode bounded by ⌈n/stride⌉, no shuffle at all before the
+    * result sort. */
+  val t49: QueryDef = QueryDef(
+    "t49_chunk_inventory",
+    (s, d) => Tables.documents(s, d)
+      .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
+      // the chunk count is floored at 1 (Spark's sequence(1, 0) is
+      // the DESCENDING [1, 0] — the lexicalDiversity guard class);
+      // the k=1 row of an empty doc dies on the start<=end filter
+      .selectExpr("doc_id", "t",
+        "explode(sequence(1, greatest(1, " +
+          "1 + cast(ceil((size(t) - 32) / 24.0) as int)))) AS k")
+      .selectExpr("doc_id", "cast(k as bigint) AS chunk_id",
+        "cast(1 + 24 * (k - 1) as bigint) AS start_tok",
+        "cast(least(size(t), 32 + 24 * (k - 1)) as bigint) AS end_tok",
+        "concat_ws(' ', slice(t, 1 + 24 * (k - 1), " +
+          "least(size(t), 32 + 24 * (k - 1)) - 24 * (k - 1))) AS chunk")
+      .filter(col("start_tok") <= col("end_tok"))
+      .selectExpr("doc_id", "chunk_id", "start_tok", "end_tok",
+        "end_tok - start_tok + 1 AS n_tokens",
+        s"${TextOps.strHash60("chunk")} AS chunk_fp")
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some(s"""WITH tk AS (SELECT doc_id, ${DuckOps.tokens("text")} AS t FROM documents),
+      ks AS (SELECT doc_id, t, unnest(range(1, 1 + greatest(1,
+               1 + CAST(ceil((len(t) - 32) / 24.0) AS INT)))) AS k FROM tk),
+      c AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+              CAST(1 + 24 * (k - 1) AS BIGINT) AS start_tok,
+              CAST(least(len(t), 32 + 24 * (k - 1)) AS BIGINT) AS end_tok,
+              array_to_string(t[(1 + 24 * (k - 1)):(least(len(t),
+                32 + 24 * (k - 1)))], ' ') AS chunk
+            FROM ks)
+      SELECT doc_id, chunk_id, start_tok, end_tok,
+        end_tok - start_tok + 1 AS n_tokens,
+        ${DuckOps.strHash60("chunk")} AS chunk_fp
+      FROM c WHERE start_tok <= end_tok ORDER BY doc_id, chunk_id"""))
 
   /** Within-document repetition gates
     * ([[graft.operators.TextOps.repetitionGates]] — the Rae et al.
