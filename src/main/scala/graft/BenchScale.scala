@@ -64,7 +64,8 @@ object BenchScale {
     // text analysis / curation
     "t31_tfidf_pairs", "t38_tokenizer_fertility", "t39_source_drift_tv",
     "p12_curation_pipeline", "p14_dsir_selection", "p22_data_selection",
-    "p27_effective_tokens", "p46_span_contamination",
+    "p27_effective_tokens", "p46_span_contamination", "p48_dedup_corrected_mix",
+    "p49_quality_dedup_keep_best", "t48_repetition_gates", "t49_chunk_inventory",
     // multimodal (documents-derived media)
     "m12_phash_neardup")
 
