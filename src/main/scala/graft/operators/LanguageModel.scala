@@ -172,6 +172,98 @@ object LanguageModel {
     } finally Storage.release(bi)
   }
 
+  /** CCNet's actual bucketing step (Wenzek et al. 2019 §4.3, public
+    * method): fit a PER-LANGUAGE model, score every document under its
+    * own language's model, and split each language into head / middle
+    * / tail thirds by fluency — head is what CCNet keeps by default.
+    * This operator realizes it with the house bigram surrogate: the
+    * count tables are keyed by (lang, bucket) so each language gets
+    * its own add-one-smoothed conditional distribution, and the cuts
+    * are TYPE-1 discrete tertiles of `mean_inv_micro` per language
+    * (the value at rank ⌈n/3⌉ / ⌈2n/3⌉ of the scored docs). Bucket
+    * assignment is BY VALUE against the cuts (head ≤ cut1 < middle ≤
+    * cut2 < tail), so tie groups never straddle a boundary and the
+    * assignment replays engine-independently. Docs with < 2 tokens
+    * have no bigrams, score under no model, and land in 'unscored'.
+    *
+    * Returns one row per document: (doc_id, lang, n_bigrams,
+    * mean_inv_micro, cut1_micro, cut2_micro, bucket) — cuts NULL for
+    * unscored docs.
+    *
+    * 100 TB shape: one corpus pass to the (lang, bucket)-keyed count
+    * tables (map-side combinable, O(L·B) rows, broadcast back); the
+    * scoring join is map-side; ONE doc-keyed partial-agg shuffle; the
+    * tertile lookup rides the grouped value-range bucketed cumsum
+    * ((lang, range-bucket) window keys — no language ever rides a
+    * single-partition window, the q88/groupedMedian discipline); doc
+    * assignment joins the broadcast O(L)-row cut frame. */
+  def ccnetBuckets(corpus: DataFrame, textCol: String, langCol: String,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val grams = corpus
+      .selectExpr("doc_id", s"$langCol AS lang", s"${TextOps.tokens(textCol)} AS t")
+      .selectExpr("doc_id", "lang",
+        s"explode_outer(${TextOps.shingles("t", 2)}) AS s")
+      .filter(col("s").isNotNull)
+      .selectExpr("doc_id", "lang",
+        s"${TextOps.strHash("substring_index(s, ' ', 1)")} % $buckets AS ctx_b",
+        s"${TextOps.strHash("s")} % $buckets AS big_b")
+    val cc = grams.groupBy(col("lang"), col("ctx_b")).agg(count(lit(1)).as("cc"))
+    val cb = grams.groupBy(col("lang"), col("big_b")).agg(count(lit(1)).as("cb"))
+    // fit corpus == scored corpus, so both joins always hit; the left
+    // join + coalesce keeps scoreTail's unseen-bucket contract anyway
+    val scored = grams
+      .join(broadcast(cc), Seq("lang", "ctx_b"), "left")
+      .join(broadcast(cb), Seq("lang", "big_b"), "left")
+      .selectExpr("doc_id", "lang",
+        s"cast(round(cast(coalesce(cc, cast(0 as bigint)) + $buckets as double) " +
+          "/ cast(coalesce(cb, cast(0 as bigint)) + 1 as double) " +
+          "* 1000000) as bigint) AS inv_micro")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("inv_micro")).as("s"))
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "s div n_bigrams AS mean_inv_micro")
+    // type-1 tertile cuts per language via the grouped value-range
+    // bucketed rank lookup (the Pipeline81.groupedMedianFromCounts
+    // machinery with TWO target ranks)
+    val gcnt = scored.groupBy(col("lang"), col("mean_inv_micro").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = gcnt.groupBy(col("lang"))
+      .agg(max(col("c")).as("mx"), sum(col("cnt")).as("n"))
+    val gb = gcnt.join(broadcast(mx.select(col("lang"), col("mx"))), Seq("lang"))
+      .withColumn("rb", expr("c div greatest(1L, (mx div 64) + 1L)"))
+    val offs = gb.groupBy(col("lang"), col("rb")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(sum(col("bcnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val win = Window.partitionBy(col("lang"), col("rb")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = gb
+      .join(broadcast(offs.select(col("lang"), col("rb"), col("off"))),
+        Seq("lang", "rb"))
+      .withColumn("before", col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
+    val rks = mx.selectExpr("lang",
+      "stack(2, 1, (n + 2) div 3, 2, (2 * n + 2) div 3) AS (which, rk)")
+    val cuts = ranked.join(broadcast(rks), Seq("lang"))
+      .filter(col("before") < col("rk") && col("before") + col("cnt") >= col("rk"))
+      .groupBy(col("lang"))
+      .agg(max(when(col("which") === 1, col("c"))).as("cut1_micro"),
+        max(when(col("which") === 2, col("c"))).as("cut2_micro"))
+    corpus.selectExpr("doc_id", s"$langCol AS lang")
+      .join(scored.select("doc_id", "n_bigrams", "mean_inv_micro"), Seq("doc_id"), "left")
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .selectExpr("doc_id", "lang",
+        "coalesce(n_bigrams, cast(0 as bigint)) AS n_bigrams",
+        "coalesce(mean_inv_micro, cast(0 as bigint)) AS mean_inv_micro",
+        "if(n_bigrams is null, cast(null as bigint), cut1_micro) AS cut1_micro",
+        "if(n_bigrams is null, cast(null as bigint), cut2_micro) AS cut2_micro",
+        """case when n_bigrams is null then 'unscored'
+              when mean_inv_micro <= cut1_micro then 'head'
+              when mean_inv_micro <= cut2_micro then 'middle'
+              else 'tail' end AS bucket""")
+  }
+
   private def gramsPlan(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
     corpus
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.LanguageModel
+
+/** Round-13 additions, part 71+: the CCNet bucketing step itself —
+  * per-language LM fit + head/middle/tail fluency thirds (the one
+  * published curation stage between t20's corpus-wide fluency score
+  * and p10's corpus-wide quality quartiles that the surface still
+  * lacked).
+  */
+object Pipeline92 {
+
+  def all: Seq[QueryDef] = Seq(p50)
+
+  /** CCNet head/middle/tail buckets per language
+    * ([[graft.operators.LanguageModel.ccnetBuckets]] — Wenzek et al.
+    * 2019 §4.3; per-language bigram-surrogate model, type-1 tertile
+    * cuts, value-based assignment; exact semantics and the 100 TB
+    * shape are pinned in the operator scaladoc). Docs with < 2 tokens
+    * land in 'unscored'. The summary reports, per (language, bucket):
+    * doc count, bigram mass, and the score range the bucket spans.
+    * The oracle replays the per-language count tables, every
+    * micro-quantized inverse-probability, the rank-⌈n/3⌉/⌈2n/3⌉ cut
+    * lookup, and the value-based assignment. */
+  val p50: QueryDef = QueryDef(
+    "p50_ccnet_buckets",
+    (s, d) => LanguageModel.ccnetBuckets(Tables.documents(s, d), "text", "lang", 4096)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_inv_micro")).as("min_mean_inv_micro"),
+        max(col("mean_inv_micro")).as("max_mean_inv_micro"))
+      .orderBy(col("lang"), col("bucket")),
+    Some(s"""WITH tk AS (SELECT doc_id, lang, ${DuckOps.tokens("text")} AS t
+               FROM documents),
+      sh AS (SELECT doc_id, lang, unnest(${DuckOps.shingles("t", 2)}) AS s FROM tk),
+      g AS (SELECT doc_id, lang,
+              ${DuckOps.strHash("split_part(s, ' ', 1)")} % 4096 AS ctx_b,
+              ${DuckOps.strHash("s")} % 4096 AS big_b
+            FROM sh),
+      cc AS (SELECT lang, ctx_b, CAST(count(*) AS BIGINT) AS cc FROM g GROUP BY 1, 2),
+      cb AS (SELECT lang, big_b, CAST(count(*) AS BIGINT) AS cb FROM g GROUP BY 1, 2),
+      sc AS (SELECT g.doc_id, g.lang,
+               CAST(round(CAST(cc.cc + 4096 AS DOUBLE)
+                 / CAST(cb.cb + 1 AS DOUBLE) * 1000000) AS BIGINT) AS inv_micro
+             FROM g JOIN cc USING (lang, ctx_b) JOIN cb USING (lang, big_b)),
+      pd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(inv_micro) AS BIGINT) AS s FROM sc GROUP BY 1, 2),
+      sd AS (SELECT doc_id, lang, n_bigrams, s // n_bigrams AS mean_inv_micro
+             FROM pd),
+      n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sd GROUP BY 1),
+      rk AS (SELECT lang, mean_inv_micro,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY mean_inv_micro, doc_id) AS r
+             FROM sd),
+      cuts AS (SELECT rk.lang,
+                 max(CASE WHEN r = (n + 2) // 3 THEN mean_inv_micro END) AS cut1,
+                 max(CASE WHEN r = (2 * n + 2) // 3 THEN mean_inv_micro END) AS cut2
+               FROM rk JOIN n USING (lang) GROUP BY 1),
+      asn AS (SELECT sd.doc_id, sd.lang, sd.n_bigrams, sd.mean_inv_micro,
+                CASE WHEN mean_inv_micro <= cut1 THEN 'head'
+                     WHEN mean_inv_micro <= cut2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM sd JOIN cuts USING (lang)),
+      allx AS (SELECT d.doc_id, d.lang,
+                 coalesce(a.n_bigrams, 0) AS n_bigrams,
+                 coalesce(a.mean_inv_micro, 0) AS mean_inv_micro,
+                 coalesce(a.bucket, 'unscored') AS bucket
+               FROM documents d LEFT JOIN asn a ON d.doc_id = a.doc_id)
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        CAST(min(mean_inv_micro) AS BIGINT) AS min_mean_inv_micro,
+        CAST(max(mean_inv_micro) AS BIGINT) AS max_mean_inv_micro
+      FROM allx GROUP BY 1, 2 ORDER BY 1, 2"""))
+}

@@ -153,4 +153,61 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the O(B) count tables must broadcast:\n$plan")
   }
+
+  private def ccnet(rows: Seq[(Long, String, String)], buckets: Int = 4096) = {
+    import spark.implicits._
+    LanguageModel.ccnetBuckets(
+      rows.toDF("doc_id", "text", "lang"), "text", "lang", buckets)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(6),
+        r.getLong(2), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+  }
+
+  test("ccnet buckets: tertile assignment head<middle<tail, unscored isolation") {
+    // lang xx, disjoint token sets so per-doc scores are analyzable:
+    // doc 0 repeats one bigram heavily (most fluent), doc 1 medium,
+    // doc 2 all-distinct bigrams (least fluent), doc 3 has 1 token
+    // (no bigrams -> unscored, NOT counted in the tertile n)
+    val out = ccnet(Seq(
+      (0L, ("a b " * 10).trim, "xx"),
+      (1L, "c d c d", "xx"),
+      (2L, "e f g h", "xx"),
+      (3L, "z", "xx")))
+    assert(out(0L)._1 == "head")
+    assert(out(1L)._1 == "middle")
+    assert(out(2L)._1 == "tail")
+    assert(out(3L) == (("unscored", 0L, None)))
+  }
+
+  test("ccnet buckets: value-based assignment keeps tie groups together") {
+    // two byte-identical lowest-score docs: cut1 AND cut2 land on
+    // their shared value (ranks 1 and 2 of n=3), so BOTH go head and
+    // middle is empty -- a tie group never straddles a boundary
+    val out = ccnet(Seq(
+      (0L, "m n m n m n", "yy"),
+      (1L, "m n m n m n", "yy"),
+      (2L, "p q r s", "yy")))
+    assert(out(0L)._1 == "head" && out(1L)._1 == "head")
+    assert(out(2L)._1 == "tail")
+  }
+
+  test("ccnet buckets: models are fit PER LANGUAGE (lang B corpus never shifts lang A scores)") {
+    val alone = ccnet(Seq(
+      (0L, ("a b " * 10).trim, "xx"),
+      (1L, "c d c d", "xx"),
+      (2L, "e f g h", "xx")))
+    // add a second language REUSING the same token universe: if the
+    // count tables were global, xx's scores (and cuts) would shift
+    val mixed = ccnet(Seq(
+      (0L, ("a b " * 10).trim, "xx"),
+      (1L, "c d c d", "xx"),
+      (2L, "e f g h", "xx"),
+      (10L, "a b c d", "zz"),
+      (11L, "a b a b a b a b", "zz"),
+      (12L, "e f e f", "zz")))
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(mixed(id) == alone(id), s"doc $id shifted under lang zz")
+    }
+  }
 }
