@@ -1024,4 +1024,44 @@ object Similarity {
         "if(n_scored = 0, 0L, s div n_scored) AS mean_cos_micro",
         "n_negative", "min_cos_micro", "max_cos_micro")
   }
+
+  /** Embedding-space eval contamination audit — the SEMANTIC face of
+    * the n-gram leakage gates (t37/p46/p15): an eval example leaks
+    * into training not only verbatim (which shingle overlap catches)
+    * but as a paraphrase or format-shifted near-copy, which only
+    * embedding similarity sees (the published decontamination upgrade
+    * — e.g. the LLM-decontaminator line of work, Yang et al. 2023,
+    * arXiv:2311.04850, flags train docs whose embedding similarity to
+    * an eval item is near-maximal). For every TRAIN vector: the max
+    * cosine to ANY eval vector (micro-quantized — ONE IEEE op per
+    * pair, then exact BIGINT max), the nearest eval id (ties → the
+    * smallest id), and a `cm >= tauMicro` contamination flag.
+    *
+    * Zero-norm vectors carry no directional evidence and are excluded
+    * from BOTH sides up front (the documented [[cosExpr]] NULL class,
+    * filtered rather than NULL-ranked so the max aggregate never
+    * compares NULL structs).
+    *
+    * 100 TB shape: the eval set is a bounded input (the BM25-family
+    * rule), broadcast once; the scan is ONE corpus pass with a
+    * map-side-combinable (vec, max-struct) aggregate — the shuffle
+    * carries ONE row per train vector, never the pair frame. When the
+    * eval set outgrows a broadcast, swap the candidate generator for
+    * the IVF bucket join ([[ivfTopK]]) — same downstream fold. */
+  def evalContamination(emb: DataFrame, evalPredicate: String,
+      tauMicro: Long): DataFrame = {
+    val p = prepared(emb).filter(col("nrm") > 0d).select("vec_id", "v", "nrm")
+    val ev = p.filter(expr(evalPredicate))
+      .select(col("vec_id").as("e_id"), col("v").as("ev"), col("nrm").as("en"))
+    val tr = p.filter(not(expr(evalPredicate)))
+    tr.crossJoin(broadcast(ev))
+      .selectExpr("vec_id",
+        s"cast(round((${cosExpr.format("v", "ev", "nrm", "en")}) * 1000000)" +
+          " as bigint) AS cm",
+        "-e_id AS ne")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cm"), col("ne"))).as("m"))
+      .selectExpr("vec_id", "-m.ne AS nn_eval_id", "m.cm AS max_cos_micro",
+        s"m.cm >= ${tauMicro}L AS contaminated")
+  }
 }

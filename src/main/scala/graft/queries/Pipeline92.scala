@@ -12,7 +12,42 @@ import graft.operators.LanguageModel
   */
 object Pipeline92 {
 
-  def all: Seq[QueryDef] = Seq(p50)
+  def all: Seq[QueryDef] = Seq(p50, s39)
+
+  /** Semantic eval-contamination audit
+    * ([[graft.operators.Similarity.evalContamination]] — the
+    * embedding-space face of t37/p46's n-gram leakage gates; exact
+    * semantics, tie rule, zero-norm exclusion, and the 100 TB shape
+    * are pinned in the operator scaladoc). Eval = the pinned bounded
+    * slice vec_id < 50 (the t37 convention); τ = 0.95 — the
+    * near-verbatim leak threshold; the base corpus sits well below it
+    * (max ≈ 0.49 at sf0.01) while the scaled slices' perturbed
+    * near-copies of eval vectors cross it, so the flag is exercised
+    * exactly where contamination is real. The oracle replays the
+    * norm-filtered pair cosines, the micro quantization, the max, and
+    * the smallest-id tie-break. */
+  val s39: QueryDef = QueryDef(
+    "s39_semantic_contamination",
+    (s, d) => graft.operators.Similarity
+      .evalContamination(Tables.embeddings(s, d), "vec_id < 50", 950000L)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH ce AS (SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      cn0 AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM ce),
+      cn AS (SELECT * FROM cn0 WHERE nrm > 0),
+      ev AS (SELECT vec_id AS e_id, v AS evv, nrm AS en FROM cn WHERE vec_id < 50),
+      tr AS (SELECT vec_id, v, nrm FROM cn WHERE NOT (vec_id < 50)),
+      sc AS (SELECT tr.vec_id, ev.e_id,
+               CAST(round(${DuckOps.dot("tr.v", "ev.evv")}
+                 / (sqrt(tr.nrm) * sqrt(ev.en)) * 1000000) AS BIGINT) AS cm
+             FROM tr, ev),
+      mx AS (SELECT vec_id, max(cm) AS max_cos_micro FROM sc GROUP BY 1),
+      nn AS (SELECT sc.vec_id, min(sc.e_id) AS nn_eval_id
+             FROM sc JOIN mx ON sc.vec_id = mx.vec_id AND sc.cm = mx.max_cos_micro
+             GROUP BY 1)
+      SELECT mx.vec_id, nn.nn_eval_id, mx.max_cos_micro,
+        mx.max_cos_micro >= 950000 AS contaminated
+      FROM mx JOIN nn ON mx.vec_id = nn.vec_id ORDER BY mx.vec_id"""))
 
   /** CCNet head/middle/tail buckets per language
     * ([[graft.operators.LanguageModel.ccnetBuckets]] — Wenzek et al.

@@ -454,4 +454,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(3) === 1L)      // actual
     assert(r.getBoolean(4))          // correct
   }
+
+  test("evalContamination: flag at tau, smallest-id tie-break, zero-norm exclusion") {
+    import spark.implicits._
+    // eval: e0 = x-axis, e1 = y-axis (vec_id < 50); train: 100 is a
+    // near-copy of e0 (cos ≈ 1 → contaminated at τ = 0.95), 101 is
+    // equidistant to both (cos = √2/2 to each — nn tie breaks to the
+    // SMALLER eval id 0), 102 points away from e0 (max is 0.0 at e1),
+    // 103 is zero-norm (excluded entirely)
+    val emb = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)), (1L, 0, Seq(0.0f, 1.0f)),
+      (100L, 0, Seq(0.9999f, 0.0001f)), (101L, 0, Seq(1.0f, 1.0f)),
+      (102L, 0, Seq(-1.0f, 0.0f)), (103L, 0, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.evalContamination(emb, "vec_id < 50", 950000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    assert(out(100L)._1 == 0L && out(100L)._3, s"near-copy must flag: $out")
+    assert(out(100L)._2 > 950000L)
+    assert(out(101L) == ((0L, 707107L, false)), "tie → smallest eval id")
+    assert(out(102L) == ((1L, 0L, false)), "max cos picks e1's 0 over e0's −1")
+  }
+
+  test("evalContamination: one corpus pass, eval broadcast, partial-agg shuffle") {
+    val plan = Similarity.evalContamination(
+      graft.Tables.embeddings(spark, sfDir), "vec_id < 50", 950000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"eval side must broadcast:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"the per-vec max must combine map-side:\n$plan")
+  }
 }
