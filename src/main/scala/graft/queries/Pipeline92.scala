@@ -12,7 +12,57 @@ import graft.operators.LanguageModel
   */
 object Pipeline92 {
 
-  def all: Seq[QueryDef] = Seq(p50, s39)
+  def all: Seq[QueryDef] = Seq(p50, s39, p51)
+
+  /** Soft dedup — DOWN-WEIGHT duplicates instead of dropping them
+    * (SoftDedup, He et al., ACL 2024, arXiv:2407.04752, public
+    * method; "commonness" here is the exact-dup cluster size, the
+    * d01 fingerprint face): every copy in a cluster of size c gets
+    * sampling weight 1/c (`w_micro = 1e6 div c`), so each distinct
+    * text contributes ~one effective copy while NO document is
+    * removed — the curation knob between p49's hard keep-best (weight
+    * ∈ {0, 1}) and p48's source-level dup-mass correction. Per
+    * source: docs, docs-in-dup-clusters, raw vs EFFECTIVE token mass
+    * (`eff_tokens_micro = Σ n_toks·w_micro` — exact: tokens·1e6 stays
+    * far inside Int64 per source), and the retention ratio.
+    *
+    * 100 TB shape: one map-only (fp, n_toks) projection, ONE
+    * fp-keyed window for the cluster size (fine-grained 60-bit
+    * keys — the p49 shape), one source-keyed partial agg. */
+  val p51: QueryDef = QueryDef(
+    "p51_soft_dedup_weights",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextOps
+      Tables.documents(s, d).selectExpr("doc_id", "source",
+          s"${TextOps.strHash60("text")} AS fp",
+          s"cast(size(${TextOps.tokens("text")}) as bigint) AS n_toks")
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .selectExpr("source", "n_toks", "csize", "1000000L div csize AS w_micro")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(csize >= 2 as bigint)")).as("n_dup_docs"),
+          sum(col("n_toks")).as("raw_tokens"),
+          sum(expr("n_toks * w_micro")).as("eff_tokens_micro"))
+        .selectExpr("source", "n_docs", "n_dup_docs", "raw_tokens",
+          "eff_tokens_micro",
+          "if(raw_tokens = 0, 1000000L, eff_tokens_micro div raw_tokens)" +
+            " AS retention_micro")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, source, ${DuckOps.strHash60("text")} AS fp,
+               CAST(len(${DuckOps.tokens("text")}) AS BIGINT) AS n_toks
+             FROM documents),
+      w AS (SELECT source, n_toks,
+              count(*) OVER (PARTITION BY fp) AS csize FROM sc),
+      m AS (SELECT source, n_toks, csize, 1000000 // csize AS w_micro FROM w)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+        CAST(sum(n_toks * w_micro) AS BIGINT) AS eff_tokens_micro,
+        CAST(CASE WHEN sum(n_toks) = 0 THEN 1000000
+          ELSE sum(n_toks * w_micro) // sum(n_toks) END AS BIGINT) AS retention_micro
+      FROM m GROUP BY 1 ORDER BY 1"""))
 
   /** Semantic eval-contamination audit
     * ([[graft.operators.Similarity.evalContamination]] — the
