@@ -66,7 +66,7 @@ object BenchScale {
     "p12_curation_pipeline", "p14_dsir_selection", "p22_data_selection",
     "p27_effective_tokens", "p46_span_contamination", "p48_dedup_corrected_mix",
     "p49_quality_dedup_keep_best", "t48_repetition_gates", "t49_chunk_inventory",
-    "p50_ccnet_buckets", "s39_semantic_contamination",
+    "p50_ccnet_buckets", "s39_semantic_contamination", "p51_soft_dedup_weights",
     // multimodal (documents-derived media)
     "m12_phash_neardup")
 

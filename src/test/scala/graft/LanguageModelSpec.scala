@@ -192,6 +192,22 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(out(2L)._1 == "tail")
   }
 
+  test("ccnet buckets: plan shape — count tables + cuts broadcast, no cartesian, no per-lang flat window") {
+    import spark.implicits._
+    val rows = Seq((0L, "a b c d e", "xx"), (1L, "f g h i", "yy"))
+    val plan = LanguageModel.ccnetBuckets(
+      rows.toDF("doc_id", "text", "lang"), "text", "lang", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count tables / cuts must broadcast:\n$plan")
+    // every window must carry the (lang, range-bucket) composite key,
+    // never partition on lang alone (the q88 single-task-per-group trap)
+    val winSpecs = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.forall(l => l.contains("rb#")),
+      s"windows must be (lang, rb)-keyed:\n${winSpecs.mkString("\n")}")
+  }
+
   test("ccnet buckets: models are fit PER LANGUAGE (lang B corpus never shifts lang A scores)") {
     val alone = ccnet(Seq(
       (0L, ("a b " * 10).trim, "xx"),
