@@ -190,18 +190,41 @@ object LanguageModel {
     * mean_inv_micro, cut1_micro, cut2_micro, bucket) — cuts NULL for
     * unscored docs.
     *
-    * 100 TB shape: one corpus pass to the (lang, bucket)-keyed count
-    * tables (map-side combinable, O(L·B) rows, broadcast back); the
-    * scoring join is map-side; ONE doc-keyed partial-agg shuffle; the
-    * tertile lookup rides the grouped value-range bucketed cumsum
+    * 100 TB shape: ONE fit pass to both (lang, bucket)-keyed count
+    * tables (kind-exploded single aggregation, map-side combinable,
+    * checkpointed O(2·L·B) rows, broadcast back); ONE scoring pass
+    * (map-side count joins + a doc-keyed partial-agg shuffle) whose
+    * O(docs) result is cached across its two consumers; the tertile
+    * lookup rides the grouped value-range bucketed cumsum
     * ((lang, range-bucket) window keys — no language ever rides a
     * single-partition window, the q88/groupedMedian discipline); doc
-    * assignment joins the broadcast O(L)-row cut frame. */
+    * assignment joins the broadcast O(L)-row cut frame. EAGER (the
+    * [[Storage.withCached]] contract): executes at call time; call
+    * [[Storage.release]] on the result after the terminal action. */
   def ccnetBuckets(corpus: DataFrame, textCol: String, langCol: String,
       buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val grams = corpus
+    // EAGER (the Storage.withCached lifecycle): exactly TWO gram-level
+    // corpus passes — one fit (both per-language count tables from a
+    // single kind-exploded aggregation, the fitBigramModel idiom,
+    // checkpointed O(2·L·B)) and one scoring pass whose per-doc result
+    // is cached while the tertile cuts AND the final assignment both
+    // read it (the lazy form re-tokenized the corpus up to six times:
+    // cc, cb, and twice-consumed scored each re-derived the gram
+    // stream). Caller owns the result's checkpoint blocks
+    // (Storage.release after the terminal action).
+    val grams = gramsPlanLang(corpus, textCol, langCol, buckets)
+    val counts = Storage.checkpointed(countsPlanLang(grams))
+    try Storage.withCached(scoredPlanLang(grams, counts, buckets)) { scored =>
+      assignPlanLang(corpus, langCol, scored)
+    } finally Storage.release(counts)
+  }
+
+  /** hashed (doc_id, lang, ctx_b, big_b) gram stream — [[gramsPlan]]
+    * with the language key carried. */
+  private[graft] def gramsPlanLang(corpus: DataFrame, textCol: String,
+      langCol: String, buckets: Int): DataFrame =
+    corpus
       .selectExpr("doc_id", s"$langCol AS lang", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id", "lang",
         s"explode_outer(${TextOps.shingles("t", 2)}) AS s")
@@ -209,11 +232,29 @@ object LanguageModel {
       .selectExpr("doc_id", "lang",
         s"${TextOps.strHash("substring_index(s, ' ', 1)")} % $buckets AS ctx_b",
         s"${TextOps.strHash("s")} % $buckets AS big_b")
-    val cc = grams.groupBy(col("lang"), col("ctx_b")).agg(count(lit(1)).as("cc"))
-    val cb = grams.groupBy(col("lang"), col("big_b")).agg(count(lit(1)).as("cb"))
-    // fit corpus == scored corpus, so both joins always hit; the left
-    // join + coalesce keeps scoreTail's unseen-bucket contract anyway
-    val scored = grams
+
+  /** both (lang, bucket)-keyed count tables from ONE pass over the
+    * gram stream (kind 0 = context, kind 1 = bigram) — the
+    * [[fitBigramModel]] single-pass idiom with the language key. */
+  private[graft] def countsPlanLang(grams: DataFrame): DataFrame =
+    grams
+      .selectExpr("lang",
+        "explode(array(named_struct('kind', 0, 'bucket', ctx_b), " +
+          "named_struct('kind', 1, 'bucket', big_b))) AS e")
+      .selectExpr("lang", "e.kind AS kind", "e.bucket AS bucket")
+      .groupBy(col("lang"), col("kind"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** per-doc fluency under the per-language model: (doc_id, lang,
+    * n_bigrams, mean_inv_micro). Fit corpus == scored corpus, so both
+    * joins always hit; left + coalesce keeps [[scoreTail]]'s
+    * unseen-bucket contract anyway. */
+  private[graft] def scoredPlanLang(grams: DataFrame, counts: DataFrame,
+      buckets: Int): DataFrame = {
+    val cc = counts.filter(col("kind") === 0)
+      .select(col("lang"), col("bucket").as("ctx_b"), col("n").as("cc"))
+    val cb = counts.filter(col("kind") === 1)
+      .select(col("lang"), col("bucket").as("big_b"), col("n").as("cb"))
+    grams
       .join(broadcast(cc), Seq("lang", "ctx_b"), "left")
       .join(broadcast(cb), Seq("lang", "big_b"), "left")
       .selectExpr("doc_id", "lang",
@@ -224,6 +265,13 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("inv_micro")).as("s"))
       .selectExpr("doc_id", "lang", "n_bigrams",
         "s div n_bigrams AS mean_inv_micro")
+  }
+
+  /** tertile cuts + value-based assignment over an (ideally cached)
+    * per-doc score frame; see [[ccnetBuckets]] for semantics. */
+  private[graft] def assignPlanLang(corpus: DataFrame, langCol: String,
+      scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // type-1 tertile cuts per language via the grouped value-range
     // bucketed rank lookup (the Pipeline81.groupedMedianFromCounts
     // machinery with TWO target ranks)

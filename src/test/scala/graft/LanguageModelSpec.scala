@@ -195,8 +195,13 @@ class LanguageModelSpec extends AnyFunSuite {
   test("ccnet buckets: plan shape — count tables + cuts broadcast, no cartesian, no per-lang flat window") {
     import spark.implicits._
     val rows = Seq((0L, "a b c d e", "xx"), (1L, "f g h i", "yy"))
-    val plan = LanguageModel.ccnetBuckets(
-      rows.toDF("doc_id", "text", "lang"), "text", "lang", 64)
+    // audit the LAZY builder chain: the public API returns a
+    // checkpointed frame whose lineage is truncated (the q88
+    // builder-audit convention)
+    val df = rows.toDF("doc_id", "text", "lang")
+    val grams = LanguageModel.gramsPlanLang(df, "text", "lang", 64)
+    val plan = LanguageModel.assignPlanLang(df, "lang",
+      LanguageModel.scoredPlanLang(grams, LanguageModel.countsPlanLang(grams), 64))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
@@ -206,6 +211,67 @@ class LanguageModelSpec extends AnyFunSuite {
     val winSpecs = plan.split("\n").filter(_.contains("windowspecdefinition"))
     assert(winSpecs.forall(l => l.contains("rb#")),
       s"windows must be (lang, rb)-keyed:\n${winSpecs.mkString("\n")}")
+  }
+
+  test("ccnet buckets: differential fuzz vs an in-memory reference (tertiles, ties, unscored)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xCC13)
+    val langs = Seq("aa", "bb", "cc")
+    val vocab = "abcdefgh".map(_.toString)
+    for (trial <- 1 to 5) {
+      // tiny vocab + buckets=16 force hash collisions and tie groups;
+      // len 0/1 docs exercise the unscored path
+      val docs = (0L until 40L).map { id =>
+        val lang = langs(rnd.nextInt(langs.size))
+        val text = Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id, text, lang)
+      }
+      val out = LanguageModel.ccnetBuckets(
+          docs.toDF("doc_id", "text", "lang"), "text", "lang", 16)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getString(6)))).toMap
+      assert(out === ccnetRef(docs, 16), s"trial $trial")
+    }
+  }
+
+  /** in-memory twin of [[LanguageModel.ccnetBuckets]]: per-language
+    * counts, HALF_UP micro inverse probabilities, integer mean,
+    * rank-⌈n/3⌉/⌈2n/3⌉ type-1 cuts, value-based assignment. */
+  private def ccnetRef(docs: Seq[(Long, String, String)], buckets: Int)
+      : Map[Long, (String, Long, Long, Option[Long], Option[Long], String)] = {
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def hash(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val grams = docs.flatMap { case (id, t, lang) =>
+      toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (id, lang, hash(p.head) % buckets, hash(p.mkString(" ")) % buckets))
+    }
+    val cc = grams.groupBy(g => (g._2, g._3)).view.mapValues(_.size.toLong).toMap
+    val cb = grams.groupBy(g => (g._2, g._4)).view.mapValues(_.size.toLong).toMap
+    val scored = docs.flatMap { case (id, t, lang) =>
+      val mine = grams.filter(_._1 == id)
+      if (mine.isEmpty) None else {
+        val s = mine.map { case (_, l, c, b) =>
+          BigDecimal((cc((l, c)) + buckets).toDouble / (cb((l, b)) + 1).toDouble * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        Some((id, lang, mine.size.toLong, s / mine.size))
+      }
+    }
+    val cuts = scored.groupBy(_._2).view.mapValues { ds =>
+      val means = ds.map(_._4).sorted
+      val n = means.size.toLong
+      (means(((n + 2) / 3 - 1).toInt), means(((2 * n + 2) / 3 - 1).toInt))
+    }.toMap
+    docs.map { case (id, _, lang) =>
+      scored.find(_._1 == id) match {
+        case None => id -> ((lang, 0L, 0L, None, None, "unscored"))
+        case Some((_, _, n, m)) =>
+          val (c1, c2) = cuts(lang)
+          val bucket = if (m <= c1) "head" else if (m <= c2) "middle" else "tail"
+          id -> ((lang, n, m, Some(c1), Some(c2), bucket))
+      }
+    }.toMap
   }
 
   test("ccnet buckets: models are fit PER LANGUAGE (lang B corpus never shifts lang A scores)") {
