@@ -61,14 +61,26 @@ object Pipeline90 {
           "n_tokens - dup_span_tokens AS eff_tokens")
       val tot = perSource.agg(sum(col("n_tokens")).as("total_raw"),
         sum(col("eff_tokens")).as("total_eff"), count(lit(1)).as("n_sources"))
+      // boundary semantics, pinned (caught by the 10× oracle gate: a
+      // dup-saturated source CAN have eff_tokens = 0 — every token
+      // inside a cross-document span — and the unguarded div/% threw
+      // REMAINDER_BY_ZERO under ANSI): a source with NO novel mass
+      // has no finite balance weight → weight_micro NULL (its
+      // eff share is exactly 0, so budget arithmetic downstream
+      // already assigns it nothing); a source with zero RAW share
+      // (possible only for an all-empty source) has no drift ratio →
+      // eff_vs_raw_micro NULL. Conditional branches evaluate lazily
+      // in both engines, so the guarded row never runs the division.
       perSource.crossJoin(broadcast(tot))
         .selectExpr("source", "n_tokens", "dup_span_tokens", "eff_tokens",
           s"${microDiv("n_tokens", "total_raw")} AS raw_share_micro",
           s"${microDiv("eff_tokens", "total_eff")} AS eff_share_micro",
-          s"${microDiv("total_eff", "n_sources * eff_tokens")} AS weight_micro")
+          "if(eff_tokens = 0, cast(null as bigint), " +
+            s"${microDiv("total_eff", "n_sources * eff_tokens")}) AS weight_micro")
         .selectExpr("source", "n_tokens", "dup_span_tokens", "eff_tokens",
           "raw_share_micro", "eff_share_micro", "weight_micro",
-          s"${microDiv("eff_share_micro", "raw_share_micro")} AS eff_vs_raw_micro")
+          "if(raw_share_micro = 0, cast(null as bigint), " +
+            s"${microDiv("eff_share_micro", "raw_share_micro")}) AS eff_vs_raw_micro")
         .orderBy(col("source"))
     },
     Some(s"""WITH tk AS (SELECT doc_id, source, ${DuckOps.tokens("text")} AS t
@@ -107,18 +119,20 @@ object Pipeline90 {
                 + ((eff_tokens % total_eff) * 1000 // total_eff) * 1000
                 + (((eff_tokens % total_eff) * 1000 % total_eff) * 1000 // total_eff)
                 AS eff_share_micro,
-              (total_eff // (n_sources * eff_tokens)) * 1000000
+              CASE WHEN eff_tokens = 0 THEN NULL ELSE
+                (total_eff // (n_sources * eff_tokens)) * 1000000
                 + ((total_eff % (n_sources * eff_tokens)) * 1000
                     // (n_sources * eff_tokens)) * 1000
                 + (((total_eff % (n_sources * eff_tokens)) * 1000
                     % (n_sources * eff_tokens)) * 1000 // (n_sources * eff_tokens))
-                AS weight_micro
+                END AS weight_micro
             FROM pe, tot)
       SELECT source, n_tokens, dup_span_tokens, eff_tokens, raw_share_micro,
-        eff_share_micro, weight_micro,
-        (eff_share_micro // raw_share_micro) * 1000000
+        eff_share_micro, CAST(weight_micro AS BIGINT) AS weight_micro,
+        CAST(CASE WHEN raw_share_micro = 0 THEN NULL ELSE
+          (eff_share_micro // raw_share_micro) * 1000000
           + ((eff_share_micro % raw_share_micro) * 1000 // raw_share_micro) * 1000
           + (((eff_share_micro % raw_share_micro) * 1000 % raw_share_micro)
-              * 1000 // raw_share_micro) AS eff_vs_raw_micro
+              * 1000 // raw_share_micro) END AS BIGINT) AS eff_vs_raw_micro
       FROM m ORDER BY source"""))
 }

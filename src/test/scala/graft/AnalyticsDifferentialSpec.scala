@@ -1127,4 +1127,31 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
         got.getLong(4), got.getLong(5)) == want, s"round $round: census mismatch")
     }
   }
+
+  test("p48 boundary: a fully-duplicated source (eff_tokens = 0) gets NULL weight, not REMAINDER_BY_ZERO") {
+    // source B is two byte-identical 10-token docs: every token sits
+    // inside a cross-document >=8-token span, so its effective mass is
+    // exactly 0 — the dup-saturated case the 10x slice surfaced (the
+    // unguarded div/% threw under ANSI). Source A is novel text.
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (1L, "B", ten), (2L, "B", ten),
+      (3L, "A", "one two three four five six seven eight nine ten"),
+      (4L, "A", "red orange yellow green blue indigo violet umber ochre teal"))
+    val got = queries.Pipeline90.p48.run(spark, writeDocsDir(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = got("B")
+    assert(b.getLong(3) == 0L, s"source B must have eff_tokens = 0: $b")
+    assert(b.isNullAt(6), s"zero-novel-mass source must have NULL weight: $b")
+    assert(b.getLong(5) == 0L, s"eff share of a zero-eff source is 0: $b")
+    assert(!b.isNullAt(7) && b.getLong(7) == 0L,
+      s"drift ratio of a zero-eff source is 0 (raw share > 0): $b")
+    val a = got("A")
+    // A now holds ALL effective mass: eff share 1.0, drift 2× its raw
+    // share, and the p02 balance weight pulls it DOWN toward uniform
+    // over the 2 sources — total_eff/(2·eff_A) = 0.5 exactly
+    assert(a.getLong(5) == 1000000L && a.getLong(7) == 2000000L
+      && !a.isNullAt(6) && a.getLong(6) == 500000L,
+      s"all-novel source: eff share 1.0, drift 2x, balance weight 0.5: $a")
+  }
 }
