@@ -1045,14 +1045,27 @@ object Similarity {
     * 100 TB shape: the eval set is a bounded input (the BM25-family
     * rule), broadcast once; the scan is ONE corpus pass with a
     * map-side-combinable (vec, max-struct) aggregate — the shuffle
-    * carries ONE row per train vector, never the pair frame. When the
-    * eval set outgrows a broadcast, swap the candidate generator for
-    * the IVF bucket join ([[ivfTopK]]) — same downstream fold. */
+    * carries ONE row per train vector, never the pair frame. The
+    * compute contract is O(|train| · |eval| · D) scored pairs with
+    * |eval| held in executor memory: sized for BENCHMARK eval sets
+    * (10^2–10^5 vectors), not a second corpus. When the eval set
+    * outgrows a broadcast, swap the candidate generator for the IVF
+    * bucket join ([[ivfTopK]]) — same downstream fold.
+    *
+    * The eval side is REQUIRED non-empty (eager count, matching the
+    * operator's eager neighbors): a predicate that matches nothing —
+    * or only zero-norm vectors — would otherwise return an empty
+    * frame indistinguishable from "no train vectors contaminated",
+    * silently passing a mis-specified audit. */
   def evalContamination(emb: DataFrame, evalPredicate: String,
       tauMicro: Long): DataFrame = {
     val p = prepared(emb).filter(col("nrm") > 0d).select("vec_id", "v", "nrm")
     val ev = p.filter(expr(evalPredicate))
       .select(col("vec_id").as("e_id"), col("v").as("ev"), col("nrm").as("en"))
+    require(!ev.isEmpty,
+      s"evalContamination: eval predicate '$evalPredicate' matched no " +
+        "non-zero-norm vectors - an empty eval side would read as a " +
+        "clean audit; fix the predicate")
     val tr = p.filter(not(expr(evalPredicate)))
     tr.crossJoin(broadcast(ev))
       .selectExpr("vec_id",

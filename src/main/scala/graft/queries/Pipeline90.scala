@@ -69,12 +69,19 @@ object Pipeline90 {
       // eff share is exactly 0, so budget arithmetic downstream
       // already assigns it nothing); a source with zero RAW share
       // (possible only for an all-empty source) has no drift ratio →
-      // eff_vs_raw_micro NULL. Conditional branches evaluate lazily
-      // in both engines, so the guarded row never runs the division.
+      // eff_vs_raw_micro NULL. The same class one level up: when the
+      // WHOLE corpus is dup-saturated (total_eff = 0 — reachable when
+      // identical docs span every source) there is no effective-share
+      // denominator, and when every doc is empty (total_raw = 0) no
+      // raw one — both share columns go NULL rather than throwing.
+      // Conditional branches evaluate lazily in both engines, so the
+      // guarded row never runs the division.
       perSource.crossJoin(broadcast(tot))
         .selectExpr("source", "n_tokens", "dup_span_tokens", "eff_tokens",
-          s"${microDiv("n_tokens", "total_raw")} AS raw_share_micro",
-          s"${microDiv("eff_tokens", "total_eff")} AS eff_share_micro",
+          "if(total_raw = 0, cast(null as bigint), " +
+            s"${microDiv("n_tokens", "total_raw")}) AS raw_share_micro",
+          "if(total_eff = 0, cast(null as bigint), " +
+            s"${microDiv("eff_tokens", "total_eff")}) AS eff_share_micro",
           "if(eff_tokens = 0, cast(null as bigint), " +
             s"${microDiv("total_eff", "n_sources * eff_tokens")}) AS weight_micro")
         .selectExpr("source", "n_tokens", "dup_span_tokens", "eff_tokens",
@@ -111,14 +118,16 @@ object Pipeline90 {
                 CAST(sum(eff_tokens) AS BIGINT) AS total_eff,
                 CAST(count(*) AS BIGINT) AS n_sources FROM pe),
       m AS (SELECT source, n_tokens, dup_span_tokens, eff_tokens,
+              CASE WHEN total_raw = 0 THEN NULL ELSE
               (n_tokens // total_raw) * 1000000
                 + ((n_tokens % total_raw) * 1000 // total_raw) * 1000
                 + (((n_tokens % total_raw) * 1000 % total_raw) * 1000 // total_raw)
-                AS raw_share_micro,
+                END AS raw_share_micro,
+              CASE WHEN total_eff = 0 THEN NULL ELSE
               (eff_tokens // total_eff) * 1000000
                 + ((eff_tokens % total_eff) * 1000 // total_eff) * 1000
                 + (((eff_tokens % total_eff) * 1000 % total_eff) * 1000 // total_eff)
-                AS eff_share_micro,
+                END AS eff_share_micro,
               CASE WHEN eff_tokens = 0 THEN NULL ELSE
                 (total_eff // (n_sources * eff_tokens)) * 1000000
                 + ((total_eff % (n_sources * eff_tokens)) * 1000

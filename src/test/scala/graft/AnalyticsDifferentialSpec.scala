@@ -1154,4 +1154,33 @@ class AnalyticsDifferentialSpec extends AnyFunSuite {
       && !a.isNullAt(6) && a.getLong(6) == 500000L,
       s"all-novel source: eff share 1.0, drift 2x, balance weight 0.5: $a")
   }
+
+  test("p48 boundary: whole-corpus saturation (total_eff = 0) and all-empty corpus (total_raw = 0) yield NULL shares, not REMAINDER_BY_ZERO") {
+    // the same failure class one level up (ADVICE r13): identical docs
+    // ACROSS sources saturate every source at once, so the CORPUS
+    // effective-mass denominator itself is 0
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sat = queries.Pipeline90.p48
+      .run(spark, writeDocsDir(Seq((1L, "A", ten), (2L, "B", ten))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("A", "B").foreach { s =>
+      val r = sat(s)
+      assert(r.getLong(3) == 0L, s"source $s saturated: $r")
+      assert(!r.isNullAt(4) && r.getLong(4) == 500000L,
+        s"raw share still finite (half the corpus): $r")
+      assert(r.isNullAt(5), s"eff share NULL when total_eff = 0: $r")
+      assert(r.isNullAt(6) && r.isNullAt(7),
+        s"weight and drift NULL when total_eff = 0: $r")
+    }
+    // all docs empty: zero raw mass anywhere -> every ratio NULL
+    val emp = queries.Pipeline90.p48
+      .run(spark, writeDocsDir(Seq((1L, "A", ""), (2L, "B", ""))))
+      .collect()
+    assert(emp.length == 2)
+    emp.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(3) == 0L, s"empty corpus: $r")
+      (4 to 7).foreach(i => assert(r.isNullAt(i),
+        s"all ratio columns NULL on an all-empty corpus: $r"))
+    }
+  }
 }

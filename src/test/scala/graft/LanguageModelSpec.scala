@@ -206,11 +206,22 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"count tables / cuts must broadcast:\n$plan")
-    // every window must carry the (lang, range-bucket) composite key,
-    // never partition on lang alone (the q88 single-task-per-group trap)
+    // the per-VALUE ranking window must carry the (lang, range-bucket)
+    // composite PARTITION key, never partition on lang alone (the q88
+    // single-task-per-group trap). windowspecdefinition prints
+    // partition keys first, then order keys: the ranking window is
+    // "(lang#_, rb#_, c#_ ASC..." (partitioned lang+rb, ordered by c)
+    // while the legitimate lang-only offs window is "(lang#_, rb#_
+    // ASC..." (ordered by rb, bounded ~65 rows/lang). Asserting on
+    // the partition-key PORTION means an rb ORDER key can no longer
+    // mask a lang-only partition of a per-value window.
     val winSpecs = plan.split("\n").filter(_.contains("windowspecdefinition"))
-    assert(winSpecs.forall(l => l.contains("rb#")),
-      s"windows must be (lang, rb)-keyed:\n${winSpecs.mkString("\n")}")
+    val rankingWin = """windowspecdefinition\(lang#\d+L?, rb#\d+L?, c#\d+L?""".r
+    val langOnlyPerValue = """windowspecdefinition\(lang#\d+L?, c#\d+L?""".r
+    assert(winSpecs.exists(l => rankingWin.findFirstIn(l).isDefined),
+      s"per-value ranking window must partition on (lang, rb):\n${winSpecs.mkString("\n")}")
+    assert(winSpecs.forall(l => langOnlyPerValue.findFirstIn(l).isEmpty),
+      s"no per-value window may partition on lang alone:\n${winSpecs.mkString("\n")}")
   }
 
   test("ccnet buckets: differential fuzz vs an in-memory reference (tertiles, ties, unscored)") {

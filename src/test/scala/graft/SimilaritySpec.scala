@@ -477,6 +477,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(102L) == ((1L, 0L, false)), "max cos picks e1's 0 over e0's −1")
   }
 
+  test("evalContamination: an empty eval side is rejected, never a silently-clean audit") {
+    import spark.implicits._
+    val emb = Seq((100L, 0, Seq(1.0f, 0.0f)), (101L, 0, Seq(0.0f, 1.0f)),
+      (102L, 0, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    // predicate matches nothing
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.evalContamination(emb, "vec_id < 0", 950000L)
+    }
+    assert(e1.getMessage.contains("matched no"), e1.getMessage)
+    // predicate matches ONLY a zero-norm vector (excluded up front)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.evalContamination(emb, "vec_id = 102", 950000L)
+    }
+    assert(e2.getMessage.contains("matched no"), e2.getMessage)
+  }
+
   test("evalContamination: one corpus pass, eval broadcast, partial-agg shuffle") {
     val plan = Similarity.evalContamination(
       graft.Tables.embeddings(spark, sfDir), "vec_id < 50", 950000L)
