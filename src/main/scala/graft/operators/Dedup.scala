@@ -17,6 +17,60 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextOps.P
 
+  /** Every observe metric emitted by a capped candidate-generation
+    * path starts with this prefix (VERDICT r13 #2 — saturation
+    * observability): a shingle/window whose doc frequency (or total
+    * occurrence count) exceeds the cap is PRUNED from candidate
+    * generation, trading recall for the O(cap²) fan-out bound. On a
+    * df-saturated corpus (tiny vocabulary, heavy boilerplate) that
+    * prune can silently collapse the candidate set to zero — an empty
+    * result indistinguishable from "no duplicates". The metric makes
+    * the trade operational: each capped aggregation rides an
+    * `observe` node named `<prefix>_<seq>` carrying
+    * `pruned_groups` (groups over the cap — candidates they would
+    * have generated are LOST) and `total_groups`, surfaced on the
+    * caller's action via `frame.queryExecution.observedMetrics`.
+    *
+    * CAVEAT (pinned by SaturationSpec): AQE's empty-relation
+    * propagation prunes the whole subtree — observe node included —
+    * from the final plan when a downstream join collapses to empty,
+    * which is exactly the fully-saturated case. The observe is
+    * therefore the cheap in-flight signal for the common
+    * partially-pruned plans, NOT the ground truth. The EAGER capped
+    * wrappers close that hole with an explicit probe over their
+    * already-cached shingle sets (one map-side-combinable aggregate,
+    * run only when a finite cap is set) that WARN-logs pruned counts
+    * unconditionally — the A3 corrupt-file-counter idiom applied to
+    * recall; and [[dfSaturationAudit]] is the registered first-class
+    * audit query a curator runs before trusting a capped operator on
+    * a new corpus. */
+  val SaturationMetricPrefix = "graft_dedup_saturation"
+
+  private val satSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def satMetricName(): String =
+    s"${SaturationMetricPrefix}_${satSeq.incrementAndGet()}"
+
+  /** The reliable eager-path saturation signal (see
+    * [[SaturationMetricPrefix]]): one extra aggregate over the
+    * operator's CACHED shingle sets — skipped entirely on uncapped
+    * calls — warn-logging how many shingle groups the df cap prunes
+    * and how many candidate pairs that declines to generate. */
+  private def warnIfSaturated(sets: DataFrame, maxDocFreq: Int,
+      op: String): Unit =
+    if (maxDocFreq != Int.MaxValue) {
+      val r = dfSaturationAuditFrom(sets, maxDocFreq).head()
+      if (r.getLong(1) > 0L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft dedup saturation [$op]: ${r.getLong(1)} of " +
+            s"${r.getLong(0)} distinct shingles exceed df cap " +
+            s"$maxDocFreq (max df ${r.getLong(2)}); ~${r.getLong(4)} " +
+            "same-shingle candidate pairs were NOT generated - recall " +
+            "on this corpus is degraded; run Dedup.dfSaturationAudit " +
+            "and consider the signature tiers (exact fp / MinHash-LSH " +
+            "/ exact-substr)")
+    }
+
   /** doc_id + distinct n-token shingle set (+ set size). */
   def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
@@ -55,8 +109,10 @@ object Dedup {
     * blocks with [[Storage.release]] after the terminal action. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
-    Storage.withCached(shingleHashSets(docs, textCol, n))(
-      ngramJaccardPairsFrom(_, threshold, maxDocFreq))
+    Storage.withCached(shingleHashSets(docs, textCol, n)) { s =>
+      warnIfSaturated(s, maxDocFreq, "ngramJaccardPairs")
+      ngramJaccardPairsFrom(s, threshold, maxDocFreq)
+    }
 
   /** Candidate (d1 < d2, shared-shingle count) pairs over a shingle
     * set frame, plus each side's set size — the common core of
@@ -87,8 +143,14 @@ object Dedup {
         // <= cap*(cap-1)/2 pairs — 2016 at the registered cap=64 — so
         // executor memory and shuffle volume scale with the cap, not
         // the corpus. Oracle parity is untouched: overflow == df>cap.
+        // saturation observability (VERDICT r13 #2): a null'd group IS
+        // a pruned shingle — count them on the way past so cap-induced
+        // recall collapse is a signal, not a silent empty result
         ex.groupBy(col("sgl"))
           .agg(expr(s"graft_collect_capped(doc_id, $maxDocFreq)").as("ds"))
+          .observe(satMetricName(),
+            sum(when(col("ds").isNull, 1L).otherwise(0L)).as("pruned_groups"),
+            count(lit(1)).as("total_groups"))
           .filter(col("ds").isNotNull && size(col("ds")) >= 2)
           .selectExpr("explode(flatten(transform(sequence(1, size(ds) - 1), " +
             "i -> transform(sequence(i + 1, size(ds)), " +
@@ -117,6 +179,57 @@ object Dedup {
           (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
 
+  /** Doc-frequency SATURATION audit — the production-facing face of
+    * the [[SaturationMetricPrefix]] counters (VERDICT r13 #2): how
+    * much of this corpus's shingle mass does a df cap of `maxDocFreq`
+    * prune from candidate generation, and how many candidate pairs
+    * does the prune decline to enumerate? A curator runs this BEFORE
+    * trusting a capped pair operator (d02/d08/d09) on a new corpus:
+    * `saturated_micro` near 0 means the cap is a skew valve touching
+    * only boilerplate; a large value means the corpus's vocabulary is
+    * too small for shingle-inverted-index candidate generation and
+    * the signature tiers (d01/d03/d29) are the right operators — the
+    * BENCH_SCALE Finding-2 division of labor as a 1-row query.
+    *
+    * Returns one row: `n_shingles` (distinct shingle hashes),
+    * `n_pruned` (df > cap), `max_df`, `pruned_occurrences` (postings
+    * the prune drops), `pruned_pairs` (Σ C(df,2) over pruned shingles
+    * — same-shingle candidate pairs NOT generated; an upper bound on
+    * lost candidates since a pair may share several shingles), and
+    * `saturated_micro` (n_pruned / n_shingles in micro units).
+    *
+    * 100 TB shape: one map-side-combinable (hash → df) aggregation
+    * over the exploded corpus + a 1-row fold — strictly cheaper than
+    * any capped pair operator it gates. */
+  def dfSaturationAudit(docs: DataFrame, textCol: String, n: Int,
+      maxDocFreq: Int): DataFrame =
+    dfSaturationAuditFrom(shingleHashSets(docs, textCol, n), maxDocFreq)
+
+  /** the [[dfSaturationAudit]] plan over an already-available shingle
+    * set frame — shared with [[warnIfSaturated]] so the eager capped
+    * wrappers probe their cached intermediate instead of re-reading
+    * the corpus. */
+  private[graft] def dfSaturationAuditFrom(sets: DataFrame,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"df cap must be >= 1, got $maxDocFreq")
+    sets
+      .selectExpr("doc_id", "explode(hs) AS sgl")
+      .groupBy(col("sgl")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(when(col("df") > maxDocFreq, 1L).otherwise(0L)), lit(0L))
+          .as("n_pruned"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"),
+        coalesce(sum(when(col("df") > maxDocFreq, col("df")).otherwise(0L)),
+          lit(0L)).as("pruned_occurrences"),
+        coalesce(sum(when(col("df") > maxDocFreq,
+            expr("df * (df - 1) div 2")).otherwise(0L)), lit(0L))
+          .as("pruned_pairs"))
+      .selectExpr("n_shingles", "n_pruned", "max_df", "pruned_occurrences",
+        "pruned_pairs",
+        "if(n_shingles = 0, 0L, n_pruned * 1000000 div n_shingles)" +
+          " AS saturated_micro")
+  }
+
   /** Asymmetric CONTAINMENT pairs: C = shared / min(|S1|, |S2|) —
     * the doc-inside-doc signal symmetric Jaccard misses (a short doc
     * quoted verbatim inside a long one has high containment but near
@@ -130,8 +243,10 @@ object Dedup {
     * [[Storage.release]] after the terminal action. */
   def containmentPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
-    Storage.withCached(shingleHashSets(docs, textCol, n))(
-      containmentPairsFrom(_, threshold, maxDocFreq))
+    Storage.withCached(shingleHashSets(docs, textCol, n)) { s =>
+      warnIfSaturated(s, maxDocFreq, "containmentPairs")
+      containmentPairsFrom(s, threshold, maxDocFreq)
+    }
 
   private[graft] def containmentPairsFrom(sets: DataFrame,
       threshold: Double, maxDocFreq: Int): DataFrame =
@@ -165,7 +280,10 @@ object Dedup {
       .selectExpr("doc_id", s"explode(${TextOps.tokens(textCol)}) AS term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     sets.cache(); tc.cache()
-    try Storage.checkpointed(weightedJaccardPairsFrom(sets, tc, threshold, maxDocFreq))
+    try {
+      warnIfSaturated(sets, maxDocFreq, "weightedJaccardPairs")
+      Storage.checkpointed(weightedJaccardPairsFrom(sets, tc, threshold, maxDocFreq))
+    }
     finally {
       sets.unpersist(blocking = false); tc.unpersist(blocking = false)
     }
@@ -587,9 +705,16 @@ object Dedup {
         s"graft_shingle_hashes_all($textCol, $k) AS hs")
       .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
       .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")
+    // saturation observability (VERDICT r13 #2): a cross-document hash
+    // over the occurrence cap loses ALL its aligned-span partners —
+    // count the pruned hashes so occ-cap recall collapse is a signal
     val eligible = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .observe(satMetricName(),
+        sum(when(col("n_occ") > maxOcc && col("dmin") =!= col("dmax"), 1L)
+          .otherwise(0L)).as("pruned_groups"),
+        count(lit(1)).as("total_groups"))
       .filter(col("n_occ") <= maxOcc && col("dmin") =!= col("dmax"))
       .select(col("h"))
     val oc = occ.join(eligible, Seq("h"))
