@@ -94,43 +94,88 @@ object Bench {
     // MIN over reps is order-debiased while the run stays replayable.
     val reg = SparkEntry.registry.sortBy(_.name)
     val timesByName =
-      scala.collection.mutable.Map.empty[String, Vector[(Double, Long)]]
+      scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Boolean)]]
     val calibMids = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // contention-aware sweep (VERDICT r13 #3): the binding driver sheet
+    // has repeatedly manufactured phantom regressions when another
+    // process landed on the box mid-sweep (r13: c11/e26/s03/s16 at up
+    // to 1.9x their quiet times while the per-rep calib mids read up
+    // to 4.7x the converged anchor). The anchor is therefore probed
+    // BETWEEN QUERY BLOCKS, each block's observations are flagged
+    // `contended` when a bracketing probe exceeds 1.5x the best anchor
+    // seen so far, and a contended block is re-run once immediately
+    // (bounded per rep) so most queries keep at least one clean
+    // observation. A query whose EVERY observation was contended is
+    // marked "contended":true in BENCH_DETAIL — the mark that tells
+    // the judge "re-measure before calling this a regression".
+    var calibBest = calibPre
+    def probe(): Double = {
+      val v = calibOnce(); calibMids += v
+      calibBest = math.min(calibBest, v); v
+    }
+    val contFactor = 1.5
+    val rerunCapPerRep = 4
+    def timeOne(q: graft.queries.QueryDef): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = try {
+        val df = q.run(spark, sfDir)
+        // free the iteration's operator-result checkpoint blocks
+        // (dedup/similarity operators materialize-and-release their
+        // intermediates internally now; the RESULT blocks are the
+        // caller's to release) so storage doesn't accumulate across
+        // the registry and evict/thrash later queries — release in
+        // a finally so a failing count() can't leak them for the
+        // rest of the run (clearCache() only clears CacheManager
+        // entries, never checkpoint blocks).
+        // NOTE: since round 8 every iteration pays the full
+        // signature recompute — operators no longer leave a warm
+        // cache behind — so per-query min is the true cold-run cost.
+        try df.count()
+        finally graft.operators.Storage.release(df)
+      } catch { case _: Throwable => -1L }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def record(obs: Seq[(graft.queries.QueryDef, Double, Long)],
+        contended: Boolean): Unit =
+      obs.foreach { case (q, dt, n) =>
+        timesByName(q.name) =
+          timesByName.getOrElse(q.name, Vector()) :+ ((dt, n, contended))
+      }
     for (rep <- 1 to iters) {
       val order = new scala.util.Random(0x9E3779B97F4A7C15L + rep).shuffle(reg)
-      for (q <- order) {
-        val t0 = System.nanoTime()
-        val n = try {
-          val df = q.run(spark, sfDir)
-          // free the iteration's operator-result checkpoint blocks
-          // (dedup/similarity operators materialize-and-release their
-          // intermediates internally now; the RESULT blocks are the
-          // caller's to release) so storage doesn't accumulate across
-          // the registry and evict/thrash later queries — release in
-          // a finally so a failing count() can't leak them for the
-          // rest of the run (clearCache() only clears CacheManager
-          // entries, never checkpoint blocks).
-          // NOTE: since round 8 every iteration pays the full
-          // signature recompute — operators no longer leave a warm
-          // cache behind — so per-query min is the true cold-run cost.
-          try df.count()
-          finally graft.operators.Storage.release(df)
-        } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        timesByName(q.name) = timesByName.getOrElse(q.name, Vector()) :+ ((dt, n))
+      var prevProbe = probe()
+      var reruns = 0
+      for (block <- order.grouped(24)) {
+        def runBlock() = block.map { q => val (dt, n) = timeOne(q); (q, dt, n) }
+        val obs = runBlock()
+        val post = probe()
+        val contended = math.max(prevProbe, post) > contFactor * calibBest
+        record(obs, contended)
+        if (contended && reruns < rerunCapPerRep) {
+          reruns += 1
+          System.err.println(f"[bench] rep $rep block '${block.head.name}'.. " +
+            f"contended (probes $prevProbe%.3f/$post%.3f vs anchor " +
+            f"$calibBest%.3f) - re-running once")
+          val pre2 = probe()
+          val obs2 = runBlock()
+          val post2 = probe()
+          record(obs2, math.max(pre2, post2) > contFactor * calibBest)
+          prevProbe = post2
+        } else prevProbe = post
       }
       spark.catalog.clearCache()
-      // interleaved anchor: one calibration point per rep bounds the
-      // drift WITHIN the sweep, not just at its ends
-      calibMids += calibOnce()
     }
     val results = reg.map { q =>
       val times = timesByName(q.name)
       val best = times.map(_._1).min
       val med = times.map(_._1).sorted.apply(times.length / 2)
+      // contended = NO clean observation exists for this query (every
+      // rep + any re-run ran inside a flagged block)
+      val contended = times.forall(_._3)
       System.err.println(
-        f"[bench] ${q.name}%-28s min=$best%7.2fs med=$med%7.2fs rows=${times.head._2}")
-      (q.name, best, med, times.head._2)
+        f"[bench] ${q.name}%-28s min=$best%7.2fs med=$med%7.2fs rows=${times.head._2}" +
+          (if (contended) " CONTENDED" else ""))
+      (q.name, best, med, times.head._2, contended)
     }
     def r(v: Double, scale: Int): String = {
       val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
@@ -152,6 +197,7 @@ object Bench {
       f"[bench] calib pre=$calibPre%.3fs post=$calibPost%.3fs min=$calib%.3fs " +
         s"mids=${calibMids.map(v => f"$v%.3f").mkString(",")}")
     val total = results.map(_._2).sum
+    val contendedNames = results.collect { case (k, _, _, _, true) => k }
     // batch vs streaming-gate subtotals (VERDICT r11 #3): the st*
     // gates each restart a real Structured Streaming query several
     // times (processAllAvailable + checkpoint replay) — fixed
@@ -159,23 +205,24 @@ object Bench {
     // headline total they obscured the flat batch trend round over
     // round. Split so both trends read independently.
     val isStreamGate = (name: String) => name.matches("st\\d+_.*")
-    val totalStream = results.collect { case (k, best, _, _) if isStreamGate(k) => best }.sum
+    val totalStream = results.collect { case (k, best, _, _, _) if isStreamGate(k) => best }.sum
     val totalBatch = total - totalStream
     // full-fidelity per-query record (full names, min+median, rows,
     // iteration count) goes to a FILE — the stdout tail capture is
     // 2000 chars, which the 75-query full-name map outgrew in round 5
     // (the line head was truncated and the harness parse failed)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detail = results.map { case (k, best, med, rows) =>
-      s""""$k":{"min":${r(best, 3)},"med":${r(med, 3)},"rows":$rows}"""
+    val detail = results.map { case (k, best, med, rows, cont) =>
+      s""""$k":{"min":${r(best, 3)},"med":${r(med, 3)},"rows":$rows${
+        if (cont) ""","contended":true""" else ""}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"n":$iters,"sf":"${js(sfDir)}","calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)},"warm_runs":$calibWarmRuns,"mids":[${calibMids.map(r(_, 3)).mkString(",")}]},"queries":$detail}\n"""
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"n":$iters,"sf":"${js(sfDir)}","contended_queries":[${contendedNames.map("\"" + _ + "\"").mkString(",")}],"calib":{"pre":${r(calibPre, 3)},"post":${r(calibPost, 3)},"best":${r(calibBest, 3)},"warm_runs":$calibWarmRuns,"mids":[${calibMids.map(r(_, 3)).mkString(",")}]},"queries":$detail}\n"""
         .getBytes("UTF-8"))
     // collisions fall back to the full name so the map is always 1:1
     // with the registry (see shortId)
-    val shortIds = results.map { case (k, _, _, _) => k -> shortId(k) }
+    val shortIds = results.map { case (k, _, _, _, _) => k -> shortId(k) }
     val counts = shortIds.groupBy(_._2).map { case (id, g) => id -> g.size }
     val keyed = shortIds.map { case (k, id) => k -> (if (counts(id) > 1) k else id) }.toMap
     // The harness captures only the LAST 2000 chars of stdout —
@@ -188,17 +235,17 @@ object Bench {
     // jitter visibility (VERDICT r10 #8): med alongside min for
     // top-20-by-min lines whose med/min spread exceeds 1.2
     val medLines = results.sortBy(-_._2).take(20)
-      .filter { case (_, best, med, _) => best > 0 && med / best > 1.2 }
-      .map { case (k, _, med, _) => "\"" + keyed(k) + "\":" + r(med, 2) }
+      .filter { case (_, best, med, _, _) => best > 0 && med / best > 1.2 }
+      .map { case (k, _, med, _, _) => "\"" + keyed(k) + "\":" + r(med, 2) }
     val medJson =
       if (medLines.isEmpty) "" else s""","med":${medLines.mkString("{", ",", "}")}"""
     val byCost = results.sortBy(-_._2)
-      .map { case (k, best, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
+      .map { case (k, best, _, _, _) => "\"" + keyed(k) + "\":" + r(best, 2) }
     def line(n: Int): String = {
       val qs = byCost.take(n).mkString("{", ",", "}")
       s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${
         r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"calib":${
-        r(calib, 3)},"n_queries":${results.size},"queries":$qs$medJson,"sf":"${
+        r(calib, 3)},"n_queries":${results.size},"n_contended":${contendedNames.size},"queries":$qs$medJson,"sf":"${
         js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
     var keep = byCost.size
