@@ -867,6 +867,65 @@ object Dedup {
         sum(col("span_tokens")).as("dup_tokens"),
         max(col("span_tokens")).as("max_span_tokens"))
 
+  /** Train-side DECONTAMINATION SCRUB — the action half of the
+    * contamination audits (n-gram spans [[spanContamination]]/p46,
+    * fingerprints t05/t37, embeddings s39 — which FIND leakage but
+    * whose only removal so far was document-level): every k-token
+    * window of a TRAIN document whose 60-bit hash occurs ANYWHERE in
+    * the eval set is scrubbed from the train document and the text
+    * rebuilt from the surviving tokens — the surgical alternative to
+    * dropping whole documents that the published decontamination
+    * recipes apply (the GPT-3 appendix-C / PaLM method removes the
+    * overlapping spans, not the documents). Rows matching `evalPred`
+    * are the eval set; they are NOT rewritten (they are the
+    * benchmark) and do not appear in the output. Train↔train overlap
+    * deliberately survives — only eval-side presence contaminates
+    * (the [[spanContamination]] direction, reversed onto the train
+    * side: p46 reports how much eval text leaked; this removes that
+    * text FROM train). Overlapping removal windows union their
+    * covered ranges (the shared [[graft.functions.ScrubKeep]]
+    * two-pointer merge). Returns one row per TRAIN document:
+    * `doc_id, n_before, n_after, text_scrubbed` (clean docs pass
+    * through, n_after = n_before).
+    *
+    * "Exact" is modulo the 60-bit window hash (p ≈ 2⁻⁶⁰ per
+    * colliding pair); the oracle replays the same hash and the
+    * ScrubSpec differential fuzz checks against a window-TEXT
+    * reference, so a collision would surface there.
+    *
+    * 100 TB shape: window hashing is map-only (native rolling
+    * hasher, 8-byte longs); the eval-hash set is bounded by the
+    * benchmark (the s39 size-class contract) and BROADCAST after one
+    * small distinct; coverage is one broadcast-joined scan of the
+    * train occurrences + a per-doc map-side-combinable collect
+    * (bounded by doc length); one doc-keyed equi-join rebuilds the
+    * text with the O(len + |cov|) keep merge. No pair join, no
+    * window shuffle, no collect. */
+  def decontaminationScrub(docs: DataFrame, textCol: String, k: Int,
+      evalPred: String, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    val base = docs.selectExpr(s"$idCol AS doc_id", s"($evalPred) AS is_eval",
+      s"${TextOps.tokens(textCol)} AS t",
+      s"graft_shingle_hashes_all($textCol, $k) AS hs")
+    val occ = base
+      .selectExpr("doc_id", "is_eval", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("doc_id", "is_eval", "cast(pos0 + 1 as bigint) AS pos", "h")
+    val evalH = occ.filter(col("is_eval")).select(col("h")).distinct()
+    val cov = occ.filter(!col("is_eval"))
+      .join(broadcast(evalH), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"))
+    base.filter(!col("is_eval")).select(col("doc_id"), col("t"))
+      .join(cov, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "t",
+        "coalesce(cov, cast(array() as array<bigint>)) AS cov")
+      .selectExpr("doc_id", "t", s"graft_scrub_keep(cov, $k, size(t)) AS kept")
+      .selectExpr("doc_id",
+        "cast(size(t) as bigint) AS n_before",
+        "cast(size(kept) as bigint) AS n_after",
+        "concat_ws(' ', transform(kept, j -> element_at(t, j))) AS text_scrubbed")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming,
     * candidate-generated by 4 bands of 15 bits. Pigeonhole: for
     * maxHamming <= 3, at most 3 of the 4 bands can differ, so every

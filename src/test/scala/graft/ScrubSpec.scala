@@ -248,4 +248,96 @@ class ScrubSpec extends AnyFunSuite {
       docs.toDF("doc_id", "text").repartition(7), "text", N).collect().toSet
     assert(one == many)
   }
+
+  // ------------------------------------------- decontaminationScrub
+
+  /** eval = odd doc ids (spec-local convention). */
+  private def dScrub(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.decontaminationScrub(docs.toDF("doc_id", "text"), "text", N,
+        "doc_id % 2 = 1")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  /** In-memory reference: remove from every TRAIN doc the token span
+    * of every N-gram whose text occurs in ANY eval doc. */
+  private def dReference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    def grams(t: Seq[String]) =
+      (0 to t.length - N).map(i => t.slice(i, i + N).mkString(" "))
+    val evalGrams = toks.collect { case (id, t) if id % 2 == 1 => grams(t) }
+      .flatten.toSet
+    toks.collect { case (id, t) if id % 2 == 0 =>
+      val cov = (0 to t.length - N)
+        .filter(i => evalGrams(t.slice(i, i + N).mkString(" ")))
+        .flatMap(i => i until i + N).toSet
+      val kept = t.indices.filterNot(cov).map(t)
+      id -> ((t.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("decontaminationScrub: eval-overlapping spans leave train; eval docs are not rewritten; train-train overlap survives") {
+    val docs = Seq(
+      0L -> "intro alpha beta gamma outro",   // train: holds eval text
+      1L -> "alpha beta gamma",                // eval (odd id)
+      2L -> "shared shared shared tail one",   // train: overlaps doc 4
+      4L -> "shared shared shared tail two")   // train: overlaps doc 2
+    val out = dScrub(docs)
+    assert(out.keySet == Set(0L, 2L, 4L), "eval docs never appear in the output")
+    assert(out(0L) == ((5L, 2L, "intro outro")),
+      s"the eval span is scrubbed from train: ${out(0L)}")
+    assert(out(2L) == ((5L, 5L, "shared shared shared tail one")) &&
+      out(4L) == ((5L, 5L, "shared shared shared tail two")),
+      "train-to-train overlap is NOT contamination and survives")
+  }
+
+  test("decontaminationScrub composes with spanContamination: the audit reads zero after the scrub") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one two alpha beta gamma delta tail"),
+      (2L, "alpha beta gamma delta epsilon filler words"),
+      (1L, "alpha beta gamma delta"),
+      (3L, "epsilon filler words and more"))
+    val df = docs.toDF("doc_id", "text")
+    // before: eval windows DO appear in train (p46 direction: eval
+    // docs report the train-side presence of their windows)
+    val before = Dedup.spanContamination(df, "text", N, "doc_id % 2 = 1")
+      .agg(org.apache.spark.sql.functions.sum("contaminated_tokens")).head.getLong(0)
+    assert(before > 0L, s"fixture must start contaminated: $before")
+    // after: rebuild the corpus as (scrubbed train) UNION (eval as-is)
+    val scrubbed = Dedup.decontaminationScrub(df, "text", N, "doc_id % 2 = 1")
+      .selectExpr("doc_id", "text_scrubbed AS text")
+      .unionByName(df.filter("doc_id % 2 = 1").select("doc_id", "text"))
+    val after = Dedup.spanContamination(scrubbed, "text", N, "doc_id % 2 = 1")
+      .agg(org.apache.spark.sql.functions.sum("contaminated_tokens")).head.getLong(0)
+    assert(after == 0L, s"no eval window may survive in train: $after")
+  }
+
+  test("decontaminationScrub: differential fuzz vs the in-memory reference") {
+    val rnd = new scala.util.Random(0xD14)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 6) {
+      val docs = (0L until 30L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      assert(dScrub(docs) == dReference(docs), s"trial $trial")
+    }
+  }
+
+  test("decontaminationScrub result is partition-count independent") {
+    import spark.implicits._
+    val docs = Seq(0L -> "a b c d e", 1L -> "a b c", 2L -> "z b c d w",
+      3L -> "b c d", 4L -> "q a b c r")
+    val one = Dedup.decontaminationScrub(
+      docs.toDF("doc_id", "text").repartition(1), "text", N, "doc_id % 2 = 1")
+      .collect().toSet
+    val many = Dedup.decontaminationScrub(
+      docs.toDF("doc_id", "text").repartition(7), "text", N, "doc_id % 2 = 1")
+      .collect().toSet
+    assert(one == many)
+  }
 }
