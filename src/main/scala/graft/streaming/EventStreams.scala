@@ -23,6 +23,59 @@ object EventStreams {
 
   private final case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 
+  /** State-store partition sizing rule (VERDICT r13 #6 — the Part-68
+    * insight as a first-class helper instead of a hardcoded constant):
+    * a stateful streaming query commits EVERY state partition of
+    * EVERY stateful operator on EVERY micro-batch — with the default
+    * HDFS-backed store that is one delta file + CRC per partition per
+    * batch, a fixed synchronous-write cost that dwarfs the data work
+    * when state is small (r13 measured 60–70% of the streaming-gate
+    * wall clock at 32 partitions for state that fit in 4). Partition
+    * count is a PHYSICAL knob with no semantic face (results are
+    * partition-count independent), so size it to the state, not to
+    * the session's shuffle default:
+    *
+    *   partitions = clamp(ceil(expectedStateKeys / targetKeysPerPartition),
+    *                      1, maxParallelism)
+    *
+    * `expectedStateKeys` is the operator's state cardinality within
+    * the watermark horizon (distinct users for sessionization, live
+    * join-window rows for a stream-stream join, distinct dedup keys
+    * in the horizon — the caller knows its keys). The default
+    * `targetKeysPerPartition` (64k) keeps per-partition state in the
+    * tens-of-MB class for typical session/join rows; `maxParallelism`
+    * caps at the executor-core budget a 100 TB deployment would set.
+    *
+    * IMPORTANT: the count is FROZEN into the checkpoint at first
+    * start (`spark.sql.shuffle.partitions` at query birth) — size it
+    * for the horizon's peak, not the first batch, and re-checkpoint
+    * to change it. */
+  def stateStorePartitions(expectedStateKeys: Long,
+      targetKeysPerPartition: Long = 65536L,
+      maxParallelism: Int = 200): Int = {
+    require(expectedStateKeys >= 0, s"negative state keys: $expectedStateKeys")
+    require(targetKeysPerPartition > 0 && maxParallelism > 0)
+    val want = (expectedStateKeys + targetKeysPerPartition - 1) /
+      targetKeysPerPartition
+    math.max(1L, math.min(want, maxParallelism.toLong)).toInt
+  }
+
+  /** Run `body` (start + drive a stateful streaming query) with
+    * `spark.sql.shuffle.partitions` — the knob Structured Streaming
+    * freezes into the checkpoint as the state-partition count — set
+    * per [[stateStorePartitions]]; the session's original setting is
+    * restored afterwards. Batch queries on the same session are
+    * unaffected outside `body`. */
+  def withStateStorePartitions[T](spark: SparkSession, expectedStateKeys: Long,
+      targetKeysPerPartition: Long = 65536L, maxParallelism: Int = 200)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, stateStorePartitions(expectedStateKeys,
+      targetKeysPerPartition, maxParallelism).toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** events.parquet as a bounded stream (on-disk `ts` encodings
     * handled the same way as [[graft.Tables.events]]: legacy ns-longs
     * truncate to µs, native µs TIMESTAMP_NTZ casts to the session-TZ

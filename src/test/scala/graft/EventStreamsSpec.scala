@@ -16,6 +16,38 @@ class EventStreamsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("stateStorePartitions: sizing rule clamps and ceils") {
+    import EventStreams.stateStorePartitions
+    assert(stateStorePartitions(0L) == 1, "empty state still needs one partition")
+    assert(stateStorePartitions(1L) == 1)
+    assert(stateStorePartitions(65536L) == 1)
+    assert(stateStorePartitions(65537L) == 2, "ceil, not floor")
+    assert(stateStorePartitions(200000L) == 4)
+    assert(stateStorePartitions(1000000000L) == 200, "capped at maxParallelism")
+    assert(stateStorePartitions(1000L, targetKeysPerPartition = 100L) == 10)
+    assert(stateStorePartitions(1000000000L, maxParallelism = 32) == 32)
+    intercept[IllegalArgumentException](stateStorePartitions(-1L))
+  }
+
+  test("withStateStorePartitions: the count is frozen into the running query and the session is restored") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    EventStreams.withStateStorePartitions(spark, expectedStateKeys = 130000L) {
+      assert(spark.conf.get(key) == "2", "ceil(130000/65536) = 2")
+      val stream = EventStreams.readEventStream(spark, sfDir)
+      val q = EventStreams.windowedTypeCounts(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssp_out").start()
+      try {
+        q.processAllAvailable()
+        val sp = q.lastProgress.stateOperators(0).numShufflePartitions
+        assert(sp == 2L,
+          s"the stateful operator must run at the sized partition count: $sp")
+      } finally q.stop()
+    }
+    assert(spark.conf.get(key) == before, "session setting restored")
+  }
+
   test("windowed agg: stream (memory sink) == batch") {
     val stream = EventStreams.readEventStream(spark, sfDir)
     val q = EventStreams.windowedTypeCounts(stream)
