@@ -41,7 +41,8 @@ object BenchScale {
     "d10_edit_rerank", "d14_ensemble_pairs", "d19_cluster_sources",
     "d25_minhash_k_sweep", "d29_exact_substr", "d30_exact_substr_by_source",
     "d31_exact_substr_pairs", "d32_exact_substr_scrub",
-    "p47_scrub_savings_by_source",
+    "d33_df_saturation", "p47_scrub_savings_by_source",
+    "p52_decontamination_scrub", "p53_gated_packing",
     // retrieval
     "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
     "s19_hard_negatives",
@@ -76,10 +77,20 @@ object BenchScale {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    // partitions sized to the decade (SPARK_GRAFT_SCALE_PARTITIONS,
+    // default 32): at 100× a 32-partition shuffle leaves individual
+    // aggregation partitions too large for the per-task share of a
+    // single-JVM executor's page pool (c01's LSH candidate distinct
+    // OOM'd at 60 g heap) — exactly the partitions-follow-data rule a
+    // real deployment applies, surfaced as a knob instead of a
+    // constant. Base and scaled sides run at the same setting inside
+    // one sweep, so the ratio stays apples-to-apples.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .appName("graft-bench-scale")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -121,7 +132,17 @@ object BenchScale {
         try df.count()
         finally graft.operators.Storage.release(df)
       }
-      ((System.nanoTime() - t0) / 1e9, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // single-JVM 100× hygiene, OUTSIDE the timed window: broadcast
+      // and checkpoint blocks of the PREVIOUS queries are cleaned by
+      // the ContextCleaner only after GC proves them unreachable — at
+      // 100× a few uncollected broadcasts from 8 preceding heavy
+      // queries starve the next aggregation's page allocator
+      // (AGGREGATE_OUT_OF_MEMORY at a 60g heap with <20g live). A
+      // real cluster recycles executors; the single-JVM stand-in
+      // nudges the collector between queries instead.
+      System.gc()
+      (dt, n)
     }
 
     val tBase = scala.collection.mutable.Map.empty[String, Double]

@@ -47,10 +47,19 @@ object Cluster {
       srcCol: String,
       dstCol: String,
       maxRounds: Int = 30): DataFrame = {
+    // serialized checkpoint storage (MEMORY_AND_DISK_SER): the edge
+    // list is the loop's biggest resident — at 100× the dup-saturated
+    // slice yields ~10⁸ symmetric pair rows, and the default
+    // DESERIALIZED block format held them as boxed row objects that
+    // outgrew a 60 g heap (round-14 OOM); serialized blocks are
+    // several× smaller, evict cleanly, and the per-round consumers
+    // scan them once each — the classic iterate-over-big-edge-list
+    // storage rule
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sym = edges.selectExpr(s"$srcCol AS a", s"$dstCol AS b")
       .union(edges.selectExpr(s"$dstCol AS a", s"$srcCol AS b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, ser)
     // seed with min(self, neighbors) — round 1's propagation step (a)
     // computed directly from the grouped edge list, no join: every
     // neighbor label still equals its id at this point. Saves one full
@@ -58,7 +67,7 @@ object Cluster {
     var labels = sym.groupBy(col("a"))
       .agg(min(col("b")).as("minb"))
       .select(col("a").as("id"), least(col("a"), col("minb")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(true, ser)
     // round N's label blocks are consumed exactly once — by round
     // N+1's eager checkpoint materialization. Unpersist them as soon
     // as the new round is materialized, or executor storage holds one
@@ -86,7 +95,7 @@ object Cluster {
         .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
         .select(col("id"), col("n.lbl").as("lbl"),
           (col("n.lbl") =!= col("prev")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(true, ser)
       stale.foreach(_.unpersist(blocking = false))
       stale = checkpointRdds(flagged)
       val done = flagged.filter(col("chg")).isEmpty
