@@ -102,18 +102,36 @@ object Bench {
     // to 1.9x their quiet times while the per-rep calib mids read up
     // to 4.7x the converged anchor). The anchor is therefore probed
     // BETWEEN QUERY BLOCKS, each block's observations are flagged
-    // `contended` when a bracketing probe exceeds 1.5x the best anchor
-    // seen so far, and a contended block is re-run once immediately
-    // (bounded per rep) so most queries keep at least one clean
-    // observation. A query whose EVERY observation was contended is
-    // marked "contended":true in BENCH_DETAIL — the mark that tells
-    // the judge "re-measure before calling this a regression".
+    // `contended` when a bracketing probe exceeds the threshold, and
+    // a contended block is re-run once immediately (bounded per rep)
+    // so most queries keep at least one clean observation. A query
+    // whose EVERY observation was contended is marked
+    // "contended":true in BENCH_DETAIL — the mark that tells the
+    // judge "re-measure before calling this a regression".
+    //
+    // Threshold calibration (measured on a quiet box, r14): the
+    // probe right after a heavy block reads 1.5-2.5x the best anchor
+    // from the JVM's OWN GC/JIT state — working-state probes sit at
+    // median ~2x idle with a tail to ~3x — so a naive 1.5x-of-best
+    // cutoff flags the whole registry. TRANSIENT external contention
+    // (the r13 pattern) reads 2x the working-state median and 4x+
+    // idle. Flag above max(1.75x the run's rolling probe MEDIAN,
+    // 2.5x the best anchor): zero false flags on a quiet run, fires
+    // on the r13-magnitude mid-sweep intruder. WHOLE-RUN contention
+    // cannot be self-detected (the median inflates with it) — that
+    // case stays visible as calib.best vs the cross-round anchor
+    // history, which the artifact records for exactly this purpose.
     var calibBest = calibPre
     def probe(): Double = {
       val v = calibOnce(); calibMids += v
       calibBest = math.min(calibBest, v); v
     }
-    val contFactor = 1.5
+    def probeMedian(): Double = {
+      val s = calibMids.sorted
+      if (s.isEmpty) calibPre else s(s.length / 2)
+    }
+    def contThreshold(): Double =
+      math.max(1.75 * probeMedian(), 2.5 * calibBest)
     val rerunCapPerRep = 4
     def timeOne(q: graft.queries.QueryDef): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -149,17 +167,18 @@ object Bench {
         def runBlock() = block.map { q => val (dt, n) = timeOne(q); (q, dt, n) }
         val obs = runBlock()
         val post = probe()
-        val contended = math.max(prevProbe, post) > contFactor * calibBest
+        val thr = contThreshold()
+        val contended = math.max(prevProbe, post) > thr
         record(obs, contended)
         if (contended && reruns < rerunCapPerRep) {
           reruns += 1
           System.err.println(f"[bench] rep $rep block '${block.head.name}'.. " +
-            f"contended (probes $prevProbe%.3f/$post%.3f vs anchor " +
-            f"$calibBest%.3f) - re-running once")
+            f"contended (probes $prevProbe%.3f/$post%.3f vs threshold " +
+            f"$thr%.3f, anchor $calibBest%.3f) - re-running once")
           val pre2 = probe()
           val obs2 = runBlock()
           val post2 = probe()
-          record(obs2, math.max(pre2, post2) > contFactor * calibBest)
+          record(obs2, math.max(pre2, post2) > contThreshold())
           prevProbe = post2
         } else prevProbe = post
       }
