@@ -186,11 +186,18 @@ object Bench {
     }
     val results = reg.map { q =>
       val times = timesByName(q.name)
+      // min over ALL observations (contention only inflates times, so
+      // a contended min is still valid); med over CLEAN observations
+      // only when at least one exists — a contended sample alongside
+      // the clean re-run would otherwise skew median-based jitter
+      // reporting upward (r14 ADVICE)
       val best = times.map(_._1).min
-      val med = times.map(_._1).sorted.apply(times.length / 2)
+      val cleanTimes = times.filter(!_._3)
+      val medBasis = if (cleanTimes.nonEmpty) cleanTimes else times
+      val med = medBasis.map(_._1).sorted.apply(medBasis.length / 2)
       // contended = NO clean observation exists for this query (every
       // rep + any re-run ran inside a flagged block)
-      val contended = times.forall(_._3)
+      val contended = cleanTimes.isEmpty
       System.err.println(
         f"[bench] ${q.name}%-28s min=$best%7.2fs med=$med%7.2fs rows=${times.head._2}" +
           (if (contended) " CONTENDED" else ""))

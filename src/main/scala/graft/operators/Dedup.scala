@@ -878,7 +878,10 @@ object Dedup {
     * recipes apply (the GPT-3 appendix-C / PaLM method removes the
     * overlapping spans, not the documents). Rows matching `evalPred`
     * are the eval set; they are NOT rewritten (they are the
-    * benchmark) and do not appear in the output. Train↔train overlap
+    * benchmark) and do not appear in the output. A row whose
+    * `evalPred` evaluates to NULL counts as TRAIN (the predicate is
+    * coalesced to false): it is scrubbed and kept, never silently
+    * dropped. Train↔train overlap
     * deliberately survives — only eval-side presence contaminates
     * (the [[spanContamination]] direction, reversed onto the train
     * side: p46 reports how much eval text leaked; this removes that
@@ -904,7 +907,20 @@ object Dedup {
   def decontaminationScrub(docs: DataFrame, textCol: String, k: Int,
       evalPred: String, idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
-    val base = docs.selectExpr(s"$idCol AS doc_id", s"($evalPred) AS is_eval",
+    // NULL-valued predicates (e.g. over a nullable metadata column)
+    // coalesce to false = TRAIN: under three-valued logic a NULL row
+    // would fail BOTH is_eval and NOT is_eval and silently vanish
+    // from the scrubbed corpus — silent train-data loss, the worst
+    // failure mode a rewrite can have. Unknown provenance is treated
+    // as train (it gets scrubbed, never dropped).
+    // `base` is referenced by three branches below (eval-hash
+    // distinct, coverage join, train-side rebuild); Catalyst prunes
+    // `hs` out of the rebuild branch and pushes the is_eval filters
+    // below the projection ONLY while the predicate is deterministic
+    // — keep `evalPred` deterministic, or cache `base` before a
+    // nondeterministic predicate triples the corpus hash pass.
+    val base = docs.selectExpr(s"$idCol AS doc_id",
+      s"coalesce(($evalPred), false) AS is_eval",
       s"${TextOps.tokens(textCol)} AS t",
       s"graft_shingle_hashes_all($textCol, $k) AS hs")
     val occ = base
@@ -950,6 +966,78 @@ object Dedup {
       .distinct()
       .selectExpr("d1", "d2", "cast(bit_count(sh1 ^ sh2) as bigint) AS hamming")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Band-SKEW saturation audit over a banded candidate frame — the
+    * hot-BUCKET analog of [[dfSaturationAudit]] (which audits shingle
+    * df, the other way a capped/banded candidate generator degrades):
+    * an adversarial corpus that funnels documents into one band
+    * bucket turns the banded equi-join ([[minhashLshPairsFrom]],
+    * [[simhashPairsFrom]]) quadratic with NO df-side signal, because
+    * band buckets hash whole signature slices, not shingles. This
+    * 1-row audit is the pre-join gate: the candidate-pair mass the
+    * banding will emit (`Σ C(sz,2)` over buckets), the fattest single
+    * bucket anywhere, the band carrying the most pair mass, and the
+    * share of all candidate pairs owned by the single hottest bucket
+    * (`hot_bucket_pairs / cand_pairs`, micro units) — read
+    * `skew_micro` near 1e6 as "one mega-bucket owns the join".
+    *
+    * Input: one row per (doc, band) with its bucket key — the exact
+    * frame the pair joins bucket on. Returns one row: `n_buckets`
+    * (occupied (band, bucket) cells), `max_bucket` (fattest bucket
+    * membership), `cand_pairs`, `hot_bucket_pairs` (pair mass of that
+    * fattest bucket; ties resolved by the mass itself — C(sz,2) is
+    * monotone in sz), `top_band` (band with the largest pair mass,
+    * ties → lowest band), `top_band_pairs`, `skew_micro`.
+    *
+    * 100 TB shape: one map-side-combinable ((band, bucket) → sz)
+    * aggregation over the banded frame — the same exchange key the
+    * pair join itself would use — a ≤`bands`-row per-band fold, and a
+    * 1-row fold; strictly cheaper than the banded join it gates. */
+  def bandSkewAuditFrom(bandRows: DataFrame): DataFrame = {
+    val perBand = bandRows
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("band_pairs"))
+    perBand
+      // struct max = (band_pairs DESC, band ASC) argmax: field-wise
+      // struct ordering, band negated so ties elect the LOWEST band
+      .agg(coalesce(sum(col("n_buckets")), lit(0L)).as("n_buckets"),
+        coalesce(max(col("max_bucket")), lit(0L)).as("max_bucket"),
+        coalesce(sum(col("band_pairs")), lit(0L)).as("cand_pairs"),
+        max(expr("named_struct('p', band_pairs, 'nb', -band)")).as("top"))
+      .selectExpr("n_buckets", "max_bucket", "cand_pairs",
+        "max_bucket * (max_bucket - 1) div 2 AS hot_bucket_pairs",
+        "cast(coalesce(-top.nb, 0) as bigint) AS top_band",
+        "coalesce(top.p, 0L) AS top_band_pairs",
+        "if(cand_pairs = 0, 0L, (max_bucket * (max_bucket - 1) div 2)" +
+          " * 1000000 div cand_pairs) AS skew_micro")
+  }
+
+  /** [[bandSkewAuditFrom]] over [[simhashPairsFrom]]'s exact banding
+    * (4 bands × 15 bits of the 60-bit SimHash) — the previously
+    * unaudited banded join (MinHash banding has [[lshBandStats]];
+    * SimHash's 4×15-bit buckets had no hot-bucket signal at all). */
+  def simhashBandSkewAudit(docs: DataFrame, textCol: String): DataFrame =
+    bandSkewAuditFrom(simhashes(docs, textCol)
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, 3), b -> struct(cast(b as bigint) AS band, (shiftright(simhash, b * 15) % 32768) AS bucket))) AS bb")
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+
+  /** [[bandSkewAuditFrom]] over [[minhashLshPairsFrom]]'s exact
+    * banding (k-perm signature, `bands` slices folded to a bucket
+    * key) — the 1-row companion to [[lshBandStats]]'s per-band rows,
+    * directly comparable with [[dfSaturationAudit]]'s shape. */
+  def minhashBandSkewAudit(docs: DataFrame, textCol: String, n: Int,
+      k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands $bands must divide k $k")
+    bandSkewAuditFrom(minhashSignatures(docs, textCol, n, k)
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(cast(b as bigint) AS band, ${TextOps.foldHash(s"slice(sig, b * $r + 1, $r)")} AS bucket))) AS bb")
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket")))
   }
 
   /** Paragraph-granularity duplication accounting (the Lee et al.

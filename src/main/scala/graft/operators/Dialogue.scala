@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dialogue-aware (multi-turn) curation — dedup and decontamination
+  * over ROLE-TAGGED conversation data, where only ASSISTANT-authored
+  * text participates in the hashing and user turns are preserved
+  * verbatim. This is the shape conversation-data curation actually
+  * needs: two SFT conversations whose assistant responses are
+  * identical are duplicates even when every user prompt differs
+  * (prompts are paraphrased, templated, or user-specific), and a
+  * decontamination scrub must never rewrite what a USER said — only
+  * what the model would be trained to SAY.
+  *
+  * Input contract (both operators): a TURNS frame with one row per
+  * turn — `conv_id` (BIGINT conversation key), `turn_idx` (BIGINT
+  * position within the conversation, unique per conv), `role`
+  * (STRING), `text` (STRING). Rows whose role is not `assistantRole`
+  * (user turns, system prompts, tool results) are protected: they
+  * never contribute hashes and are never rewritten.
+  *
+  * 100 TB shape: both operators are the turn-keyed instances of the
+  * audited corpus plans ([[Dedup.decontaminationScrub]]'s broadcast
+  * eval set + per-key bounded collect; d01's fingerprint groupBy) —
+  * one map-only hash pass, one (conv or (conv, turn))-keyed exchange,
+  * no pair join, no collect.
+  */
+object Dialogue {
+
+  /** Exact dialogue dedup: per conversation, an ORDER-SENSITIVE
+    * 60-bit fingerprint of the assistant turns only — per-turn token
+    * hashes folded within the turn, per-turn folds folded again in
+    * `turn_idx` order — then fingerprint groups resolved keep-first.
+    * Two conversations collide iff their assistant text (token
+    * stream AND turn segmentation) is identical; user/system/tool
+    * turns are invisible to the fingerprint, so a templated prompt
+    * rewrite cannot hide a duplicated response set. A conversation
+    * with NO assistant turns fingerprints as the empty fold (seed 7)
+    * — all such conversations group together, which is the honest
+    * answer (there is nothing trainable to distinguish them).
+    *
+    * Returns one row per conversation: `conv_id, asst_fp, group_size,
+    * canonical_conv` (lowest conv_id in the group), `is_canonical`.
+    *
+    * 100 TB shape: one map-only tokenize+hash, one conv-keyed
+    * partial-aggregable fold (per-turn 8-byte longs into the
+    * shuffle, collect bounded by turns-per-conversation), one
+    * fingerprint-keyed window over fine-grained 60-bit keys — d01's
+    * exact plan at conversation granularity. */
+  def dialogueExactDedup(turns: DataFrame,
+      assistantRole: String = "assistant"): DataFrame = {
+    val perTurn = turns
+      .filter(col("role") === lit(assistantRole))
+      .selectExpr("conv_id", "turn_idx",
+        s"${TextOps.foldHash(TextOps.hashAll(TextOps.tokens("text")))} AS th")
+    val perConv = perTurn.groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("th"))))
+        .as("fs"))
+      .selectExpr("conv_id",
+        s"${TextOps.foldHash("transform(fs, f -> f.th)")} AS f")
+    val fp = turns.select(col("conv_id")).distinct()
+      .join(perConv, Seq("conv_id"), "left")
+      // a conversation with NO assistant turns folds as the bare
+      // seed (7); one with only zero-token assistant turns folds the
+      // per-turn seeds in — the two stay distinguishable
+      .selectExpr("conv_id", "coalesce(f, 7L) AS asst_fp")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("asst_fp"))
+    fp.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_conv", min(col("conv_id")).over(w))
+      .selectExpr("conv_id", "asst_fp", "group_size", "canonical_conv",
+        "conv_id = canonical_conv AS is_canonical")
+  }
+
+  /** Dialogue decontamination scrub — [[Dedup.decontaminationScrub]]
+    * at TURN granularity with role awareness: every ≥k-token window
+    * of a train conversation's ASSISTANT turn whose hash occurs in
+    * any eval conversation's ASSISTANT turn is scrubbed (windows
+    * never cross turn boundaries — a span interrupted by a user turn
+    * is not a contiguous training span); user/system/tool turns pass
+    * through VERBATIM (original casing, punctuation, whitespace),
+    * and eval conversations do not appear in the output. A
+    * conversation whose `evalPred` evaluates to NULL counts as TRAIN
+    * (coalesced to false — scrubbed and kept, never silently
+    * dropped; the [[Dedup.decontaminationScrub]] rule).
+    *
+    * Returns one row per TRAIN turn: `conv_id, turn_idx, role,
+    * n_before, n_after, text_out` — for protected roles
+    * `n_after = n_before` and `text_out` is the raw input text; for
+    * assistant turns `text_out` is rebuilt from surviving tokens.
+    *
+    * 100 TB shape: identical to [[Dedup.decontaminationScrub]] with
+    * (conv_id, turn_idx) as the document key — map-only window
+    * hashing, one small eval distinct BROADCAST, one turn-keyed
+    * bounded coverage collect, one turn-keyed rebuild join with the
+    * shared O(len + |cov|) `graft_scrub_keep` two-pointer. */
+  def dialogueScrub(turns: DataFrame, k: Int, evalPred: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    val base = turns.selectExpr("conv_id", "turn_idx", "role", "text",
+      s"coalesce(($evalPred), false) AS is_eval",
+      s"(role = '$assistantRole') AS is_asst",
+      s"${TextOps.tokens("text")} AS t",
+      s"graft_shingle_hashes_all(text, $k) AS hs")
+    val evalH = base.filter(col("is_eval") && col("is_asst"))
+      .selectExpr("explode(hs) AS h").distinct()
+    val cov = base.filter(!col("is_eval") && col("is_asst"))
+      .selectExpr("conv_id", "turn_idx", "posexplode(hs) AS (pos0, h)")
+      .selectExpr("conv_id", "turn_idx",
+        "cast(pos0 + 1 as bigint) AS pos", "h")
+      .join(broadcast(evalH), Seq("h"))
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(sort_array(collect_list(col("pos"))).as("cov"))
+    base.filter(!col("is_eval"))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("t"), col("is_asst"))
+      .join(cov, Seq("conv_id", "turn_idx"), "left")
+      .selectExpr("conv_id", "turn_idx", "role", "text", "t", "is_asst",
+        "coalesce(cov, cast(array() as array<bigint>)) AS cov")
+      .selectExpr("conv_id", "turn_idx", "role", "text", "t", "is_asst",
+        s"graft_scrub_keep(cov, $k, size(t)) AS kept")
+      .selectExpr("conv_id", "turn_idx", "role",
+        "cast(size(t) as bigint) AS n_before",
+        "if(is_asst, cast(size(kept) as bigint)," +
+          " cast(size(t) as bigint)) AS n_after",
+        "if(is_asst, concat_ws(' ', transform(kept," +
+          " j -> element_at(t, j))), text) AS text_out")
+  }
+}

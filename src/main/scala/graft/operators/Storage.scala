@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Executor-storage lifecycle for operators that need a shared
   * intermediate (signatures, assignments) referenced by several
@@ -27,17 +28,32 @@ object Storage {
     * blocks if the materializing action dies. An EAGER
     * `localCheckpoint` can't make that guarantee: the failed frame is
     * never returned to the caller, so its partial blocks would sit
-    * until the ContextCleaner noticed. Shared by [[withCached]] and
-    * the [[Bpe]] training loop's per-round checkpoints. */
-  private[graft] def checkpointed(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(eager = false)
+    * until the ContextCleaner noticed. Shared by [[withCached]], the
+    * [[graft.operators.Graph]] fixpoint loops and the [[Bpe]]
+    * training loop's per-round checkpoints.
+    *
+    * Storage level defaults to SERIALIZED (`MEMORY_AND_DISK_SER`):
+    * checkpoint blocks held at the default DESERIALIZED level keep
+    * every row as a boxed JVM object graph — the residency class
+    * that OOM'd the c01 connected-components 100× sweep three times
+    * at 48–60 g heap before [[Cluster.connectedComponents]] switched
+    * its ~10⁸-row edge frames to serialized storage (and got FASTER:
+    * 170 → 125 s in-sweep, exponent 0.98 → 0.67, because the blocks
+    * stopped evicting). PageRank/SCC/k-core/harmonic/eccentricity
+    * checkpoint the same O(edges) frames through here, so serialized
+    * is the loop-resident default; pass `level` explicitly only when
+    * a caller has measured deserialized to win. */
+  private[graft] def checkpointed(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER): DataFrame = {
+    val out = df.localCheckpoint(eager = false, storageLevel = level)
     try { out.count(): Unit; out }
     catch { case t: Throwable => release(out); throw t }
   }
 
   /** Cache `tmp` for the duration of building AND materializing the
     * result, then release it. The result comes back
-    * lineage-truncated (localCheckpoint, spillable MEMORY_AND_DISK):
+    * lineage-truncated (localCheckpoint, spillable serialized
+    * MEMORY_AND_DISK_SER — see [[checkpointed]]):
     * downstream consumers re-read the materialized blocks instead of
     * re-running the plan, and the unpersisted intermediate can never
     * be silently recomputed-and-recached by a later action.

@@ -55,6 +55,8 @@ object ZipfSlice {
     spark.sparkContext.setLogLevel("WARN")
     synthesize(spark, nDocs).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/documents.parquet")
+    synthesizeEmbeddings(spark, (nDocs * 2) / 5).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
     spark.stop()
   }
 
@@ -75,6 +77,28 @@ object ZipfSlice {
   /** doc i's base token array. */
   private def baseToks(i: String): String =
     s"transform(sequence(0, ${lenOf(i)} - 1), j -> ${tok("tok", i, "j")})"
+
+  /** Companion embeddings table (testdata schema: vec_id BIGINT,
+    * embedding ARRAY<FLOAT> dim 64, label INT; 2 vectors per 5 docs —
+    * the testdata ratio) so the embedding-side queries (t23's dense
+    * ranking, s-family) run on the Zipf slices too. Pure function of
+    * (vec_id, dim) like the documents: base coordinates are
+    * hash-uniform in [-0.5, 0.5); 10% of vectors are micro-perturbed
+    * copies of an earlier vector (near-dup neighborhoods, the ScaleUp
+    * convention — never exact collisions). */
+  def synthesizeEmbeddings(spark: SparkSession, nVecs: Long): DataFrame = {
+    val coord = (i: String, j: String) =>
+      s"cast(pmod(xxhash64('emb', $i, $j), 1000000) / 1000000.0d - 0.5d as float)"
+    val srcE = "pmod(xxhash64('esrc', id), id)"
+    spark.range(0L, nVecs, 1L, 32)
+      .selectExpr("id AS vec_id",
+        s"""CASE WHEN id >= 100 AND pmod(id, 100) < 10 THEN
+              transform(sequence(0, 63), j -> cast(${coord(srcE, "j")}
+                + pmod(xxhash64('eps', id, j), 1000) / 1000000.0d as float))
+            ELSE transform(sequence(0, 63), j -> ${coord("id", "j")})
+          END AS embedding""",
+        "cast(pmod(xxhash64('elabel', id), 10) as int) AS label")
+  }
 
   def synthesize(spark: SparkSession, nDocs: Long): DataFrame = {
     // partner classes pick a uniformly-random EARLIER doc and

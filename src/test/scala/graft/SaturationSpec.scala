@@ -112,6 +112,63 @@ class SaturationSpec extends AnyFunSuite {
     assert((0 to 5).map(out.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("d34 bandSkewAudit: exact counts on a hand-banded frame") {
+    import spark.implicits._
+    // band 0: buckets {1:3 docs, 2:1}; band 1: buckets {1:2, 3:2}
+    val bands = Seq(
+      (10L, 0L, 1L), (11L, 0L, 1L), (12L, 0L, 1L), (13L, 0L, 2L),
+      (10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, 3L), (13L, 1L, 3L))
+      .toDF("doc_id", "band", "bucket")
+      .select(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("bucket"))
+    val out = Dedup.bandSkewAuditFrom(bands).collect().head
+    assert(out.getLong(0) == 4L, s"n_buckets: $out")
+    assert(out.getLong(1) == 3L, s"max_bucket: $out")
+    // band 0: C(3,2)+C(1,2) = 3; band 1: C(2,2)+C(2,2) = 2 -> 5 total
+    assert(out.getLong(2) == 5L, s"cand_pairs: $out")
+    assert(out.getLong(3) == 3L, s"hot_bucket_pairs C(3,2): $out")
+    assert(out.getLong(4) == 0L, s"top_band (3 > 2 pairs): $out")
+    assert(out.getLong(5) == 3L, s"top_band_pairs: $out")
+    assert(out.getLong(6) == 3L * 1000000L / 5L, s"skew_micro: $out")
+  }
+
+  test("d34 top_band tie elects the LOWEST band") {
+    import spark.implicits._
+    val bands = Seq((1L, 2L, 7L), (2L, 2L, 7L), (3L, 5L, 9L), (4L, 5L, 9L))
+      .toDF("doc_id", "band", "bucket").select("band", "bucket")
+    val out = Dedup.bandSkewAuditFrom(bands).collect().head
+    assert(out.getLong(4) == 2L && out.getLong(5) == 1L,
+      s"equal pair mass (1 vs 1) must elect band 2, not 5: $out")
+  }
+
+  test("d34 on a funnel corpus: one mega-bucket owns the join and skew_micro says so") {
+    // every doc identical -> identical simhash -> all 4 bands funnel
+    // all docs into one bucket each; the hottest bucket owns 1/4 of
+    // the candidate mass exactly
+    import spark.implicits._
+    val docs = (1 to 32).map(i => (i.toLong, "same text every time"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashBandSkewAudit(docs, "text").collect().head
+    assert(out.getLong(0) == 4L, s"4 occupied buckets (one per band): $out")
+    assert(out.getLong(1) == 32L, s"max_bucket = all docs: $out")
+    assert(out.getLong(2) == 4L * (32L * 31L / 2L), s"cand_pairs: $out")
+    assert(out.getLong(6) == 250000L, s"skew_micro = 1/4: $out")
+    // the diverse contrast: saturatedDocs' private tails spread
+    // simhashes, so no bucket dominates
+    val diverse = Dedup.simhashBandSkewAudit(saturatedDocs(32), "text")
+      .collect().head
+    assert(diverse.getLong(1) < 32L && diverse.getLong(2) < out.getLong(2),
+      s"diverse corpus must not funnel: $diverse")
+  }
+
+  test("d34 on an empty corpus: zero row, no division error") {
+    import spark.implicits._
+    val out = Dedup.simhashBandSkewAudit(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+      .collect().head
+    assert((0 to 6).map(out.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("eager wrapper pairing: empty capped result + audit names the cause") {
     val docs = saturatedDocs(8)
     // the EAGER wrapper (withCached -> checkpointed) drains the metric

@@ -328,6 +328,64 @@ class ScrubSpec extends AnyFunSuite {
     }
   }
 
+  test("p54 composition invariant: scrub -> exact-substr scrub -> gates leaves ZERO span contamination vs eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // eval = odd ids; doc 0 holds eval text (p52's job), docs 2 and 4
+    // share a cross-doc duplicated run (d32's job), doc 6 is a
+    // repetition-heavy doc the gates must drop
+    val docs = Seq(
+      (0L, "intro alpha beta gamma outro words one two three four"),
+      (1L, "alpha beta gamma"),                            // eval
+      // tails long and distinct enough that the post-scrub remainder
+      // of the NON-canonical copy still clears the top-2-gram gate
+      (2L, "shared run of tokens here qq ww ee rr tt yy uu"),
+      (4L, "shared run of tokens here aa ss dd ff gg hh jj"),
+      (6L, "spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val sc1 = Dedup.decontaminationScrub(docs, "text", N, "doc_id % 2 = 1")
+      .selectExpr("doc_id", "text_scrubbed AS text")
+    val sc2 = Dedup.exactSubstrScrub(sc1, "text", N)
+      .selectExpr("doc_id", "text_scrubbed AS text")
+    val kept = graft.operators.TextOps.repetitionGates(sc2, "text")
+      .filter(!col("flagged")).select(col("doc_id"))
+      .join(sc2, Seq("doc_id"))
+    assert(kept.filter(col("doc_id") === 6L).isEmpty,
+      "the repetition gate must drop the spam doc")
+    // THE invariant: the curated output united with the untouched
+    // eval set audits clean at the same window width
+    val audited = kept.unionByName(docs.filter("doc_id % 2 = 1"))
+    val after = Dedup.spanContamination(audited, "text", N, "doc_id % 2 = 1")
+      .agg(fsum("contaminated_tokens")).head.getLong(0)
+    assert(after == 0L, s"composed chain must audit clean: $after")
+    // and the chain acted at every stage: doc 0 lost the eval span,
+    // the 2/4 duplicate run survives in exactly one copy
+    val texts = kept.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!texts(0L).contains("alpha beta gamma"), s"stage 1 acted: $texts")
+    assert(texts(2L).contains("shared run of tokens here") &&
+      !texts(4L).contains("shared run of tokens here"),
+      s"stage 2 keeps exactly the (doc_id, pos)-minimal copy: $texts")
+  }
+
+  test("decontaminationScrub: NULL evalPred counts as train (scrubbed, never dropped)") {
+    import spark.implicits._
+    // doc 2's split flag is NULL: under three-valued logic it would
+    // fail BOTH is_eval and NOT is_eval and vanish (r14 ADVICE —
+    // silent train-data loss); the coalesce pins it to TRAIN, so it
+    // is present in the output AND scrubbed against the eval set.
+    val docs = Seq(
+      (0L, "intro alpha beta gamma outro", Some(false)), // train
+      (1L, "alpha beta gamma", Some(true)),              // eval
+      (2L, "pre alpha beta gamma post", None))           // unknown → train
+      .toDF("doc_id", "text", "flag")
+    val out = Dedup.decontaminationScrub(docs, "text", N, "flag")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 2L), s"NULL-flag doc must survive as train: ${out.keySet}")
+    assert(out(2L) == ((5L, 2L, "pre post")),
+      s"NULL-flag doc is scrubbed like any train doc: ${out(2L)}")
+  }
+
   test("decontaminationScrub result is partition-count independent") {
     import spark.implicits._
     val docs = Seq(0L -> "a b c d e", 1L -> "a b c", 2L -> "z b c d w",
