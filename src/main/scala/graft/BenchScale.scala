@@ -43,6 +43,9 @@ object BenchScale {
     "d31_exact_substr_pairs", "d32_exact_substr_scrub",
     "d33_df_saturation", "p47_scrub_savings_by_source",
     "p52_decontamination_scrub", "p53_gated_packing",
+    "d34_band_skew", "d36_minhash_band_skew", "d35_dialogue_dedup",
+    "p55_dialogue_scrub", "p56_dialogue_contamination",
+    "p54_curation_compose",
     // retrieval
     "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
     "s19_hard_negatives",

@@ -763,8 +763,14 @@ object Dedup {
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
     // evalPred is evaluated over the CALLER's columns (so it may
     // reference idCol by its original name); outputs are normalized
-    // to doc_id like the rest of the ExactSubstr family (ADVICE r12)
-    val base = docs.selectExpr(s"$idCol AS doc_id", s"($evalPred) AS is_eval",
+    // to doc_id like the rest of the ExactSubstr family (ADVICE r12).
+    // NULL predicates coalesce to false = TRAIN — the CONSERVATIVE
+    // side for an audit: an unknown-provenance row's windows count as
+    // train presence (contamination is over-reported, never silently
+    // under-reported by rows vanishing from both splits — the
+    // [[decontaminationScrub]] rule, same direction).
+    val base = docs.selectExpr(s"$idCol AS doc_id",
+      s"coalesce(($evalPred), false) AS is_eval",
       s"graft_shingle_hashes_all($textCol, $k) AS hs",
       s"cast(size(${TextOps.tokens(textCol)}) as bigint) AS n_tokens")
     val occ = base

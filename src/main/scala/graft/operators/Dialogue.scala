@@ -73,6 +73,69 @@ object Dialogue {
         "conv_id = canonical_conv AS is_canonical")
   }
 
+  /** Dialogue contamination AUDIT — [[Dedup.spanContamination]] at
+    * TURN granularity with role awareness: the read-only half of
+    * [[dialogueScrub]] (audit first, scrub when the number is
+    * nonzero — the p46/p52 pairing at conversation grain). For each
+    * EVAL conversation, the maximal spans (gap-≤k island merge,
+    * per-turn — windows and spans never cross turn boundaries) of
+    * its ASSISTANT-turn windows that also occur in any TRAIN
+    * conversation's assistant turn. User/system/tool text
+    * contributes nothing on either side: a user prompt quoting a
+    * benchmark question is not trainable leakage — only what the
+    * model would learn to SAY is. Every eval conversation emits a
+    * row (zero-filled when clean); `contamination_micro` is over the
+    * conversation's assistant-token mass. A conversation whose
+    * `evalPred` is NULL counts as TRAIN (the conservative audit
+    * side: its windows count as train presence).
+    *
+    * Returns one row per EVAL conversation: `conv_id, asst_tokens,
+    * n_spans, contaminated_tokens, contamination_micro`.
+    *
+    * 100 TB shape: [[Dedup.spanContamination]]'s — one map-only
+    * window-hash pass, a map-side-combinable train-hash agg, ONE
+    * hash-keyed equi-join, per-(conv, turn) island merge on one
+    * window shuffle, one zero-fill left join. No pair join. */
+  def dialogueContamination(turns: DataFrame, k: Int, evalPred: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    val base = turns.selectExpr("conv_id", "turn_idx",
+      s"coalesce(($evalPred), false) AS is_eval",
+      s"(role = '$assistantRole') AS is_asst",
+      s"graft_shingle_hashes_all(text, $k) AS hs",
+      s"cast(size(${TextOps.tokens("text")}) as bigint) AS n_tokens")
+    val occ = base.filter(col("is_asst"))
+      .selectExpr("conv_id", "turn_idx", "is_eval",
+        "posexplode(hs) AS (pos0, h)")
+      .selectExpr("conv_id", "turn_idx", "is_eval",
+        "cast(pos0 + 1 as bigint) AS pos", "h")
+    val trainH = occ.filter(!col("is_eval"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__n")).select(col("h"))
+    val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
+      .orderBy(col("pos"))
+    val spans = occ.filter(col("is_eval"))
+      .join(trainH, Seq("h"))
+      .select(col("conv_id"), col("turn_idx"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("conv_id"), col("turn_idx"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k).cast("long")).as("span"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span")).as("contaminated_tokens"))
+    base.filter(col("is_eval")).groupBy(col("conv_id"))
+      .agg(sum(expr("if(is_asst, n_tokens, 0L)")).as("asst_tokens"))
+      .join(spans, Seq("conv_id"), "left")
+      .na.fill(0L, Seq("n_spans", "contaminated_tokens"))
+      .selectExpr("conv_id", "asst_tokens", "n_spans", "contaminated_tokens",
+        "cast(if(asst_tokens = 0, 0, (cast(contaminated_tokens as" +
+          " decimal(38,0)) * 1000000) div asst_tokens) as bigint)" +
+          " AS contamination_micro")
+  }
+
   /** Dialogue decontamination scrub — [[Dedup.decontaminationScrub]]
     * at TURN granularity with role awareness: every ≥k-token window
     * of a train conversation's ASSISTANT turn whose hash occurs in

@@ -1060,13 +1060,18 @@ object Similarity {
   def evalContamination(emb: DataFrame, evalPredicate: String,
       tauMicro: Long): DataFrame = {
     val p = prepared(emb).filter(col("nrm") > 0d).select("vec_id", "v", "nrm")
-    val ev = p.filter(expr(evalPredicate))
+    // NULL predicates coalesce to false = TRAIN: under three-valued
+    // logic a NULL row would fail BOTH filters and silently audit as
+    // neither split (the Dedup.spanContamination/decontaminationScrub
+    // rule — unknown provenance is scanned as train, never dropped)
+    val isEval = coalesce(expr(evalPredicate), lit(false))
+    val ev = p.filter(isEval)
       .select(col("vec_id").as("e_id"), col("v").as("ev"), col("nrm").as("en"))
     require(!ev.isEmpty,
       s"evalContamination: eval predicate '$evalPredicate' matched no " +
         "non-zero-norm vectors - an empty eval side would read as a " +
         "clean audit; fix the predicate")
-    val tr = p.filter(not(expr(evalPredicate)))
+    val tr = p.filter(not(isEval))
     tr.crossJoin(broadcast(ev))
       .selectExpr("vec_id",
         s"cast(round((${cosExpr.format("v", "ev", "nrm", "en")}) * 1000000)" +

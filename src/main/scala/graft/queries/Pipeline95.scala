@@ -10,7 +10,7 @@ import graft.operators.{Dedup, Dialogue}
   */
 object Pipeline95 {
 
-  def all: Seq[QueryDef] = Seq(d34, d35, p55)
+  def all: Seq[QueryDef] = Seq(d34, d35, d36, p55, p56)
 
   /** SimHash band-skew audit
     * ([[graft.operators.Dedup.simhashBandSkewAudit]]): the hot-BUCKET
@@ -43,6 +43,41 @@ object Pipeline95 {
                CAST(max(sz) AS BIGINT) AS max_bucket,
                CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS band_pairs
              FROM sz GROUP BY 1),
+      top AS (SELECT band AS top_band, band_pairs AS top_band_pairs
+              FROM pb ORDER BY band_pairs DESC, band ASC LIMIT 1),
+      a AS (SELECT CAST(coalesce(sum(n_buckets), 0) AS BIGINT) AS n_buckets,
+              CAST(coalesce(max(max_bucket), 0) AS BIGINT) AS max_bucket,
+              CAST(coalesce(sum(band_pairs), 0) AS BIGINT) AS cand_pairs
+            FROM pb)
+      SELECT a.n_buckets, a.max_bucket, a.cand_pairs,
+        CAST(a.max_bucket * (a.max_bucket - 1) // 2 AS BIGINT)
+          AS hot_bucket_pairs,
+        CAST(top.top_band AS BIGINT) AS top_band,
+        CAST(top.top_band_pairs AS BIGINT) AS top_band_pairs,
+        CAST(CASE WHEN a.cand_pairs = 0 THEN 0
+          ELSE (a.max_bucket * (a.max_bucket - 1) // 2) * 1000000
+            // a.cand_pairs END AS BIGINT) AS skew_micro
+      FROM a, top"""))
+
+  /** MinHash band-skew audit
+    * ([[graft.operators.Dedup.minhashBandSkewAudit]]) at d03/d05's
+    * registered instance (3-gram shingles, 16-perm signature,
+    * 4 bands × 4 rows): the 1-row summary companion to d16's
+    * per-band rows, shaped exactly like d34 so the two banded-join
+    * mechanisms (MinHash slices vs SimHash bit bands) read on one
+    * dashboard. The oracle reuses d03's banding CTEs verbatim. */
+  val d36: QueryDef = QueryDef(
+    "d36_minhash_band_skew",
+    (s, d) => Dedup.minhashBandSkewAudit(Tables.documents(s, d), "text",
+      3, 16, 4),
+    Some(s"""${Pipeline.minhashCtes},
+      sz2 AS (SELECT CAST(b AS BIGINT) AS band, bucket,
+               CAST(count(*) AS BIGINT) AS sz
+             FROM bands GROUP BY 1, 2),
+      pb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS band_pairs
+             FROM sz2 GROUP BY 1),
       top AS (SELECT band AS top_band, band_pairs AS top_band_pairs
               FROM pb ORDER BY band_pairs DESC, band ASC LIMIT 1),
       a AS (SELECT CAST(coalesce(sum(n_buckets), 0) AS BIGINT) AS n_buckets,
@@ -180,4 +215,54 @@ object Pipeline95 {
           list_transform(kept, p -> t[p]), ' '), '') ELSE text END
           AS text_out
       FROM kp ORDER BY conv_id, turn_idx"""))
+
+  /** Dialogue contamination AUDIT
+    * ([[graft.operators.Dialogue.dialogueContamination]], k = 5,
+    * eval = conv_id % 7 = 0): p55's read-only half — for each eval
+    * conversation, the island-merged spans of its assistant-turn
+    * windows that occur in any TRAIN assistant turn, zero-filled per
+    * eval conversation. The p46 ↔ p52 audit/action pairing at
+    * conversation grain, same parameters as p55 so the two numbers
+    * reconcile (the audit's contaminated span mass is what the scrub
+    * removes). */
+  val p56: QueryDef = QueryDef(
+    "p56_dialogue_contamination",
+    (s, d) => Dialogue.dialogueContamination(turnsDf(s, d, userJunk = false),
+        5, "conv_id % 7 = 0")
+      .orderBy(col("conv_id")),
+    Some(s"""WITH ${turnsCtes(userJunk = false)},
+      hx AS (SELECT conv_id, turn_idx,
+               conv_id % 7 = 0 AS is_eval, role = 'assistant' AS is_asst,
+               ${DuckOps.tokens("text")} AS tt
+             FROM turns),
+      hh AS (SELECT *, CAST(len(tt) AS BIGINT) AS n_tokens,
+               list_transform(${DuckOps.shingles("tt", 5)},
+                 s -> ${DuckOps.strHash60("s")}) AS hs FROM hx),
+      occ AS (SELECT conv_id, turn_idx, is_eval,
+                unnest(list_transform(range(1, len(hs) + 1),
+                  i -> {'pos': i, 'h': hs[i]}), recursive := true)
+              FROM hh WHERE is_asst),
+      th AS (SELECT DISTINCT h FROM occ WHERE NOT is_eval),
+      dp AS (SELECT occ.conv_id, occ.turn_idx, CAST(occ.pos AS BIGINT) AS pos
+             FROM occ JOIN th USING (h) WHERE occ.is_eval),
+      br AS (SELECT conv_id, turn_idx, pos, CASE WHEN pos - lag(pos) OVER
+               (PARTITION BY conv_id, turn_idx ORDER BY pos) <= 5
+               THEN 0 ELSE 1 END AS brk
+             FROM dp),
+      gr AS (SELECT conv_id, turn_idx, pos, sum(brk) OVER
+               (PARTITION BY conv_id, turn_idx ORDER BY pos) AS grp FROM br),
+      sp AS (SELECT conv_id, min(pos) AS s, max(pos) + 4 AS e
+             FROM gr GROUP BY conv_id, turn_idx, grp),
+      pd AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS ct FROM sp GROUP BY 1),
+      ec AS (SELECT conv_id, CAST(sum(CASE WHEN is_asst THEN n_tokens
+               ELSE 0 END) AS BIGINT) AS asst_tokens
+             FROM hh WHERE is_eval GROUP BY 1)
+      SELECT ec.conv_id, ec.asst_tokens,
+        COALESCE(pd.n_spans, 0) AS n_spans,
+        COALESCE(pd.ct, 0) AS contaminated_tokens,
+        CAST(CASE WHEN ec.asst_tokens = 0 THEN 0
+          ELSE (CAST(COALESCE(pd.ct, 0) AS HUGEINT) * 1000000)
+            // ec.asst_tokens END AS BIGINT) AS contamination_micro
+      FROM ec LEFT JOIN pd USING (conv_id) ORDER BY conv_id"""))
 }

@@ -128,6 +128,55 @@ class DialogueSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, "pre")), s"NULL-flag conv is scrubbed like train: ${out(2L)}")
   }
 
+  // ---------------------------------------- dialogueContamination
+
+  test("audit/action reconciliation: the audit's span mass is what the scrub removes") {
+    val rows = Seq(
+      (0L, 1L, "user", "tell me things"),
+      (0L, 2L, "assistant", "well alpha beta gamma indeed here"),
+      (1L, 1L, "user", "alpha beta gamma"),   // eval conv, USER text
+      (1L, 2L, "assistant", "alpha beta gamma"))
+    val audit = Dialogue.dialogueContamination(turnsDf(rows), 3, "conv_id % 2 = 1")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the audit direction is eval-side reporting: eval conv 1's
+    // assistant text occurs in TRAIN conv 0's assistant turn, so
+    // conv 1 reports 3 contaminated of its 3 assistant tokens (its
+    // user turn is ignored in the denominator and the hash set)
+    assert(audit.keySet == Set(1L), s"one row per eval conv: $audit")
+    assert(audit(1L) == ((3L, 1L, 3L, 1000000L)), s"audit: ${audit(1L)}")
+    // and the scrub removes exactly that overlap from the TRAIN side
+    val scrubbed = scrub(rows, 3)
+    assert(scrubbed((0L, 2L)) == (("assistant", 6L, 3L, "well indeed here")),
+      s"scrub action mirrors the audited span: ${scrubbed((0L, 2L))}")
+  }
+
+  test("audit: user text contributes on NEITHER side; clean eval convs zero-fill") {
+    val rows = Seq(
+      (0L, 1L, "user", "alpha beta gamma"),       // train USER text
+      (0L, 2L, "assistant", "something else"),
+      (1L, 1L, "assistant", "alpha beta gamma"),  // eval: matches only train USER text
+      (3L, 1L, "assistant", "totally clean"))     // eval: no overlap at all
+    val audit = Dialogue.dialogueContamination(turnsDf(rows), 3, "conv_id % 2 = 1")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(audit(1L) == ((3L, 0L, 0L, 0L)),
+      s"train USER text is not trainable leakage: ${audit(1L)}")
+    assert(audit(3L) == ((2L, 0L, 0L, 0L)), s"clean zero-fill: ${audit(3L)}")
+  }
+
+  test("audit: NULL evalPred counts as train (its windows ARE train presence)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, "assistant", "alpha beta gamma", Some(true)),  // eval
+      (2L, 1L, "assistant", "alpha beta gamma", None))        // unknown → train
+      .toDF("conv_id", "turn_idx", "role", "text", "flag")
+    val audit = Dialogue.dialogueContamination(df, 3, "flag")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(audit == Map(0L -> 3L),
+      s"the NULL-flag conv's windows must contaminate the eval conv: $audit")
+  }
+
   test("differential fuzz vs an in-memory reference") {
     val rnd = new scala.util.Random(0xD1A)
     val vocab = Vector("a", "b", "c", "d", "e")

@@ -386,6 +386,21 @@ class ScrubSpec extends AnyFunSuite {
       s"NULL-flag doc is scrubbed like any train doc: ${out(2L)}")
   }
 
+  test("spanContamination: NULL evalPred counts as train (windows ARE train presence)") {
+    import spark.implicits._
+    // the audit-side direction of the NULL rule: an unknown-provenance
+    // doc must not vanish from the train hash set (that would
+    // UNDER-report contamination); its windows count as train presence
+    val docs = Seq(
+      (1L, "alpha beta gamma", Some(true)),  // eval
+      (2L, "alpha beta gamma", None))        // unknown → train
+      .toDF("doc_id", "text", "flag")
+    val audit = Dedup.spanContamination(docs, "text", N, "flag")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(audit == Map(1L -> 3L),
+      s"NULL-flag doc's windows must contaminate the eval doc: $audit")
+  }
+
   test("decontaminationScrub result is partition-count independent") {
     import spark.implicits._
     val docs = Seq(0L -> "a b c d e", 1L -> "a b c", 2L -> "z b c d w",
