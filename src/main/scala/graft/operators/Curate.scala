@@ -478,4 +478,80 @@ object Curate {
           " AS weight_micro")
       .orderBy(col("epoch"), col("source"))
   }
+
+  /** Water-filling token-budget allocation across sources under
+    * availability caps — the mixture-planning step [[tokenBudgetSelect]]
+    * skips: that operator splits the budget proportional to AVAILABLE
+    * mass, so a small high-priority source can never bind; this one
+    * takes target WEIGHTS and redistributes the share a saturated
+    * source cannot absorb to the unsaturated rest (the classic
+    * water-filling solution: alloc_i = min(cap_i, level * w_i) with the
+    * level chosen so the allocations sum to the budget).
+    *
+    * Exact-integer contract (both engines run the SAME algorithm, so
+    * the oracle is cell-exact): sources sort by the saturation key
+    * `(cap_i * 1e12) div w_i` (ties by source name); in that order a
+    * source saturates iff `cap_i * W_rem <= B_rem * w_i`, where
+    * `W_rem`/`B_rem` are the weight/budget left after the earlier
+    * (smaller-key) sources saturate — the condition is monotone along
+    * the key order, so the saturated set is the maximal all-true
+    * prefix. Unsaturated sources get `(R * w_i) div Wr` (R = budget
+    * minus saturated caps, Wr = unsaturated weight); the integer-
+    * division crumbs (< one token per unsaturated source) stay
+    * unallocated by contract — a mixture plan does not care about
+    * sub-token dust, and exactness beats a largest-remainder pass that
+    * could overshoot a cap by one.
+    *
+    * @param weightExpr SQL over the per-source frame (`source`,
+    *                   `cap_tokens` visible) yielding a positive
+    *                   BIGINT target weight; default uniform.
+    * @return one row per source: (source, cap_tokens, weight,
+    *         saturated, alloc_tokens, fill_micro), fill_micro =
+    *         alloc*1e6 div cap.
+    *
+    * 100 TB shape: one source-keyed partial agg to O(sources) rows;
+    * everything after (the sort, the prefix scan, the full-frame
+    * totals) runs on that O(sources) frame — the single-partition
+    * windows here are over tens of rows, not the corpus. */
+  def waterfillBudget(docs: DataFrame, srcCol: String, textCol: String,
+      budgetTokens: Long, weightExpr: String = "1L"): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
+    val per = docs
+      .selectExpr(s"$srcCol AS source",
+        s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("cap_tokens"))
+      .selectExpr("source", "cap_tokens",
+        s"cast(($weightExpr) as bigint) AS weight")
+    require(per.filter(col("weight") <= 0L || col("cap_tokens") <= 0L).isEmpty,
+      "waterfillBudget: every source needs positive weight and token mass")
+    val keyed = per.selectExpr("source", "cap_tokens", "weight",
+      "cast(cap_tokens as decimal(38,0)) * 1000000000000 div weight AS sat_key")
+    val ord = Window.partitionBy(lit(1))
+      .orderBy(col("sat_key").asc, col("source").asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    keyed
+      .withColumn("cap_before", coalesce(sum(col("cap_tokens")).over(pre), lit(0L)))
+      .withColumn("w_before", coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("w_total", sum(col("weight")).over(all))
+      .withColumn("cond", expr(
+        s"cast(cap_tokens as decimal(38,0)) * (w_total - w_before) <= " +
+          s"cast($budgetTokens - cap_before as decimal(38,0)) * weight"))
+      .withColumn("saturated",
+        min(expr("if(cond, 1, 0)")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)) === lit(1))
+      .withColumn("r_budget", lit(budgetTokens) -
+        sum(expr("if(saturated, cap_tokens, 0L)")).over(all))
+      .withColumn("w_unsat",
+        sum(expr("if(saturated, 0L, weight)")).over(all))
+      .selectExpr("source", "cap_tokens", "weight", "saturated",
+        "if(saturated, cap_tokens, least(cap_tokens, " +
+          "cast(cast(r_budget as decimal(38,0)) * weight div w_unsat as bigint)))" +
+          " AS alloc_tokens")
+      .selectExpr("source", "cap_tokens", "weight", "saturated", "alloc_tokens",
+        "cast(cast(alloc_tokens as decimal(38,0)) * 1000000 div cap_tokens as bigint)" +
+          " AS fill_micro")
+      .orderBy(col("source"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, expr, lit, max, sort_array, sum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, expr, lit, max, row_number, sort_array, sum}
 
 /** SQL expression builders for the text-pipeline operators (tokenize,
   * shingle, hash, minhash, simhash). Everything is exact integer
@@ -331,5 +332,62 @@ object TextOps {
       .selectExpr("doc_id", "n_tokens", "top2_count", "top2_share_micro",
         "dup3_cov_tokens", "dup3_cov_micro",
         "top2_share_micro > 200000 OR dup3_cov_micro > 300000 AS flagged")
+  }
+
+  /** Zipf-law fit over the corpus term-frequency distribution — the
+    * one-row vocabulary-health audit a curation pass reads before
+    * trusting frequency-based operators (a natural corpus reads slope
+    * ≈ −1; a template-generated or boilerplate-heavy one reads much
+    * flatter, a deduped-to-death one much steeper): OLS of ln(freq)
+    * on ln(rank) over the top `maxRank` terms (rank by freq desc,
+    * term asc — the deterministic tiebreak makes the fit set exact).
+    *
+    * Exact-integer contract: ln values land on a 1e-6 grid via
+    * `floor(ln(x) * 1e6)` (both engines compute IEEE-double ln; a
+    * grid-boundary disagreement needs the double within 1 ulp of a
+    * micro boundary — measure-zero in practice and caught by the
+    * oracle if it ever bites), and all OLS sums/ratios are
+    * decimal(38,0) integer arithmetic from there, so slope/intercept/
+    * r² in micro units are cell-exact across engines. r² is computed
+    * as the staged integer division `((num*1e6 div den) * num) div
+    * syy_den` — deterministic by construction (num² would overflow
+    * decimal(38)).
+    *
+    * @return one row: (n_types, n_fit, slope_micro, intercept_micro,
+    *         r2_micro).
+    *
+    * 100 TB shape: one (term)-keyed partial agg (map-side combinable)
+    * → top-maxRank via TakeOrderedAndProject (no global sort
+    * materializes the vocabulary), then every window/agg runs on the
+    * bounded maxRank-row frame. */
+  def zipfFit(docs: DataFrame, textCol: String, maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    val tf = docs.selectExpr(s"explode(${tokens(textCol)}) AS term")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTypes = tf.groupBy().agg(count(lit(1)).as("n_types"))
+    val top = tf.orderBy(col("c").desc, col("term").asc).limit(maxRank)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("c").desc, col("term").asc)))
+      .selectExpr("cast(floor(ln(rk) * 1000000) as bigint) AS x",
+        "cast(floor(ln(c) * 1000000) as bigint) AS y")
+    top.groupBy().agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .crossJoin(broadcast(nTypes))
+      .selectExpr("n_types", "cast(n as bigint) AS n_fit",
+        "n * sxy - sx * sy AS num", "n * sxx - sx * sx AS den",
+        "n * syy - sy * sy AS syy_den", "sx", "sy", "n")
+      .selectExpr("n_types", "n_fit", "num", "syy_den", "sx", "sy", "n",
+        "if(den = 0, cast(0 as decimal(38,0)), num * 1000000 div den) AS slope_d")
+      .selectExpr("n_types", "n_fit",
+        "cast(slope_d as bigint) AS slope_micro",
+        "cast((sy - slope_d * sx div 1000000) div n as bigint)" +
+          " AS intercept_micro",
+        "cast(if(syy_den = 0, 1000000, " +
+          "(slope_d * num) div syy_den) as bigint) AS r2_micro")
   }
 }
