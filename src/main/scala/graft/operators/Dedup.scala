@@ -1135,4 +1135,53 @@ object Dedup {
         s"cast((cast(n_redundant_segments as decimal(38,0)) * $width * 1000000) div n_tokens as bigint) AS savings_micro")
       .orderBy(col("source"))
   }
+
+  /** Memorization-risk (k-anonymity) window audit — the INVERSE of
+    * the dedup family's question: instead of windows that occur too
+    * OFTEN (exact-substring dedup, df saturation), this counts
+    * windows that occur too RARELY. An n-token window with corpus
+    * frequency below `kAnon` is a rare span — the class of sequence a
+    * model can only reproduce by memorizing its single source (the
+    * "secret sharer" / canary-extraction risk surface), and the
+    * k-anonymity bar privacy-reviewed corpora are held to. Per
+    * source: window mass, rare-window mass and share, how many docs
+    * carry any rare window, and the worst doc (most rare windows,
+    * ties to the lowest doc_id) — the row a privacy pass reads to
+    * decide where to point a targeted scrub.
+    *
+    * Frequency is per OCCURRENCE (a window repeated inside one doc
+    * counts each time) over the 60-bit shingle hash — a collision
+    * (p ≈ 2^-60 per pair) can only UNDER-count rarity, the safe
+    * direction for an alarm that fires on rare spans. Docs shorter
+    * than n tokens carry no windows and are invisible to the audit;
+    * sources whose every doc is short are absent from the output.
+    *
+    * 100 TB shape: one (hash)-keyed map-side-combinable count agg,
+    * one hash equi-join back to the occurrences (both sides already
+    * hash-partitioned — no broadcast of the rare set, which at real
+    * scale is MOST windows), then two keyed aggs down to
+    * O(docs) and O(sources) rows. The worst-doc argmax is a
+    * max(struct) fold, not a window. */
+  def rareWindowAudit(docs: DataFrame, textCol: String, n: Int,
+      kAnon: Int, srcCol: String = "source"): DataFrame = {
+    require(n >= 1, s"rareWindowAudit needs n >= 1, got $n")
+    require(kAnon >= 2, s"rareWindowAudit needs kAnon >= 2, got $kAnon")
+    val occ = docs.selectExpr(s"$srcCol AS source", "doc_id",
+        s"explode(graft_shingle_hashes_all($textCol, $n)) AS sgl")
+    val df = occ.groupBy(col("sgl")).agg(count(lit(1)).as("c"))
+    val perDoc = occ.join(df, Seq("sgl"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("w_all"),
+        sum(expr(s"if(c < $kAnon, 1L, 0L)")).as("w_rare"))
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("w_all")).as("n_windows"),
+        sum(col("w_rare")).as("n_rare"),
+        sum(expr("if(w_rare > 0, 1L, 0L)")).as("n_docs_rare"),
+        max(struct(col("w_rare"), (-col("doc_id")).as("nd"))).as("m"))
+      .selectExpr("source", "n_windows", "n_rare",
+        "cast((cast(n_rare as decimal(38,0)) * 1000000) div n_windows as bigint)" +
+          " AS rare_share_micro",
+        "n_docs_rare", "-m.nd AS top_doc_id", "m.w_rare AS top_doc_rare")
+      .orderBy(col("source"))
+  }
 }

@@ -1082,4 +1082,59 @@ object Similarity {
       .selectExpr("vec_id", "-m.ne AS nn_eval_id", "m.cm AS max_cos_micro",
         s"m.cm >= ${tauMicro}L AS contaminated")
   }
+
+  /** Greedy k-center (farthest-point / Gonzalez) coreset selection —
+    * the diversity-maximizing counterpart to [[semanticDedup]]'s
+    * redundancy removal: starting from the lowest vec_id, each step
+    * adds the vector FARTHEST (squared L2, exact IEEE) from every
+    * center chosen so far (ties by lowest vec_id). The selected k
+    * vectors 2-approximate the optimal k-center cover — the standard
+    * seed set for diversity-aware sampling and coreset construction.
+    *
+    * Deterministic end to end: d²(x, c) = nrm_x + nrm_c −
+    * 2·graft_dot(x, c) with the centers embedded as exact double
+    * literals, and the running min-distance is `least` over the
+    * chosen centers in selection order — the DuckDB oracle replays
+    * the identical fold, so even the DOUBLE outputs hash-match.
+    *
+    * @return k rows: (rk, vec_id, dist2_sel) — dist2_sel the max-min
+    *         distance at selection time (NULL for the seed).
+    *
+    * 100 TB shape: k bounded (driver holds O(k·D) center state, the
+    * codebook pattern); each of the k steps is one map-only distance
+    * projection + a TakeOrdered(1) reduce over the corpus — no joins,
+    * no windows, no shuffle beyond the k single-row argmax reduces.
+    * The k passes re-scan the source; at real scale persist the
+    * prepared frame first (serialized, the [[Storage]] rule). */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCenterCoreset needs k >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val seedRow = p.orderBy(col("vec_id").asc).limit(1)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterCoreset: empty embedding table"))
+    var centers = Vector[(Long, Seq[Double], Double, Option[Double])](
+      (seedRow.getLong(0), seedRow.getSeq[Double](1), seedRow.getDouble(2), None))
+    def distTo(c: (Long, Seq[Double], Double, Option[Double])): Column =
+      col("nrm") + lit(c._3) -
+        lit(2.0d) * call_function("graft_dot", col("v"),
+          array(c._2.map(lit): _*))
+    while (centers.size < k) {
+      val minD = centers.map(distTo) match {
+        case Seq(only) => only
+        case ds => least(ds: _*)
+      }
+      val next = p.withColumn("md", minD)
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .select("vec_id", "v", "nrm", "md")
+        .collect().head
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1),
+        next.getDouble(2), Some(next.getDouble(3))))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, _, d), i) => (i + 1L, id, d) }
+      .toDF("rk", "vec_id", "dist2_sel")
+  }
 }
