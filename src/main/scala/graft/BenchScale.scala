@@ -45,7 +45,7 @@ object BenchScale {
     "p52_decontamination_scrub", "p53_gated_packing",
     "d34_band_skew", "d36_minhash_band_skew", "d35_dialogue_dedup",
     "p55_dialogue_scrub", "p56_dialogue_contamination",
-    "p54_curation_compose",
+    "p54_curation_compose", "p58_sft_packing",
     // retrieval
     "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
     "s19_hard_negatives",
@@ -61,7 +61,7 @@ object BenchScale {
     "s37_int8_rank_fidelity", "s40_kcenter_coreset",
     // rank statistics / profiling
     "q41_profile", "q76_gini", "q82_spearman", "q88_robust_outliers",
-    "q92_quartile_dispersion",
+    "q92_quartile_dispersion", "q93_key_skew_audit",
     // events / baskets
     "e41_gap_dispersion", "e42_handoff_latency", "q42_assoc_rules",
     "q63_assoc_top_support",

@@ -190,4 +190,35 @@ object Dialogue {
         "if(is_asst, concat_ws(' ', transform(kept," +
           " j -> element_at(t, j))), text) AS text_out")
   }
+
+  /** SFT loss-mask token accounting: per conversation, total tokens,
+    * TRAINABLE tokens (assistant turns — the only ones that take loss
+    * under the standard SFT mask), masked tokens (everything else:
+    * user/system/tool turns, present in the context window but
+    * loss-free), and the trainable share. This is the number an SFT
+    * packing or budget pass actually optimizes for — two
+    * conversations of equal length can differ 10x in gradient signal,
+    * and a packer that bins on raw length systematically under-fills
+    * assistant-heavy bins' loss mass.
+    *
+    * A conversation with zero tokens reports share 0 (nothing
+    * trainable, nothing to divide by).
+    *
+    * 100 TB shape: one map-only tokenize + ONE conv-keyed map-side-
+    * combinable aggregation — nothing else. */
+  def sftTokenAccounting(turns: DataFrame,
+      assistantRole: String = "assistant"): DataFrame = {
+    require(!assistantRole.contains("'"),
+      "assistantRole must not contain quotes")
+    turns.selectExpr("conv_id",
+        s"cast(size(${TextOps.tokens("text")}) as bigint) AS nt",
+        s"(role = '$assistantRole') AS tr")
+      .groupBy(col("conv_id"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        sum(expr("if(tr, nt, 0L)")).as("n_trainable"))
+      .selectExpr("conv_id", "n_tokens", "n_trainable",
+        "n_tokens - n_trainable AS n_masked",
+        "if(n_tokens = 0, 0L, (n_trainable * 1000000) div n_tokens)" +
+          " AS trainable_share_micro")
+  }
 }

@@ -142,4 +142,45 @@ object Profile {
       .agg(min(col("c")).as("median_value"), min_by(col("cum"), col("c")).as("cum_at_median"))
       .selectExpr("median_value", "total AS total_weight", "cum_at_median")
   }
+
+  /** Shuffle-key skew audit — the generic companion to the dedup
+    * family's band-skew audits (d34/d36): for ANY keyed operation,
+    * the one-row distribution profile of rows-per-key that says
+    * whether a `groupBy`/`join` on this key is safe at scale (top-1
+    * key share, exact p50/p99 key sizes, their ratio). Reads in one
+    * glance: top1_share_micro near 1e6 means one key owns the
+    * shuffle (a straggler at any scale); p99_over_p50 in the
+    * thousands means salting or AQE skew handling is mandatory.
+    *
+    * NULL keys count as one ordinary key (they hash-partition
+    * together, which is exactly the skew being audited).
+    *
+    * Exact quantiles, type-1 (value at rank ceil(p·n/100)) — computed
+    * on the SIZE HISTOGRAM (counts of key-counts), never a global
+    * sort of the keys.
+    *
+    * 100 TB shape: one key-keyed partial-aggregable count (the same
+    * shuffle the audited operation would do), one tiny agg to the
+    * size histogram (distinct sizes, a few hundred values), then
+    * [[Curate.bucketedCumsum]] + broadcast rank lookups on that
+    * O(sizes) frame. */
+  def keySkewAudit(df: DataFrame, keyExpr: String): DataFrame = {
+    val gs = df.selectExpr(s"($keyExpr) AS k")
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val h = gs.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val cum = Curate.bucketedCumsum(h, "c", "nk")
+      .withColumn("cum", col("before") + col("nk"))
+    val tot = gs.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_key_rows"))
+    def pick(p: Int) = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr(s"($p * n_keys + 99) div 100"))
+      .agg(min(col("c")).as(s"p${p}_key_rows"))
+    tot.crossJoin(broadcast(pick(50))).crossJoin(broadcast(pick(99)))
+      .selectExpr("n_rows", "n_keys", "max_key_rows",
+        "cast((cast(max_key_rows as decimal(38,0)) * 1000000) div n_rows" +
+          " as bigint) AS top1_share_micro",
+        "p50_key_rows", "p99_key_rows",
+        "cast((cast(p99_key_rows as decimal(38,0)) * 1000000) div p50_key_rows" +
+          " as bigint) AS p99_over_p50_micro")
+  }
 }

@@ -102,7 +102,7 @@ object Pipeline95 {
     * keep identical assistant streams while every user turn differs,
     * so whole-text hashing finds nothing and the dialogue fingerprint
     * still groups them. */
-  private def turnsDf(s: org.apache.spark.sql.SparkSession, d: String,
+  private[queries] def turnsDf(s: org.apache.spark.sql.SparkSession, d: String,
       userJunk: Boolean) = {
     val userText = if (userJunk) "concat('u', conv_id, '_', j)"
       else "concat_ws(' ', slice(t, (j - 1) * 8 + 1, 8))"
@@ -119,7 +119,7 @@ object Pipeline95 {
   }
 
   /** The same turn synthesis as a DuckDB fragment. */
-  private def turnsCtes(userJunk: Boolean): String = {
+  private[queries] def turnsCtes(userJunk: Boolean): String = {
     val userText = if (userJunk) "concat('u', conv_id, '_', j)"
       else "array_to_string(t[((j - 1) * 8 + 1):least(len(t), j * 8)], ' ')"
     s"""tkq AS (SELECT doc_id AS conv_id, ${DuckOps.tokens("text")} AS t
