@@ -71,7 +71,8 @@ object BenchScale {
     "p27_effective_tokens", "p46_span_contamination", "p48_dedup_corrected_mix",
     "p49_quality_dedup_keep_best", "t48_repetition_gates", "t49_chunk_inventory",
     "p50_ccnet_buckets", "s39_semantic_contamination", "p51_soft_dedup_weights",
-    "p57_waterfill_budget", "t50_zipf_fit",
+    "p57_waterfill_budget", "t50_zipf_fit", "t51_heaps_curve",
+    "p59_privacy_gate",
     // multimodal (documents-derived media)
     "m12_phash_neardup")
 

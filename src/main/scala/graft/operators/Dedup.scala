@@ -1163,17 +1163,8 @@ object Dedup {
     * O(docs) and O(sources) rows. The worst-doc argmax is a
     * max(struct) fold, not a window. */
   def rareWindowAudit(docs: DataFrame, textCol: String, n: Int,
-      kAnon: Int, srcCol: String = "source"): DataFrame = {
-    require(n >= 1, s"rareWindowAudit needs n >= 1, got $n")
-    require(kAnon >= 2, s"rareWindowAudit needs kAnon >= 2, got $kAnon")
-    val occ = docs.selectExpr(s"$srcCol AS source", "doc_id",
-        s"explode(graft_shingle_hashes_all($textCol, $n)) AS sgl")
-    val df = occ.groupBy(col("sgl")).agg(count(lit(1)).as("c"))
-    val perDoc = occ.join(df, Seq("sgl"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("w_all"),
-        sum(expr(s"if(c < $kAnon, 1L, 0L)")).as("w_rare"))
-    perDoc.groupBy(col("source"))
+      kAnon: Int, srcCol: String = "source"): DataFrame =
+    rareWindowPerDoc(docs, textCol, n, kAnon, srcCol).groupBy(col("source"))
       .agg(sum(col("w_all")).as("n_windows"),
         sum(col("w_rare")).as("n_rare"),
         sum(expr("if(w_rare > 0, 1L, 0L)")).as("n_docs_rare"),
@@ -1183,5 +1174,56 @@ object Dedup {
           " AS rare_share_micro",
         "n_docs_rare", "-m.nd AS top_doc_id", "m.w_rare AS top_doc_rare")
       .orderBy(col("source"))
+
+  /** [[rareWindowAudit]]'s per-doc frame — (source, doc_id, w_all,
+    * w_rare, rare_share_micro); docs shorter than n carry no windows
+    * and are absent. The share divides by the doc's OWN window count,
+    * so a one-window doc whose window is rare reads 1e6. Shared by
+    * the audit (aggregates it per source) and the privacy GATE
+    * (filters on it per doc). */
+  def rareWindowPerDoc(docs: DataFrame, textCol: String, n: Int,
+      kAnon: Int, srcCol: String = "source"): DataFrame = {
+    require(n >= 1, s"rareWindowPerDoc needs n >= 1, got $n")
+    require(kAnon >= 2, s"rareWindowPerDoc needs kAnon >= 2, got $kAnon")
+    val occ = docs.selectExpr(s"$srcCol AS source", "doc_id",
+      s"explode(graft_shingle_hashes_all($textCol, $n)) AS sgl")
+    val df = occ.groupBy(col("sgl")).agg(count(lit(1)).as("c"))
+    occ.join(df, Seq("sgl"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("w_all"),
+        sum(expr(s"if(c < $kAnon, 1L, 0L)")).as("w_rare"))
+      .selectExpr("source", "doc_id", "w_all", "w_rare",
+        "cast((cast(w_rare as decimal(38,0)) * 1000000) div w_all as bigint)" +
+          " AS rare_share_micro")
+  }
+
+  /** The ACT face of [[rareWindowAudit]]: drop every doc whose
+    * rare-window share exceeds `maxShareMicro` — the doc-level
+    * mitigation for memorization risk (a doc made mostly of
+    * corpus-unique n-grams is the serial-number/PII-dump shape; a
+    * doc with a few rare windows is just original text, which is why
+    * the gate is a SHARE threshold, not a count). Docs shorter than
+    * n tokens carry no windows, cannot leak an n-token span, and
+    * pass with zeros.
+    *
+    * @return surviving docs: (doc_id, source, w_all, w_rare,
+    *         rare_share_micro).
+    *
+    * 100 TB shape: [[rareWindowPerDoc]]'s two linear passes + one
+    * doc-keyed equi-join back to the corpus — the gate adds no new
+    * shuffle class. */
+  def privacyGate(docs: DataFrame, textCol: String, n: Int, kAnon: Int,
+      maxShareMicro: Long, srcCol: String = "source"): DataFrame = {
+    require(maxShareMicro >= 0L && maxShareMicro <= 1000000L,
+      s"maxShareMicro must be in [0, 1e6], got $maxShareMicro")
+    val pd = rareWindowPerDoc(docs, textCol, n, kAnon, srcCol)
+      .select(col("doc_id"), col("w_all"), col("w_rare"),
+        col("rare_share_micro"))
+    docs.selectExpr("doc_id", s"$srcCol AS source")
+      .join(pd, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "source",
+        "coalesce(w_all, 0L) AS w_all", "coalesce(w_rare, 0L) AS w_rare",
+        "coalesce(rare_share_micro, 0L) AS rare_share_micro")
+      .filter(col("rare_share_micro") <= maxShareMicro)
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, expr, lit, max, row_number, sort_array, sum}
+import org.apache.spark.sql.functions.{broadcast, col, collect_list, count, expr, lit, max, min, row_number, sort_array, sum}
 
 /** SQL expression builders for the text-pipeline operators (tokenize,
   * shingle, hash, minhash, simhash). Everything is exact integer
@@ -389,5 +389,56 @@ object TextOps {
           " AS intercept_micro",
         "cast(if(syy_den = 0, 1000000, " +
           "(slope_d * num) div syy_den) as bigint) AS r2_micro")
+  }
+
+  /** Heaps-law vocabulary-growth curve — [[zipfFit]]'s companion
+    * audit: distinct types seen after each decile of the token
+    * stream (docs in doc_id order, tokens in document order). A
+    * natural corpus grows types ∝ tokens^β with β ≈ 0.5 (the curve
+    * keeps rising at the last decile — more data keeps buying
+    * vocabulary); a template corpus plateaus after the first decile
+    * (more data buys nothing). The curve's SHAPE is the audit; its
+    * last row's n_types equals the corpus type count by construction.
+    *
+    * The scalable trick: the cumulative-distinct curve needs no
+    * ordered scan — a type is "seen by checkpoint c" iff its FIRST
+    * occurrence position ≤ c, so one per-term min over global
+    * positions (doc offset + in-doc position, offsets via the
+    * bucketed cumsum — never a corpus-wide window) and a 10-bucket
+    * histogram replace any notion of sequential state.
+    *
+    * @return `deciles` rows: (decile, checkpoint_tokens, new_types,
+    *         n_types).
+    *
+    * 100 TB shape: one O(docs) offset cumsum (bucket-decomposed), one
+    * doc-keyed equi-join to attach offsets, one term-keyed min agg
+    * (map-side combinable), then a `deciles`-row histogram. */
+  def heapsCurve(docs: DataFrame, textCol: String, deciles: Int = 10): DataFrame = {
+    require(deciles >= 2, s"heapsCurve needs deciles >= 2, got $deciles")
+    val tk = docs.selectExpr("doc_id", s"${tokens(textCol)} AS t")
+    val cnt = tk.selectExpr("doc_id", "cast(size(t) as bigint) AS nt")
+    val off = Curate.bucketedCumsum(cnt, "doc_id", "nt")
+      .select(col("doc_id"), col("before"))
+    val first = tk.selectExpr("doc_id", "posexplode(t) AS (p0, term)")
+      .selectExpr("doc_id", "cast(p0 + 1 as bigint) AS pos", "term")
+      .join(off, Seq("doc_id"))
+      .selectExpr("term", "before + pos AS gpos")
+      .groupBy(col("term")).agg(min(col("gpos")).as("fp"))
+    val tot = cnt.agg(sum(col("nt")).as("total_tokens"))
+    val perBucket = first.crossJoin(broadcast(tot))
+      .selectExpr("1 + size(filter(transform(sequence(1, " + deciles + "), " +
+        s"k -> (cast(k as bigint) * total_tokens) div $deciles), " +
+        "c -> c < fp)) AS b")
+      .groupBy(col("b")).agg(count(lit(1)).as("new_types"))
+    docs.sparkSession.range(1, deciles + 1).selectExpr("id AS decile")
+      .join(perBucket, col("decile") === col("b"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("decile",
+        s"(decile * total_tokens) div $deciles AS checkpoint_tokens",
+        "coalesce(new_types, 0L) AS new_types")
+      .withColumn("n_types", sum(col("new_types")).over(
+        Window.partitionBy(lit(1)).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("decile"))
   }
 }
