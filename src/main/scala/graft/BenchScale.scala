@@ -41,7 +41,8 @@ object BenchScale {
     "d10_edit_rerank", "d14_ensemble_pairs", "d19_cluster_sources",
     "d25_minhash_k_sweep", "d29_exact_substr", "d30_exact_substr_by_source",
     "d31_exact_substr_pairs", "d32_exact_substr_scrub",
-    "d33_df_saturation", "d37_rare_window_kanon", "p47_scrub_savings_by_source",
+    "d33_df_saturation", "d37_rare_window_kanon", "d38_source_overlap_sketch",
+    "p47_scrub_savings_by_source",
     "p52_decontamination_scrub", "p53_gated_packing",
     "d34_band_skew", "d36_minhash_band_skew", "d35_dialogue_dedup",
     "p55_dialogue_scrub", "p56_dialogue_contamination",
@@ -61,7 +62,7 @@ object BenchScale {
     "s37_int8_rank_fidelity", "s40_kcenter_coreset",
     // rank statistics / profiling
     "q41_profile", "q76_gini", "q82_spearman", "q88_robust_outliers",
-    "q92_quartile_dispersion", "q93_key_skew_audit",
+    "q92_quartile_dispersion", "q93_key_skew_audit", "q94_join_advisor",
     // events / baskets
     "e41_gap_dispersion", "e42_handoff_latency", "q42_assoc_rules",
     "q63_assoc_top_support",

@@ -1226,4 +1226,46 @@ object Dedup {
         "coalesce(rare_share_micro, 0L) AS rare_share_micro")
       .filter(col("rare_share_micro") <= maxShareMicro)
   }
+
+  /** Source×source shingle-overlap matrix from UNION MinHash sketches
+    * — the corpus-level "which of my sources are secretly the same
+    * crawl?" diagnostic. t42's exact vocab Jaccard answers it at
+    * unigram granularity by materializing vocabularies; this answers
+    * it at n-gram granularity in one bounded sketch pass: MinHash is
+    * mergeable (the sketch of a UNION is the element-wise min of the
+    * sketches), so per-source signatures fold from the per-doc native
+    * signatures without ever materializing a source's shingle set,
+    * and each pair's slot-match rate estimates the n-gram Jaccard
+    * between the FULL sources.
+    *
+    * @return one row per source pair s1 < s2: (s1, s2, matches,
+    *         est_jaccard_micro = matches·1e6 div k).
+    *
+    * 100 TB shape: per-doc signatures are a map-only projection
+    * (O(len·k) each); the union fold is one (source, slot)-keyed
+    * partial-aggregable min over docs×k 8-byte rows; the pair matrix
+    * is a broadcast self-join of the O(sources · k) frame. Nothing
+    * scales with shingle cardinality past the map stage. */
+  def sourceOverlapSketch(docs: DataFrame, textCol: String, n: Int,
+      k: Int, srcCol: String = "source"): DataFrame = {
+    require(k >= 1, s"sourceOverlapSketch needs k >= 1, got $k")
+    val docSigs = docs.selectExpr(s"$srcCol AS source",
+        s"graft_shingle_hashes($textCol, $n) AS hs")
+      .selectExpr("source", s"${TextOps.minhashSig("hs", k)} AS sig")
+    val srcSigs = docSigs
+      .selectExpr("source", "posexplode(sig) AS (i, v)")
+      .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("i"), col("v")))).as("sv"))
+      .selectExpr("source", "transform(sv, x -> x.v) AS sig")
+    srcSigs.as("a")
+      .join(broadcast(srcSigs.as("b")), col("a.source") < col("b.source"))
+      .selectExpr("a.source AS s1", "b.source AS s2",
+        s"cast(size(filter(sequence(1, $k)," +
+          " i -> element_at(a.sig, i) = element_at(b.sig, i))) as bigint)" +
+          " AS matches")
+      .selectExpr("s1", "s2", "matches",
+        s"cast(matches * 1000000 div $k as bigint) AS est_jaccard_micro")
+      .orderBy(col("s1"), col("s2"))
+  }
 }

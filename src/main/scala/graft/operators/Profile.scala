@@ -183,4 +183,48 @@ object Profile {
         "cast((cast(p99_key_rows as decimal(38,0)) * 1000000) div p50_key_rows" +
           " as bigint) AS p99_over_p50_micro")
   }
+
+  /** Join-strategy advisor — [[keySkewAudit]] asked of BOTH sides of
+    * a prospective join, folded into the decision a 100 TB planner
+    * (or the engineer reading its plan) makes: broadcast when either
+    * side fits the broadcast budget (smaller side wins the
+    * broadcast), salt when either side's top key owns more than the
+    * skew threshold of its rows (a plain shuffle would stragglerize
+    * on that key), plain shuffle join otherwise. The thresholds are
+    * the caller's cluster policy, not magic: `broadcastRows` stands
+    * in for spark.sql.autoBroadcastJoinThreshold in rows,
+    * `skewShareMicro` for the AQE skew factor.
+    *
+    * @return one row: both sides' skew profiles (l_/r_ prefixed) +
+    *         `strategy` ('broadcast' | 'salted_shuffle' |
+    *         'shuffle_join') + `broadcast_side` ('left'/'right',
+    *         NULL unless broadcasting).
+    *
+    * 100 TB shape: two [[keySkewAudit]] plans (each the same shuffle
+    * the audited join would do, which is the honest price of
+    * measuring instead of guessing) + a 1-row × 1-row cross. */
+  private def keyStats(df: DataFrame, keyExpr: String, p: String): DataFrame =
+    df.selectExpr(s"($keyExpr) AS k")
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as(s"${p}_keys"), sum(col("c")).as(s"${p}_rows"),
+        max(col("c")).as(s"${p}_max_key_rows"))
+      .selectExpr(s"${p}_rows", s"${p}_keys", s"${p}_max_key_rows",
+        s"cast((cast(${p}_max_key_rows as decimal(38,0)) * 1000000)" +
+          s" div ${p}_rows as bigint) AS ${p}_top1_micro")
+
+  def joinAdvisor(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      broadcastRows: Long, skewShareMicro: Long): DataFrame = {
+    val l = keyStats(left, leftKey, "l")
+    val r = keyStats(right, rightKey, "r")
+    l.crossJoin(broadcast(r))
+      .selectExpr("l_rows", "l_keys", "l_max_key_rows", "l_top1_micro",
+        "r_rows", "r_keys", "r_max_key_rows", "r_top1_micro",
+        s"case when least(l_rows, r_rows) <= $broadcastRows then 'broadcast'" +
+          s" when greatest(l_top1_micro, r_top1_micro) >= $skewShareMicro" +
+          " then 'salted_shuffle' else 'shuffle_join' end AS strategy",
+        s"case when least(l_rows, r_rows) <= $broadcastRows then" +
+          " if(l_rows <= r_rows, 'left', 'right')" +
+          " else cast(null as string) end AS broadcast_side")
+  }
 }
