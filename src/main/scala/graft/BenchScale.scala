@@ -64,7 +64,8 @@ object BenchScale {
     "q41_profile", "q76_gini", "q82_spearman", "q88_robust_outliers",
     "q92_quartile_dispersion", "q93_key_skew_audit", "q94_join_advisor",
     // events / baskets
-    "e41_gap_dispersion", "e42_handoff_latency", "q42_assoc_rules",
+    "e41_gap_dispersion", "e42_handoff_latency", "e43_user_activity_powerlaw",
+    "q42_assoc_rules",
     "q63_assoc_top_support",
     // text analysis / curation
     "t31_tfidf_pairs", "t38_tokenizer_fertility", "t39_source_drift_tv",
@@ -73,7 +74,7 @@ object BenchScale {
     "p49_quality_dedup_keep_best", "t48_repetition_gates", "t49_chunk_inventory",
     "p50_ccnet_buckets", "s39_semantic_contamination", "p51_soft_dedup_weights",
     "p57_waterfill_budget", "t50_zipf_fit", "t51_heaps_curve",
-    "p59_privacy_gate",
+    "p59_privacy_gate", "t52_source_zipf_slopes",
     // multimodal (documents-derived media)
     "m12_phash_neardup")
 

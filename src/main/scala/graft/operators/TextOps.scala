@@ -413,6 +413,51 @@ object TextOps {
     * 100 TB shape: one O(docs) offset cumsum (bucket-decomposed), one
     * doc-keyed equi-join to attach offsets, one term-keyed min agg
     * (map-side combinable), then a `deciles`-row histogram. */
+  /** [[zipfFit]]'s grouped core over an arbitrary (grp, item, c)
+    * count frame: per group, OLS of ln(c) on ln(rank) over the top
+    * `maxRank` items (rank by c desc, item asc), same 1e-6 ln grid
+    * and decimal(38,0) integer arithmetic. Groups with a degenerate
+    * fit set (all counts equal, or a single item) follow zipfFit's
+    * conventions (slope 0 / r² 1e6).
+    *
+    * @return one row per group: (grp, n_items, n_fit, slope_micro,
+    *         intercept_micro, r2_micro).
+    *
+    * 100 TB shape: one grp-partitioned rank window (groups sort in
+    * parallel; at real scale pre-prune items below a frequency floor
+    * before ranking — the fit only reads the top maxRank) + one
+    * grp-keyed combinable agg. */
+  def lnLnFitGrouped(counts: DataFrame, maxRank: Int): DataFrame = {
+    require(maxRank >= 2, s"lnLnFitGrouped needs maxRank >= 2, got $maxRank")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("item").asc)
+    val tot = counts.groupBy(col("grp")).agg(count(lit(1)).as("n_items"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxRank)
+      .selectExpr("grp", "cast(floor(ln(rk) * 1000000) as bigint) AS x",
+        "cast(floor(ln(c) * 1000000) as bigint) AS y")
+      .groupBy(col("grp")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .join(broadcast(tot), Seq("grp"))
+      .selectExpr("grp", "n_items", "cast(n as bigint) AS n_fit",
+        "n * sxy - sx * sy AS num", "n * sxx - sx * sx AS den",
+        "n * syy - sy * sy AS syy_den", "sx", "sy", "n")
+      .selectExpr("grp", "n_items", "n_fit", "num", "syy_den", "sx", "sy", "n",
+        "if(den = 0, cast(0 as decimal(38,0)), num * 1000000 div den) AS slope_d")
+      .selectExpr("grp", "n_items", "n_fit",
+        "cast(slope_d as bigint) AS slope_micro",
+        "cast((sy - slope_d * sx div 1000000) div n as bigint)" +
+          " AS intercept_micro",
+        "cast(if(syy_den = 0, 1000000, " +
+          "(slope_d * num) div syy_den) as bigint) AS r2_micro")
+      .orderBy(col("grp"))
+  }
+
   def heapsCurve(docs: DataFrame, textCol: String, deciles: Int = 10): DataFrame = {
     require(deciles >= 2, s"heapsCurve needs deciles >= 2, got $deciles")
     val tk = docs.selectExpr("doc_id", s"${tokens(textCol)} AS t")

@@ -117,6 +117,32 @@ class WaterfillSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("lnLnFitGrouped: per-group fits are independent and match zipfFit's math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // group "pow": the exact power corpus from the zipfFit test;
+    // group "flat": four equal counts -> slope 0, r2 convention 1e6
+    val powWords = Seq(("t1", 1024), ("t2", 512), ("t3", 256), ("t4", 128))
+      .flatMap { case (w, n) => Seq.fill(n)(w) }.map(("pow", _))
+    val flatWords = Seq("aa", "bb", "cc", "dd").flatMap(w =>
+      Seq.fill(2)(w)).map(("flat", _))
+    val counts = (powWords ++ flatWords).toDF("grp", "item")
+      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("c"))
+    val out = TextOps.lnLnFitGrouped(counts, 1000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Long]("slope_micro") == 0L)
+    assert(out("flat").getAs[Long]("r2_micro") == 1000000L)
+    // the pow group must equal the ungrouped zipfFit on the same corpus
+    val docs = powWords.map(_._2).grouped(64).zipWithIndex
+      .map { case (g, i) => (i.toLong, "s", g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val solo = TextOps.zipfFit(docs, "text", 1000).collect().head
+    assert(out("pow").getAs[Long]("slope_micro") ==
+      solo.getAs[Long]("slope_micro"))
+    assert(out("pow").getAs[Long]("r2_micro") == solo.getAs[Long]("r2_micro"))
+    assert(out("pow").getAs[Long]("n_items") == 4L)
+  }
+
   test("zipfFit on a flat distribution reads slope 0 and r2 convention") {
     import spark.implicits._
     val docs = Seq((0L, "s", "aa bb cc dd aa bb cc dd"))
