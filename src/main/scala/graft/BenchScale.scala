@@ -59,7 +59,7 @@ object BenchScale {
     // similarity / ANN
     "s13_ivf_trained_topk", "s16_semantic_dedup_bigk", "s17_ivfpq_topk",
     "s18_mmr_rerank", "s32_knn_confusion", "s36_ivf_list_gini",
-    "s37_int8_rank_fidelity", "s40_kcenter_coreset",
+    "s37_int8_rank_fidelity", "s40_kcenter_coreset", "p60_coreset_sample",
     // rank statistics / profiling
     "q41_profile", "q76_gini", "q82_spearman", "q88_robust_outliers",
     "q92_quartile_dispersion", "q93_key_skew_audit", "q94_join_advisor",
@@ -76,7 +76,7 @@ object BenchScale {
     "p57_waterfill_budget", "t50_zipf_fit", "t51_heaps_curve",
     "p59_privacy_gate", "t52_source_zipf_slopes",
     // multimodal (documents-derived media)
-    "m12_phash_neardup")
+    "m12_phash_neardup", "m19_rare_phash_audit")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

@@ -1137,4 +1137,42 @@ object Similarity {
       .map { case ((id, _, _, d), i) => (i + 1L, id, d) }
       .toDF("rk", "vec_id", "dist2_sel")
   }
+
+  /** Cluster-balanced coreset sampling — [[kCenterCoreset]] put to
+    * work: every vector is assigned to its nearest of the k selected
+    * centers (exact squared L2, ties to the lowest center id), and
+    * each stratum keeps its `perStratum` lowest salted-hash members —
+    * a deterministic, diversity-BALANCED subsample (a plain uniform
+    * sample reproduces the corpus's redundancy; this one gives every
+    * region of embedding space the same seat count regardless of how
+    * over-represented it is).
+    *
+    * @return (centroid, rk, vec_id, d2) for the selected rows,
+    *         rk = 1..perStratum within each stratum.
+    *
+    * 100 TB shape: the k-center pass (k bounded scans), then ONE
+    * corpus scan against the k-row broadcast center frame folded to
+    * an argmin (no join explosion — the k candidates collapse in a
+    * partial-aggregable min(struct)), and one stratum-partitioned
+    * top-perStratum window over k strata. */
+  def coresetSample(emb: DataFrame, k: Int, perStratum: Int,
+      salt: String): DataFrame = {
+    require(perStratum >= 1, s"perStratum must be >= 1, got $perStratum")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val p = prepared(emb).select("vec_id", "v", "nrm")
+    val ctr = kCenterCoreset(emb, k).select(col("vec_id").as("cid"))
+      .join(p.selectExpr("vec_id AS cid", "v AS cv", "nrm AS cn"), Seq("cid"))
+    val assigned = p.crossJoin(broadcast(ctr))
+      .selectExpr("vec_id", "cid", "nrm + cn - 2 * graft_dot(v, cv) AS d2")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .selectExpr("vec_id", "m.cid AS centroid", "m.d2 AS d2")
+    val h = TextOps.strHash60(s"concat('$salt', ':', cast(vec_id as string))")
+    assigned.selectExpr("centroid", "vec_id", "d2", s"$h AS hkey")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("centroid"))
+        .orderBy(col("hkey"), col("vec_id"))))
+      .filter(col("rk") <= perStratum)
+      .selectExpr("centroid", "cast(rk as bigint) AS rk", "vec_id", "d2")
+      .orderBy(col("centroid"), col("rk"))
+  }
 }

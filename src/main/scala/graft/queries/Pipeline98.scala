@@ -44,7 +44,30 @@ object Pipeline98 {
       FROM ps JOIN top ON ps.source = top.source AND rn = 1
       ORDER BY ps.source"""))
 
-  private val K = 8
+  private[queries] val K = 8
+
+  /** The greedy k-center CTE chain shared by s40 and p60: defines
+    * `n` (vec_id, v, nrm), c1..cK (selected centers with their
+    * selection distance `cd` from c2 on) and d1..dK (running
+    * min-distance frames). */
+  private[queries] val kcenterChain: String = {
+    val steps = (2 to K).map { i =>
+      val p = s"d${i - 1}"
+      s""",
+      c$i AS (SELECT vec_id AS cid, v AS cv, nrm AS cn, md AS cd
+              FROM $p ORDER BY md DESC, vec_id LIMIT 1),
+      d$i AS (SELECT $p.vec_id, $p.v, $p.nrm,
+              least($p.md, $p.nrm + c$i.cn - 2 * ${DuckOps.dot(s"$p.v", s"c$i.cv")}) AS md
+              FROM $p, c$i)"""
+    }.mkString
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
+      c1 AS (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1),
+      d1 AS (SELECT n.vec_id, n.v, n.nrm,
+             n.nrm + c1.nrm - 2 * ${DuckOps.dot("n.v", "c1.v")} AS md
+             FROM n, c1)$steps"""
+  }
 
   /** Greedy k-center (k = 8) from the lowest vec_id; the oracle
     * unrolls the identical 8-step farthest-point fold, so even the
@@ -53,24 +76,9 @@ object Pipeline98 {
     "s40_kcenter_coreset",
     (s, d) => Similarity.kCenterCoreset(Tables.embeddings(s, d), K),
     Some {
-      val steps = (2 to K).map { i =>
-        val p = s"d${i - 1}"
-        s""",
-      c$i AS (SELECT vec_id AS cid, v AS cv, nrm AS cn, md AS cd
-              FROM $p ORDER BY md DESC, vec_id LIMIT 1),
-      d$i AS (SELECT $p.vec_id, $p.v, $p.nrm,
-              least($p.md, $p.nrm + c$i.cn - 2 * ${DuckOps.dot(s"$p.v", s"c$i.cv")}) AS md
-              FROM $p, c$i)"""
-      }.mkString
       val tail = (2 to K).map(i =>
         s"UNION ALL SELECT ${i}::BIGINT, c$i.cid, c$i.cd FROM c$i").mkString("\n      ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-               FROM embeddings),
-      n AS (SELECT vec_id, v, ${DuckOps.norm2("v")} AS nrm FROM e),
-      c1 AS (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1),
-      d1 AS (SELECT n.vec_id, n.v, n.nrm,
-             n.nrm + c1.nrm - 2 * ${DuckOps.dot("n.v", "c1.v")} AS md
-             FROM n, c1)$steps
+      s"""WITH $kcenterChain
       SELECT * FROM (
       SELECT 1::BIGINT AS rk, c1.vec_id, NULL::DOUBLE AS dist2_sel FROM c1
       $tail) ORDER BY rk"""

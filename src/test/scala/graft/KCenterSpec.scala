@@ -53,6 +53,30 @@ class KCenterSpec extends AnyFunSuite {
     assert(d.zip(d.tail).forall { case (a, b) => b <= a })
   }
 
+  test("coresetSample is balanced, deterministic, and assigns to the nearest center") {
+    // two tight clusters far apart: 12 points near 0, 12 near 100
+    val e = emb((0L until 24L).map(i =>
+      i -> Seq((if (i < 12) i * 0.01f else 100f + i * 0.01f), 0f)))
+    val out = Similarity.coresetSample(e, 2, perStratum = 5, salt = "t")
+      .collect()
+    val byStratum = out.groupBy(_.getLong(0))
+    assert(byStratum.size == 2)
+    assert(byStratum.values.forall(_.length == 5))
+    // every selected member is genuinely nearest its stratum center:
+    // cluster membership = id < 12 iff center is the low cluster
+    val centers = Similarity.kCenterCoreset(e, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(centers.exists(_ < 12L) && centers.exists(_ >= 12L))
+    out.foreach { r =>
+      val sameSide = (r.getLong(2) < 12L) == (r.getLong(0) < 12L)
+      assert(sameSide, s"vec ${r.getLong(2)} in stratum ${r.getLong(0)}")
+    }
+    // deterministic: same salt -> same rows
+    val again = Similarity.coresetSample(e, 2, perStratum = 5, salt = "t")
+      .collect()
+    assert(out.map(_.toString).toList == again.map(_.toString).toList)
+  }
+
   private def docs(rows: Seq[(Long, String, String)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "source", "text")

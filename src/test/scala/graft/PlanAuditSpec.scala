@@ -2263,4 +2263,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val scan = keysOnly.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
     assert(scan.output.map(_.name) == Seq("key"))
   }
+
+  test("round-15 shapes (d37 equi-only audit, q93/q94 no cartesian over keys, p60 broadcast assignment)") {
+    // d37: the rare set joins occurrences by hash EQUALITY — never a
+    // broadcast of the (huge at scale) rare-window set, never a pair
+    // join
+    val d37 = finalPlan(queries.Pipeline98.d37.run(spark, sfDir))
+    assert(!d37.contains("CartesianProduct") &&
+      !d37.contains("BroadcastNestedLoopJoin"),
+      s"d37 must stay an equi-join on the window hash:\n$d37")
+    // q93: the only joins are the tiny histogram/rank lookups — the
+    // key-sized frame itself never joins anything
+    val q93 = finalPlan(queries.Pipeline99.q93.run(spark, sfDir))
+    assert(!q93.contains("CartesianProduct"),
+      s"q93 must not cross anything unbounded:\n$q93")
+    // q94: two 1-row stat frames cross — every nested-loop join in
+    // the plan must be a broadcast of a 1-row side (the stats), which
+    // AQE renders as BroadcastNestedLoopJoin over singletons
+    val q94 = finalPlan(queries.Pipeline101.q94.run(spark, sfDir))
+    assert(!q94.contains("CartesianProduct"),
+      s"q94 must not plan a real cartesian product:\n$q94")
+    // p60: assignment is ONE scan against the broadcast k-row center
+    // frame folded by a partial-aggregable min(struct) — no
+    // SortMergeJoin against the corpus, no cartesian
+    val p60 = finalPlan(queries.Pipeline103.p60.run(spark, sfDir))
+    assert(!p60.contains("CartesianProduct"),
+      s"p60 must broadcast the center frame:\n$p60")
+    // d38: the pair matrix is a broadcast self-join of the O(sources)
+    // sketch frame; the doc-level side never self-joins
+    val d38 = finalPlan(queries.Pipeline101.d38.run(spark, sfDir))
+    assert(!d38.contains("CartesianProduct"),
+      s"d38 must broadcast the source-sketch frame:\n$d38")
+  }
 }
