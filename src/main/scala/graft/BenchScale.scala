@@ -42,7 +42,7 @@ object BenchScale {
     "d25_minhash_k_sweep", "d29_exact_substr", "d30_exact_substr_by_source",
     "d31_exact_substr_pairs", "d32_exact_substr_scrub",
     "d33_df_saturation", "d37_rare_window_kanon", "d38_source_overlap_sketch",
-    "p47_scrub_savings_by_source",
+    "d39_source_containment", "p47_scrub_savings_by_source",
     "p52_decontamination_scrub", "p53_gated_packing",
     "d34_band_skew", "d36_minhash_band_skew", "d35_dialogue_dedup",
     "p55_dialogue_scrub", "p56_dialogue_contamination",
@@ -74,7 +74,7 @@ object BenchScale {
     "p49_quality_dedup_keep_best", "t48_repetition_gates", "t49_chunk_inventory",
     "p50_ccnet_buckets", "s39_semantic_contamination", "p51_soft_dedup_weights",
     "p57_waterfill_budget", "t50_zipf_fit", "t51_heaps_curve",
-    "p59_privacy_gate", "t52_source_zipf_slopes",
+    "p59_privacy_gate", "t52_source_zipf_slopes", "p61_waterfill_select",
     // multimodal (documents-derived media)
     "m12_phash_neardup", "m19_rare_phash_audit")
 

@@ -554,4 +554,40 @@ object Curate {
           " AS fill_micro")
       .orderBy(col("source"))
   }
+
+  /** The ACT face of [[waterfillBudget]]: realize the allocation by
+    * SELECTING docs — per source, docs taken in salted-hash order
+    * (deterministic, rerunnable, no RNG state — the
+    * [[tokenBudgetSelect]] selection discipline) until the source's
+    * water-filled allocation is exhausted. A doc is kept iff its
+    * inclusive running token count fits the allocation, so each
+    * source's realized take is within one doc of its plan.
+    *
+    * @return surviving docs: (id, source, n_tokens, cum_tokens,
+    *         alloc_tokens).
+    *
+    * 100 TB shape: [[waterfillBudget]]'s O(sources) planning frame
+    * broadcast back onto one source-partitioned window over the
+    * corpus — the same single-shuffle shape as tokenBudgetSelect,
+    * with the plan swapped. */
+  def waterfillSelect(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, budgetTokens: Long, weightExpr: String = "1L",
+      salt: String = "wf"): DataFrame = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val quotas = waterfillBudget(docs, srcCol, textCol, budgetTokens,
+      weightExpr).select(col("source"), col("alloc_tokens"))
+    val sel = Window.partitionBy(col("source"))
+      .orderBy(col("hkey"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h = graft.operators.TextOps.strHash60(
+      s"concat('$salt', ':', cast(id as string))")
+    docs.selectExpr(s"$idCol AS id", s"$srcCol AS source",
+        s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
+      .selectExpr("id", "source", "n_tokens", s"$h AS hkey")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(sel))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("alloc_tokens"))
+  }
 }

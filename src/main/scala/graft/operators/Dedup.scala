@@ -1246,18 +1246,25 @@ object Dedup {
     * partial-aggregable min over docs×k 8-byte rows; the pair matrix
     * is a broadcast self-join of the O(sources · k) frame. Nothing
     * scales with shingle cardinality past the map stage. */
-  def sourceOverlapSketch(docs: DataFrame, textCol: String, n: Int,
-      k: Int, srcCol: String = "source"): DataFrame = {
-    require(k >= 1, s"sourceOverlapSketch needs k >= 1, got $k")
-    val docSigs = docs.selectExpr(s"$srcCol AS source",
+  /** Per-source UNION MinHash signatures (the mergeable-sketch fold
+    * shared by [[sourceOverlapSketch]] and
+    * [[sourceContainmentSketch]]): per-doc native signatures folded
+    * element-wise by a (source, slot)-keyed min. */
+  private def sourceSketches(docs: DataFrame, textCol: String, n: Int,
+      k: Int, srcCol: String): DataFrame =
+    docs.selectExpr(s"$srcCol AS source",
         s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("source", s"${TextOps.minhashSig("hs", k)} AS sig")
-    val srcSigs = docSigs
       .selectExpr("source", "posexplode(sig) AS (i, v)")
       .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
       .groupBy(col("source"))
       .agg(sort_array(collect_list(struct(col("i"), col("v")))).as("sv"))
       .selectExpr("source", "transform(sv, x -> x.v) AS sig")
+
+  def sourceOverlapSketch(docs: DataFrame, textCol: String, n: Int,
+      k: Int, srcCol: String = "source"): DataFrame = {
+    require(k >= 1, s"sourceOverlapSketch needs k >= 1, got $k")
+    val srcSigs = sourceSketches(docs, textCol, n, k, srcCol)
     srcSigs.as("a")
       .join(broadcast(srcSigs.as("b")), col("a.source") < col("b.source"))
       .selectExpr("a.source AS s1", "b.source AS s2",
@@ -1266,6 +1273,50 @@ object Dedup {
           " AS matches")
       .selectExpr("s1", "s2", "matches",
         s"cast(matches * 1000000 div $k as bigint) AS est_jaccard_micro")
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** Asymmetric source CONTAINMENT estimates — [[sourceOverlapSketch]]
+    * answers "how similar are two sources"; this answers "is source A
+    * INSIDE source B" (the re-crawl / re-release detector: a 1%-sized
+    * subset crawl has tiny Jaccard but containment ≈ 1). From the
+    * same union sketches plus each source's EXACT distinct n-gram
+    * count: with est J = m/(k) slot matches, |A∩B| ≈ (m/(k+m))·
+    * (|A|+|B|) (the standard J→intersection identity), so
+    * containment(A in B) = |A∩B|/|A| lands as the exact-integer
+    * expression `m·(n1+n2)·1e6 div ((k+m)·n1)` — both engines
+    * replay it, so the estimate itself is cell-exact.
+    *
+    * @return one row per ordered-free pair s1 < s2: (s1, s2, matches,
+    *         n1, n2, cont_1in2_micro, cont_2in1_micro).
+    *
+    * 100 TB shape: [[sourceSketches]]'s fold + one (source,hash)
+    * distinct count (two-stage keyed agg, map-side combinable) + the
+    * O(sources·k) broadcast self-join — shingle cardinality never
+    * survives past the two keyed aggs. */
+  def sourceContainmentSketch(docs: DataFrame, textCol: String, n: Int,
+      k: Int, srcCol: String = "source"): DataFrame = {
+    require(k >= 1, s"sourceContainmentSketch needs k >= 1, got $k")
+    val srcSigs = sourceSketches(docs, textCol, n, k, srcCol)
+    val sizes = docs.selectExpr(s"$srcCol AS source",
+        s"explode(graft_shingle_hashes($textCol, $n)) AS sgl")
+      .groupBy(col("source"), col("sgl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("nsz"))
+    val sized = srcSigs.join(sizes, Seq("source"))
+    sized.as("a")
+      .join(broadcast(sized.as("b")), col("a.source") < col("b.source"))
+      .selectExpr("a.source AS s1", "b.source AS s2",
+        s"cast(size(filter(sequence(1, $k)," +
+          " i -> element_at(a.sig, i) = element_at(b.sig, i))) as bigint)" +
+          " AS matches",
+        "a.nsz AS n1", "b.nsz AS n2")
+      .selectExpr("s1", "s2", "matches", "n1", "n2",
+        s"cast((cast(matches as decimal(38,0)) * (n1 + n2) * 1000000)" +
+          s" div ((cast($k as decimal(38,0)) + matches) * n1) as bigint)" +
+          " AS cont_1in2_micro",
+        s"cast((cast(matches as decimal(38,0)) * (n1 + n2) * 1000000)" +
+          s" div ((cast($k as decimal(38,0)) + matches) * n2) as bigint)" +
+          " AS cont_2in1_micro")
       .orderBy(col("s1"), col("s2"))
   }
 }

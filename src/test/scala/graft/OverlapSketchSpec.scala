@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Profile}
+import graft.operators.{Curate, Dedup, Profile}
 
 /** [[Dedup.sourceOverlapSketch]] union-merge semantics and
   * [[Profile.joinAdvisor]] decision branches. */
@@ -49,6 +49,44 @@ class OverlapSketchSpec extends AnyFunSuite {
     // the sketch reads near-1 (expected mismatch rate 1/9 per slot)
     assert(out.getString(0) == "split" && out.getString(1) == "whole")
     assert(out.getLong(2) >= 24L && out.getLong(2) <= 32L)
+  }
+
+  test("containment sketch: a subset source reads near-1 containment, small Jaccard") {
+    // source "all" holds ten 2-gram-rich docs; source "sub" is an
+    // exact subset (2 of the 10 docs) -> containment(sub in all) = 1
+    val base = (0 until 10).map(i =>
+      s"w${i}a w${i}b w${i}c w${i}d w${i}e")
+    val d = docs(
+      base.zipWithIndex.map { case (t, i) => (i.toLong, "all", t) } ++
+      Seq((20L, "sub", base(0)), (21L, "sub", base(1))))
+    val out = Dedup.sourceContainmentSketch(d, "text", 2, 32)
+      .collect().head
+    assert(out.getString(0) == "all" && out.getString(1) == "sub")
+    val (n1, n2) = (out.getLong(3), out.getLong(4))
+    assert(n1 == 40L && n2 == 8L)     // 4 distinct 2-grams per doc
+    // sub ⊆ all: every sub slot-min is also an all candidate, so the
+    // matched-slot estimate puts containment(sub in all) near 1e6
+    val c2in1 = out.getLong(6)
+    assert(c2in1 > 700000L, s"containment(sub in all) = $c2in1")
+    // and the asymmetry reads: all is NOT contained in sub
+    assert(out.getLong(5) < 400000L)
+  }
+
+  test("waterfillSelect realizes the plan within one doc per source") {
+    import spark.implicits._
+    val d = (0 until 30).map(i =>
+      (i.toLong, s"s${i % 3}", Seq.fill(4)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // total 120 tokens; budget 60 uniform -> 20 per source (no
+    // saturation: each source caps at 40)
+    val out = Curate.waterfillSelect(d, "doc_id", "source", "text", 60L)
+      .collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySrc.toMap.values.forall(_ == 20L))
+    // determinism
+    val again = Curate.waterfillSelect(d, "doc_id", "source", "text", 60L)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.map(_.getLong(0)).sorted.toList == again.toList)
   }
 
   test("joinAdvisor branches: broadcast, salted, plain shuffle") {
