@@ -56,8 +56,17 @@ object Pipeline104 {
     (s, d) => {
       val schema = Tables.documents(s, d).schema
       val tbl = "st16_stream_source_mix_sink"
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // a driver sf dir holds documents.parquet as a FILE (glob-filter
+      // the dir); a Spark-written slice holds it as a DIRECTORY of
+      // parts (stream the directory itself) — without the branch the
+      // glob filter matches nothing and the monitor reads a silently
+      // EMPTY stream, the failure class this engine never tolerates
+      val tableDir = new java.io.File(d, "documents.parquet")
+      val stream =
+        if (tableDir.isDirectory)
+          s.readStream.schema(schema).parquet(tableDir.getPath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
       val agg = stream
         .selectExpr("source",
           "cast(size(filter(split(text, '[ ]+'), x -> x != '')) as bigint)" +
