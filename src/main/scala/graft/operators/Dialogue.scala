@@ -28,10 +28,37 @@ import org.apache.spark.sql.functions._
   */
 object Dialogue {
 
+  /** One shared rule for the whole family: `assistantRole` is
+    * interpolated into SQL fragments by two of the four operators,
+    * so a role containing a quote would break (or alter) the
+    * predicate. All four operators enforce the same guard so the
+    * family has one contract, not two. */
+  private def requireSafeRole(assistantRole: String): Unit =
+    require(!assistantRole.contains("'"),
+      s"assistantRole must not contain quotes, got '$assistantRole'")
+
+  /** Second-track fold constants for the 60-bit conversation
+    * fingerprint: an independent multiplier/seed pair (999983 prime
+    * < P, seed 13) over 131-mult token hashes, so the two ~2^30
+    * tracks combine into a genuinely ~2^60 key the strHash60 way. */
+  private val MultB = 999983L
+  private val SeedB = 13L
+
+  /** The empty-assistant fingerprint: both tracks' bare seeds packed
+    * (7 * 2^30 + 13). */
+  val EmptyAssistantFp: Long = 7L * 1073741824L + SeedB
+
   /** Exact dialogue dedup: per conversation, an ORDER-SENSITIVE
     * 60-bit fingerprint of the assistant turns only — per-turn token
     * hashes folded within the turn, per-turn folds folded again in
     * `turn_idx` order — then fingerprint groups resolved keep-first.
+    * The fingerprint is TWO independent mod-P fold tracks (token
+    * hashes mult 31 folded with 1000003/seed 7; token hashes mult
+    * 131 folded with 999983/seed 13) packed as
+    * `fa * 2^30 + fb % 2^30` — a single mod-P fold carries only
+    * ~2^30 states, so birthday collisions start near ~50k
+    * conversations; the packed pair pushes that to ~2^30
+    * conversations (the strHash60 rule at conversation grain).
     * Two conversations collide iff their assistant text (token
     * stream AND turn segmentation) is identical; user/system/tool
     * turns are invisible to the fingerprint, so a templated prompt
@@ -50,21 +77,26 @@ object Dialogue {
     * exact plan at conversation granularity. */
   def dialogueExactDedup(turns: DataFrame,
       assistantRole: String = "assistant"): DataFrame = {
+    requireSafeRole(assistantRole)
     val perTurn = turns
       .filter(col("role") === lit(assistantRole))
       .selectExpr("conv_id", "turn_idx",
-        s"${TextOps.foldHash(TextOps.hashAll(TextOps.tokens("text")))} AS th")
+        s"${TextOps.foldHash(TextOps.hashAll(TextOps.tokens("text"), 31))} AS tha",
+        s"${TextOps.foldHashWith(TextOps.hashAll(TextOps.tokens("text"), 131), MultB, SeedB)} AS thb")
     val perConv = perTurn.groupBy(col("conv_id"))
-      .agg(sort_array(collect_list(struct(col("turn_idx"), col("th"))))
-        .as("fs"))
+      .agg(sort_array(collect_list(
+        struct(col("turn_idx"), col("tha"), col("thb")))).as("fs"))
       .selectExpr("conv_id",
-        s"${TextOps.foldHash("transform(fs, f -> f.th)")} AS f")
+        s"${TextOps.foldHash("transform(fs, f -> f.tha)")} AS fa",
+        s"${TextOps.foldHashWith("transform(fs, f -> f.thb)", MultB, SeedB)} AS fb")
     val fp = turns.select(col("conv_id")).distinct()
       .join(perConv, Seq("conv_id"), "left")
-      // a conversation with NO assistant turns folds as the bare
-      // seed (7); one with only zero-token assistant turns folds the
-      // per-turn seeds in — the two stay distinguishable
-      .selectExpr("conv_id", "coalesce(f, 7L) AS asst_fp")
+      // a conversation with NO assistant turns packs the two bare
+      // seeds (7, 13); one with only zero-token assistant turns
+      // folds the per-turn seeds in — the two stay distinguishable
+      .selectExpr("conv_id",
+        s"coalesce(fa * 1073741824 + fb % 1073741824," +
+          s" ${EmptyAssistantFp}L) AS asst_fp")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("asst_fp"))
     fp.withColumn("group_size", count(lit(1)).over(w))
@@ -100,6 +132,7 @@ object Dialogue {
       assistantRole: String = "assistant"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    requireSafeRole(assistantRole)
     val base = turns.selectExpr("conv_id", "turn_idx",
       s"coalesce(($evalPred), false) AS is_eval",
       s"(role = '$assistantRole') AS is_asst",
@@ -161,6 +194,7 @@ object Dialogue {
   def dialogueScrub(turns: DataFrame, k: Int, evalPred: String,
       assistantRole: String = "assistant"): DataFrame = {
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
+    requireSafeRole(assistantRole)
     val base = turns.selectExpr("conv_id", "turn_idx", "role", "text",
       s"coalesce(($evalPred), false) AS is_eval",
       s"(role = '$assistantRole') AS is_asst",
@@ -208,8 +242,7 @@ object Dialogue {
     * combinable aggregation — nothing else. */
   def sftTokenAccounting(turns: DataFrame,
       assistantRole: String = "assistant"): DataFrame = {
-    require(!assistantRole.contains("'"),
-      "assistantRole must not contain quotes")
+    requireSafeRole(assistantRole)
     turns.selectExpr("conv_id",
         s"cast(size(${TextOps.tokens("text")}) as bigint) AS nt",
         s"(role = '$assistantRole') AS tr")

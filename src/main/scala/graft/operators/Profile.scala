@@ -165,6 +165,13 @@ object Profile {
     * [[Curate.bucketedCumsum]] + broadcast rank lookups on that
     * O(sizes) frame. */
   def keySkewAudit(df: DataFrame, keyExpr: String): DataFrame = {
+    // eager guard (the zipfFit/evalContamination rule): an empty
+    // input would emit a NULL-count row that reads as an unreadable
+    // advisory instead of a loud failure. The probe early-stops at
+    // the first row.
+    require(!df.isEmpty,
+      "keySkewAudit: input frame is empty - a NULL skew profile " +
+        "would read as an advisory; check the input")
     val gs = df.selectExpr(s"($keyExpr) AS k")
       .groupBy(col("k")).agg(count(lit(1)).as("c"))
     val h = gs.groupBy(col("c")).agg(count(lit(1)).as("nk"))
@@ -215,6 +222,9 @@ object Profile {
   def joinAdvisor(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       broadcastRows: Long, skewShareMicro: Long): DataFrame = {
+    require(!left.isEmpty && !right.isEmpty,
+      "joinAdvisor: an empty join side would emit a NULL advisory " +
+        "row instead of failing loudly; check the inputs")
     val l = keyStats(left, leftKey, "l")
     val r = keyStats(right, rightKey, "r")
     l.crossJoin(broadcast(r))

@@ -74,8 +74,15 @@ object TextOps {
   /** Order-insensitive combine of an array of BIGINT minhash values
     * into one band-bucket key (commutative? no — positional fold, and
     * both engines fold left-to-right over the same slice). */
-  def foldHash(arrCol: String): String =
-    s"aggregate($arrCol, cast(7 as bigint), (acc, x) -> (acc * 1000003 + x) % $P)"
+  def foldHash(arrCol: String): String = foldHashWith(arrCol, 1000003L, 7L)
+
+  /** [[foldHash]] with caller-chosen multiplier/seed — the second,
+    * independent track a 60-bit fold needs (mod-P folds carry only
+    * ~2^30 states; see [[Dialogue.dialogueExactDedup]]'s two-track
+    * fingerprint). Multiplier must be < P so acc*mult stays in
+    * Int64. */
+  def foldHashWith(arrCol: String, mult: Long, seed: Long): String =
+    s"aggregate($arrCol, cast($seed as bigint), (acc, x) -> (acc * $mult + x) % $P)"
 
   /** Common stopword list used by quality scoring & language ID. */
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -362,6 +369,13 @@ object TextOps {
     * bounded maxRank-row frame. */
   def zipfFit(docs: DataFrame, textCol: String, maxRank: Int = 1000): DataFrame = {
     require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    // eager guard (the waterfillBudget/evalContamination rule): an
+    // empty or all-empty-text corpus would otherwise emit a single
+    // all-NULL fit row — the silent-empty shape this repo rejects.
+    // The probe early-stops at the first non-empty document.
+    require(!docs.filter(expr(s"size(${tokens(textCol)}) > 0")).isEmpty,
+      "zipfFit: corpus has no tokens - a NULL fit row would read as " +
+        "a degenerate-but-valid fit; check the input")
     val tf = docs.selectExpr(s"explode(${tokens(textCol)}) AS term")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTypes = tf.groupBy().agg(count(lit(1)).as("n_types"))

@@ -44,8 +44,10 @@ object DuckOps {
       s"CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
       s"THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a, x) -> a + x)"
 
-  def foldHash(arr: String): String =
-    s"list_reduce(list_concat([7::BIGINT], $arr), (acc, x) -> (acc * 1000003 + x) % $P)"
+  def foldHash(arr: String): String = foldHashWith(arr, 1000003L, 7L)
+
+  def foldHashWith(arr: String, mult: Long, seed: Long): String =
+    s"list_reduce(list_concat([$seed::BIGINT], $arr), (acc, x) -> (acc * $mult + x) % $P)"
 
   def arrayLit(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
 

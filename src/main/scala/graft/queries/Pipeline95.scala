@@ -149,13 +149,21 @@ object Pipeline95 {
     Some(s"""WITH ${turnsCtes(userJunk = true)},
       at AS (SELECT conv_id, turn_idx,
                ${DuckOps.foldHash(DuckOps.hashAll(DuckOps.tokens("text"), 31))}
-                 AS th
+                 AS tha,
+               ${DuckOps.foldHashWith(
+                   DuckOps.hashAll(DuckOps.tokens("text"), 131), 999983L, 13L)}
+                 AS thb
              FROM turns WHERE role = 'assistant'),
-      fs AS (SELECT conv_id, list_transform(
-               list_sort(list({'i': turn_idx, 'h': th})), s -> s.h) AS hs
+      fs AS (SELECT conv_id,
+               list_transform(list_sort(list({'i': turn_idx, 'a': tha,
+                 'b': thb})), s -> s.a) AS ha,
+               list_transform(list_sort(list({'i': turn_idx, 'a': tha,
+                 'b': thb})), s -> s.b) AS hb
              FROM at GROUP BY 1),
       fp AS (SELECT c.conv_id,
-               coalesce(${DuckOps.foldHash("fs.hs")}, 7) AS asst_fp
+               coalesce(${DuckOps.foldHash("fs.ha")} * 1073741824
+                 + ${DuckOps.foldHashWith("fs.hb", 999983L, 13L)} % 1073741824,
+                 ${graft.operators.Dialogue.EmptyAssistantFp}) AS asst_fp
              FROM (SELECT DISTINCT conv_id FROM turns) c
              LEFT JOIN fs USING (conv_id)),
       g AS (SELECT conv_id, asst_fp,

@@ -68,6 +68,52 @@ class DialogueSpec extends AnyFunSuite {
     assert(out(2L)._1 == 1L)
   }
 
+  test("fingerprint is the 60-bit two-track pack (in-memory recompute)") {
+    val P = 1000000007L
+    def ph(s: String, m: Long) = s.foldLeft(0L)((a, c) => (a * m + c.toLong) % P)
+    def fold(xs: Seq[Long], m: Long, seed: Long) =
+      xs.foldLeft(seed)((a, x) => (a * m + x) % P)
+    def toks(x: String) = x.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def refFp(asst: Seq[(Long, String)]): Long =
+      if (asst.isEmpty) Dialogue.EmptyAssistantFp
+      else {
+        val srt = asst.sortBy(_._1).map(_._2)
+        val fa = fold(srt.map(t => fold(toks(t).map(ph(_, 31L)), 1000003L, 7L)),
+          1000003L, 7L)
+        val fb = fold(srt.map(t => fold(toks(t).map(ph(_, 131L)), 999983L, 13L)),
+          999983L, 13L)
+        fa * 1073741824L + fb % 1073741824L
+      }
+    val rows = Seq(
+      (0L, 1L, "user", "hello there"),
+      (0L, 2L, "assistant", "use the built in sorted function"),
+      (0L, 3L, "assistant", "and reverse with reverse true"),
+      (1L, 1L, "assistant", "something else entirely"),
+      (2L, 1L, "user", "no assistant here"))
+    val out = Dialogue.dialogueExactDedup(turnsDf(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byConv = rows.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.collect { case (_, ti, "assistant", x) => (ti, x) }.toSeq
+    }
+    for ((c, asst) <- byConv)
+      assert(out(c) == refFp(asst), s"conv $c fingerprint")
+    assert(out(2L) == Dialogue.EmptyAssistantFp)
+    assert(out(0L) > 1073741824L && out(1L) > 1073741824L,
+      "packed fingerprints use the high 30 bits")
+  }
+
+  test("a quoted assistantRole is rejected by every operator in the family") {
+    val df = turnsDf(Seq((0L, 1L, "assistant", "x"), (1L, 1L, "user", "y")))
+    intercept[IllegalArgumentException](
+      Dialogue.dialogueExactDedup(df, "a'r"))
+    intercept[IllegalArgumentException](
+      Dialogue.dialogueContamination(df, 3, "conv_id % 2 = 1", "a'r"))
+    intercept[IllegalArgumentException](
+      Dialogue.dialogueScrub(df, 3, "conv_id % 2 = 1", "a'r"))
+    intercept[IllegalArgumentException](
+      Dialogue.sftTokenAccounting(df, "a'r"))
+  }
+
   // ------------------------------------------------ dialogueScrub
 
   private def scrub(rows: Seq[(Long, Long, String, String)], k: Int,

@@ -122,4 +122,14 @@ class OverlapSketchSpec extends AnyFunSuite {
     assert(r.getLong(4) == 2L && r.getLong(5) == 2L && r.getLong(6) == 1L)
     assert(r.getLong(7) == 500000L)
   }
+
+  test("joinAdvisor rejects an empty side instead of a NULL advisory") {
+    import spark.implicits._
+    val some = Seq(1L).toDF("k")
+    val none = Seq.empty[Long].toDF("k")
+    intercept[IllegalArgumentException](
+      Profile.joinAdvisor(none, "k", some, "k", 1L, 500000L))
+    intercept[IllegalArgumentException](
+      Profile.joinAdvisor(some, "k", none, "k", 1L, 500000L))
+  }
 }

@@ -86,4 +86,9 @@ class SftPackingSpec extends AnyFunSuite {
     val r = Profile.keySkewAudit(df, "k").collect().head
     assert(r.getLong(1) == 2L && r.getLong(0) == 5L && r.getLong(2) == 3L)
   }
+
+  test("keySkewAudit rejects an empty input instead of a NULL profile row") {
+    intercept[IllegalArgumentException](
+      Profile.keySkewAudit(keyed(Seq.empty), "k"))
+  }
 }

@@ -151,4 +151,12 @@ class WaterfillSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_micro") == 0L)
     assert(r.getAs[Long]("r2_micro") == 1000000L)
   }
+
+  test("zipfFit rejects a token-free corpus instead of emitting a NULL fit") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException](TextOps.zipfFit(empty, "text", 10))
+    val blank = Seq((0L, "s", "?!  --")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException](TextOps.zipfFit(blank, "text", 10))
+  }
 }
