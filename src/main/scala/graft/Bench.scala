@@ -274,9 +274,22 @@ object Bench {
         r(calib, 3)},"n_queries":${results.size},"n_contended":${contendedNames.size},"queries":$qs$medJson,"sf":"${
         js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
+    // The harness's 2000-char tail window also swallows sbt's
+    // trailing "[success] Total time ..." line (~75 chars), so a
+    // 1990-char line still truncates at its HEAD and parses as null
+    // (BENCH_r13..r15). Budget BOTH lines + the sbt trailer into the
+    // window: a ~1600-char top-queries line first, then a short
+    // totals-only summary line LAST — whichever line the driver's
+    // tail parse lands on is complete.
+    val summary =
+      s"""{"metric":"total","value":${r(total, 3)},"unit":"sec","total_batch_s":${
+        r(totalBatch, 3)},"total_stream_gate_s":${r(totalStream, 3)},"calib":${
+        r(calib, 3)},"n_queries":${results.size},"n_contended":${contendedNames.size},"sf":"${
+        js(sfDir)}","detail":"${js(detailPath)}"}"""
     var keep = byCost.size
-    while (keep > 1 && line(keep).length > 1990) keep -= 1
+    while (keep > 1 && line(keep).length > 1990 - summary.length - 85) keep -= 1
     spark.stop()
     println(line(keep))
+    println(summary)
   }
 }

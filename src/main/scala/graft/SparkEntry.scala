@@ -19,7 +19,7 @@ object SparkEntry {
       Pipeline27.all ++ Pipeline28.all ++ Pipeline29.all ++ Pipeline30.all ++
       Pipeline31.all ++ Pipeline32.all ++ Pipeline33.all ++ Pipeline34.all ++
       Pipeline35.all ++ Pipeline36.all ++ Pipeline37.all ++ Pipeline38.all ++
-      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++ Pipeline49.all ++ Pipeline50.all ++ Pipeline51.all ++ Pipeline52.all ++ Pipeline53.all ++ Pipeline54.all ++ Pipeline55.all ++ Pipeline56.all ++ Pipeline57.all ++ Pipeline58.all ++ Pipeline59.all ++ Pipeline60.all ++ Pipeline61.all ++ Pipeline62.all ++ Pipeline63.all ++ Pipeline64.all ++ Pipeline65.all ++ Pipeline66.all ++ Pipeline67.all ++ Pipeline68.all ++ Pipeline69.all ++ Pipeline70.all ++ Pipeline71.all ++ Pipeline72.all ++ Pipeline73.all ++ Pipeline74.all ++ Pipeline75.all ++ Pipeline76.all ++ Pipeline77.all ++ Pipeline78.all ++ Pipeline79.all ++ Pipeline80.all ++ Pipeline81.all ++ Pipeline82.all ++ Pipeline83.all ++ Pipeline84.all ++ Pipeline85.all ++ Pipeline86.all ++ Pipeline87.all ++ Pipeline88.all ++ Pipeline89.all ++ Pipeline90.all ++ Pipeline91.all ++ Pipeline92.all ++ Pipeline93.all ++ Pipeline94.all ++ Pipeline95.all ++ Pipeline96.all ++ Pipeline97.all ++ Pipeline98.all ++ Pipeline99.all ++ Pipeline100.all ++ Pipeline101.all ++ Pipeline102.all ++ Pipeline103.all ++ Pipeline104.all ++ Pipeline105.all ++
+      Pipeline39.all ++ Pipeline40.all ++ Pipeline41.all ++ Pipeline42.all ++ Pipeline43.all ++ Pipeline44.all ++ Pipeline45.all ++ Pipeline46.all ++ Pipeline47.all ++ Pipeline48.all ++ Pipeline49.all ++ Pipeline50.all ++ Pipeline51.all ++ Pipeline52.all ++ Pipeline53.all ++ Pipeline54.all ++ Pipeline55.all ++ Pipeline56.all ++ Pipeline57.all ++ Pipeline58.all ++ Pipeline59.all ++ Pipeline60.all ++ Pipeline61.all ++ Pipeline62.all ++ Pipeline63.all ++ Pipeline64.all ++ Pipeline65.all ++ Pipeline66.all ++ Pipeline67.all ++ Pipeline68.all ++ Pipeline69.all ++ Pipeline70.all ++ Pipeline71.all ++ Pipeline72.all ++ Pipeline73.all ++ Pipeline74.all ++ Pipeline75.all ++ Pipeline76.all ++ Pipeline77.all ++ Pipeline78.all ++ Pipeline79.all ++ Pipeline80.all ++ Pipeline81.all ++ Pipeline82.all ++ Pipeline83.all ++ Pipeline84.all ++ Pipeline85.all ++ Pipeline86.all ++ Pipeline87.all ++ Pipeline88.all ++ Pipeline89.all ++ Pipeline90.all ++ Pipeline91.all ++ Pipeline92.all ++ Pipeline93.all ++ Pipeline94.all ++ Pipeline95.all ++ Pipeline96.all ++ Pipeline97.all ++ Pipeline98.all ++ Pipeline99.all ++ Pipeline100.all ++ Pipeline101.all ++ Pipeline102.all ++ Pipeline103.all ++ Pipeline104.all ++ Pipeline105.all ++ Pipeline106.all ++
       Seq(cassCompaction, cassCompactionTyped, cassDiff, cassRoundtripCompressed,
         cassStreamCompaction, cassCompactionMixed)
 

@@ -223,6 +223,43 @@ class DialogueSpec extends AnyFunSuite {
       s"the NULL-flag conv's windows must contaminate the eval conv: $audit")
   }
 
+  test("p62 composition invariant: contamination over scrubbed-train ∪ eval reads zero") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Seq(
+      // eval conv 1: assistant text whose span also lives in train
+      (1L, 1L, "user", "please quote the famous passage"),
+      (1L, 2L, "assistant", "the quick brown fox jumps over the lazy dog today"),
+      // train conv 2: contains the eval span (plus a prefix/suffix)
+      (2L, 1L, "user", "tell me something"),
+      (2L, 2L, "assistant", "well the quick brown fox jumps over the lazy dog today indeed"),
+      // train conv 4: exact duplicate assistant stream of conv 2
+      (4L, 1L, "user", "a different prompt entirely"),
+      (4L, 2L, "assistant", "well the quick brown fox jumps over the lazy dog today indeed"),
+      // train conv 6: clean
+      (6L, 1L, "assistant", "completely unrelated clean answer text"))
+    val pred = "conv_id % 2 = 1"
+    val df = turnsDf(rows)
+    val train = df.filter(expr(s"NOT ($pred)"))
+    val evalT = df.filter(expr(pred))
+    val canon = Dialogue.dialogueExactDedup(train)
+      .filter(col("is_canonical")).select("conv_id")
+    val kept = train.join(canon, Seq("conv_id"))
+    assert(kept.select("conv_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(2L, 6L), "dedup drops the duplicate train conversation")
+    val scrubbed = Dialogue.dialogueScrub(kept.unionByName(evalT), 5, pred)
+    val c2 = scrubbed.filter(col("conv_id") === 2L && col("turn_idx") === 2L)
+      .collect().head
+    assert(c2.getLong(3) == 12L && c2.getLong(4) == 2L,
+      s"scrub acted on the contaminated train turn: $c2")
+    val recombined = scrubbed
+      .selectExpr("conv_id", "turn_idx", "role", "text_out AS text")
+      .unionByName(evalT)
+    val audit = Dialogue.dialogueContamination(recombined, 5, pred)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(audit.nonEmpty && audit.values.forall(_ == 0L),
+      s"post-scrub contamination must read zero everywhere: $audit")
+  }
+
   test("differential fuzz vs an in-memory reference") {
     val rnd = new scala.util.Random(0xD1A)
     val vocab = Vector("a", "b", "c", "d", "e")
