@@ -47,6 +47,7 @@ object BenchScale {
     "d34_band_skew", "d36_minhash_band_skew", "d35_dialogue_dedup",
     "p55_dialogue_scrub", "p56_dialogue_contamination",
     "p54_curation_compose", "p58_sft_packing",
+    "d40_dialogue_minhash", "p62_sft_curation_compose", "p63_sft_waterfill",
     // retrieval
     "t19_bm25_topk", "t21_bm25_artifact", "t23_hybrid_rrf", "t27_snippets",
     "s19_hard_negatives",
@@ -75,6 +76,7 @@ object BenchScale {
     "p50_ccnet_buckets", "s39_semantic_contamination", "p51_soft_dedup_weights",
     "p57_waterfill_budget", "t50_zipf_fit", "t51_heaps_curve",
     "p59_privacy_gate", "t52_source_zipf_slopes", "p61_waterfill_select",
+    "t53_mattr_diversity",
     // multimodal (documents-derived media)
     "m12_phash_neardup", "m19_rare_phash_audit")
 

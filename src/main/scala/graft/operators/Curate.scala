@@ -515,15 +515,27 @@ object Curate {
     * windows here are over tens of rows, not the corpus. */
   def waterfillBudget(docs: DataFrame, srcCol: String, textCol: String,
       budgetTokens: Long, weightExpr: String = "1L"): DataFrame = {
-    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
     val per = docs
       .selectExpr(s"$srcCol AS source",
         s"cast(size(filter(split($textCol, '[ ]+'), x -> x != '')) as bigint) AS n_tokens")
       .groupBy(col("source")).agg(sum(col("n_tokens")).as("cap_tokens"))
       .selectExpr("source", "cap_tokens",
         s"cast(($weightExpr) as bigint) AS weight")
+    waterfillFrom(per, budgetTokens)
+  }
+
+  /** [[waterfillBudget]]'s core over a PRE-AGGREGATED per-source
+    * frame (`source`, `cap_tokens`, `weight`) — the face a caller
+    * uses when the availability caps are not raw token mass (e.g.
+    * p63's SFT plan water-fills on TRAINABLE tokens from
+    * [[Dialogue.sftTokenAccounting]]). Same exact-integer algorithm
+    * and contracts as the scaladoc above; every row needs positive
+    * cap and weight (eager require — a zero-cap source has nothing
+    * to allocate to and would divide fill_micro by zero). */
+  def waterfillFrom(per: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
     require(per.filter(col("weight") <= 0L || col("cap_tokens") <= 0L).isEmpty,
-      "waterfillBudget: every source needs positive weight and token mass")
+      "waterfill: every source needs positive weight and token mass")
     val keyed = per.selectExpr("source", "cap_tokens", "weight",
       "cast(cap_tokens as decimal(38,0)) * 1000000000000 div weight AS sat_key")
     val ord = Window.partitionBy(lit(1))

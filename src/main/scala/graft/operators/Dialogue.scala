@@ -225,6 +225,44 @@ object Dialogue {
           " j -> element_at(t, j))), text) AS text_out")
   }
 
+  /** NEAR-dup dialogue pairs — [[dialogueExactDedup]]'s MinHash-LSH
+    * sibling: conversations whose ASSISTANT token streams are nearly
+    * (not exactly) identical, with user/system/tool turns invisible
+    * on both sides. The assistant turns are concatenated in
+    * `turn_idx` order into one stream and shingled ACROSS turn
+    * boundaries — deliberately the opposite segmentation stance from
+    * the exact fingerprint: a near-dup detector must be robust to
+    * re-segmentation (the same response split into two turns, or a
+    * sentence moved across a turn break), which is exactly what
+    * defeats d35's order-and-segmentation-sensitive fold. Two
+    * conversations pair iff their assistant streams' estimated
+    * n-gram Jaccard clears `threshold` under the audited
+    * [[Dedup.minhashLshPairs]] machinery (signature banding, never
+    * an all-pairs join).
+    *
+    * Returns [[Dedup.minhashLshPairs]]'s frame at conversation
+    * grain: `d1, d2, matches, est_jaccard` (d1 < d2 conv ids).
+    * Conversations with no assistant turns have no signature mass
+    * (empty shingle set → sentinel signature) and group only with
+    * each other — same honest answer as the exact fingerprint.
+    *
+    * 100 TB shape: one conv-keyed sort-collect (bounded by
+    * turns-per-conversation) to build the stream, then the audited
+    * banded-LSH plan — band-bucket equi-joins over 8-byte keys,
+    * fan-out bounded by bucket sizes (gate with
+    * [[Dedup.minhashBandSkewAudit]] as d36 does). */
+  def dialogueMinhashPairs(turns: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, assistantRole: String = "assistant"): DataFrame = {
+    requireSafeRole(assistantRole)
+    val convDocs = turns.filter(col("role") === lit(assistantRole))
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("text"))))
+        .as("ts"))
+      .selectExpr("conv_id AS doc_id",
+        "concat_ws(' ', transform(ts, x -> x.text)) AS text")
+    Dedup.minhashLshPairs(convDocs, "text", n, k, bands, threshold)
+  }
+
   /** SFT loss-mask token accounting: per conversation, total tokens,
     * TRAINABLE tokens (assistant turns — the only ones that take loss
     * under the standard SFT mask), masked tokens (everything else:

@@ -112,6 +112,38 @@ class DialogueSpec extends AnyFunSuite {
       Dialogue.dialogueScrub(df, 3, "conv_id % 2 = 1", "a'r"))
     intercept[IllegalArgumentException](
       Dialogue.sftTokenAccounting(df, "a'r"))
+    intercept[IllegalArgumentException](
+      Dialogue.dialogueMinhashPairs(df, 3, 16, 4, 0.5, "a'r"))
+  }
+
+  // ------------------------------------------ dialogueMinhashPairs
+
+  test("near-dup pairs survive re-segmentation and ignore user turns") {
+    val answer = "use the built in sorted function and pass reverse" +
+      " true when you need descending order of the values"
+    val (a, b) = answer.splitAt(answer.indexOf("pass"))
+    val rows = Seq(
+      // conv 0: one assistant turn; conv 1: SAME stream split in two
+      // turns with entirely different user filler — invisible to the
+      // signature, fatal to d35's segmentation-sensitive fingerprint
+      (0L, 1L, "user", "how do i sort a list"),
+      (0L, 2L, "assistant", answer),
+      (1L, 1L, "user", "completely different filler text here"),
+      (1L, 2L, "assistant", a.trim),
+      (1L, 3L, "user", "more unrelated filler"),
+      (1L, 4L, "assistant", b.trim),
+      // conv 2: unrelated assistant stream
+      (2L, 1L, "assistant", "a totally different answer about databases" +
+        " and indexes and storage layout on disk"))
+    val df = turnsDf(rows)
+    val pairs = Dialogue.dialogueMinhashPairs(df, 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"resegmented identical stream pairs; unrelated does not: $pairs")
+    val exact = Dialogue.dialogueExactDedup(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact(0L) == 1L && exact(1L) == 1L,
+      "the exact fingerprint must NOT group the resegmented stream")
   }
 
   // ------------------------------------------------ dialogueScrub

@@ -152,6 +152,41 @@ class WaterfillSpec extends AnyFunSuite {
     assert(r.getAs[Long]("r2_micro") == 1000000L)
   }
 
+  test("waterfillFrom equals waterfillBudget on the same per-source caps") {
+    import spark.implicits._
+    val per = Seq(("a", 2L, 1L), ("b", 4L, 1L), ("c", 10L, 1L))
+      .toDF("source", "cap_tokens", "weight")
+    val viaFrom = Curate.waterfillFrom(per, 9L).collect().map(_.toSeq)
+    val viaDocs = Curate.waterfillBudget(corpus(), "source", "text", 9L)
+      .collect().map(_.toSeq)
+    assert(viaFrom.toList == viaDocs.toList)
+  }
+
+  test("waterfillFrom rejects zero caps and zero weights eagerly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Curate.waterfillFrom(
+      Seq(("a", 0L, 1L)).toDF("source", "cap_tokens", "weight"), 5L))
+    intercept[IllegalArgumentException](Curate.waterfillFrom(
+      Seq(("a", 3L, 0L)).toDF("source", "cap_tokens", "weight"), 5L))
+  }
+
+  test("mattrDiversity: hand-computed windows, short-doc fallback, empty doc") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // doc 0: 6 tokens, w=4 -> 3 windows: [a b a c]=3, [b a c b]=3,
+    // [a c b a]=3 -> mattr = 9e6 div 12 = 750000; ttr: 3 types / 6
+    // doc 1: 3 tokens < w -> whole-doc TTR fallback (2 types / 3)
+    // doc 2: empty -> zeros
+    val docs = Seq((0L, "a b a c b a"), (1L, "x y x"), (2L, "?!"))
+      .toDF("doc_id", "text")
+    val out = TextOps.mattrDiversity(docs, "text", 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((6L, 3L, 500000L, 750000L)), s"doc0: ${out(0L)}")
+    assert(out(1L) == ((3L, 1L, 666666L, 666666L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, 0L)), s"doc2: ${out(2L)}")
+  }
+
   test("zipfFit rejects a token-free corpus instead of emitting a NULL fit") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
