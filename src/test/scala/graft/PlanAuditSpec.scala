@@ -2295,4 +2295,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!d38.contains("CartesianProduct"),
       s"d38 must broadcast the source-sketch frame:\n$d38")
   }
+
+  test("round-16 shapes (t53 map-only, d40 banded equi-join, p62/p63 no cartesian)") {
+    // t53: a pure projection — the deliberate O(w)-per-token cost is
+    // arithmetic, not data movement; any Exchange here is a
+    // regression
+    val t53 = finalPlan(graft.operators.TextOps.mattrDiversity(
+      Tables.documents(spark, sfDir), "text", 25))
+    assert(!t53.contains("Exchange"),
+      s"t53 must stay a map-only projection (no shuffle):\n$t53")
+    // d40: conversation near-dup rides the audited banded machinery —
+    // band-bucket EQUI-joins only, never a cartesian/nested-loop pair
+    // plan over conversations
+    val d40 = finalPlan(queries.Pipeline106.d40.run(spark, sfDir))
+    assert(!d40.contains("CartesianProduct") &&
+      !d40.contains("BroadcastNestedLoopJoin"),
+      s"d40 must stay band-bucket equi-joins:\n$d40")
+    // p62: the composition adds only conv-keyed equi-joins to the
+    // audited stage plans
+    val p62 = finalPlan(queries.Pipeline106.p62.run(spark, sfDir))
+    assert(!p62.contains("CartesianProduct"),
+      s"p62 must compose via conv-keyed equi-joins:\n$p62")
+    // p63: everything after the conv-keyed accounting runs on the
+    // O(sources) frame
+    val p63 = finalPlan(queries.Pipeline106.p63.run(spark, sfDir))
+    assert(!p63.contains("CartesianProduct"),
+      s"p63 must stay keyed aggregations over O(sources) rows:\n$p63")
+  }
 }

@@ -414,6 +414,125 @@ def audit_substr_pairs(corpus, spark_dir, rnd, n_pairs, n_seeds,
     }, not mism and not miss and not phantom
 
 
+# ------------------------------------------------------ d03 lsh pairs
+
+
+def audit_lsh_pairs(corpus, spark_dir, rnd, n_pairs, n_seeds,
+                    n=3, k=16, bands=4, threshold=0.5):
+    """d03_minhash_lsh_pairs: banded MinHash candidates + estimated
+    Jaccard filter. Corpus-wide signatures are computed vectorized
+    (np.minimum.reduceat over the distinct (doc, shingle-hash) arrays
+    per permutation), band buckets by the positional fold; emitted
+    pairs are re-scored with PURE-PYTHON signatures of both docs."""
+    wdoc, wpos, h60 = corpus.window_hashes(n)
+    corpus.probe(n, wdoc, wpos, h60, rnd)
+    dd, hh = distinct_doc_hash(wdoc, h60)
+    order = np.argsort(dd, kind="stable")
+    sd, sh = dd[order], hh[order]
+    uniq_docs, starts = np.unique(sd, return_index=True)
+    bounds = np.concatenate((starts, [sd.size]))
+    ndocs = corpus.doc_ids.size
+    sigs = np.full((ndocs, k), P, dtype=np.int64)
+    hmod = sh % P
+    for i in range(k):
+        a = ((i + 1) * 1103515245 + 12345) % P
+        b = ((i + 1) * 69069 + 7) % P
+        vals = (a * hmod + b) % P
+        mins = np.minimum.reduceat(vals, bounds[:-1])
+        sigs[uniq_docs, i] = mins
+    # band buckets: positional fold mult 1000003 seed 7 over r-slices
+    r = k // bands
+    buckets = np.empty((ndocs, bands), dtype=np.int64)
+    for b_ in range(bands):
+        acc = np.full(ndocs, 7, dtype=np.int64)
+        for j in range(r):
+            acc = (acc * 1000003 + sigs[:, b_ * r + j]) % P
+        buckets[:, b_] = acc
+
+    def py_sig(docid):
+        return minhash_sig(set(hash60(s) for s in
+                               shingle_strs(tokens(corpus.texts[docid]), n)),
+                           k)
+
+    # probe: the vectorized signatures must agree with the pure-Python
+    # fold before the bucket index is trusted for candidate sets
+    for i in rnd.sample(range(ndocs), 25):
+        assert sigs[i].tolist() == py_sig(int(corpus.doc_ids[i])), (
+            f"vectorized minhash disagrees with pure-Python sig on doc "
+            f"{corpus.doc_ids[i]}")
+    print("[audit] d03 probe: vectorized sigs match pure-Python on 25 docs",
+          file=sys.stderr)
+
+    con = duckdb.connect()
+    emitted = read_pairs(con, spark_dir, "d1, d2, matches, est_jaccard")
+    con.close()
+    emitted_keys = {(e[0], e[1]) for e in emitted}
+    print(f"[audit] d03: emitted {len(emitted)}", file=sys.stderr)
+
+    sample = rnd.sample(emitted, min(n_pairs, len(emitted)))
+    id2idx = {int(v): i for i, v in enumerate(corpus.doc_ids)}
+    mism = []
+    for d1, d2, matches, est in sample:
+        s1, s2 = py_sig(d1), py_sig(d2)
+        m = sum(1 for x, y in zip(s1, s2) if x == y)
+        b1 = {(b_, fold(s1[b_ * r:(b_ + 1) * r], 1000003, 7))
+              for b_ in range(bands)}
+        b2 = {(b_, fold(s2[b_ * r:(b_ + 1) * r], 1000003, 7))
+              for b_ in range(bands)}
+        if (m != matches or float(m) / k != est or est < threshold
+                or not (b1 & b2)):
+            mism.append({"d1": d1, "d2": d2, "got": [matches, est],
+                         "want": [m, float(m) / k]})
+    print(f"[audit] d03: sample {len(sample)}, {len(mism)} mismatches",
+          file=sys.stderr)
+
+    # seed-doc completeness: every bucket-mate with >= threshold
+    # signature agreement must be emitted; soundness: emitted partners
+    # must share a bucket
+    seeds = rnd.sample(range(ndocs), n_seeds)
+    bflat = buckets.ravel()
+    border = np.argsort(bflat, kind="stable")
+    bsorted = bflat[border]
+    bdoc = np.repeat(np.arange(ndocs, dtype=np.int64), bands)[border]
+    bband = np.tile(np.arange(bands, dtype=np.int64), ndocs)[border]
+    rej = miss = phantom = 0
+    miss_rows = []
+    for i in seeds:
+        sid = int(corpus.doc_ids[i])
+        partners = set()
+        for b_ in range(bands):
+            v = buckets[i, b_]
+            lo = np.searchsorted(bsorted, v, "left")
+            hi = np.searchsorted(bsorted, v, "right")
+            for j, jb in zip(bdoc[lo:hi].tolist(), bband[lo:hi].tolist()):
+                if jb == b_ and j != i:
+                    partners.add(j)
+        cand_keys = {(min(sid, int(corpus.doc_ids[j])),
+                      max(sid, int(corpus.doc_ids[j]))) for j in partners}
+        for k_ in cand_keys:
+            if k_ in emitted_keys:
+                continue
+            m = int(np.sum(sigs[id2idx[k_[0]]] == sigs[id2idx[k_[1]]]))
+            rej += 1
+            if float(m) / k >= threshold:
+                miss += 1
+                miss_rows.append({"d1": k_[0], "d2": k_[1], "matches": m})
+        for (a, b2_) in emitted_keys:
+            if (a == sid or b2_ == sid) and (a, b2_) not in cand_keys:
+                phantom += 1
+    print(f"[audit] d03: seeds {len(seeds)}, rejected checked {rej}, "
+          f"false-negatives {miss}, phantoms {phantom}", file=sys.stderr)
+    return {
+        "query": "d03_minhash_lsh_pairs", "n_shingle": n, "k": k,
+        "bands": bands, "threshold": threshold,
+        "emitted_total": len(emitted), "emitted_sampled": len(sample),
+        "emitted_mismatches": len(mism), "seed_docs": len(seeds),
+        "rejected_checked": rej, "false_negatives": miss,
+        "phantom_pairs": phantom, "mismatch_rows": mism[:10],
+        "false_negative_rows": miss_rows[:10],
+    }, not mism and not miss and not phantom
+
+
 # ------------------------------------------------------ d21 recall
 
 
@@ -574,6 +693,9 @@ def main():
                 corpus, f"{out_root}/d09_weighted_jaccard",
                 "d09_weighted_jaccard", 5, 64, 0.4, "wjaccard",
                 rnd, 400, 300)
+        elif q == "d03":
+            res, ok = audit_lsh_pairs(
+                corpus, f"{out_root}/d03_minhash_lsh_pairs", rnd, 400, 300)
         elif q == "d31":
             res, ok = audit_substr_pairs(
                 corpus, f"{out_root}/d31_exact_substr_pairs", rnd, 400, 300)
