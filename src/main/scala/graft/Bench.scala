@@ -11,12 +11,30 @@ object Bench {
     if (id.matches("[a-z]+\\d+")) id else name
   }
 
+  /** Driver-contract core count (restored in round 16 — an early
+    * optimization commit hard-coded `local[32]`, which silently
+    * pinned the driver's lower-core-count scaling runs to 32 cores
+    * and made the per-core scaling measurement meaningless). The
+    * master AND the shuffle-partition count both derive from
+    * `SPARK_GRAFT_CPUS` so the execution layout scales with the
+    * granted cores rather than being tuned for one box (guide §2:
+    * scale-adaptive partitioning; AQE coalescing still merges small
+    * post-shuffle partitions on top). Default 32 = this sandbox's
+    * core count, keeping round-over-round bench artifacts
+    * comparable. */
+  private[graft] def cpusFromEnv(get: String => Option[String]): Int = {
+    val raw = get("SPARK_GRAFT_CPUS").map(_.trim).filter(_.nonEmpty)
+    raw.flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = cpusFromEnv(sys.env.get)
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -22,6 +22,22 @@ class RegistrySpec extends AnyFunSuite {
       s"colliding short ids: ${ids.diff(ids.distinct).distinct}")
   }
 
+  test("bench master core count derives from SPARK_GRAFT_CPUS (driver contract)") {
+    // the driver re-runs the bench at a LOWER core count to measure
+    // per-core scaling; a hard-coded local[32] (the round-2..15
+    // regression fixed in round 16) silently pinned that run to 32
+    // cores. Exercise the REAL derivation the session builder uses.
+    def env(m: Map[String, String]) = Bench.cpusFromEnv(m.get)
+    assert(env(Map("SPARK_GRAFT_CPUS" -> "8")) == 8)
+    assert(env(Map("SPARK_GRAFT_CPUS" -> " 16 ")) == 16)
+    assert(env(Map.empty) == 32, "default stays the sandbox's 32 cores")
+    // malformed values fall back loudly-comparable (32), never crash
+    // the bench into an unparseable artifact
+    assert(env(Map("SPARK_GRAFT_CPUS" -> "")) == 32)
+    assert(env(Map("SPARK_GRAFT_CPUS" -> "abc")) == 32)
+    assert(env(Map("SPARK_GRAFT_CPUS" -> "0")) == 32)
+  }
+
   test("every Pipeline object on the classpath is wired into the registry") {
     // a Pipeline file whose `all` is not concatenated into
     // SparkEntry.registry would silently drop its queries from the
