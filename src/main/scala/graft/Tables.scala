@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // make the engine's native expressions available wherever tables are
     graft.functions.CassFunctions.registerAll(spark)

@@ -165,6 +165,56 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_dot_long(a, b)`: exact-integer dot product of two INT or
+  * BIGINT arrays, accumulated in BIGINT — value-identical to
+  * `aggregate(zip_with(a, b, (x, y) -> cast(x as bigint) * y),
+  * cast(0 as bigint), (acc, p) -> acc + p)` (integer addition is
+  * associative, so the fold order cannot matter), but one while-loop
+  * instead of two interpreted higher-order lambdas with per-element
+  * closure dispatch — the int8/sketch scoring hot loop (s28, s37,
+  * s24's projection scoring). Null handling matches the lambda form:
+  * a null array yields null (BinaryExpression default) and a null
+  * ELEMENT nulls the whole fold, so like [[DotProduct]] this is
+  * neither nullIntolerant nor non-nullable. Arrays of different
+  * lengths fold over the shorter prefix (unreachable in registered
+  * queries — all engine vectors are fixed-width). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  private def ok(t: DataType) = t match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long expects (ARRAY<INT|BIGINT>, ARRAY<INT|BIGINT>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+  private def isLong(t: DataType) =
+    t.asInstanceOf[ArrayType].elementType == LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xl = isLong(left.dataType)
+    val yl = isLong(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xl) x.getLong(i) else x.getInt(i).toLong
+      val yv = if (yl) y.getLong(i) else y.getInt(i).toLong
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hyperplane-LSH bucket id over a DOUBLE vector (same deterministic
   * integer plane weights and left-fold dot order as
   * [[graft.operators.Similarity.lshBucketExpr]]'s SQL form and the

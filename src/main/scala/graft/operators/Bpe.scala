@@ -66,7 +66,7 @@ object Bpe {
     * 2 chars carry no pairs and are excluded up front, matching
     * t12. */
   private def freqTable(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    Storage.parallelFloor(docs)
       .selectExpr(s"explode(${TextOps.tokens(textCol)}) AS t")
       .filter(length(col("t")) >= 2)
       .groupBy(col("t")).agg(count(lit(1)).as("freq"))

@@ -73,7 +73,7 @@ object Dedup {
 
   /** doc_id + distinct n-token shingle set (+ set size). */
   def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
+    Storage.parallelFloor(docs).selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id", s"array_distinct(${TextOps.shingles("t", n)}) AS s")
       .selectExpr("doc_id", "s", "size(s) AS n_shingles")
 
@@ -109,7 +109,14 @@ object Dedup {
     * blocks with [[Storage.release]] after the terminal action. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
-    Storage.withCached(shingleHashSets(docs, textCol, n)) { s =>
+    // parallelFloor: tokenize+shingle+hash is this family's hot map;
+    // a single-split bench scan pins it to one core otherwise
+    // (measured d02 3.00->2.16 s, d08 2.81->2.09 s). Applied at the
+    // eager pair wrappers, NOT inside shingleHashSets — audit-style
+    // consumers (d20/d33, the decontamination family) are single
+    // partial-agg passes where the extra exchange was measured as
+    // pure overhead (d20 +0.31 s).
+    Storage.withCached(shingleHashSets(Storage.parallelFloor(docs), textCol, n)) { s =>
       warnIfSaturated(s, maxDocFreq, "ngramJaccardPairs")
       ngramJaccardPairsFrom(s, threshold, maxDocFreq)
     }
@@ -243,7 +250,7 @@ object Dedup {
     * [[Storage.release]] after the terminal action. */
   def containmentPairs(docs: DataFrame, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
-    Storage.withCached(shingleHashSets(docs, textCol, n)) { s =>
+    Storage.withCached(shingleHashSets(Storage.parallelFloor(docs), textCol, n)) { s =>
       warnIfSaturated(s, maxDocFreq, "containmentPairs")
       containmentPairsFrom(s, threshold, maxDocFreq)
     }
@@ -275,8 +282,9 @@ object Dedup {
     // generation, and the token-count table joined on BOTH pair
     // sides), so the withCached lifecycle is hand-rolled for a pair
     // of caches: cache → build → materialize → release both
-    val sets = shingleHashSets(docs, textCol, n)
-    val tc = docs
+    val fdocs = Storage.parallelFloor(docs)
+    val sets = shingleHashSets(fdocs, textCol, n)
+    val tc = fdocs
       .selectExpr("doc_id", s"explode(${TextOps.tokens(textCol)}) AS term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     sets.cache(); tc.cache()
@@ -407,7 +415,11 @@ object Dedup {
   /** doc_id + k-perm MinHash signature (pure projection; shingle
     * hashes come from the one-pass native expression). */
   def minhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    docs.selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
+    // parallelFloor: the k-perm signature build is the LSH family's
+    // per-row hot map (d03/d11/d16/d21 each -0.1..-0.2 s at bench
+    // scale; no-op on a real multi-split scan)
+    Storage.parallelFloor(docs)
+      .selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
 
   /** LSH banding health diagnostic: per band the bucket count, the
@@ -701,7 +713,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
     require(maxOcc >= 2, s"occurrence cap must be >= 2, got $maxOcc")
-    val occ = docs.selectExpr(s"$idCol AS doc_id",
+    // parallelFloor: the windowed-hash projection + posexplode is the
+    // pair variant's map-side bulk (the 1.55 s d31 line at bench scale)
+    val occ = Storage.parallelFloor(docs).selectExpr(s"$idCol AS doc_id",
         s"graft_shingle_hashes_all($textCol, $k) AS hs")
       .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
       .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")

@@ -313,7 +313,7 @@ object LanguageModel {
   }
 
   private def gramsPlan(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
-    corpus
+    Storage.parallelFloor(corpus)
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id",
         s"explode_outer(${TextOps.shingles("t", 2)}) AS s")

@@ -210,7 +210,8 @@ object Retrieval {
     require(topPerDoc >= 1, s"topPerDoc must be >= 1, got $topPerDoc")
     require(dfCap >= 2, s"dfCap must be >= 2 (pairs need df 2), got $dfCap")
     import org.apache.spark.sql.expressions.Window
-    val base = docs.selectExpr(s"$idCol AS doc_id", s"$textCol AS text")
+    val base = Storage.parallelFloor(docs)
+      .selectExpr(s"$idCol AS doc_id", s"$textCol AS text")
     val tok = base
       .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
       .selectExpr("doc_id", s"explode(${TextOps.shingles("t", 3)}) AS g")
@@ -236,7 +237,9 @@ object Retrieval {
   }
 
   private def tfPlan(corpus: DataFrame, textCol: String): DataFrame =
-    corpus
+    // parallelFloor: tokenize+explode feeding the postings shuffle is
+    // the index build's map side; see Storage.parallelFloor
+    Storage.parallelFloor(corpus)
       .selectExpr("doc_id", s"${TextOps.tokens(textCol)} AS t")
       .selectExpr("doc_id", "t", "cast(size(t) as bigint) AS dl")
       .filter(col("dl") > 0)

@@ -19,6 +19,13 @@ object Similarity {
     * `graft_dot(v, v)` accumulates x*x in element order, bit-identical
     * to the aggregate() fold and the DuckDB oracle). */
   def prepared(emb: DataFrame): DataFrame =
+    // NO parallelFloor here: the k-means/centroid family evaluates
+    // this lineage once per training iteration and collects O(k)
+    // rows - an extra exchange per iteration was measured to COST
+    // the family ~+0.2-0.7 s/query (s06/s10-s15 in the round-16
+    // sweep). The floor sits instead at the brute-scoring entries
+    // (quantizeInt8, cosineTopKFor, semanticDedupLargeK) whose q x N
+    // per-row work dominates it.
     emb.selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS v")
       .selectExpr("vec_id", "label", "v", "graft_dot(v, v) AS nrm")
 
@@ -46,7 +53,9 @@ object Similarity {
     * brute-force exact baseline by design; swap in [[ivfTopK]] /
     * [[lshTopK]] at scale. */
   def cosineTopKFor(emb: DataFrame, queryPredicate: String, k: Int): DataFrame = {
-    val p = prepared(emb).select("vec_id", "v", "nrm")
+    // parallelFloor: brute q x N cosine scoring (measured s21/s32
+    // -0.23/-0.35 s at bench scale; no-op on a real multi-split scan)
+    val p = Storage.parallelFloor(prepared(emb).select("vec_id", "v", "nrm"))
     val q = p.filter(expr(queryPredicate))
       .withColumnRenamed("vec_id", "q_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
@@ -760,7 +769,11 @@ object Similarity {
     * corpus scale, where a >10^6-double codebook can't. EAGER
     * ([[Storage.withCached]]); release via [[Storage.release]]. */
   def semanticDedupLargeK(emb: DataFrame, kCentroids: Int, threshold: Double): DataFrame =
-    Storage.withCached(assignToJoin(prepared(emb).select("vec_id", "v", "nrm"),
+    // parallelFloor: the join-based assignment scores every vector
+    // against the codebook rows (k x N per-row work; measured s16
+    // -0.24 s at bench scale, no-op on a multi-split scan)
+    Storage.withCached(assignToJoin(
+      Storage.parallelFloor(prepared(emb).select("vec_id", "v", "nrm")),
       fixedCodebook(emb, kCentroids)))(
       semanticDedupFrom(_, threshold))
 
@@ -808,7 +821,9 @@ object Similarity {
     *         (stored as int; parquet INT8 annotation applies at write).
     */
   def quantizeInt8(emb: DataFrame): DataFrame =
-    prepared(emb)
+    // parallelFloor: the int8 family's q x N scoring fans out from
+    // here (measured s37 4.14 -> 1.86 s, s20 0.97 -> 0.45 s)
+    Storage.parallelFloor(prepared(emb))
       .selectExpr("vec_id", "v", "nrm",
         "aggregate(v, cast(0 as double), (m, x) -> greatest(m, abs(x))) AS maxabs")
       .selectExpr("vec_id", "v", "nrm", "maxabs",
@@ -845,8 +860,9 @@ object Similarity {
       .selectExpr("vec_id AS q_id", "sk AS qsk")
     val scored = broadcast(q).join(sk, col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id AS n_id",
-        "aggregate(zip_with(qsk, sk, (x, y) -> x * y), cast(0 as bigint), " +
-          "(a, x) -> a + x) AS sk_dot")
+        // native exact-integer dot (value-identical to the former
+        // aggregate(zip_with(...)) lambda fold; see DotProductLong)
+        "graft_dot_long(qsk, sk) AS sk_dot")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sk_dot").desc, col("n_id").asc)
     val top = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
     val exact = cosineTopK(emb, nQueries, k)

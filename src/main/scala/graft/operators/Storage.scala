@@ -23,6 +23,42 @@ import org.apache.spark.storage.StorageLevel
   */
 object Storage {
 
+  /** Optional plan-capture sink (round-16 optimization evidence):
+    * when set, every frame passed through [[checkpointed]] has its
+    * FORMATTED physical plan handed to the sink BEFORE
+    * materialization — the plan the timed action actually executes,
+    * which the post-checkpoint frame no longer shows (it reads as a
+    * `Scan ExistingRDD`). No-op (null) outside
+    * [[graft.tools.PlanDump]]; never set by queries or the bench. */
+  private[graft] val planSink =
+    new ThreadLocal[String => Unit]
+
+  /** Map-parallelism floor for CPU-heavy row pipelines (round 16,
+    * guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read"): the bench-scale
+    * tables are ONE parquet file with ONE row group each, so a scan
+    * is a single split no matter what maxPartitionBytes /
+    * minPartitionNum say, and whole-stage pipelining fuses every map
+    * above it (tokenize/shingle/hash/score) into that one task — 1
+    * of 32 cores busy. When (and only when) the frame currently
+    * plans to fewer partitions than the session's parallelism,
+    * round-robin repartition so the expensive per-row work that the
+    * CALLER is about to attach fans out. Applied selectively at the
+    * entry of operators whose per-row compute dominates the ~10 ms
+    * serialize cost of the tiny extra exchange — a loader-level
+    * blanket version was measured to TAX every scan+agg relational
+    * query ~0.5-1 s (one full-width single-task shuffle write per
+    * scan) for wins only the text/vector operators collect
+    * (OPTIMIZATION_r16.md, change 2). At production scale a real
+    * corpus scan has thousands of splits, the guard is false, and
+    * the plan is unchanged. Deterministic under retry
+    * (sort-before-repartition, SPARK-23207); filters and column
+    * pruning push through Repartition (PlanAuditSpec). */
+  private[graft] def parallelFloor(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Lazily `localCheckpoint` `df`, then force materialization —
     * releasing the checkpoint's own (possibly partially persisted)
     * blocks if the materializing action dies. An EAGER
@@ -45,6 +81,10 @@ object Storage {
     * a caller has measured deserialized to win. */
   private[graft] def checkpointed(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER): DataFrame = {
+    val sink = planSink.get
+    if (sink != null)
+      sink(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     val out = df.localCheckpoint(eager = false, storageLevel = level)
     try { out.count(): Unit; out }
     catch { case t: Throwable => release(out); throw t }

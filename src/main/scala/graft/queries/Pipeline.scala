@@ -511,7 +511,7 @@ object Pipeline {
     * lang column for an accuracy summary. */
   val t02: QueryDef = QueryDef(
     "t02_language_id",
-    (s, d) => Tables.documents(s, d)
+    (s, d) => graft.operators.Storage.parallelFloor(Tables.documents(s, d))
       .selectExpr("doc_id", "lang", s"${TextOps.tokens("text")} AS t")
       .selectExpr("doc_id", "lang",
         s"${TextOps.stopHits("t", TextOps.StopEn)} AS h_en",

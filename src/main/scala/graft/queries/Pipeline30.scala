@@ -21,7 +21,7 @@ object Pipeline30 {
   val t32: QueryDef = QueryDef(
     "t32_boundary_overlap",
     (s, d) => {
-      val b = Tables.documents(s, d)
+      val b = graft.operators.Storage.parallelFloor(Tables.documents(s, d))
         .selectExpr("doc_id", s"${TextOps.tokens("text")} AS t")
         .filter(col("t").isNotNull && expr("size(t) >= 2"))
         .selectExpr("doc_id",

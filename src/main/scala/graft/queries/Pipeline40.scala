@@ -44,8 +44,10 @@ object Pipeline40 {
         .selectExpr("vec_id AS q_id", "q AS qq", "maxabs AS qm", "nrm AS qn")
       val scored = broadcast(qs).join(qz, col("vec_id") =!= col("q_id"))
         .selectExpr("q_id", "vec_id AS n_id",
-          "aggregate(zip_with(qq, q, (x, y) -> cast(x as bigint) * y), " +
-            "cast(0 as bigint), (a, x) -> a + x) AS idot",
+          // graft_dot_long == the former aggregate(zip_with(...))
+          // lambda fold (exact integer sum, order-free) — native
+          // while-loop instead of per-element closure dispatch
+          "graft_dot_long(qq, q) AS idot",
           "qm", "maxabs AS cm", "qn", "nrm AS cn")
         .selectExpr("q_id", "n_id",
           "if(qn = 0d or cn = 0d, cast(null as bigint), " +

@@ -99,8 +99,10 @@ object Pipeline75 {
           "if(qn = 0d or nrm = 0d, cast(null as bigint), " +
             "cast(round((graft_dot(qv, v) / (sqrt(qn) * sqrt(nrm)))" +
             " * 1000000) as bigint)) AS x",
-          "aggregate(zip_with(qq, q, (x, y) -> cast(x as bigint) * y), " +
-            "cast(0 as bigint), (a, x) -> a + x) AS idot",
+          // graft_dot_long == the former aggregate(zip_with(...))
+          // lambda fold (exact integer sum, order-free) — native
+          // while-loop instead of per-element closure dispatch
+          "graft_dot_long(qq, q) AS idot",
           "qm", "maxabs AS cm", "qn AS qn2", "nrm AS cn")
         .selectExpr("q_id", "n_id", "x",
           "if(qn2 = 0d or cn = 0d, cast(null as bigint), " +
