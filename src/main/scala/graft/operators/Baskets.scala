@@ -69,13 +69,24 @@ object Baskets {
     * lives HERE so lazy composers (q63) keep the same guards as the
     * eager API (ADVICE r12). */
   private[graft] def assocPairsFrom(items: DataFrame, nBaskets: Long,
+      minPairs: Long): DataFrame =
+    withCounts(pairCounts(items, nBaskets, minPairs), items, nBaskets)
+
+  /** the pair-generation HEAD of [[assocPairsFrom]] — (item_a,
+    * item_b, n_ab, support_micro) with NO per-item count joins.
+    * support_micro only needs `nBaskets`, so a top-k-by-support
+    * consumer (q63) can TakeOrdered on this frame and join counts
+    * onto k rows instead of every pair (round-16; the ordering is
+    * identical because support_micro is computed from the same n_ab
+    * either side of the join, and the count joins are 1:1 inner —
+    * every pair item exists in the count table by construction). */
+  private[graft] def pairCounts(items: DataFrame, nBaskets: Long,
       minPairs: Long): DataFrame = {
     require(minPairs >= 1L, s"minPairs must be >= 1, got $minPairs")
     require(nBaskets >= 1L, "assocPairs needs at least one basket")
     require(BigInt(1000000L) * BigInt(nBaskets) < BigInt(Long.MaxValue),
       s"assocPairs exact-integer contract: 1e6 * nBaskets($nBaskets) must stay " +
         "below 2^63")
-    val cnt = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
     // pair generation: collect each basket's (distinct) items once and
     // fan pairs out from the bounded array — ONE basket-keyed shuffle
     // instead of the self equi-join's two (re-planned, VERDICT r11
@@ -85,7 +96,7 @@ object Baskets {
     // per-row memory spike and the r12 verdict's q63 suspect — where
     // this keeps per-row state O(basket size). Ordered pairs come
     // from the sorted array, so item_a < item_b holds by construction
-    val pairs = items
+    items
       .groupBy(col("bk"))
       .agg(sort_array(collect_list(col("it"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -95,11 +106,19 @@ object Baskets {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairs)
+      .selectExpr("item_a", "item_b", "n_ab",
+        s"(n_ab * 1000000) div ${nBaskets}L AS support_micro")
+  }
+
+  /** attach per-item basket counts + confidence/lift to a
+    * [[pairCounts]] frame (the TAIL of [[assocPairsFrom]]). */
+  private[graft] def withCounts(pairs: DataFrame, items: DataFrame,
+      nBaskets: Long): DataFrame = {
+    val cnt = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
     pairs
       .join(cnt.select(col("it").as("item_a"), col("n_it").as("n_a")), Seq("item_a"))
       .join(cnt.select(col("it").as("item_b"), col("n_it").as("n_b")), Seq("item_b"))
-      .selectExpr("item_a", "item_b", "n_ab", "n_a", "n_b",
-        s"(n_ab * 1000000) div ${nBaskets}L AS support_micro",
+      .selectExpr("item_a", "item_b", "n_ab", "n_a", "n_b", "support_micro",
         "(n_ab * 1000000) div n_a AS conf_ab_micro",
         "(n_ab * 1000000) div n_b AS conf_ba_micro",
         s"(((n_ab * 1000000) div n_a) * ${nBaskets}L) div n_b AS lift_micro")

@@ -289,6 +289,13 @@ object Dedup {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     sets.cache(); tc.cache()
     try {
+      // fill-first (r16): consumers of a lazily-cached frame race in
+      // one job and each re-runs the lineage's map stages (broadcast
+      // subquery plans don't share exchanges across threads) — d09
+      // profiled the tc tokenize 3x at ~0.55 s a pass. One count()
+      // per cache serializes the fill; every consumer then reads
+      // memory.
+      sets.count(); tc.count()
       warnIfSaturated(sets, maxDocFreq, "weightedJaccardPairs")
       Storage.checkpointed(weightedJaccardPairsFrom(sets, tc, threshold, maxDocFreq))
     }
@@ -713,9 +720,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"span seed width must be >= 2 tokens, got $k")
     require(maxOcc >= 2, s"occurrence cap must be >= 2, got $maxOcc")
-    // parallelFloor: the windowed-hash projection + posexplode is the
-    // pair variant's map-side bulk (the 1.55 s d31 line at bench scale)
-    val occ = Storage.parallelFloor(docs).selectExpr(s"$idCol AS doc_id",
+    val occ = docs.selectExpr(s"$idCol AS doc_id",
         s"graft_shingle_hashes_all($textCol, $k) AS hs")
       .selectExpr("doc_id", "posexplode(hs) AS (pos0, h)")
       .selectExpr("doc_id", "cast(pos0 + 1 as bigint) AS pos", "h")

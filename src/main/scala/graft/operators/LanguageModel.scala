@@ -213,11 +213,22 @@ object LanguageModel {
     // cc, cb, and twice-consumed scored each re-derived the gram
     // stream). Caller owns the result's checkpoint blocks
     // (Storage.release after the terminal action).
-    val grams = gramsPlanLang(corpus, textCol, langCol, buckets)
+    val grams = gramsPlanLang(Storage.parallelFloor(corpus), textCol,
+      langCol, buckets)
     val counts = Storage.checkpointed(countsPlanLang(grams))
-    try Storage.withCached(scoredPlanLang(grams, counts, buckets)) { scored =>
-      assignPlanLang(corpus, langCol, scored)
-    } finally Storage.release(counts)
+    // fill-first ladder (r16): the scored frame is consumed by the
+    // tertile cuts, the per-lang counts AND the assignment join in
+    // ONE job — three racing stages each stall on the others' cache
+    // fills. Materialize the cache with a single count() first, so
+    // the gram scoring runs exactly once and the consumers read
+    // cached rows.
+    val scored = scoredPlanLang(grams, counts, buckets)
+    scored.cache()
+    try Storage.checkpointed({ scored.count(): Unit
+      assignPlanLang(corpus, langCol, scored) })
+    finally {
+      scored.unpersist(blocking = false); Storage.release(counts)
+    }
   }
 
   /** hashed (doc_id, lang, ctx_b, big_b) gram stream — [[gramsPlan]]

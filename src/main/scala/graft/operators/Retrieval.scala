@@ -255,7 +255,13 @@ object Retrieval {
       maxQueryTerms: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1, got $maxQueryTerms")
-    val qt = queries.selectExpr("q_id",
+    // parallelFloor: the query frame is the PROBE side of the
+    // broadcast scoring joins, so the whole per-term fan-out + score
+    // math + partial agg runs in however many partitions THIS frame
+    // has — one, at bench scale, where queries come off a single
+    // scan split (profiled on t21: 2 x ~750 ms single-task scoring
+    // stages). ~50 rows spread over the session's cores is free.
+    val qt = Storage.parallelFloor(queries).selectExpr("q_id",
       s"explode(slice(array_sort(array_distinct(${TextOps.tokens(qTextCol)})), " +
         s"1, $maxQueryTerms)) AS term")
     val scored = qt

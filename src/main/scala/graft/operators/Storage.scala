@@ -112,6 +112,15 @@ object Storage {
     * (StorageChaosSpec pins this). */
   private[graft] def withCached(tmp: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     tmp.cache()
+    // NO blanket fill-first here (round 16): materializing the cache
+    // with an up-front count() before building consumers was measured
+    // across the full registry and came out ~7% net-NEGATIVE
+    // box-adjusted — the extra job taxes every light eager operator,
+    // while the racing-consumer waste it fixes (broadcast-subquery
+    // plans don't share exchanges across threads, so racing stages
+    // can re-run the cached lineage's map stages) is concentrated in
+    // a few heavy multi-consumer operators. Those carry their own
+    // fill-first ladders (weightedJaccardPairs, ccnetBuckets).
     try checkpointed(build(tmp))
     finally tmp.unpersist(blocking = false)
   }

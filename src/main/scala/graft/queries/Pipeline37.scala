@@ -130,9 +130,18 @@ object Pipeline37 {
         .selectExpr("l_orderkey AS bk", "l_partkey AS it").distinct()
       graft.operators.Storage.withCached(itemsRaw) { items =>
         val nBaskets = items.agg(count_distinct(col("bk"))).head.getLong(0)
-        Baskets.assocPairsFrom(items, nBaskets, minPairs = 2L)
-          .orderBy(col("support_micro").desc, col("item_a"), col("item_b"))
-          .limit(50)
+        // top-50 BEFORE the per-item count joins (round 16):
+        // support_micro needs only nBaskets, so TakeOrdered runs on
+        // the bare pair-count frame and the two count joins touch 50
+        // rows instead of every pair. Ordering is unchanged — the
+        // count joins are 1:1 inner (every pair item exists in the
+        // count table), so the former plan ranked the same rows by
+        // the same (support_micro, item_a, item_b) key.
+        Baskets.withCounts(
+            Baskets.pairCounts(items, nBaskets, minPairs = 2L)
+              .orderBy(col("support_micro").desc, col("item_a"), col("item_b"))
+              .limit(50),
+            items, nBaskets)
           .withColumn("rank", row_number().over(Window.orderBy(
             col("support_micro").desc, col("item_a"), col("item_b"))).cast("long"))
           .select(col("rank"), col("item_a"), col("item_b"), col("n_ab"),

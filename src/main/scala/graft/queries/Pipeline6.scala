@@ -170,7 +170,12 @@ object Pipeline6 {
       try {
         val vocab = Bpe.vocabOf(tok, 20)
           .select(col("sym").as("head_sym")).withColumn("__v", lit(true))
-        val enc = Bpe.encodeWith(tok, docs, "text")
+        // parallelFloor at THIS call site only: t16's encode feeds a
+        // broadcast join + checkpoint and measured 1.97 s floored vs
+        // 2.65-2.73 s unfloored, while t15/t38's bare encode paths
+        // measured the floor as overhead (r16 BenchQuick)
+        val enc = Bpe.encodeWith(tok,
+          graft.operators.Storage.parallelFloor(docs), "text")
           .selectExpr("doc_id",
             "cast(size(subwords) as bigint) AS n_subwords",
             "try_element_at(subwords, 1) AS head_sym")

@@ -33,24 +33,34 @@ object Pipeline77 {
   val c17: QueryDef = QueryDef(
     "c17_dup_cascade_depth",
     (s, d) => {
-      val fp = Tables.documents(s, d)
+      // fp is consumed by THREE differently-keyed subtrees (keep's
+      // fp-agg, kSrc's keeper join, edges' fp join) — exchange reuse
+      // cannot share the tokenize+hash lineage across them, so r16
+      // profiling showed the corpus map evaluated 2-3x at ~0.45 s a
+      // pass (single-task, hence also parallelFloor'd). Cache it for
+      // the duration of the edges materialization.
+      val fp = graft.operators.Storage.parallelFloor(Tables.documents(s, d))
         .selectExpr("doc_id", "source", s"${TextOps.tokens("text")} AS t")
         .selectExpr("doc_id", "source",
           s"${TextOps.strHash60("concat_ws(' ', slice(t, 1, 40))")} AS fp")
-      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-      val kSrc = keep.join(
-        fp.selectExpr("doc_id AS keeper", "source AS keeper_source"),
-        Seq("keeper"))
-      val edges = fp.join(kSrc, Seq("fp"))
-        .filter(col("doc_id") =!= col("keeper") &&
-          col("keeper_source") =!= col("source"))
-        .select(col("keeper_source").as("ks"), col("source").as("ds"))
-        .distinct()
-      // the O(S²) edge frame is re-read by scc's closure seed AND the
-      // condensation join — cache it so the corpus-sized tokenize+join
-      // lineage runs once, not once per graph-loop consumer
-      graft.operators.Storage.withCached(edges)(e =>
-        Graph.condensationDepth(e, "ks", "ds").orderBy(col("scc_id")))
+      fp.cache()
+      try {
+        val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        val kSrc = keep.join(
+          fp.selectExpr("doc_id AS keeper", "source AS keeper_source"),
+          Seq("keeper"))
+        val edges = fp.join(kSrc, Seq("fp"))
+          .filter(col("doc_id") =!= col("keeper") &&
+            col("keeper_source") =!= col("source"))
+          .select(col("keeper_source").as("ks"), col("source").as("ds"))
+          .distinct()
+        // the O(S²) edge frame is re-read by scc's closure seed AND the
+        // condensation join — cache it so the tokenize+join lineage
+        // runs once, not once per graph-loop consumer (withCached
+        // materializes the result BEFORE fp is released)
+        graft.operators.Storage.withCached(edges)(e =>
+          Graph.condensationDepth(e, "ks", "ds").orderBy(col("scc_id")))
+      } finally fp.unpersist(blocking = false)
     },
     Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, source,
           ${DuckOps.tokens("text")} AS t FROM documents),
