@@ -100,12 +100,10 @@ object Pipeline12 {
     "p22_data_selection",
     (s, d) => {
       import graft.operators.{Dedup, LanguageModel, TextOps}
-      // parallelFloor at THIS call site: three independent corpus
-      // lineages (novelty shingles, bigram surprisal, readability)
-      // each tokenize the docs; at bench scale each would run its map
-      // on one scan split. The standalone p21/t25 registrations stay
-      // unfloored (t25 is a 0.2 s map where the exchange is overhead).
-      val docs = graft.operators.Storage.parallelFloor(Tables.documents(s, d))
+      // NO parallelFloor here (r16): tried — the three lineages each
+      // cache/join small per-doc frames and the extra exchange
+      // measured +0.5 s on two independent sheets (2.13 -> 2.71)
+      val docs = Tables.documents(s, d)
       val nov = Dedup.noveltyScores(docs, "text", 5).select("doc_id", "novelty_micro")
       val flu = LanguageModel.bigramSurprisal(docs, "text", 4096)
         .select("doc_id", "mean_inv_micro")
