@@ -19,10 +19,16 @@ object BenchQuick {
     val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES",
       sys.error("SPARK_GRAFT_BENCH_QUERIES is required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // master + shuffle partitions derive from SPARK_GRAFT_CPUS exactly
+    // like the full Bench (r16 ADVICE: a hardcoded local[32] here ran a
+    // different execution layout than the sweep on non-32-core grants,
+    // so the regression re-measures this tool exists for were not
+    // apples-to-apples)
+    val cpus = Bench.cpusFromEnv(sys.env.get)
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-bench-quick")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalescing floor (round 16): parallelismFirst=true (the
       // default) coalesces post-shuffle partitions down to

@@ -165,6 +165,7 @@ object CassFunctions {
     "graft_lsh_bucket" -> (es => LshBucket(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_dot_long" -> (es => DotProductLong(es.head, es(1))),
+    "graft_rp_sketch" -> (es => RpSketch(es.head, es(1))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_shingle_hashes_all" -> (es => ShingleHashesAll(es.head, es(1))),
     "graft_token_hashes" -> (es => TokenHashes(es.head)),

@@ -5,7 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -130,13 +131,21 @@ object SketchExprs {
   * higher-order lambdas with per-element closure dispatch — the
   * similarity re-rank's hot inner loop. `graft_dot(v, v)` is the
   * squared-norm fold (x*x accumulated in element order). Arrays of
-  * different lengths fold over the shorter prefix (the zip_with form
-  * would null out instead; all engine vectors are fixed-width so the
-  * case is unreachable in registered queries). A null ELEMENT yields
-  * a null result — matching the fold this expression replaces, where
-  * `x * y` with a null operand nulls the whole accumulation. */
+  * different lengths yield NULL — exactly the zip_with form, which
+  * null-pads the shorter array so the fold nulls out (r16 ADVICE:
+  * the former shorter-prefix fold was a silent divergence waiting
+  * for a malformed vector; unreachable for fixed-width engine
+  * vectors either way). A null ELEMENT yields a null result —
+  * matching the fold this expression replaces, where `x * y` with a
+  * null operand nulls the whole accumulation.
+  *
+  * Whole-stage-codegen native (round 17, guide §1.2 "per-task work"):
+  * `doGenCode` emits the same while-loop inline, so the scoring
+  * projection stays inside the stage's generated code instead of
+  * falling back to interpreted per-row eval (CodegenFallback hid an
+  * InternalRow round-trip per candidate pair). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   // NOT nullIntolerant and always nullable: a null array ELEMENT makes
   // the fold null even when both array inputs are non-null, so the
@@ -151,7 +160,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -160,6 +170,39 @@ case class DotProduct(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+  // The loop lives in its OWN generated method (ctx.addNewFunction),
+  // never inline in the consume path: inlined, a fused
+  // join+projection span with this loop exceeds the JVM's
+  // 8000-bytecode huge-method JIT limit, and the whole stage silently
+  // runs in the bytecode interpreter (measured: s37 2.2 s inline vs
+  // 1.45 s with -XX:-DontCompileHugeMethods; the split gets the same
+  // JIT without JVM flags). The null flag rides a mutable field —
+  // codegen evaluates one row at a time per instance, so this is
+  // race-free.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ad = classOf[ArrayData].getName
+    val nullFlag = ctx.addMutableState("boolean", "dotNull")
+    val fn = ctx.freshName("dotDouble")
+    val fnDecl = ctx.addNewFunction(fn,
+      s"""
+         |private double $fn($ad x, $ad y) {
+         |  $nullFlag = false;
+         |  final int n = x.numElements();
+         |  if (n != y.numElements()) { $nullFlag = true; return 0.0; }
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if (x.isNullAt(i) || y.isNullAt(i)) { $nullFlag = true; return 0.0; }
+         |    acc += x.getDouble(i) * y.getDouble(i);
+         |  }
+         |  return acc;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |${ev.value} = $fnDecl($x, $y);
+         |${ev.isNull} = $nullFlag;
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -176,10 +219,15 @@ case class DotProduct(left: Expression, right: Expression)
   * a null array yields null (BinaryExpression default) and a null
   * ELEMENT nulls the whole fold, so like [[DotProduct]] this is
   * neither nullIntolerant nor non-nullable. Arrays of different
-  * lengths fold over the shorter prefix (unreachable in registered
-  * queries — all engine vectors are fixed-width). */
+  * lengths yield NULL — exactly the zip_with form, which null-pads
+  * the shorter array so the fold nulls out (r16 ADVICE; unreachable
+  * for fixed-width engine vectors either way).
+  *
+  * Whole-stage-codegen native (round 17, guide §1.2 "per-task work"):
+  * `doGenCode` emits the same while-loop inline — the r16 version was
+  * CodegenFallback, i.e. still interpreted per candidate pair. */
 case class DotProductLong(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = false
   override def nullable: Boolean = true
@@ -199,7 +247,8 @@ case class DotProductLong(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val xl = isLong(left.dataType)
     val yl = isLong(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -210,6 +259,142 @@ case class DotProductLong(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+  // loop in its OWN generated method — see [[DotProduct.doGenCode]]'s
+  // huge-method-JIT note (s37's fused join+projection span measured
+  // 2.2 s with the loop inlined vs 1.45 s once the stage JITs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = if (isLong(left.dataType)) "getLong" else "getInt"
+    val getY = if (isLong(right.dataType)) "getLong" else "getInt"
+    val ad = classOf[ArrayData].getName
+    val nullFlag = ctx.addMutableState("boolean", "dotLongNull")
+    val fn = ctx.freshName("dotLong")
+    val fnDecl = ctx.addNewFunction(fn,
+      s"""
+         |private long $fn($ad x, $ad y) {
+         |  $nullFlag = false;
+         |  final int n = x.numElements();
+         |  if (n != y.numElements()) { $nullFlag = true; return 0L; }
+         |  long acc = 0L;
+         |  for (int i = 0; i < n; i++) {
+         |    if (x.isNullAt(i) || y.isNullAt(i)) { $nullFlag = true; return 0L; }
+         |    acc += (long) x.$getX(i) * (long) y.$getY(i);
+         |  }
+         |  return acc;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |${ev.value} = $fnDecl($x, $y);
+         |${ev.isNull} = $nullFlag;
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_rp_sketch(q, dims)`: signed random-projection sketch of an
+  * INT/BIGINT vector — `sk[j] = Σ_d q[d] · (1 − 2·((d·31 + j·17) mod 2))`
+  * for j in 0..dims−1 (the Achlioptas ±1 scheme under the engine's
+  * deterministic sign matrix; d is the 0-based element index).
+  * Value-identical to the former
+  * `transform(sequence(0, dims−1), j -> aggregate(sequence(0, size(q)−1),
+  * 0L, (a, d) -> a + q[d] * (1 − 2·((d·31 + j·17) % 2))))` — exact
+  * integer arithmetic, so fold order cannot matter — but one doubly
+  * nested while-loop instead of dims × D interpreted lambda
+  * dispatches per row (s20's projection hot map). Null semantics
+  * mirror the lambda form: a NULL input array or any NULL element
+  * yields an array of `dims` NULLs (each sk_j folds over every d, so
+  * one null element nulls every coordinate; the outer transform runs
+  * over the literal dims-sequence, so the ARRAY itself is never
+  * null). `dims` must be a foldable non-null INT >= 1 — it is a
+  * shape constant, never data.
+  *
+  * Whole-stage-codegen native (round 17): `doGenCode` emits the same
+  * nested loop inline, no CodegenFallback in the s20 plan. */
+case class RpSketch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  // never null: null/null-element inputs produce an array of nulls
+  // (the lambda form's behavior), not a null array
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = false
+  private def okElem(t: DataType) = t match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!okElem(left.dataType) || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_rp_sketch expects (ARRAY<INT|BIGINT>, INT), " +
+          s"got (${left.dataType}, ${right.dataType})")
+    else if (!right.foldable || right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_rp_sketch: dims must be a non-null INT literal")
+    else if (right.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_rp_sketch: dims must be >= 1, got ${right.eval()}")
+    else TypeCheckResult.TypeCheckSuccess
+  private lazy val dims: Int = right.eval().asInstanceOf[Int]
+  private def isLong = left.dataType.asInstanceOf[ArrayType].elementType == LongType
+  override def eval(input: InternalRow): Any = {
+    val qAny = left.eval(input)
+    val q = if (qAny == null) null else qAny.asInstanceOf[ArrayData]
+    val n = if (q == null) 0 else q.numElements()
+    var anyNull = q == null
+    var d = 0
+    while (!anyNull && d < n) { anyNull = q.isNullAt(d); d += 1 }
+    if (anyNull) return new GenericArrayData(new Array[Any](dims))
+    val longIn = isLong
+    val out = new Array[Long](dims)
+    var j = 0
+    while (j < dims) {
+      var acc = 0L
+      d = 0
+      while (d < n) {
+        val v = if (longIn) q.getLong(d) else q.getInt(d).toLong
+        acc += v * (1 - 2 * ((d * 31 + j * 17) % 2))
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  // nested loop in its OWN generated method — see
+  // [[DotProduct.doGenCode]]'s huge-method-JIT note (inlined loops in
+  // a fused span push the consume method past the JVM's 8000-bytecode
+  // JIT limit and the whole stage runs interpreted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = left.genCode(ctx)
+    val getQ = if (isLong) "getLong" else "getInt"
+    val gad = classOf[GenericArrayData].getName
+    val ad = classOf[ArrayData].getName
+    val fn = ctx.freshName("rpSketch")
+    val fnDecl = ctx.addNewFunction(fn,
+      s"""
+         |private $ad $fn($ad q) {
+         |  boolean anyNull = (q == null);
+         |  final int n = anyNull ? 0 : q.numElements();
+         |  for (int d = 0; !anyNull && d < n; d++) anyNull = q.isNullAt(d);
+         |  if (anyNull) return new $gad(new Object[$dims]);
+         |  long[] out = new long[$dims];
+         |  for (int j = 0; j < $dims; j++) {
+         |    long acc = 0L;
+         |    for (int d = 0; d < n; d++) {
+         |      acc += (long) q.$getQ(d) * (long) (1 - 2 * ((d * 31 + j * 17) % 2));
+         |    }
+         |    out[j] = acc;
+         |  }
+         |  return new $gad(out);
+         |}
+       """.stripMargin)
+    val resultCode =
+      code"""
+        ${q.code}
+        $ad ${ev.value} = $fnDecl(${q.isNull} ? null : ${q.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

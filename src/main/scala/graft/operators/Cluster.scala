@@ -74,6 +74,11 @@ object Cluster {
     // full label-set PER ROUND for the life of the job
     var stale: Seq[RDD[_]] = checkpointRdds(labels)
     var round = 0
+    // loop exchanges sized from the materialized symmetric edge frame
+    // (r17, guide §2 scale-adaptive partitioning): the count reads the
+    // eager checkpoint's blocks; at 100× slices rows/250k exceeds the
+    // session width and the knob is a no-op
+    Storage.withLoopPartitions(edges.sparkSession, sym.count()) {
     while (round < maxRounds) {
       // (a) min over self + neighbor labels
       val viaNeighbors = sym
@@ -107,6 +112,7 @@ object Cluster {
         checkpointRdds(sym).foreach(_.unpersist(blocking = false))
         return labels
       }
+    }
     }
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds")

@@ -289,13 +289,12 @@ object Dedup {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     sets.cache(); tc.cache()
     try {
-      // fill-first (r16): consumers of a lazily-cached frame race in
-      // one job and each re-runs the lineage's map stages (broadcast
-      // subquery plans don't share exchanges across threads) — d09
-      // profiled the tc tokenize 3x at ~0.55 s a pass. One count()
-      // per cache serializes the fill; every consumer then reads
-      // memory.
-      sets.count(); tc.count()
+      // NO fill-first count() ladder (r17, VERDICT r16 #1): the r16
+      // double count() regressed the driver sheet 2.31→3.08 s and the
+      // r17 quiet-box re-measure agreed (quick n=8 min 2.43 without
+      // vs 2.69–2.93 with) — two serialized fill jobs cost more than
+      // the racing-consumer recompute they avoid on this line. The
+      // floors (the d02/d08-proven part) stay.
       warnIfSaturated(sets, maxDocFreq, "weightedJaccardPairs")
       Storage.checkpointed(weightedJaccardPairsFrom(sets, tc, threshold, maxDocFreq))
     }
@@ -422,10 +421,14 @@ object Dedup {
   /** doc_id + k-perm MinHash signature (pure projection; shingle
     * hashes come from the one-pass native expression). */
   def minhashSignatures(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    // parallelFloor: the k-perm signature build is the LSH family's
-    // per-row hot map (d03/d11/d16/d21 each -0.1..-0.2 s at bench
-    // scale; no-op on a real multi-split scan)
-    Storage.parallelFloor(docs)
+    // NO parallelFloor here (round 17): the floor sat inside this
+    // shared projection in round 16 and taxed the signature-REUSE
+    // consumers that don't fan pairs out of it (d07 -11% on the
+    // driver sheet, +0.28 s on the closing sheets) — the same lesson
+    // as shingleHashSets (d20). The floor lives at the PAIR-building
+    // call sites ([[minhashLshPairs]], [[lshBandStats]]), which are
+    // the per-row hot maps that measured the win (d03/d11/d16/d21).
+    docs
       .selectExpr("doc_id", s"graft_shingle_hashes($textCol, $n) AS hs")
       .selectExpr("doc_id", s"${TextOps.minhashSig("hs", k)} AS sig")
 
@@ -439,7 +442,10 @@ object Dedup {
       bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands $bands must divide k $k")
-    minhashSignatures(docs, textCol, n, k)
+    // parallelFloor at the call site (round 17, relocated from
+    // minhashSignatures — see its scaladoc): the signature + band
+    // fan-out is this diagnostic's per-row hot map
+    minhashSignatures(Storage.parallelFloor(docs), textCol, n, k)
       .selectExpr("doc_id",
         s"explode(transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS band, ${TextOps.foldHash(s"slice(sig, b * $r + 1, $r)")} AS bucket))) AS bb")
@@ -488,7 +494,11 @@ object Dedup {
       bands: Int, threshold: Double): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands $bands must divide k $k")
-    Storage.withCached(minhashSignatures(docs, textCol, n, k))(
+    // parallelFloor at the call site (round 17, relocated from
+    // minhashSignatures — see its scaladoc): the signature build is
+    // the pair generator's per-row hot map (d03/d11/d21 each
+    // -0.1..-0.2 s at bench scale; no-op on a multi-split scan)
+    Storage.withCached(minhashSignatures(Storage.parallelFloor(docs), textCol, n, k))(
       minhashLshPairsFrom(_, k, bands, threshold))
   }
 

@@ -112,16 +112,21 @@ object Graph {
       var ranks = ckpt(p.nodes.select(col("id"), lit(1000000L).as("rank_micro")))
       var stale: Seq[RDD[_]] = checkpointRdds(ranks)
       var round = 0
-      while (round < iterations) {
-        // tracked too: a failure in a LATER round must release the
-        // surviving previous-round blocks (re-releasing rounds already
-        // freed via `stale` is a no-op)
-        val next = ckpt(rankStep(
-          p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
-        stale.foreach(_.unpersist(blocking = false))
-        stale = checkpointRdds(next)
-        ranks = next
-        round += 1
+      // loop exchanges sized from the materialized edge frame (r17,
+      // guide §2 scale-adaptive partitioning): the count reads the
+      // checkpoint blocks, not lineage
+      Storage.withLoopPartitions(edges.sparkSession, p.ew.count()) {
+        while (round < iterations) {
+          // tracked too: a failure in a LATER round must release the
+          // surviving previous-round blocks (re-releasing rounds already
+          // freed via `stale` is a no-op)
+          val next = ckpt(rankStep(
+            p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
+          stale.foreach(_.unpersist(blocking = false))
+          stale = checkpointRdds(next)
+          ranks = next
+          round += 1
+        }
       }
       // the result is materialized — the graph-side blocks are no
       // longer reachable from it and can be freed (the Cluster
@@ -177,19 +182,23 @@ object Graph {
       var stale: Seq[RDD[_]] = checkpointRdds(ranks)
       var round = 0
       var delta = Long.MaxValue
-      while (delta >= epsilonMicro && round < maxRounds) {
-        val next = ckpt(rankStep(
-          p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
-        // max |Δ| probe: equi-join of two checkpointed V-row frames on
-        // id (every node appears in both — same node universe), one
-        // O(1)-row aggregate back to the driver's loop condition
-        delta = next.as("a").join(ranks.as("b"), Seq("id"))
-          .selectExpr("abs(a.rank_micro - b.rank_micro) AS d")
-          .agg(max(col("d"))).head.getLong(0)
-        stale.foreach(_.unpersist(blocking = false))
-        stale = checkpointRdds(next)
-        ranks = next
-        round += 1
+      // loop exchanges sized from the materialized edge frame (r17,
+      // guide §2 scale-adaptive partitioning)
+      Storage.withLoopPartitions(edges.sparkSession, p.ew.count()) {
+        while (delta >= epsilonMicro && round < maxRounds) {
+          val next = ckpt(rankStep(
+            p.ew, ranks, p.nodes, p.danglers, p.nNodes, dampingMicro, teleport))
+          // max |Δ| probe: equi-join of two checkpointed V-row frames on
+          // id (every node appears in both — same node universe), one
+          // O(1)-row aggregate back to the driver's loop condition
+          delta = next.as("a").join(ranks.as("b"), Seq("id"))
+            .selectExpr("abs(a.rank_micro - b.rank_micro) AS d")
+            .agg(max(col("d"))).head.getLong(0)
+          stale.foreach(_.unpersist(blocking = false))
+          stale = checkpointRdds(next)
+          ranks = next
+          round += 1
+        }
       }
       require(delta < epsilonMicro,
         s"pageRankConverged: no convergence to $epsilonMicro micro-units " +
@@ -294,23 +303,28 @@ object Graph {
       var nPrev = -1L
       var round = 0
       var done = false
-      while (!done && round < maxRounds) {
-        val next = ckpt(kCoreDegrees(und, k))
-        val n = next.count()
-        round += 1
-        staleKeep.foreach(_.unpersist(blocking = false))
-        staleKeep = checkpointRdds(next)
-        keep = next
-        // n == nPrev: the previous semi-join removed nobody, so the
-        // degree frame just recomputed is the fixpoint. n == 0: empty
-        // core, trivially fixed.
-        if (n == nPrev || n == 0L) done = true
-        else {
-          val peeled = ckpt(kCorePeel(und, keep))
-          staleUnd.foreach(_.unpersist(blocking = false))
-          staleUnd = checkpointRdds(peeled)
-          und = peeled
-          nPrev = n
+      // peel exchanges sized from the materialized edge frame (r17,
+      // guide §2 scale-adaptive partitioning); the peel only shrinks
+      // the frame, so the round-1 count bounds every round
+      Storage.withLoopPartitions(edges.sparkSession, und.count()) {
+        while (!done && round < maxRounds) {
+          val next = ckpt(kCoreDegrees(und, k))
+          val n = next.count()
+          round += 1
+          staleKeep.foreach(_.unpersist(blocking = false))
+          staleKeep = checkpointRdds(next)
+          keep = next
+          // n == nPrev: the previous semi-join removed nobody, so the
+          // degree frame just recomputed is the fixpoint. n == 0: empty
+          // core, trivially fixed.
+          if (n == nPrev || n == 0L) done = true
+          else {
+            val peeled = ckpt(kCorePeel(und, keep))
+            staleUnd.foreach(_.unpersist(blocking = false))
+            staleUnd = checkpointRdds(peeled)
+            und = peeled
+            nPrev = n
+          }
         }
       }
       require(done, s"kCore: no fixpoint within $maxRounds rounds " +

@@ -224,6 +224,11 @@ object LanguageModel {
     // cached rows.
     val scored = scoredPlanLang(grams, counts, buckets)
     scored.cache()
+    // fill-first KEPT for p50 (r17 re-measure, VERDICT r16 #1: quick
+    // n=8 min 3.98 without the count() vs 3.71 with — one cache with
+    // three racing consumers is the case the ladder pays for; d09's
+    // two-cache double-count() variant measured the opposite and was
+    // reverted, see weightedJaccardPairs)
     try Storage.checkpointed({ scored.count(): Unit
       assignPlanLang(corpus, langCol, scored) })
     finally {

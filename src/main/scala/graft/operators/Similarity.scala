@@ -852,10 +852,13 @@ object Similarity {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
     require(k >= 1, s"k must be >= 1, got $k")
+    // native nested-loop sketch (value-identical to the former
+    // transform(sequence(0, dims-1), j -> aggregate(...)) lambda form;
+    // see graft.functions.RpSketch — exact integer arithmetic, same
+    // deterministic sign matrix, whole-stage codegen instead of
+    // dims x D interpreted lambda dispatches per row)
     val sk = quantizeInt8(emb).selectExpr("vec_id",
-      s"transform(sequence(0, ${dims - 1}), j -> " +
-        "aggregate(sequence(0, size(q) - 1), cast(0 as bigint), " +
-        "(a, d) -> a + q[d] * (1 - 2 * ((d * 31 + j * 17) % 2)))) AS sk")
+      s"graft_rp_sketch(q, $dims) AS sk")
     val q = sk.filter(s"vec_id < $nQueries")
       .selectExpr("vec_id AS q_id", "sk AS qsk")
     val scored = broadcast(q).join(sk, col("vec_id") =!= col("q_id"))

@@ -53,10 +53,47 @@ object Storage {
     * corpus scan has thousands of splits, the guard is false, and
     * the plan is unchanged. Deterministic under retry
     * (sort-before-repartition, SPARK-23207); filters and column
-    * pruning push through Repartition (PlanAuditSpec). */
+    * pruning push through Repartition (PlanAuditSpec).
+    *
+    * PRECONDITION (r16 ADVICE): the input must be a scan/projection
+    * frame — no exchange, no broadcast join beneath it. The partition
+    * probe reads the NON-adaptive physical plan (`sparkPlan`), which
+    * never materializes AQE query stages the way `Dataset.rdd` would
+    * (that path eagerly EXECUTED any shuffle under the frame at
+    * plan-composition time); but probing a frame whose plan contains
+    * a broadcast join would still kick off the broadcast-build job,
+    * and a shuffle's pre-AQE partition count (spark.sql.shuffle
+    * .partitions) would make the probe vacuously false. Every call
+    * site is an operator entry over a loader projection. */
   private[graft] def parallelFloor(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val current = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (current < target) df.repartition(target) else df
+  }
+
+  /** Scale-adaptive shuffle partitioning for fixpoint loops (round
+    * 17, guide §2 / VERDICT r16 #6): a graph loop's per-round frames
+    * are usually far smaller than the corpus scans the session's
+    * `spark.sql.shuffle.partitions` is sized for — at bench scale a
+    * 25-node rank loop pays dozens of 32-partition micro-exchanges
+    * per round (pure scheduling overhead), and even AQE coalescing
+    * still plans, tracks and coalesces the full reducer count.
+    * Derive the LOOP's partition count from the materialized loop
+    * frame's row count (~250k rows per partition, floor 1), capped
+    * at the session setting so a production deployment — where
+    * rows/250k far exceeds any configured width — keeps its own
+    * sizing: the knob only ever SHRINKS provably tiny loops. The
+    * session value is restored afterward (the streaming gates'
+    * withStatePartitions discipline). Partition count is physical:
+    * every loop's arithmetic is partition-count independent (the
+    * oracles replay it with no notion of partitioning). */
+  private[graft] def withLoopPartitions[T](
+      spark: org.apache.spark.sql.SparkSession, loopRows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val session = spark.conf.get(key)
+    val target = math.min(session.toLong, loopRows / 250000L + 1L).max(1L)
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, session)
   }
 
   /** Lazily `localCheckpoint` `df`, then force materialization —

@@ -53,6 +53,41 @@ object Pipeline43 {
     f.delete(): Unit
   }
 
+  /** Pre-compute ALL of a gate's stream-drop slices in ONE Spark job
+    * (r17, guide §1.2: the fixtures were 2–4 separate
+    * filter/agg + coalesce(1) writes, each its own job over the
+    * events scan — pure fixture-prep overhead billed to the gate).
+    * `df` carries a `__slice` column naming each row's drop; one
+    * coalesce(1) partitioned write materializes every slice as a
+    * single file under `root/tmp_slices/__slice=<name>/`.
+    * [[dropSlice]] then publishes a slice into the stream dir as a
+    * pure file copy at the wave boundary — no Spark job between
+    * drains. The published bytes are row-identical to the former
+    * per-slice writes (same rows, same data schema — partitionBy
+    * stores the data columns in frame order minus `__slice`), so
+    * micro-batch boundaries, watermark advancement and sink contents
+    * — the semantics the gates prove — are untouched. */
+  private[queries] def prepareSlices(root: java.io.File,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").partitionBy("__slice")
+      .parquet(new java.io.File(root, "tmp_slices").toString)
+
+  /** Publish a [[prepareSlices]] slice into `streamDir` with the
+    * controlled mod time (the [[writeSlice]] contract, minus the
+    * Spark job). */
+  private[queries] def dropSlice(root: java.io.File, streamDir: java.io.File,
+      name: String, modTime: Long): Unit = {
+    val dir = new java.io.File(new java.io.File(root, "tmp_slices"), s"__slice=$name")
+    val part = Option(dir.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $dir"))
+    streamDir.mkdirs()
+    val dst = new java.io.File(streamDir, s"$name.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(modTime): Unit
+  }
+
   /** SINGLE-LIFETIME multi-wave gate drive (VERDICT r12 #5): start
     * the streaming query ONCE over the (possibly still-empty) stream
     * dir, then for each wave write its file drop and drain with
@@ -90,7 +125,13 @@ object Pipeline43 {
     * is [[graft.streaming.EventStreams.stateStorePartitions]] /
     * `withStateStorePartitions` (VERDICT r13 #6) — the gates keep a
     * small fixed constant only because their state is a handful of
-    * keys and the checkpoint freezes the count at first start. */
+    * keys and the checkpoint freezes the count at first start.
+    * Round 17 (VERDICT r16 #2): the constant drops 4 → 1 — per-batch
+    * state-store open/commit file ops are per partition, and the
+    * KB-scale gate state never needs parallelism (measured quick n≥3:
+    * st13 7.47→6.61, st15 6.36→5.74, st11 6.06→5.52, st gate set
+    * 36.7→33.9 s; oracles re-proven at sf0.01 AND sf0.001 — every
+    * gate's result is partition-count independent). */
   private[queries] def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
       n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -102,7 +143,7 @@ object Pipeline43 {
   private[queries] def driveWavesSized(s: org.apache.spark.sql.SparkSession,
       streamDir: java.io.File,
       start: () => org.apache.spark.sql.streaming.StreamingQuery,
-      waves: Seq[() => Unit], statePartitions: Int = 4): Unit =
+      waves: Seq[() => Unit], statePartitions: Int = 1): Unit =
     withStatePartitions(s, statePartitions)(driveWaves(streamDir, start, waves))
 
   /** One STOPPED-AND-RESUMED run of the append-mode daily rollup
@@ -182,14 +223,16 @@ object Pipeline43 {
       // state partitions sized to the gate's O(days × types) state
       // (see driveWavesSized scaladoc); the stop-and-resume
       // choreography itself — the semantics under test — is unchanged
-      withStatePartitions(s, 4) {
-        writeSlice(root, streamDir,
-          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-          "batch1", base - 60000L)
+      withStatePartitions(s, 1) {
+        // both drops materialized by ONE job ([[prepareSlices]]) and
+        // published as pure file copies — same bytes per drop as the
+        // former two filter+write jobs, same micro-batch boundaries
+        prepareSlices(root, ev.withColumn("__slice",
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+            .otherwise("batch2")))
+        dropSlice(root, streamDir, "batch1", base - 60000L)
         runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
-        writeSlice(root, streamDir,
-          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-          "batch2", base)
+        dropSlice(root, streamDir, "batch2", base)
         runAppendDaily(s, streamDir, ckpt, sink, ev.schema)
       }
       s.read.parquet(sink.toString)

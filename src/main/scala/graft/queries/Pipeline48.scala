@@ -137,15 +137,19 @@ object Pipeline48 {
       // semantics needs each drop in its OWN micro-batch (so the
       // watermark from drop 1 makes drop 2's stragglers late), not a
       // restart between drops — resume itself stays gated by st07
+      // both drops materialized by ONE job (Pipeline43.prepareSlices;
+      // the two filters are complementary, so this is a single scan
+      // with a CASE label) and published as pure file copies — same
+      // bytes per drop, same micro-batch boundaries
+      Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+          when(expr(s"ts < timestamp'2024-01-16' AND NOT ($straggler)"), "batch1")
+            .otherwise("batch2"))
+        .select(col("ts"), col("event_type"), col("cents"), col("__slice")))
       Pipeline43.driveWavesSized(s, streamDir,
         Pipeline43.appendDailyStart(s, streamDir, ckpt, sink, schema),
         Seq(
-          () => Pipeline43.writeSlice(root, streamDir,
-            slim(ev.filter(expr(s"ts < timestamp'2024-01-16' AND NOT ($straggler)"))),
-            "batch1", base - 60000L),
-          () => Pipeline43.writeSlice(root, streamDir,
-            slim(ev.filter(expr(s"ts >= timestamp'2024-01-16' OR ($straggler)"))),
-            "batch2", base)))
+          () => Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("day"), col("event_type"), col("n"), col("cents"))
         .orderBy(col("day"), col("event_type"))

@@ -35,6 +35,12 @@ object Pipeline52 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
+      // both drops materialized by ONE job (Pipeline43.prepareSlices)
+      // and published as pure file copies — same bytes per drop, same
+      // micro-batch boundaries
+      Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+          .otherwise("batch2")))
       // single-lifetime waves (VERDICT r12 #5): cross-drop session
       // stitching only needs the drops in separate micro-batches;
       // resume itself stays gated by st07/st12/st13
@@ -56,12 +62,8 @@ object Pipeline52 {
             .start()
         },
         Seq(
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-            "batch1", base - 60000L),
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-            "batch2", base)))
+          () => Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events"), col("total_cents"))

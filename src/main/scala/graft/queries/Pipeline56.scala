@@ -34,6 +34,12 @@ object Pipeline56 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
+      // both drops materialized by ONE job (Pipeline43.prepareSlices)
+      // and published as pure file copies — same bytes per drop, same
+      // micro-batch boundaries
+      Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+          .otherwise("batch2")))
       // single-lifetime waves (VERDICT r12 #5): the cross-drop
       // join-state retention point needs separate micro-batches, not
       // a restart — resume stays gated by st13, the join-matrix
@@ -52,12 +58,8 @@ object Pipeline56 {
             .start()
         },
         Seq(
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-            "batch1", base - 60000L),
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-            "batch2", base)))
+          () => Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch2", base)))
       s.read.parquet(sink.toString)
         .select(col("e_id"), col("p_id"), col("gap_us"))
         .orderBy(col("e_id"), col("p_id"))

@@ -102,14 +102,16 @@ object Pipeline66 {
       // state partitions sized to the gate's O(days × types) state
       // (Pipeline43.driveWavesSized scaladoc); the stop-and-resume
       // run_id choreography — the semantics under test — is unchanged
-      Pipeline43.withStatePartitions(s, 4) {
-        Pipeline43.writeSlice(root, streamDir,
-          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-          "batch1", base - 60000L)
+      Pipeline43.withStatePartitions(s, 1) {
+        // both drops materialized by ONE job (Pipeline43.prepareSlices)
+        // and published as pure file copies — same bytes per drop,
+        // same micro-batch boundaries
+        Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+            .otherwise("batch2")))
+        Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L)
         run(0)
-        Pipeline43.writeSlice(root, streamDir,
-          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-          "batch2", base)
+        Pipeline43.dropSlice(root, streamDir, "batch2", base)
         run(1)
       }
       import org.apache.spark.sql.expressions.Window

@@ -57,25 +57,29 @@ object Pipeline71 {
       // state (Pipeline43.driveWavesSized scaladoc); st13 KEEPS the
       // full stop-and-resume chaos — it is the join-matrix restart
       // representative (VERDICT r12 #5)
-      Pipeline43.withStatePartitions(s, 4) {
-        Pipeline43.writeSlice(root, streamDir,
-          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-          "batch1", base - 60000L)
+      def sentinel(days: Int) =
+        ev.agg(max(col("ts")).as("m"))
+          .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
+            "'error' AS event_type", s"-${days}L AS event_id")
+          .unionAll(ev.agg(max(col("ts")).as("m"))
+            .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
+              "'purchase' AS event_type", s"-${days + 1}L AS event_id"))
+      Pipeline43.withStatePartitions(s, 1) {
+        // all four drops materialized by ONE job
+        // (Pipeline43.prepareSlices) and published as pure file
+        // copies; the stop-and-resume chaos choreography — the
+        // semantics under test — is unchanged
+        Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+              .otherwise("batch2"))
+          .unionAll(sentinel(2).withColumn("__slice", lit("batch3")))
+          .unionAll(sentinel(4).withColumn("__slice", lit("batch4"))))
+        Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L)
         run()
-        Pipeline43.writeSlice(root, streamDir,
-          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-          "batch2", base)
+        Pipeline43.dropSlice(root, streamDir, "batch2", base)
         run()
-        for ((days, name, off) <- Seq((2, "batch3", 60000L),
-            (4, "batch4", 120000L))) {
-          Pipeline43.writeSlice(root, streamDir,
-            ev.agg(max(col("ts")).as("m"))
-              .selectExpr(s"timestampadd(DAY, $days, m) AS ts",
-                "'error' AS event_type", s"-${days}L AS event_id")
-              .unionAll(ev.agg(max(col("ts")).as("m"))
-                .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
-                  "'purchase' AS event_type", s"-${days + 1}L AS event_id")),
-            name, base + off)
+        for ((name, off) <- Seq(("batch3", 60000L), ("batch4", 120000L))) {
+          Pipeline43.dropSlice(root, streamDir, name, base + off)
           run()
         }
       }

@@ -35,6 +35,12 @@ object Pipeline75 {
       Pipeline43.deleteRec(streamDir); Pipeline43.deleteRec(ckpt)
       Pipeline43.deleteRec(sink)
       val base = System.currentTimeMillis()
+      // both drops materialized by ONE job (Pipeline43.prepareSlices)
+      // and published as pure file copies — same bytes per drop, same
+      // micro-batch boundaries
+      Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+          .otherwise("batch2")))
       // single-lifetime waves (VERDICT r12 #5): resume stays gated by
       // st13, the join-matrix chaos representative
       Pipeline43.driveWavesSized(s, streamDir,
@@ -50,12 +56,8 @@ object Pipeline75 {
             .start()
         },
         Seq(
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-            "batch1", base - 60000L),
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-            "batch2", base)))
+          () => Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch2", base)))
       s.read.parquet(sink.toString).select(col("p_id")).orderBy(col("p_id"))
     },
     Some("""SELECT p.event_id AS p_id FROM events p

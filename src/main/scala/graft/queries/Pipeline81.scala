@@ -29,11 +29,30 @@ object Pipeline81 {
     * (g, c) rows are tolerated (their count intervals tile the
     * cumulative line, so the rank filter still selects exactly one
     * row, with the same value). */
-  private[graft] def groupedMedianFromCounts(gcnt: DataFrame): DataFrame = {
+  private[graft] def groupedMedianFromCounts(gcnt: DataFrame): DataFrame =
+    groupedMedianFromCounts(gcnt,
+      gcnt.groupBy(col("g"))
+        .agg(max(col("c")).as("mx"), sum(col("cnt")).as("n")))
+
+  /** [[groupedMedianFromCounts]] with the per-group (mx, n) stats
+    * PRE-SUPPLIED — the r17 q88 fusion (VERDICT r16 #4): the MAD pass
+    * derives its stats from the median pass's stats frame by
+    * broadcast-side arithmetic (max |c − med| = greatest(mx − med,
+    * med − mn), both endpoints being realized values), skipping one
+    * full aggregation over the deviation histogram. The lookup's
+    * arithmetic is UNCHANGED: `mx` only sizes the value-range buckets
+    * (the rank filter is bucketing-independent — the count intervals
+    * tile the cumulative line under any width), `n` only sets the
+    * target rank, and the supplied values are definitionally equal to
+    * what the dropped aggregation computed, so every intermediate
+    * (bucket ids, offsets, before-counts) is bit-identical to the
+    * two-agg form. The rank now rides the SAME broadcast join as mx
+    * (one broadcast fewer per lookup than the r16 shape). */
+  private[graft] def groupedMedianFromCounts(gcnt: DataFrame,
+      stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mx = gcnt.groupBy(col("g"))
-      .agg(max(col("c")).as("mx"), sum(col("cnt")).as("n"))
-    val gb = gcnt.join(broadcast(mx.select(col("g"), col("mx"))), Seq("g"))
+    val gb = gcnt.join(
+        broadcast(stats.selectExpr("g", "mx", "(n + 1) div 2 AS rk")), Seq("g"))
       .withColumn("b", expr("c div greatest(1L, (mx div 64) + 1L)"))
     val offs = gb.groupBy(col("g"), col("b")).agg(sum(col("cnt")).as("bcnt"))
       .withColumn("off", coalesce(sum(col("bcnt")).over(
@@ -44,7 +63,6 @@ object Pipeline81 {
     gb.join(broadcast(offs.select(col("g"), col("b"), col("off"))), Seq("g", "b"))
       .withColumn("before",
         col("off") + coalesce(sum(col("cnt")).over(win), lit(0L)))
-      .join(broadcast(mx.selectExpr("g", "(n + 1) div 2 AS rk")), Seq("g"))
       .filter(col("before") < col("rk") && col("before") + col("cnt") >= col("rk"))
       .selectExpr("g", "c AS med")
   }
@@ -76,7 +94,20 @@ object Pipeline81 {
         .groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
       gcnt.cache()
       try {
-        val med = groupedMedianFromCounts(gcnt)
+        // fused stats (r17, VERDICT r16 #4): ONE per-group stats agg
+        // feeds BOTH rank lookups — the MAD pass's (max deviation, n)
+        // derive from (mx, mn, n, med) by broadcast arithmetic
+        // (max |c − med| = greatest(mx − med, med − mn): both range
+        // endpoints are realized histogram values, so the identity is
+        // exact, and n is shared), replacing the r16 shape's second
+        // full aggregation over the deviation histogram. Cell-exact
+        // by construction; re-proven against the DuckDB oracle.
+        val stats = gcnt.groupBy(col("g"))
+          .agg(max(col("c")).as("mx"), min(col("c")).as("mn"),
+            sum(col("cnt")).as("n"))
+        stats.cache() // 5 rows; read by both lookups + the dev stats
+        val med = groupedMedianFromCounts(gcnt,
+          stats.select(col("g"), col("mx"), col("n")))
         med.cache() // lazy: first broadcast evaluation fills it (5 rows)
         try {
           // NO tie-collapse pre-agg: the rank filter selects exactly
@@ -85,7 +116,9 @@ object Pipeline81 {
           // exactly one (saves a shuffle + cache + count job)
           val devCnt = gcnt.join(broadcast(med), Seq("g"))
             .selectExpr("g", "abs(c - med) AS c", "cnt")
-          val mad = groupedMedianFromCounts(devCnt)
+          val devStats = stats.join(med, Seq("g"))
+            .selectExpr("g", "greatest(mx - med, med - mn) AS mx", "n")
+          val mad = groupedMedianFromCounts(devCnt, devStats)
             .withColumnRenamed("med", "mad")
           graft.operators.Storage.checkpointed(
             gcnt.join(broadcast(med), Seq("g"))
@@ -99,7 +132,9 @@ object Pipeline81 {
                 "cast((cast(n_outliers as decimal(38,0)) * 1000000) div n_orders" +
                   " as bigint) AS outlier_micro")
               .orderBy(col("priority")))
-        } finally med.unpersist(blocking = false)
+        } finally {
+          med.unpersist(blocking = false); stats.unpersist(blocking = false)
+        }
       } finally gcnt.unpersist(blocking = false)
     },
     Some("""WITH base AS (SELECT o_orderpriority AS g,

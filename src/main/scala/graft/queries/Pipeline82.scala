@@ -46,6 +46,16 @@ object Pipeline82 {
           .unionAll(ev.agg(max(col("ts")).as("m"))
             .selectExpr(s"timestampadd(DAY, ${days + 1}, m) AS ts",
               "'purchase' AS event_type", s"-${days + 1}L AS event_id"))
+      // all four drops materialized by ONE job
+      // (Pipeline43.prepareSlices): the split rides a CASE label over
+      // a single scan, the sentinel pairs union on top; each wave is
+      // then a pure file copy — same bytes per drop, same micro-batch
+      // boundaries
+      Pipeline43.prepareSlices(root, ev.withColumn("__slice",
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), "batch1")
+            .otherwise("batch2"))
+        .unionAll(sentinel(2).withColumn("__slice", lit("batch3")))
+        .unionAll(sentinel(4).withColumn("__slice", lit("batch4"))))
       Pipeline43.driveWavesSized(s, streamDir,
         () => {
           val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
@@ -61,16 +71,10 @@ object Pipeline82 {
             .start()
         },
         Seq(
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-            "batch1", base - 60000L),
-          () => Pipeline43.writeSlice(root, streamDir,
-            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-            "batch2", base),
-          () => Pipeline43.writeSlice(root, streamDir, sentinel(2),
-            "batch3", base + 60000L),
-          () => Pipeline43.writeSlice(root, streamDir, sentinel(4),
-            "batch4", base + 120000L)))
+          () => Pipeline43.dropSlice(root, streamDir, "batch1", base - 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch2", base),
+          () => Pipeline43.dropSlice(root, streamDir, "batch3", base + 60000L),
+          () => Pipeline43.dropSlice(root, streamDir, "batch4", base + 120000L)))
       graft.streaming.EventStreams.reconcileFullOuter(
           s.read.parquet(sink.toString))
         .filter((col("p_id").isNull || col("p_id") >= 0) &&

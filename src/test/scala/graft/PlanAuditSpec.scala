@@ -29,10 +29,17 @@ class PlanAuditSpec extends AnyFunSuite {
     * plans to fewer partitions than the session's cores (always true
     * for this suite's tiny in-memory frames, never true for a real
     * 100 TB scan), so map-only shape audits must not count it as a
-    * shuffle the algorithm needs. */
+    * shuffle the algorithm needs. The exclusion is bounded (r16
+    * ADVICE): callers additionally assert AT MOST ONE round-robin
+    * exchange via [[roundRobinExchanges]], so an unintended
+    * repartition() introduced anywhere else in the plan still fails
+    * the shape audit rather than hiding behind the floor's
+    * allowance. */
   private def dataExchanges(plan: String): Int =
-    "Exchange".r.findAllIn(plan).length -
-      "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+    "Exchange".r.findAllIn(plan).length - roundRobinExchanges(plan)
+
+  private def roundRobinExchanges(plan: String): Int =
+    "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
 
   /** true iff some exchange hash-partitions on a value-range bucket
     * column — `b` for inline decompositions, `__b` for the shared
@@ -214,6 +221,8 @@ class PlanAuditSpec extends AnyFunSuite {
       val fin = p.split("== Initial Plan ==").head
       assert(dataExchanges(fin) <= 1,
         s"${q.name} is a pure projection — no data shuffle before the final order-by:\n$p")
+      assert(roundRobinExchanges(fin) <= 1,
+        s"${q.name}: at most the single parallelFloor round-robin above the scan:\n$p")
       assert(!p.contains("ScalaUDF"), s"${q.name} stays native/codegen")
     }
     val d06 = finalPlan(queries.Pipeline4.d06.run(spark, sfDir))
@@ -265,6 +274,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val t15Final = t15.split("== Initial Plan ==").head
     assert(dataExchanges(t15Final) <= 1,
       s"document encode is map-only (merge table rides as a literal):\n$t15")
+    assert(roundRobinExchanges(t15Final) <= 1,
+      s"t15: at most the single parallelFloor round-robin above the scan:\n$t15")
     assert(!t15.contains("ScalaUDF"), s"t15 stays native/codegen:\n$t15")
   }
 
